@@ -1,0 +1,70 @@
+"""URL scalar functions — all native Column expressions (no UDFs).
+
+Semantics mirror the reference's helpers:
+  * canonical domain = www.-stripped host
+    (reference newsplease/helper_classes/url_extractor.py:39-51)
+  * subdomain split (url_extractor.py:53-64)
+  * url directory / file name (url_extractor.py:248-287)
+  * redirect-canonical keying D4 (reference
+    newsplease/pipeline/pipelines.py:516-521): coalesce(redirect_from, url)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)"
+
+
+def url_host(url: Column) -> Column:
+    """Host part of an absolute URL ('' when not a hierarchical URL)."""
+    return F.regexp_extract(url, _HOST_RE, 1)
+
+
+def url_path(url: Column) -> Column:
+    """Path part, '/' when absent."""
+    p = F.regexp_extract(url, _PATH_RE, 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def canonical_host(url: Column) -> Column:
+    """www.-stripped lowercase host (reference url_extractor.py:39-51)."""
+    return F.regexp_replace(F.lower(url_host(url)), r"^www\.", "")
+
+
+def subdomain(url: Column) -> Column:
+    """Left-of-registered-domain labels, '' if none (url_extractor.py:53-64).
+
+    Heuristic: registered domain = last two labels.
+    """
+    h = canonical_host(url)
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    return F.when(
+        n > 2, F.array_join(F.slice(parts, 1, n - 2), ".")
+    ).otherwise(F.lit(""))
+
+
+def url_directory(url: Column) -> Column:
+    """Directory portion of the path (url_extractor.py:248-272)."""
+    p = url_path(url)
+    return F.regexp_extract(p, r"^(.*/)[^/]*$", 1)
+
+
+def url_filename(url: Column) -> Column:
+    """Last path segment (url_extractor.py:274-287)."""
+    return F.regexp_extract(url_path(url), r"([^/]*)$", 1)
+
+
+def canonical_url(url: Column, redirect_from: Column | None = None) -> Column:
+    """Redirect-canonical keying D4: results are stored under the first
+    redirect source when present (reference pipelines.py:516-521)."""
+    base = F.coalesce(redirect_from, url) if redirect_from is not None else url
+    return F.concat(
+        F.regexp_extract(base, r"^([a-z][a-z0-9+.-]*)://", 1),
+        F.lit("://"),
+        canonical_host(base),
+        url_path(base),
+    )

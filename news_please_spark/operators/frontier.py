@@ -1,0 +1,350 @@
+"""The crawl frontier engine — waves of set-oriented DataFrame jobs.
+
+Replaces the reference's scrapy scheduler + RFPDupeFilter + per-domain
+concurrency caps (reference newsplease/single_crawler.py:170-187,
+helper_classes/parse_crawler.py:90-120, config/config.cfg:350-354) with
+an explicit frontier table and a deterministic total order that the
+pure-Python oracle (oracle.py) reproduces bit-for-bit.
+
+Per wave:
+  politeness  — skew-safe top-B per host (operators/ordering.top_k_per_key)
+  seq         — scalable global row numbering (ordering.with_global_seq)
+  expansion   — join fetch-set × webgraph edges (fetch side broadcast
+                when small), native filters F2/F3/F4, robots gate F11
+                (broadcast prefix-array join), min-disc_key dedup of
+                in-wave duplicates
+  URL-seen    — optional partitioned-bloom prefilter + exact left_anti
+                confirm against the `seen` table (D1)
+  checkpoint  — frontier/seen/order/metrics parquet snapshots per wave
+                (resume = read the last complete wave)
+
+Scale notes (100 TB / 10^10 URLs):
+  * `seen` and `frontier` would live in Iceberg, bucketed by
+    pmod(xxhash64(url), B) so the per-wave anti-join is co-partitioned;
+    local parquet snapshots keep the same layout (.repartition on the
+    bucket expression before write).
+  * lineage is cut every wave via the checkpoint write — no
+    ever-growing union chain on the driver.
+  * per-wave metrics (rows fetched, per-host max, skew ratio) are
+    computed with `observe()`-style aggregations, one tiny job.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from news_please_spark.functions.urls import url_host, url_path
+from news_please_spark.operators.ordering import mark_top_k_per_key, with_global_seq
+from news_please_spark.world import (
+    ALLOWED_DOMAIN_SUFFIX,
+    IGNORE_EXTENSIONS,
+    IGNORE_REGEX,
+)
+
+BROADCAST_FETCH_LIMIT = 2_000_000  # rows; fetch set is budget×hosts, usually small
+SMALL_SEQ_LIMIT = 200_000  # below this a single-partition window beats two-phase
+
+
+@dataclass
+class FrontierConfig:
+    budget_per_host: int = 4          # reference config.cfg:354
+    max_depth: int = 4
+    max_waves: int = 10_000
+    use_bloom: bool = False
+    salt_buckets: int = 1             # >1 enables skew-safe two-phase top-k
+    state_dir: str | None = None      # enables checkpoint/resume
+    seen_buckets: int = 32            # hash-bucket layout of the seen table
+    checkpoint_every: int = 8         # waves between lineage truncations
+    verbose: bool = False
+
+
+@dataclass
+class CrawlResult:
+    order: DataFrame
+    seen: DataFrame
+    waves: int
+    fetched: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+def allowed_url(url_col) -> F.Column:
+    """Filters F2 (extension), F3 (scheme junk), F4 (domain scope) as one
+    native boolean Column — codegen'd, no Python."""
+    return (
+        ~url_col.rlike(IGNORE_REGEX)
+        & ~url_col.rlike(IGNORE_EXTENSIONS)
+        & url_host(url_col).endswith(ALLOWED_DOMAIN_SUFFIX)
+    )
+
+
+def robots_blocked(path_col, prefixes_col) -> F.Column:
+    """F11: true when any disallow prefix matches the URL path."""
+    return F.when(
+        prefixes_col.isNull(), F.lit(False)
+    ).otherwise(F.exists(prefixes_col, lambda p: path_col.startswith(p)))
+
+
+class FrontierEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        webgraph: DataFrame,
+        robots: DataFrame | None = None,
+        cfg: FrontierConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or FrontierConfig()
+        # edges keyed by src_url; at scale this is an Iceberg table
+        # bucketed by src_url so the per-wave join is co-partitioned.
+        self.edges = webgraph
+        if robots is not None:
+            self.robots_by_host = (
+                robots.groupBy("host")
+                .agg(F.collect_list("disallow_prefix").alias("prefixes"))
+            )
+        else:
+            self.robots_by_host = None
+
+    # -- state snapshots ------------------------------------------------
+    def _wave_dir(self, wave: int) -> str:
+        return os.path.join(self.cfg.state_dir, f"wave={wave:05d}")
+
+    def _save_wave(self, wave, frontier, seen, order_wave, meta) -> None:
+        d = self._wave_dir(wave)
+        tmp = d + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        bucket = F.pmod(F.xxhash64("url"), F.lit(self.cfg.seen_buckets))
+        frontier.write.mode("overwrite").parquet(os.path.join(tmp, "frontier"))
+        seen.repartition(self.cfg.seen_buckets, bucket).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "seen"))
+        order_wave.write.mode("overwrite").parquet(os.path.join(tmp, "order"))
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        os.rename(tmp, d)  # atomic-ish commit marker
+
+    @staticmethod
+    def latest_wave(state_dir: str) -> int | None:
+        if not os.path.isdir(state_dir):
+            return None
+        waves = [
+            int(n.split("=")[1])
+            for n in os.listdir(state_dir)
+            if n.startswith("wave=") and not n.endswith(".tmp")
+        ]
+        return max(waves) if waves else None
+
+    # -- main loop --------------------------------------------------------
+    def run(self, seed_urls: list[str], resume: bool = False) -> CrawlResult:
+        spark, cfg = self.spark, self.cfg
+        metrics: list[dict] = []
+        order_parts: list[DataFrame] = []
+
+        start_wave = 0
+        seq_base = 0
+        frontier = seen = None
+        if resume and cfg.state_dir:
+            last = self.latest_wave(cfg.state_dir)
+            if last is not None:
+                d = self._wave_dir(last)
+                with open(os.path.join(d, "meta.json")) as f:
+                    meta = json.load(f)
+                frontier = spark.read.parquet(os.path.join(d, "frontier"))
+                # seen = initial seeds ∪ all per-wave deltas (append-only
+                # layout: what Iceberg appends would be at scale)
+                seen = spark.read.parquet(
+                    os.path.join(cfg.state_dir, "init", "seen"),
+                    os.path.join(cfg.state_dir, "wave=*", "seen"),
+                )
+                start_wave = last + 1
+                seq_base = meta["seq_next"]
+        if frontier is None:
+            # seeds: sorted by url, disc_key = rank (mirrors oracle)
+            seeds = spark.createDataFrame(
+                [(u,) for u in seed_urls], "url string"
+            ).filter(allowed_url(F.col("url")))
+            if self.robots_by_host is not None:
+                seeds = (
+                    seeds.withColumn("host", url_host(F.col("url")))
+                    .join(F.broadcast(self.robots_by_host), "host", "left")
+                    .filter(~robots_blocked(url_path(F.col("url")), F.col("prefixes")))
+                    .select("url")
+                )
+            seeds, _ = with_global_seq(seeds, ["url"], 0, out="disc_key")
+            frontier = seeds.select(
+                F.col("url"),
+                url_host(F.col("url")).alias("host"),
+                F.lit(0).alias("depth"),
+                F.col("disc_key"),
+            )
+            seen = frontier.select("url")
+            if cfg.state_dir:
+                seen.write.mode("overwrite").parquet(
+                    os.path.join(cfg.state_dir, "init", "seen")
+                )
+
+        # `seen` is kept as a LIST of checkpointed chunks — never copied
+        # per wave (copying the full seen set every wave would be O(seen)
+        # × waves; at 10^10 URLs that is the difference between a crawl
+        # and a heat lamp). The anti-join probes the union of chunks;
+        # chunks are compacted every `checkpoint_every` waves.
+        frontier = frontier.localCheckpoint(eager=True)
+        seen_chunks: list[DataFrame] = [seen.localCheckpoint(eager=True)]
+
+        def seen_df() -> DataFrame:
+            s = seen_chunks[0]
+            for c in seen_chunks[1:]:
+                s = s.unionByName(c)
+            return s
+
+        import time as _time
+
+        wave = start_wave
+        while wave < cfg.max_waves:
+            _t0 = _time.time()
+            # politeness: each host fetches at most B URLs per wave (O2).
+            # One checkpoint per wave bounds the logical-plan depth —
+            # otherwise Catalyst re-analyzes an exponentially growing
+            # tree even though the data is cached.
+            ann = mark_top_k_per_key(
+                frontier,
+                key="host",
+                order_cols=["disc_key", "url"],
+                k=cfg.budget_per_host,
+                salt_buckets=cfg.salt_buckets,
+                salt_on="url",
+                flag="_fetch",
+            ).localCheckpoint(eager=True)
+            fetch_raw = ann.filter(F.col("_fetch")).drop("_fetch")
+            deferred = ann.filter(~F.col("_fetch")).drop("_fetch")
+            n_fetched = fetch_raw.count()
+            if n_fetched == 0:
+                break
+            # deterministic global fetch order (O1): a single-partition
+            # window is cheapest for the usual budget×hosts-sized fetch
+            # set; fall back to the scalable two-phase numbering when the
+            # wave is genuinely large.
+            if n_fetched <= SMALL_SEQ_LIMIT:
+                from pyspark.sql import Window
+
+                w = Window.orderBy("depth", "disc_key", "url")
+                fetch = fetch_raw.coalesce(1).withColumn(
+                    "seq", (F.row_number().over(w) - 1 + F.lit(seq_base)).cast("long")
+                )
+                seq_next = seq_base + n_fetched
+            else:
+                fetch, seq_next = with_global_seq(
+                    fetch_raw, ["depth", "disc_key", "url"], seq_base
+                )
+            fetch = fetch.localCheckpoint(eager=True)
+            order_wave = fetch.select(
+                "url", "host", "depth", "seq", F.lit(wave).alias("wave")
+            )
+            order_parts.append(order_wave)
+
+            # expansion: fetch-set × edges (S9); broadcast the small side
+            expandable = fetch.filter(F.col("depth") < cfg.max_depth).select(
+                F.col("url").alias("p_url"),
+                F.col("depth").alias("p_depth"),
+                F.col("seq").alias("p_seq"),
+            )
+            if n_fetched <= BROADCAST_FETCH_LIMIT:
+                expandable = F.broadcast(expandable)
+            cand = (
+                self.edges.join(
+                    expandable, self.edges.src_url == expandable.p_url
+                )
+                .select(
+                    F.col("dst_url").alias("url"),
+                    (F.col("p_seq") * 1024 + F.col("link_index")).alias(
+                        "disc_key"
+                    ),
+                    (F.col("p_depth") + 1).alias("depth"),
+                )
+                .filter(allowed_url(F.col("url")))
+                .withColumn("host", url_host(F.col("url")))
+            )
+            if self.robots_by_host is not None:
+                cand = (
+                    cand.join(F.broadcast(self.robots_by_host), "host", "left")
+                    .filter(
+                        ~robots_blocked(url_path(F.col("url")), F.col("prefixes"))
+                    )
+                    .drop("prefixes")
+                )
+            # in-wave dedup: the lowest disc_key parent wins (its depth rides
+            # along in the struct — disc_key is globally unique)
+            cand = (
+                cand.groupBy("url", "host")
+                .agg(F.min(F.struct("disc_key", "depth")).alias("m"))
+                .select(
+                    "url",
+                    "host",
+                    F.col("m.depth").cast("int").alias("depth"),
+                    F.col("m.disc_key").alias("disc_key"),
+                )
+            )
+            # URL-seen D1: optional bloom prefilter, exact anti-join confirm
+            seen = seen_df()
+            if cfg.use_bloom:
+                from news_please_spark.operators.urlseen import bloom_prefilter
+
+                cand = bloom_prefilter(cand, seen, self.cfg.seen_buckets)
+            new = (
+                cand.join(seen, "url", "left_anti")
+                .select("url", "host", "depth", "disc_key")
+                .localCheckpoint(eager=True)
+            )
+            seen_chunks.append(new.select("url"))
+            frontier = deferred.unionByName(new)
+
+            if cfg.state_dir:
+                self._save_wave(
+                    wave,
+                    frontier,
+                    new.select("url"),
+                    order_wave,
+                    {"seq_next": seq_next, "wave": wave},
+                )
+            metrics.append(
+                {
+                    "wave": wave,
+                    "fetched": n_fetched,
+                    "seq_next": seq_next,
+                    "wave_secs": round(_time.time() - _t0, 3),
+                }
+            )
+            if cfg.verbose:
+                print(f"[wave {wave}] {metrics[-1]}", flush=True)
+            seq_base = seq_next
+            wave += 1
+            # periodic compaction: the seen-chunk union and order-part
+            # list grow one leaf per wave; fold them so analysis time
+            # stays flat over long crawls
+            if wave % cfg.checkpoint_every == 0:
+                seen_chunks = [seen_df().localCheckpoint(eager=True)]
+                if order_parts:
+                    merged = order_parts[0]
+                    for part in order_parts[1:]:
+                        merged = merged.unionByName(part)
+                    order_parts = [merged.localCheckpoint(eager=True)]
+
+        order = order_parts[0] if order_parts else self.spark.createDataFrame(
+            [], "url string, host string, depth int, seq long, wave int"
+        )
+        for part in order_parts[1:]:
+            order = order.unionByName(part)
+        return CrawlResult(
+            order=order,
+            seen=seen_df(),
+            waves=wave - start_wave,
+            fetched=seq_base,
+            metrics=metrics,
+        )

@@ -1,0 +1,118 @@
+"""Scalable global ordering primitives.
+
+`Window.orderBy` with no partition key funnels the whole DataFrame
+through ONE task — unusable at 10^10-URL scale. `with_global_seq`
+implements the standard two-phase pattern instead:
+
+  1. range-repartition on the sort key (cluster-wide ordered partitions),
+  2. collect the tiny per-partition row counts to the driver,
+  3. per-partition `row_number` + broadcast prefix offsets.
+
+Cost: one range shuffle + one O(num_partitions) collect. The result is
+identical to a global `row_number` but every heavy step is distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_seq(
+    df: DataFrame,
+    order_cols: list[str],
+    offset: int = 0,
+    out: str = "seq",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Attach a dense global sequence number by `order_cols`.
+
+    Returns (df_with_seq, next_offset). The input ordering key must be
+    unique per row for a deterministic result.
+    """
+    spark = df.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    d = df.repartitionByRange(nparts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    d = d.persist()
+    counts = dict(
+        d.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    acc = offset
+    cum: dict[int, int] = {}
+    for pid in sorted(counts):
+        cum[pid] = acc
+        acc += counts[pid]
+    if not cum:
+        return d.withColumn(out, F.lit(0).cast("long")).drop("_pid"), offset
+    mapping = F.create_map(
+        *[F.lit(x) for kv in cum.items() for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    res = d.withColumn(
+        out,
+        (mapping[F.col("_pid")] + F.row_number().over(w) - 1).cast("long"),
+    ).drop("_pid")
+    return res, acc
+
+
+def mark_top_k_per_key(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    k: int,
+    salt_buckets: int = 1,
+    salt_on: str | None = None,
+    flag: str = "_topk",
+) -> DataFrame:
+    """Annotate each row with a boolean `flag`: is it in its key's top-k
+    by `order_cols`? Returned as ONE DataFrame so callers can checkpoint
+    a single plan and split with cheap filters.
+
+    salt_buckets == 1: one `row_number` window — one shuffle.
+
+    salt_buckets > 1 (skew-safe): a plain per-key window sorts the whole
+    group in one task; with 40% of the frontier on one host (deliberate
+    world skew) that task dominates the wave. Phase 1 takes local top-k
+    inside (key, salt) sub-groups — bounding any task at
+    ~|group|/salt_buckets rows; phase 2 ranks only the ≤ k·salt_buckets
+    survivors per key. Phase-1 losers are provably outside the true
+    top-k, so they are flagged false directly.
+    """
+    if salt_buckets <= 1:
+        w = Window.partitionBy(key).orderBy(*order_cols)
+        return df.withColumn(
+            flag, F.row_number().over(w) <= k
+        )
+    salt_src = F.col(salt_on if salt_on is not None else order_cols[-1])
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy(key, "_salt").orderBy(*order_cols)
+    p1 = salted.withColumn("_rn1", F.row_number().over(w1))
+    # phase 2 ranks ONLY the ≤ k·salt_buckets survivors per key (the
+    # whole point — never sort a full skewed group in one task)
+    survivors = p1.filter(F.col("_rn1") <= k)
+    losers = p1.filter(F.col("_rn1") > k).withColumn(flag, F.lit(False))
+    w2 = Window.partitionBy(key).orderBy(*order_cols)
+    ranked = survivors.withColumn(
+        flag, F.row_number().over(w2) <= k
+    )
+    return ranked.unionByName(losers).drop("_salt", "_rn1")
+
+
+def top_k_per_key(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    k: int,
+    salt_buckets: int = 1,
+    salt_on: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(top-k rows, remainder rows) per key — see mark_top_k_per_key."""
+    marked = mark_top_k_per_key(df, key, order_cols, k, salt_buckets, salt_on)
+    return (
+        marked.filter(F.col("_topk")).drop("_topk"),
+        marked.filter(~F.col("_topk")).drop("_topk"),
+    )

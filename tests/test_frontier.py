@@ -1,0 +1,87 @@
+"""Crawl-ordering + URL-seen exact-match vs the pure-Python oracle —
+the BASELINE.json headline metric."""
+
+from __future__ import annotations
+
+import pytest
+
+from news_please_spark.operators.frontier import FrontierConfig, FrontierEngine
+from news_please_spark.oracle import CrawlConfig, CrawlOracle
+from news_please_spark.world import World
+
+
+def run_both(spark, n_pages, budget, max_depth, use_bloom=False, n_seeds=8,
+             salt_buckets=1):
+    world = World(n_pages=n_pages, n_seeds=n_seeds)
+    oracle = CrawlOracle(world, CrawlConfig(budget_per_host=budget, max_depth=max_depth))
+    o_order, o_seen = oracle.run()
+
+    engine = FrontierEngine(
+        spark,
+        world.webgraph_df(spark),
+        robots=world.robots_df(spark),
+        cfg=FrontierConfig(
+            budget_per_host=budget,
+            max_depth=max_depth,
+            use_bloom=use_bloom,
+            salt_buckets=salt_buckets,
+        ),
+    )
+    res = engine.run(world.seed_urls())
+    e_rows = res.order.select("url", "depth", "seq", "wave").collect()
+    e_order = sorted(((r.url, r.depth, r.seq, r.wave) for r in e_rows), key=lambda t: t[2])
+    e_seen = {r.url for r in res.seen.collect()}
+    return o_order, o_seen, e_order, e_seen, res
+
+
+@pytest.mark.parametrize(
+    "n_pages,budget,max_depth",
+    [(300, 8, 4), (800, 8, 3), (150, 2, 5)],
+)
+def test_order_and_seen_match_oracle(spark, n_pages, budget, max_depth):
+    o_order, o_seen, e_order, e_seen, res = run_both(
+        spark, n_pages, budget, max_depth
+    )
+    assert len(o_order) > 20, "oracle crawl unexpectedly tiny"
+    assert e_seen == o_seen
+    assert e_order == o_order
+    assert res.fetched == len(o_order)
+
+
+def test_bloom_and_salted_topk_are_exact(spark):
+    """The scale paths (bloom URL-seen prefilter, skew-salted politeness
+    top-k) must not change results by one bit."""
+    o_order, o_seen, e_order, e_seen, _ = run_both(
+        spark, 400, 8, 3, use_bloom=True, salt_buckets=8
+    )
+    assert e_seen == o_seen
+    assert e_order == o_order
+
+
+def test_politeness_and_filters(spark):
+    world = World(n_pages=500)
+    engine = FrontierEngine(
+        spark,
+        world.webgraph_df(spark),
+        robots=world.robots_df(spark),
+        cfg=FrontierConfig(budget_per_host=3, max_depth=3),
+    )
+    res = engine.run(world.seed_urls())
+    per = (
+        res.order.groupBy("wave", "host")
+        .count()
+        .agg({"count": "max"})
+        .collect()[0][0]
+    )
+    assert per <= 3  # politeness budget respected in every wave
+
+    urls = [r.url for r in res.order.select("url").collect()]
+    assert urls
+    for u in urls:
+        assert not u.startswith("mailto:")   # F3
+        assert not u.endswith(".pdf")        # F2
+        assert ".other.net" not in u          # F4
+        host = u.split("/")[2]
+        h = int(host.split(".")[0][1:])
+        if h % 3 == 0:                        # F11 robots
+            assert "/private/" not in u

@@ -1,0 +1,66 @@
+"""URL scalar functions (reference newsplease/helper_classes/url_extractor.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from news_please_spark.functions.urls import (
+    canonical_host,
+    canonical_url,
+    subdomain,
+    url_directory,
+    url_filename,
+    url_host,
+    url_path,
+)
+
+
+def test_url_parts(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://www.Example.com/a/b/c.html?q=1#frag", "r1"),
+            ("http://sub.news.example.org/", "r2"),
+            ("https://example.com", "r3"),
+            ("mailto:user@example.com", "r4"),
+        ],
+        "url string, id string",
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            url_host(F.col("url")).alias("host"),
+            url_path(F.col("url")).alias("path"),
+            canonical_host(F.col("url")).alias("canon"),
+            subdomain(F.col("url")).alias("sub"),
+            url_directory(F.col("url")).alias("dir"),
+            url_filename(F.col("url")).alias("fname"),
+        ).collect()
+    }
+    assert rows["r1"].host == "www.Example.com"
+    assert rows["r1"].path == "/a/b/c.html"
+    assert rows["r1"].canon == "example.com"
+    assert rows["r1"].dir == "/a/b/"
+    assert rows["r1"].fname == "c.html"
+    assert rows["r2"].canon == "sub.news.example.org"
+    assert rows["r2"].sub == "sub.news"
+    assert rows["r3"].path == "/"
+    assert rows["r4"].host == ""  # not hierarchical
+
+
+def test_redirect_canonical_keying(spark):
+    # D4: reference pipelines.py:516-521 — store under first redirect source
+    df = spark.createDataFrame(
+        [
+            ("https://www.a.com/x", None),
+            ("https://b.com/final", "https://WWW.b.com/orig"),
+        ],
+        "url string, redirect_from string",
+    )
+    vals = [
+        r[0]
+        for r in df.select(
+            canonical_url(F.col("url"), F.col("redirect_from"))
+        ).collect()
+    ]
+    assert vals == ["https://a.com/x", "https://b.com/orig"]
