@@ -1,38 +1,56 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: the crawl engine's core loop (frontier BFS
+with URL-seen anti-join) over the deterministic webgraph derived from
+the sf0.001 `documents` table.
+
+`queries()` / `oracle_sql()` — operator registry; implementations live
+in news_please_spark.plans.queries (SQL-oracle-checked) plus rows-only
+entries for ops DuckDB can't express (the full politeness crawl engine).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from news_please_spark.plans.queries import ORACLES, QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return QUERIES["frontier_bfs3"](spark, "/root/testdata/sf0.001")
+
+
+def _crawl_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full frontier engine (politeness buckets, robots gate, URL-seen)
+    on a synthetic world sized from the documents table. Non-SQL (an
+    iterative stateful job) → rows-only driver check; exact oracle
+    equality is enforced by tests/test_frontier.py."""
+    from news_please_spark.operators.frontier import FrontierConfig, FrontierEngine
+    from news_please_spark.world import World
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    world = World(n_pages=max(300, 2 * n_docs))
+    engine = FrontierEngine(
+        spark,
+        world.webgraph_df(spark),
+        robots=world.robots_df(spark),
+        cfg=FrontierConfig(budget_per_host=16, max_depth=3),
+    )
+    return engine.run(world.seed_urls()).order
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    qs: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
+    qs["crawl_politeness"] = _crawl_politeness
+    return qs
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -40,7 +40,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from news_please_spark.functions.urls import url_host, url_path
-from news_please_spark.operators.ordering import mark_top_k_per_key, with_global_seq
+from news_please_spark.operators.ordering import (
+    mark_top_k_by_threshold,
+    mark_top_k_per_key,
+    with_global_seq,
+)
 from news_please_spark.world import (
     ALLOWED_DOMAIN_SUFFIX,
     IGNORE_EXTENSIONS,
@@ -48,7 +52,7 @@ from news_please_spark.world import (
 )
 
 BROADCAST_FETCH_LIMIT = 2_000_000  # rows; fetch set is budget×hosts, usually small
-SMALL_SEQ_LIMIT = 200_000  # below this a single-partition window beats two-phase
+SMALL_SEQ_LIMIT = 50_000  # below this a single-partition window beats two-phase
 
 
 @dataclass
@@ -61,6 +65,14 @@ class FrontierConfig:
     state_dir: str | None = None      # enables checkpoint/resume
     seen_buckets: int = 32            # hash-bucket layout of the seen table
     checkpoint_every: int = 8         # waves between lineage truncations
+    # politeness marking: "window" = salted two-phase row_number (default;
+    # fastest when the per-wave frontier fits task memory after salting);
+    # "threshold" = aggregate k-th-smallest + join (no frontier-wide sort;
+    # exact because disc_key is unique — for extreme per-host skew where
+    # even salted sort groups blow past task memory). A/B at 600k pages:
+    # window ~5-6k URLs/s, threshold ~2-5k (the self-join shuffle costs
+    # more than the sort it avoids at this scale).
+    politeness_impl: str = "window"
     verbose: bool = False
 
 
@@ -142,7 +154,9 @@ class FrontierEngine:
         return max(waves) if waves else None
 
     # -- main loop --------------------------------------------------------
-    def run(self, seed_urls: list[str], resume: bool = False) -> CrawlResult:
+    def run(
+        self, seed_urls: list[str] | DataFrame, resume: bool = False
+    ) -> CrawlResult:
         spark, cfg = self.spark, self.cfg
         metrics: list[dict] = []
         order_parts: list[DataFrame] = []
@@ -167,9 +181,13 @@ class FrontierEngine:
                 seq_base = meta["seq_next"]
         if frontier is None:
             # seeds: sorted by url, disc_key = rank (mirrors oracle)
-            seeds = spark.createDataFrame(
-                [(u,) for u in seed_urls], "url string"
-            ).filter(allowed_url(F.col("url")))
+            if isinstance(seed_urls, DataFrame):
+                seeds = seed_urls.select("url")
+            else:
+                seeds = spark.createDataFrame(
+                    [(u,) for u in seed_urls], "url string"
+                )
+            seeds = seeds.filter(allowed_url(F.col("url")))
             if self.robots_by_host is not None:
                 seeds = (
                     seeds.withColumn("host", url_host(F.col("url")))
@@ -210,18 +228,31 @@ class FrontierEngine:
         while wave < cfg.max_waves:
             _t0 = _time.time()
             # politeness: each host fetches at most B URLs per wave (O2).
+            # disc_key is globally unique, so the threshold variant
+            # (aggregate + join, no frontier-wide sort) is exact.
             # One checkpoint per wave bounds the logical-plan depth —
             # otherwise Catalyst re-analyzes an exponentially growing
             # tree even though the data is cached.
-            ann = mark_top_k_per_key(
-                frontier,
-                key="host",
-                order_cols=["disc_key", "url"],
-                k=cfg.budget_per_host,
-                salt_buckets=cfg.salt_buckets,
-                salt_on="url",
-                flag="_fetch",
-            ).localCheckpoint(eager=True)
+            if cfg.politeness_impl == "threshold":
+                marked = mark_top_k_by_threshold(
+                    frontier,
+                    key="host",
+                    order_col="disc_key",
+                    k=cfg.budget_per_host,
+                    salt_buckets=max(cfg.salt_buckets, 8),
+                    flag="_fetch",
+                )
+            else:
+                marked = mark_top_k_per_key(
+                    frontier,
+                    key="host",
+                    order_cols=["disc_key", "url"],
+                    k=cfg.budget_per_host,
+                    salt_buckets=cfg.salt_buckets,
+                    salt_on="url",
+                    flag="_fetch",
+                )
+            ann = marked.localCheckpoint(eager=True)
             fetch_raw = ann.filter(F.col("_fetch")).drop("_fetch")
             deferred = ann.filter(~F.col("_fetch")).drop("_fetch")
             n_fetched = fetch_raw.count()
@@ -239,11 +270,14 @@ class FrontierEngine:
                     "seq", (F.row_number().over(w) - 1 + F.lit(seq_base)).cast("long")
                 )
                 seq_next = seq_base + n_fetched
+                fetch = fetch.localCheckpoint(eager=True)
             else:
                 fetch, seq_next = with_global_seq(
-                    fetch_raw, ["depth", "disc_key", "url"], seq_base
+                    fetch_raw,
+                    ["depth", "disc_key", "url"],
+                    seq_base,
+                    materialize=True,
                 )
-            fetch = fetch.localCheckpoint(eager=True)
             order_wave = fetch.select(
                 "url", "host", "depth", "seq", F.lit(wave).alias("wave")
             )

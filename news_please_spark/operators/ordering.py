@@ -24,11 +24,15 @@ def with_global_seq(
     offset: int = 0,
     out: str = "seq",
     num_partitions: int | None = None,
+    materialize: bool = False,
 ) -> tuple[DataFrame, int]:
     """Attach a dense global sequence number by `order_cols`.
 
     Returns (df_with_seq, next_offset). The input ordering key must be
-    unique per row for a deterministic result.
+    unique per row for a deterministic result. With materialize=True the
+    result is localCheckpoint'ed and the internal cache released —
+    callers in iterative loops should use this or the per-iteration
+    caches pile up in storage memory.
     """
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
@@ -54,7 +58,47 @@ def with_global_seq(
         out,
         (mapping[F.col("_pid")] + F.row_number().over(w) - 1).cast("long"),
     ).drop("_pid")
+    if materialize:
+        res = res.localCheckpoint(eager=True)
+        d.unpersist()
     return res, acc
+
+
+def mark_top_k_by_threshold(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    k: int,
+    salt_buckets: int = 16,
+    flag: str = "_topk",
+) -> DataFrame:
+    """Skew-safe top-k marking WITHOUT sorting the input: requires
+    `order_col` values to be unique within each key (true for the
+    frontier's disc_key, which embeds a globally unique parent seq).
+
+    Two-level aggregation computes each key's k-th smallest order value
+    (map-side combinable; the salt bounds any single buffer at
+    ~|group|/salt_buckets), then one join marks rows ≤ threshold. This
+    replaces two full window sorts of the frontier with one tiny
+    aggregate + a broadcastable threshold join — the difference between
+    O(frontier·log) per wave and O(frontier).
+    """
+    salted = df.groupBy(
+        key, F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets)).alias("_s")
+    ).agg(F.slice(F.array_sort(F.collect_list(order_col)), 1, k).alias("_top"))
+    thr = (
+        salted.groupBy(key)
+        .agg(F.array_sort(F.flatten(F.collect_list("_top"))).alias("_all"))
+        .select(
+            key,
+            F.element_at("_all", F.least(F.lit(k), F.size("_all"))).alias("_thr"),
+        )
+    )
+    return (
+        df.join(thr, key)  # AQE picks broadcast when the threshold side is small
+        .withColumn(flag, F.col(order_col) <= F.col("_thr"))
+        .drop("_thr")
+    )
 
 
 def mark_top_k_per_key(

@@ -1,0 +1,689 @@
+"""Oracle-checkable query registry for __spark_entry__.py.
+
+Every entry pairs a Spark DataFrame implementation with an ANSI-SQL
+oracle string that DuckDB runs over the same parquet tables. The driver
+compares row counts + schemas + order-insensitive value hashes, so:
+
+  * every computed column is aliased identically on both sides,
+  * float results are quantized PER ROW (floor(x*10^k) as BIGINT)
+    *before* any aggregation — summing doubles in different orders
+    across engines would otherwise flip low bits and break the hash,
+  * rankings order by the quantized value with an id tie-break.
+
+Queries cover the SURVEY.md §2 operator families that are expressible
+over the driver's testdata tables, plus the training-data-pipeline ops
+(dedup, similarity search, text quality, fingerprinting). The crawl
+semantics are exercised by a derived deterministic webgraph built from
+`documents` with pure arithmetic, so the SAME graph exists in both
+engines (frontier BFS = recursive CTE on the DuckDB side).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def q4(col):  # quantize: exact integer image of a double, portable
+    return F.floor(col * 10000).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# 1. frontier BFS over the derived webgraph (SURVEY §2.1 S9 + §2.7 O1)
+#    edges: for (m, a) in EDGE_PARAMS, doc d links to (d*m + a) % N
+EDGE_PARAMS = [(3, 17), (5, 34), (7, 51)]
+_EDGES_SQL = " UNION ALL ".join(
+    f"SELECT doc_id AS src, (doc_id*{m} + {a}) % (SELECT max(doc_id)+1 FROM documents) AS dst FROM documents"
+    for m, a in EDGE_PARAMS
+)
+
+
+def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    return docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(*[(F.col("doc_id") * m + a) % n for m, a in EDGE_PARAMS])
+        ).alias("dst"),
+    )
+
+
+@register(
+    "frontier_bfs3",
+    f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    bfs(id, depth) AS (
+      SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+      UNION ALL
+      SELECT e.dst, b.depth + 1 FROM bfs b JOIN edges e ON e.src = b.id
+      WHERE b.depth < 3
+    )
+    SELECT id AS node_id, CAST(min(depth) AS INT) AS depth
+    FROM bfs GROUP BY id
+    """,
+)
+def frontier_bfs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BFS (3 waves) with URL-seen anti-join — the core crawl
+    loop (reference parse_crawler.py:90-120) on the derived graph."""
+    edges = derived_edges(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    seeds = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("node_id"), F.lit(0).alias("depth")
+    )
+    reached = seeds
+    frontier = seeds
+    for d in range(1, 4):
+        nxt = (
+            frontier.join(edges, frontier.node_id == edges.src)
+            .select(F.col("dst").alias("node_id"))
+            .distinct()
+            .join(reached, "node_id", "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        reached = reached.unionByName(nxt)
+        frontier = nxt
+    return reached.select("node_id", F.col("depth").cast("int").alias("depth"))
+
+
+# ---------------------------------------------------------------------------
+# 2. URL canonicalization + ignore filters (F2/F3, url_extractor.py:39-51)
+_URL_SQL = (
+    "'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END || "
+    "'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || "
+    "CAST(doc_id AS VARCHAR) || CASE WHEN doc_id % 5 = 0 THEN '.pdf' ELSE '' END"
+)
+
+
+def _derived_url_col():
+    return F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("h"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(".pdf")).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "url_canonicalize",
+    f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+           regexp_replace(lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)), '^www\\.', '') AS canon_host,
+           regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_matches(url, '(?i).*\\.(pdf|docx?|xlsx?)$') AS is_ignored
+    FROM u
+    """,
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_please_spark.functions.urls import canonical_host, url_host, url_path
+
+    u = load(spark, sf_dir, "documents").select(
+        "doc_id", _derived_url_col().alias("url")
+    )
+    return u.select(
+        "doc_id",
+        "url",
+        url_host(F.col("url")).alias("host"),
+        canonical_host(F.col("url")).alias("canon_host"),
+        url_path(F.col("url")).alias("path"),
+        F.col("url").rlike(r"(?i).*\.(pdf|docx?|xlsx?)$").alias("is_ignored"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. politeness top-k per host (O2, config.cfg:354)
+@register(
+    "politeness_topk",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+             (doc_id * 13 + 5) % 1000 AS priority
+      FROM documents
+    )
+    SELECT host, doc_id, priority, rk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY host ORDER BY priority, doc_id) AS INT) AS rk
+      FROM u
+    ) WHERE rk <= 4
+    """,
+)
+def politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias("host"),
+        ((F.col("doc_id") * 13 + 5) % 1000).alias("priority"),
+    )
+    w = Window.partitionBy("host").orderBy("priority", "doc_id")
+    return (
+        u.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 4)
+        .select("host", "doc_id", "priority", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. exact dedup (D2 dropDuplicates semantics over content hash)
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_dups,
+           min(doc_id) AS first_doc
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# 4b. document fingerprint (normalized-content identity)
+@register(
+    "fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. MinHash signatures + LSH candidate pairs (near-dup detection)
+_SHINGLES_SQL = r"""
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+"""
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH t AS ({_SHINGLES_SQL}),
+    s AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+      FROM t WHERE len(toks) >= 3
+    )
+    SELECT doc_id, band,
+           list_aggregate(list_transform(shingles, sh -> md5(CAST(band AS VARCHAR) || '|' || sh)), 'min') AS sig
+    FROM s, (SELECT unnest([0, 1, 2, 3]) AS band)
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-band MinHash over 3-token shingles; hash = md5(band || shingle)
+    so the signature is engine-portable. Scale path: the band/sig table
+    is the LSH index — near-dup candidates are same-bucket joins."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    s = t.filter(F.size("toks") >= 3).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+            ),
+        ).alias("shingles"),
+    )
+    banded = s.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+        F.col("shingles"),
+    )
+    return banded.select(
+        "doc_id",
+        "band",
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda sh: F.md5(
+                    F.concat(F.col("band").cast("string"), F.lit("|"), sh)
+                ),
+            )
+        ).alias("sig"),
+    )
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH t AS ({_SHINGLES_SQL}),
+    s AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+      FROM t WHERE len(toks) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, band,
+             list_aggregate(list_transform(shingles, sh -> md5(CAST(band AS VARCHAR) || '|' || sh)), 'min') AS sig
+      FROM s, (SELECT unnest([0, 1, 2, 3]) AS band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. text quality / token stats / language-id (training-data ops)
+@register(
+    "doc_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(floor(10000.0 * length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text)) AS BIGINT) AS alpha_q,
+           CAST(floor(10000.0 * len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) / len(toks)) AS BIGINT) AS stop_q
+    FROM t
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    stop = ("the", "a", "of", "and")
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_uniq"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.floor(
+            10000.0
+            * F.length(F.regexp_replace("text", "[^a-z]", ""))
+            / F.length("text")
+        )
+        .cast("long")
+        .alias("alpha_q"),
+        F.floor(
+            10000.0
+            * F.size(F.filter(F.col("toks"), lambda x: x.isin(*stop)))
+            / F.size("toks")
+        )
+        .cast("long")
+        .alias("stop_q"),
+    )
+
+
+@register(
+    "token_totals",
+    r"""
+    SELECT source,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+            .cast("long")
+            .alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "lang_id",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS s_en,
+             len(list_filter(toks, x -> x IN ('der', 'die', 'und'))) AS s_de,
+             len(list_filter(toks, x -> x IN ('el', 'los', 'y'))) AS s_es
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+                WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+                WHEN s_es > 0 THEN 'es'
+                ELSE 'und' END AS pred_lang
+    FROM s
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-free stopword language id (E4 analogue,
+    lang_detect_extractor.py:21-83 — the real cascade runs on HTML in
+    the extraction chain; this is the table-level scoring primitive)."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+
+    def score(words):
+        return F.size(F.filter(F.col("toks"), lambda x: x.isin(*words)))
+
+    s = t.select(
+        "doc_id",
+        "lang",
+        score(("the", "a", "of", "and")).alias("s_en"),
+        score(("der", "die", "und")).alias("s_de"),
+        score(("el", "los", "y")).alias("s_es"),
+    )
+    return s.select(
+        "doc_id",
+        "lang",
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") > 0),
+            F.lit("en"),
+        )
+        .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") > 0), F.lit("de"))
+        .when(F.col("s_es") > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+        .alias("pred_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. ANN similarity search: brute-force cosine top-k (baseline path)
+@register(
+    "ann_cosine_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % 101 = 0),
+    p AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST(floor(10000 * (
+               list_dot_product(q.v, e.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))
+             )) AS BIGINT) AS sim_q
+      FROM q, e WHERE q.vec_id <> e.vec_id
+    )
+    SELECT query_id, neighbor_id, sim_q FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_q DESC, neighbor_id) AS rk
+      FROM p
+    ) WHERE rk <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5. The dot product is a left fold over
+    doubles in BOTH engines so quantized sims agree exactly. Scale
+    path: broadcast the (few) query vectors against the big side —
+    no shuffle of the corpus at all."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    q = e.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = F.broadcast(q).crossJoin(e).filter(F.col("query_id") != F.col("vec_id"))
+    sims = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.floor(
+            10000
+            * dot(F.col("qv"), F.col("v"))
+            / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v"))))
+        )
+        .cast("long")
+        .alias("sim_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_q"), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "sim_q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. streaming analogues over events: sessionize, recency filter (F10),
+#    versioning chain (K3-K6 MERGE semantics)
+@register(
+    "events_sessionize",
+    """
+    WITH x AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    b AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM x
+    ),
+    s AS (
+      SELECT user_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+      FROM b
+    )
+    SELECT user_id, CAST(count(DISTINCT sess) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w).alias("prev_us"),
+    )
+    b = x.withColumn(
+        "brk",
+        F.when(
+            F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > 1_800_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = b.withColumn("sess", F.sum("brk").over(ws))
+    return s.groupBy("user_id").agg(
+        F.countDistinct("sess").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "recency_filter",
+    """
+    WITH x AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_us
+      FROM events
+    )
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS kept
+    FROM x
+    WHERE prev_us IS NULL OR us - prev_us > 21600000000
+    GROUP BY user_id, event_type
+    """,
+)
+def recency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS recency window F10 (reference pipelines.py:110-131): drop a
+    re-download if the previous version is younger than Δ (6 h)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    x = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w).alias("prev_us"),
+    )
+    return (
+        x.filter(
+            F.col("prev_us").isNull()
+            | (F.col("us") - F.col("prev_us") > 21_600_000_000)
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("kept"))
+    )
+
+
+@register(
+    "versioning_chain",
+    """
+    SELECT event_id,
+           CAST(row_number() OVER w AS INT) AS version,
+           lag(event_id) OVER w AS ancestor,
+           lead(event_id) OVER w AS descendant
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    """,
+)
+def versioning_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-oriented image of the reference's per-row version dance
+    (SELECT current → INSERT new → archive old, pipelines.py:138-277):
+    version numbers + ancestor/descendant links in one window pass."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        F.row_number().over(w).cast("int").alias("version"),
+        F.lag("event_id").over(w).alias("ancestor"),
+        F.lead("event_id").over(w).alias("descendant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 9. classic relational coverage (agg + multi-join), per-row-quantized sums
+@register(
+    "lineitem_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_c"),
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("revenue_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "segment_revenue",
+    """
+    SELECT c.c_mktsegment, o.o_orderpriority,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("revenue_c"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "events_props_agg",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

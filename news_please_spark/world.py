@@ -159,6 +159,18 @@ class World:
             )
         )
 
+    def seeds_range_df(self, spark: SparkSession, n_seed_pages: int) -> DataFrame:
+        """Distributed seed generation: all normal pages with id <
+        n_seed_pages. Used to pre-load a large frontier for throughput
+        benchmarks (BFS warmup from a handful of seeds measures wave
+        overhead, not engine throughput)."""
+        p = F.col("id")
+        return (
+            spark.range(0, min(n_seed_pages, self.n_pages))
+            .filter(_mix_col(p, 3) % 100 >= 18)
+            .select(self.url_col(p).alias("url"))
+        )
+
     def robots_df(self, spark: SparkSession) -> DataFrame:
         from news_please_spark.schemas import ROBOTS
 

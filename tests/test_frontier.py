@@ -11,7 +11,7 @@ from news_please_spark.world import World
 
 
 def run_both(spark, n_pages, budget, max_depth, use_bloom=False, n_seeds=8,
-             salt_buckets=1):
+             salt_buckets=1, politeness_impl="window"):
     world = World(n_pages=n_pages, n_seeds=n_seeds)
     oracle = CrawlOracle(world, CrawlConfig(budget_per_host=budget, max_depth=max_depth))
     o_order, o_seen = oracle.run()
@@ -25,6 +25,7 @@ def run_both(spark, n_pages, budget, max_depth, use_bloom=False, n_seeds=8,
             max_depth=max_depth,
             use_bloom=use_bloom,
             salt_buckets=salt_buckets,
+            politeness_impl=politeness_impl,
         ),
     )
     res = engine.run(world.seed_urls())
@@ -36,7 +37,7 @@ def run_both(spark, n_pages, budget, max_depth, use_bloom=False, n_seeds=8,
 
 @pytest.mark.parametrize(
     "n_pages,budget,max_depth",
-    [(300, 8, 4), (800, 8, 3), (150, 2, 5)],
+    [(300, 8, 4), (500, 8, 3), (150, 2, 5)],
 )
 def test_order_and_seen_match_oracle(spark, n_pages, budget, max_depth):
     o_order, o_seen, e_order, e_seen, res = run_both(
@@ -53,6 +54,16 @@ def test_bloom_and_salted_topk_are_exact(spark):
     top-k) must not change results by one bit."""
     o_order, o_seen, e_order, e_seen, _ = run_both(
         spark, 400, 8, 3, use_bloom=True, salt_buckets=8
+    )
+    assert e_seen == o_seen
+    assert e_order == o_order
+
+
+def test_threshold_politeness_is_exact(spark):
+    """The no-sort politeness path (k-th smallest disc_key threshold)
+    must match the oracle exactly too."""
+    o_order, o_seen, e_order, e_seen, _ = run_both(
+        spark, 250, 8, 3, salt_buckets=8, politeness_impl="threshold"
     )
     assert e_seen == o_seen
     assert e_order == o_order
