@@ -46,9 +46,46 @@ def _crawl_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.run(world.seed_urls()).order
 
 
+def _extract_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1-E5 + V1-V7 extraction chain over synthesized HTML pages
+    (vectorized pandas UDFs; golden-oracle equality in
+    tests/test_extraction.py). Rows-only driver check."""
+    from news_please_spark.extraction.extract import extract_articles
+    from news_please_spark.synth import DocWorld
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    return extract_articles(DocWorld(n_docs).responses_df(spark))
+
+
+def _extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint span documents from extracted articles (span-sequence
+    equality enforced in tests/test_extraction.py)."""
+    from news_please_spark.extraction.extract import article_to_spans
+
+    return article_to_spans(_extract_articles(spark, sf_dir))
+
+
+def _heuristics_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 article gate (H1-H7 + condition compiler) over synthesized
+    HTML; returns per-page gate verdicts."""
+    from pyspark.sql import functions as F
+
+    from news_please_spark.extraction.heuristics import pass_heuristics
+    from news_please_spark.synth import DocWorld
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    fetched = DocWorld(n_docs).responses_df(spark)
+    return fetched.select(
+        "doc_id", pass_heuristics(F.col("html"), F.col("url")).alias("is_article")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
     qs["crawl_politeness"] = _crawl_politeness
+    qs["extract_articles"] = _extract_articles
+    qs["extract_spans"] = _extract_spans
+    qs["heuristics_gate"] = _heuristics_gate
     return qs
 
 

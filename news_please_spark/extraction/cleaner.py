@@ -1,0 +1,47 @@
+"""E5 Cleaner — tag-strip + entity + whitespace normalization as native
+Column expressions (reference pipeline/extractor/cleaner.py:22-99; its
+five compiled regexes become a regexp_replace chain, codegen'd JVM-side,
+applied to every candidate field via a higher-order `transform` over the
+candidates array — no Python in the loop)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_ENTITIES = [("&amp;", "&"), ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">")]
+
+
+def clean_text(c: Column) -> Column:
+    """strip tags → decode common entities → collapse whitespace → trim."""
+    out = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, rep in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.regexp_replace(out, r"[ \t\x0b\r\f]+", " ")       # horizontal ws
+    out = F.regexp_replace(out, r" ?\n ?", "\n")              # tidy newlines
+    out = F.regexp_replace(out, r"\n{2,}", "\n")              # collapse blank lines
+    return F.trim(out)
+
+
+def empty_to_null(c: Column) -> Column:
+    """P1 projection rule: empty string → NULL (reference
+    pipelines.py:298-330)."""
+    return F.when(F.length(c) == 0, F.lit(None)).otherwise(c)
+
+
+def clean_candidates(cands: Column) -> Column:
+    """Apply the cleaner to every text field of every candidate struct —
+    one `transform`, still a single codegen stage."""
+    return F.transform(
+        cands,
+        lambda c: F.struct(
+            c["extractor"].alias("extractor"),
+            clean_text(c["title"]).alias("title"),
+            clean_text(c["description"]).alias("description"),
+            clean_text(c["text"]).alias("text"),
+            F.trim(c["topimage"]).alias("topimage"),
+            F.transform(c["author"], lambda a: F.trim(a)).alias("author"),
+            F.trim(c["publish_date"]).alias("publish_date"),
+            F.trim(c["language"]).alias("language"),
+        ),
+    )

@@ -1,0 +1,411 @@
+"""The extraction chain (SURVEY.md §2.4-2.5) — vectorized end to end.
+
+Pipeline:  fetched(url, html)
+   → candidates   (ONE Arrow-batched pandas UDF running every extractor:
+                   meta/dom/date/lang — the E1-E4 analogues; reference
+                   article_extractor.py:58-82 runs them sequentially per
+                   document, here they run per Arrow batch)
+   → cleaner      (native regexp chain over the candidates array, E5)
+   → comparer     (pandas UDF implementing the V1-V7 voting rules,
+                   reference extractor/comparer/*.py — a per-row
+                   aggregation across the candidates array, which is why
+                   it is not a groupBy)
+   → article      (P1 projection, native)
+   → spans        (interleaved text+media spans, the input_hint shape).
+
+The container deliberately has no newspaper4k/readability/lxml — the
+extractors are from-scratch regex/cascade implementations of the same
+semantics, exercised against the DocWorld golden oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from news_please_spark.extraction.cleaner import clean_candidates, empty_to_null
+from news_please_spark.functions.urls import canonical_host, url_host
+from news_please_spark.schemas import CANDIDATE
+
+# ---------------------------------------------------------------------------
+# python-side scalar extractors (compiled once per worker)
+
+_RE = {
+    "og_title": re.compile(r'<meta[^>]*property=["\']og:title["\'][^>]*content=["\']([^"\']*)["\']'),
+    "title_tag": re.compile(r"<title[^>]*>(.*?)</title>", re.S),
+    "h1": re.compile(r"<h1[^>]*>(.*?)</h1>", re.S),
+    "meta_desc": re.compile(r'<meta[^>]*name=["\']description["\'][^>]*content=["\']([^"\']*)["\']'),
+    "meta_author": re.compile(r'<meta[^>]*name=["\']author["\'][^>]*content=["\']([^"\']*)["\']'),
+    "og_image": re.compile(r'<meta[^>]*property=["\']og:image["\'][^>]*content=["\']([^"\']*)["\']'),
+    "img": re.compile(r'<img[^>]*src=["\']([^"\']*)["\']'),
+    "article": re.compile(r"<article[^>]*>(.*?)</article>", re.S),
+    "p": re.compile(r"<p[^>]*>(.*?)</p>", re.S),
+    # E3 date cascade (reference date_extractor.py:30-58)
+    "jsonld_date": re.compile(r'"datePublished"\s*:\s*"([^"]+)"'),
+    "meta_pubtime": re.compile(r'<meta[^>]*property=["\']article:published_time["\'][^>]*content=["\']([^"\']*)["\']'),
+    "meta_date": re.compile(r'<meta[^>]*name=["\']date["\'][^>]*content=["\']([^"\']*)["\']'),
+    "time_tag": re.compile(r'<time[^>]*datetime=["\']([^"\']*)["\']'),
+    "itemprop_date": re.compile(r'<meta[^>]*itemprop=["\']datePublished["\'][^>]*content=["\']([^"\']*)["\']'),
+    "url_date": re.compile(r"/(\d{4})/(\d{2})/(\d{2})/"),
+    # E4 lang cascade (reference lang_detect_extractor.py:21-83)
+    "html_lang": re.compile(r'<html[^>]*\slang=["\']([A-Za-z-]{2,})["\']'),
+    "xml_lang": re.compile(r'<html[^>]*xml:lang=["\']([A-Za-z-]{2,})["\']'),
+    "http_equiv_lang": re.compile(r'<meta[^>]*http-equiv=["\']content-language["\'][^>]*content=["\']([A-Za-z_-]{2,})["\']'),
+    "og_locale": re.compile(r'<meta[^>]*property=["\']og:locale["\'][^>]*content=["\']([A-Za-z_-]{2,})["\']'),
+}
+
+_EN_STOP = {"the", "a", "of", "and", "to", "in"}
+
+
+def _norm_date(s: str | None) -> str | None:
+    if not s:
+        return None
+    s = s.strip().replace("T", " ")
+    m = re.match(r"^(\d{4}-\d{2}-\d{2})[ ]?(\d{2}:\d{2}:\d{2})?", s)
+    if not m:
+        return None
+    return f"{m.group(1)} {m.group(2) or '00:00:00'}"
+
+
+def _norm_lang(s: str | None) -> str | None:
+    if not s:
+        return None
+    return s.strip()[:2].lower() or None
+
+
+def _meta_extractor(url: str, html: str) -> dict:
+    """E1 analogue: metadata-first extraction (og/meta tags + <article>)."""
+    title = None
+    m = _RE["og_title"].search(html)
+    if m:
+        title = m.group(1)
+    else:
+        m = _RE["title_tag"].search(html)
+        if m:
+            title = m.group(1)
+    m = _RE["meta_desc"].search(html)
+    desc = m.group(1) if m else None
+    body = None
+    m = _RE["article"].search(html)
+    if m:
+        body = "\n".join(_RE["p"].findall(m.group(1)))
+    m = _RE["og_image"].search(html)
+    image = m.group(1) if m else None
+    m = _RE["meta_author"].search(html)
+    authors = [m.group(1)] if m else None
+    m = _RE["html_lang"].search(html)
+    lang = _norm_lang(m.group(1)) if m else None
+    return {
+        "extractor": "meta",
+        "title": title,
+        "description": desc,
+        "text": body,
+        "topimage": image,
+        "author": authors,
+        "publish_date": None,
+        "language": lang,
+    }
+
+
+def _dom_extractor(url: str, html: str) -> dict:
+    """E2 analogue: DOM/body-first extraction (h1 + paragraph text)."""
+    m = _RE["h1"].search(html)
+    title = m.group(1) if m else None
+    paras = _RE["p"].findall(html)
+    text = " ".join(paras) if paras else None
+    m = _RE["img"].search(html)
+    image = m.group(1) if m else None
+    return {
+        "extractor": "dom",
+        "title": title,
+        "description": None,
+        "text": text,
+        "topimage": image,
+        "author": None,
+        "publish_date": None,
+        "language": None,
+    }
+
+
+def _date_extractor(url: str, html: str) -> dict:
+    """E3: cascade JSON-LD → article:published_time → meta name=date →
+    <time datetime> → itemprop → URL path date."""
+    date = None
+    for key in ("jsonld_date", "meta_pubtime", "meta_date", "time_tag", "itemprop_date"):
+        m = _RE[key].search(html)
+        if m:
+            date = _norm_date(m.group(1))
+            if date:
+                break
+    if date is None:
+        m = _RE["url_date"].search(url)
+        if m:
+            date = f"{m.group(1)}-{m.group(2)}-{m.group(3)} 00:00:00"
+    return {
+        "extractor": "date_extractor",
+        "title": None,
+        "description": None,
+        "text": None,
+        "topimage": None,
+        "author": None,
+        "publish_date": date,
+        "language": None,
+    }
+
+
+def _lang_extractor(url: str, html: str) -> dict:
+    """E4: cascade html@lang → xml:lang → http-equiv → og:locale →
+    stopword detection on body text."""
+    lang = None
+    for key in ("html_lang", "xml_lang", "http_equiv_lang", "og_locale"):
+        m = _RE[key].search(html)
+        if m:
+            lang = _norm_lang(m.group(1))
+            if lang:
+                break
+    if lang is None:
+        text = " ".join(_RE["p"].findall(html)).lower()
+        toks = text.split()
+        if toks and sum(t in _EN_STOP for t in toks) / len(toks) > 0.02:
+            lang = "en"
+    return {
+        "extractor": "lang_detect",
+        "title": None,
+        "description": None,
+        "text": None,
+        "topimage": None,
+        "author": None,
+        "publish_date": None,
+        "language": lang,
+    }
+
+
+_EXTRACTORS = [_meta_extractor, _dom_extractor, _date_extractor, _lang_extractor]
+
+
+@F.pandas_udf(T.ArrayType(CANDIDATE))
+def extract_candidates_udf(url: pd.Series, html: pd.Series) -> pd.Series:
+    out = []
+    for u, h in zip(url, html):
+        out.append([ex(u, h) for ex in _EXTRACTORS] if h else [])
+    return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# comparer V1-V7 (reference extractor/comparer/*.py) — per-document
+# aggregation across the candidates array, vectorized per Arrow batch.
+
+def _vote_title(cands: list[dict]) -> str | None:
+    """V1 (comparer_title.py:7-82): most-frequent pairwise exact match;
+    tie → shortest matched; no match → shortest non-null."""
+    titles = [c["title"] for c in cands if c.get("title")]
+    if not titles:
+        return None
+    counts: dict[str, int] = {}
+    for i, a in enumerate(titles):
+        for b in titles[i + 1:]:
+            if a == b:
+                counts[a] = counts.get(a, 0) + 1
+    if counts:
+        mx = max(counts.values())
+        best = [t for t, c in counts.items() if c == mx]
+        if len(best) == 1:
+            return best[0]
+        return min(best, key=lambda t: (len(t), t))
+    return min(titles, key=lambda t: (len(t), t))
+
+
+def _vote_text(cands: list[dict]) -> str | None:
+    """V2 (comparer_text.py:7-79): drop candidates under 15 words; score
+    pairs 1 - |AΔB| / (2·|A∩B|) over word sets; winning pair → prefer
+    the 'meta' extractor, else the longer text."""
+    texts = [(c["extractor"], c["text"]) for c in cands if c.get("text")]
+    texts = [(e, t) for e, t in texts if len(t.split()) >= 15]
+    if not texts:
+        # fall back to any non-null text
+        for c in cands:
+            if c.get("text"):
+                return c["text"]
+        return None
+    if len(texts) == 1:
+        return texts[0][1]
+    best_score, best_pair = None, None
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            sa, sb = set(texts[i][1].split()), set(texts[j][1].split())
+            inter = len(sa & sb)
+            if inter == 0:
+                score = float("-inf")
+            else:
+                score = 1.0 - len(sa ^ sb) / (2.0 * inter)
+            if best_score is None or score > best_score:
+                best_score, best_pair = score, (texts[i], texts[j])
+    a, b = best_pair
+    if a[0] == "meta":
+        return a[1]
+    if b[0] == "meta":
+        return b[1]
+    return a[1] if len(a[1]) >= len(b[1]) else b[1]
+
+
+def _prefer(cands: list[dict], field: str, preferred: str):
+    """V3/V4/V5 pattern: preferred extractor first, else first non-null."""
+    for c in cands:
+        if c["extractor"] == preferred and c.get(field):
+            return c[field]
+    for c in cands:
+        if c.get(field):
+            return c[field]
+    return None
+
+
+def _urljoin(base_url: str, ref: str | None) -> str | None:
+    if not ref:
+        return None
+    if re.match(r"^[a-z]+://", ref):
+        return ref
+    m = re.match(r"^([a-z]+://[^/]+)", base_url)
+    root = m.group(1) if m else ""
+    if ref.startswith("/"):
+        return root + ref
+    return root + "/" + ref
+
+
+def _vote_language(cands: list[dict]) -> str | None:
+    """V7 (comparer_Language.py): majority vote, tie → meta extractor's."""
+    langs = [c["language"] for c in cands if c.get("language")]
+    if not langs:
+        return None
+    counts: dict[str, int] = {}
+    for lg in langs:
+        counts[lg] = counts.get(lg, 0) + 1
+    mx = max(counts.values())
+    best = sorted(t for t, c in counts.items() if c == mx)
+    if len(best) == 1:
+        return best[0]
+    for c in cands:
+        if c["extractor"] == "meta" and c.get("language") in best:
+            return c["language"]
+    return best[0]
+
+
+_ARTICLE_CORE = T.StructType(
+    [
+        T.StructField("title", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("maintext", T.StringType()),
+        T.StructField("image_url", T.StringType()),
+        T.StructField("authors", T.ArrayType(T.StringType())),
+        T.StructField("date_publish_str", T.StringType()),
+        T.StructField("language", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_ARTICLE_CORE)
+def compare_candidates_udf(url: pd.Series, cands: pd.Series) -> pd.DataFrame:
+    rows = []
+    for u, cl in zip(url, cands):
+        if cl is None:
+            cl = []
+        norm = []
+        for c in cl:
+            c = dict(c)
+            a = c.get("author")
+            # Arrow hands arrays back as numpy arrays whose truthiness is
+            # ambiguous — normalize to plain lists / None
+            c["author"] = list(a) if a is not None and len(a) > 0 else None
+            norm.append(c)
+        cl = norm
+        rows.append(
+            {
+                "title": _vote_title(cl),
+                "description": _prefer(cl, "description", "meta"),
+                "maintext": _vote_text(cl),
+                "image_url": _urljoin(u, _prefer(cl, "topimage", "meta")),
+                "authors": _prefer(cl, "author", "meta"),
+                "date_publish_str": _prefer(cl, "publish_date", "date_extractor"),
+                "language": _vote_language(cl),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# pipeline assembly
+
+def extract_articles(fetched: DataFrame, download_ts: Column | None = None) -> DataFrame:
+    """fetched(url, html [, doc_id]) → article rows (P1 projection).
+
+    Native filters (status/content-type belong upstream) → candidates
+    UDF → native cleaner → comparer UDF → projection.
+    """
+    keep = [c for c in ("doc_id",) if c in fetched.columns]
+    cands = fetched.select(
+        *keep,
+        "url",
+        extract_candidates_udf(F.col("url"), F.col("html")).alias("candidates"),
+    )
+    cands = cands.withColumn("candidates", clean_candidates(F.col("candidates")))
+    art = cands.select(
+        *keep,
+        "url",
+        compare_candidates_udf(F.col("url"), F.col("candidates")).alias("a"),
+    )
+    return art.select(
+        *keep,
+        "url",
+        canonical_host(F.col("url")).alias("source_domain"),
+        empty_to_null(F.col("a.title")).alias("title"),
+        empty_to_null(F.col("a.description")).alias("description"),
+        empty_to_null(F.col("a.maintext")).alias("maintext"),
+        F.col("a.authors").alias("authors"),
+        F.to_timestamp(F.col("a.date_publish_str")).alias("date_publish"),
+        (download_ts if download_ts is not None else F.lit(None).cast("timestamp")).alias("date_download"),
+        F.col("a.image_url").alias("image_url"),
+        F.col("a.language").alias("language"),
+    )
+
+
+def article_to_spans(articles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Articles → interleaved span documents (input_hint shape):
+    title, description, [media], text paragraphs — ordered, offsets
+    assigned positionally. Pure native array construction."""
+    span = lambda kind, text, media: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"),
+        text.alias("text"),
+        media.alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    base = F.array(
+        span("title", F.coalesce(F.col("title"), F.lit("")), F.lit("")),
+        span("description", F.coalesce(F.col("description"), F.lit("")), F.lit("")),
+    )
+    media = F.when(
+        F.col("image_url").isNotNull(),
+        F.array(span("media", F.lit(""), F.col("image_url"))),
+    ).otherwise(F.array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>"))
+    texts = F.transform(
+        F.split(F.coalesce(F.col("maintext"), F.lit("")), "\n"),
+        lambda p: F.struct(
+            F.lit("text").alias("kind"),
+            p.alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        ),
+    )
+    spans = F.concat(base, media, texts)
+    spans = F.transform(
+        spans,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return articles.select(F.col(id_col).alias("doc_id"), spans.alias("spans"))

@@ -1,0 +1,245 @@
+"""Deterministic span-document world (FIXTURES.md §1/§4).
+
+One arithmetic spec, two views:
+  * pure-Python: expected spans / expected article per doc (the
+    extraction oracle — golden fixtures, SURVEY.md §5.3/§5.4),
+  * Spark: distributed HTML rendering via mapInPandas over spark.range
+    (generation scales with the cluster; nothing is built on the driver).
+
+Every document embeds its metadata in a different HTML shape so the
+extraction cascades are exercised:
+  * date markup rotates through the reference DateExtractor's cascade
+    (JSON-LD → article:published_time → meta name=date → <time datetime>
+    → itemprop → URL date; reference date_extractor.py:30-58),
+  * language markup rotates through the LangExtractor cascade
+    (html@lang → xml:lang → http-equiv → og:locale → text fallback;
+    reference lang_detect_extractor.py:21-83),
+  * og:type and linked-headline counts vary for the heuristics H1-H7.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from news_please_spark.world import _mix_py as mix
+
+WORDS = [
+    "news", "market", "election", "storm", "science", "city", "health",
+    "game", "culture", "travel", "energy", "court", "film", "music",
+    "space", "tech", "food", "art", "trade", "policy",
+]
+LANGS = ["en", "de", "es", "fr", "it"]
+EPOCH = datetime(2020, 1, 1)
+
+
+def _words(d: int, salt: int, n: int) -> list[str]:
+    return [WORDS[mix(d, salt * 100 + i) % len(WORDS)] for i in range(n)]
+
+
+@dataclass
+class DocSpec:
+    doc_id: str
+    url: str
+    title: str
+    description: str
+    paragraphs: list[str]
+    image_path: str | None   # relative; absolute form in image_url
+    image_url: str | None
+    authors: list[str]
+    date_publish: str        # 'YYYY-MM-DD HH:MM:SS'
+    language: str
+    v_date: int
+    v_lang: int
+    og_article: bool
+    n_headlines: int
+    n_linked: int
+    host: str
+
+
+class DocWorld:
+    def __init__(self, n_docs: int):
+        self.n_docs = n_docs
+
+    # ---- spec -----------------------------------------------------------
+    def spec(self, d: int) -> DocSpec:
+        host = f"h{mix(d, 21) % 20}.news-example.org"
+        v_date = d % 6
+        v_lang = d % 5
+        # v_lang==4 has no lang markup → detector falls back to text
+        # stopwords (English vocab) so the expected language is 'en'
+        lang = "en" if v_lang == 4 else LANGS[mix(d, 24) % 5]
+        dt = EPOCH + timedelta(
+            days=mix(d, 22) % 1500, seconds=mix(d, 23) % 86400
+        )
+        date_str = dt.strftime("%Y-%m-%d %H:%M:%S")
+        title_words = _words(d, 1, 4 + d % 3)
+        title = " ".join(w.capitalize() for w in title_words)
+        description = " ".join(_words(d, 2, 8))
+        n_para = 2 + mix(d, 25) % 3
+        paragraphs = [
+            " ".join(["the"] + _words(d, 3 + i, 24 + mix(d, 30 + i) % 16))
+            for i in range(n_para)
+        ]
+        image_path = f"/media/img{d}.jpg" if d % 4 == 0 else None
+        image_url = f"https://{host}{image_path}" if image_path else None
+        authors = [f"Alex {WORDS[mix(d, 27) % 20].capitalize()}"]
+        slug = "-".join(title_words)
+        if v_date == 5:
+            path = f"/{dt.year}/{dt.month:02d}/{dt.day:02d}/{slug}.html"
+        else:
+            path = f"/articles/{slug}-{d}.html"
+        url = f"https://{host}{path}"
+        n_headlines = 2 + d % 7
+        n_linked = mix(d, 28) % (n_headlines + 1)
+        return DocSpec(
+            doc_id=f"doc{d}",
+            url=url,
+            title=title,
+            description=description,
+            paragraphs=paragraphs,
+            image_path=image_path,
+            image_url=image_url,
+            authors=authors,
+            date_publish=date_str,
+            language=lang,
+            v_date=v_date,
+            v_lang=v_lang,
+            og_article=(d % 7 != 0),
+            n_headlines=n_headlines,
+            n_linked=n_linked,
+            host=host,
+        )
+
+    # ---- oracle views ----------------------------------------------------
+    def expected_spans(self, d: int) -> list[tuple[str, str, str, int]]:
+        s = self.spec(d)
+        spans: list[tuple[str, str, str, int]] = []
+        spans.append(("title", s.title, "", 0))
+        spans.append(("description", s.description, "", 1))
+        off = 2
+        if s.image_url:
+            spans.append(("media", "", s.image_url, off))
+            off += 1
+        for p in s.paragraphs:
+            spans.append(("text", p, "", off))
+            off += 1
+        return spans
+
+    def expected_article(self, d: int) -> dict:
+        s = self.spec(d)
+        # the URL-date variant only carries the calendar date (E3's last
+        # cascade step), so the expected timestamp is midnight
+        date = s.date_publish[:10] + " 00:00:00" if s.v_date == 5 else s.date_publish
+        return {
+            "url": s.url,
+            "source_domain": s.host,
+            "title": s.title,
+            "description": s.description,
+            "maintext": "\n".join(s.paragraphs),
+            "authors": s.authors,
+            "date_publish": date,
+            "image_url": s.image_url,
+            "language": s.language,
+        }
+
+    # ---- html rendering ----------------------------------------------------
+    def html(self, d: int) -> str:
+        s = self.spec(d)
+        iso = s.date_publish.replace(" ", "T")
+        head: list[str] = []
+        html_attr = ""
+        if s.v_lang == 0:
+            html_attr = f' lang="{s.language}"'
+        elif s.v_lang == 1:
+            html_attr = f' xml:lang="{s.language}"'
+        elif s.v_lang == 2:
+            head.append(
+                f'<meta http-equiv="content-language" content="{s.language}">'
+            )
+        elif s.v_lang == 3:
+            head.append(
+                f'<meta property="og:locale" content="{s.language}_XX">'
+            )
+        head.append(f"<title>{s.title} - Example Site</title>")
+        head.append(f'<meta property="og:title" content="{s.title}">')
+        head.append(f'<meta name="description" content="{s.description}">')
+        head.append(f'<meta name="author" content="{s.authors[0]}">')
+        if s.og_article:
+            head.append('<meta property="og:type" content="article">')
+        if s.image_path:
+            head.append(f'<meta property="og:image" content="{s.image_path}">')
+        time_tag = ""
+        if s.v_date == 0:
+            head.append(
+                '<script type="application/ld+json">'
+                f'{{"@type": "NewsArticle", "datePublished": "{iso}"}}'
+                "</script>"
+            )
+        elif s.v_date == 1:
+            head.append(
+                f'<meta property="article:published_time" content="{iso}">'
+            )
+        elif s.v_date == 2:
+            head.append(f'<meta name="date" content="{iso}">')
+        elif s.v_date == 3:
+            time_tag = f'<time datetime="{iso}">published</time>'
+        elif s.v_date == 4:
+            head.append(
+                f'<meta itemprop="datePublished" content="{iso}">'
+            )
+        # v_date == 5: only the URL carries the date
+        body: list[str] = [f"<h1>{s.title}</h1>", time_tag]
+        for i in range(s.n_headlines):
+            h = f"section {WORDS[mix(d, 40 + i) % 20]}"
+            if i < s.n_linked:
+                body.append(f'<h2><a href="https://{s.host}/s/{i}">{h}</a></h2>')
+            else:
+                body.append(f"<h2>{h}</h2>")
+        body.append("<article>")
+        if s.image_path:
+            body.append(f'<img src="{s.image_path}" alt="">')
+        for p in s.paragraphs:
+            body.append(f"<p>{p}</p>")
+        body.append("</article>")
+        return (
+            f"<html{html_attr}><head>{''.join(head)}</head>"
+            f"<body>{''.join(body)}</body></html>"
+        )
+
+    # ---- spark generation ----------------------------------------------
+    def responses_df(self, spark: SparkSession, num_partitions: int | None = None) -> DataFrame:
+        """Distributed render: one fetched-page row per doc."""
+        n = self.n_docs
+        world = self
+
+        def render(batches):
+            for pdf in batches:
+                ids = pdf["id"].tolist()
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [f"doc{d}" for d in ids],
+                        "url": [world.spec(d).url for d in ids],
+                        "status": [200] * len(ids),
+                        "content_type": ["text/html"] * len(ids),
+                        "html": [world.html(d) for d in ids],
+                    }
+                )
+
+        rng = spark.range(0, n, 1, num_partitions or max(4, n // 5000))
+        return rng.mapInPandas(
+            render,
+            "doc_id string, url string, status int, content_type string, html string",
+        )
+
+    def spans_df(self, spark: SparkSession) -> DataFrame:
+        """The input_hint `documents` table: (doc_id, spans array<struct>)."""
+        from news_please_spark.schemas import SPAN_DOCUMENTS
+
+        rows = [
+            (f"doc{d}", self.expected_spans(d)) for d in range(self.n_docs)
+        ]
+        return spark.createDataFrame(rows, SPAN_DOCUMENTS)
