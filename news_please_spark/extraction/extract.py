@@ -344,7 +344,7 @@ def extract_articles(fetched: DataFrame, download_ts: Column | None = None) -> D
     Native filters (status/content-type belong upstream) → candidates
     UDF → native cleaner → comparer UDF → projection.
     """
-    keep = [c for c in ("doc_id",) if c in fetched.columns]
+    keep = [c for c in ("doc_id", "fetched_at") if c in fetched.columns]
     cands = fetched.select(
         *keep,
         "url",
@@ -357,7 +357,7 @@ def extract_articles(fetched: DataFrame, download_ts: Column | None = None) -> D
         compare_candidates_udf(F.col("url"), F.col("candidates")).alias("a"),
     )
     return art.select(
-        *keep,
+        *[c for c in keep if c != "fetched_at"],
         "url",
         canonical_host(F.col("url")).alias("source_domain"),
         empty_to_null(F.col("a.title")).alias("title"),

@@ -1,0 +1,182 @@
+"""Versioned article store — the set-oriented MERGE that replaces the
+reference's per-row SQL dance (SELECT current → INSERT new → move old to
+archive; MySQL/Postgres/ES/Redis all repeat it: reference
+pipeline/pipelines.py:138-277, 359-506, 575-665, 829-1100).
+
+Semantics per incoming batch, keyed on canonical url:
+  * url unseen            → current row, version 1, ancestor NULL
+  * url in current        → new row version = old.version+1,
+                            ancestor = old.version; the old row moves to
+                            the archive with descendant = new version
+  * several rows for one url in one batch → latest (by date_download,
+    tie-break deterministic) wins; earlier ones are archived immediately
+    with the right version chain.
+
+Storage: parquet snapshot directories with an atomic rename commit —
+the same current/archive two-table layout an Iceberg catalog would hold
+(then `merge()` becomes a single MERGE INTO + INSERT). Partition layout:
+hash-bucketed by url so the merge join co-partitions at scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class VersionedArticleStore:
+    def __init__(self, spark: SparkSession, path: str, buckets: int = 16):
+        self.spark = spark
+        self.path = path
+        self.buckets = buckets
+        os.makedirs(path, exist_ok=True)
+
+    # -- snapshot plumbing -------------------------------------------------
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "meta.json")
+
+    def snapshot_id(self) -> int:
+        try:
+            with open(self._meta_path()) as f:
+                return json.load(f)["snapshot"]
+        except FileNotFoundError:
+            return -1
+
+    def _table(self, name: str, snap: int) -> str:
+        return os.path.join(self.path, name, f"snap={snap:06d}")
+
+    def current(self) -> DataFrame | None:
+        snap = self.snapshot_id()
+        if snap < 0:
+            return None
+        return self.spark.read.parquet(self._table("current", snap))
+
+    def archive(self) -> DataFrame | None:
+        snap = self.snapshot_id()
+        if snap < 0:
+            return None
+        return self.spark.read.parquet(self._table("archive", snap))
+
+    def _commit(self, current: DataFrame, archive: DataFrame, snap: int) -> None:
+        bucket = F.pmod(F.xxhash64("url"), F.lit(self.buckets))
+        for name, df in (("current", current), ("archive", archive)):
+            tmp = self._table(name, snap) + ".tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            df.repartition(self.buckets, bucket).write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, self._table(name, snap))
+        with open(self._meta_path(), "w") as f:
+            json.dump({"snapshot": snap}, f)
+
+    # -- the merge -----------------------------------------------------------
+    def merge(self, batch: DataFrame, order_col: str = "date_download") -> int:
+        """Apply one batch of extracted articles; returns new snapshot id.
+
+        `batch` must contain a `url` column; `order_col` breaks ties for
+        several versions of one url arriving together.
+        """
+        snap = self.snapshot_id()
+        cur = self.current()
+
+        # in-batch version ordering (deterministic)
+        w = Window.partitionBy("url").orderBy(
+            F.col(order_col).asc_nulls_first(), F.monotonically_increasing_id()
+        )
+        b = batch.withColumn("_rk", F.row_number().over(w))
+        b_count = b.groupBy("url").agg(F.max("_rk").alias("_n"))
+        b = b.join(b_count, "url")
+
+        if cur is None:
+            base = b.withColumn("_base_version", F.lit(0))
+        else:
+            old_ver = cur.select(
+                "url", F.col("version").alias("_base_version")
+            )
+            base = b.join(old_ver, "url", "left").fillna(
+                {"_base_version": 0}
+            )
+
+        versioned = base.withColumn(
+            "version", (F.col("_base_version") + F.col("_rk")).cast("int")
+        ).withColumn(
+            "ancestor",
+            F.when(F.col("_base_version") + F.col("_rk") > 1,
+                   (F.col("_base_version") + F.col("_rk") - 1).cast("int")),
+        ).withColumn(
+            "descendant",
+            F.when(
+                F.col("_rk") < F.col("_n"),
+                (F.col("_base_version") + F.col("_rk") + 1).cast("int"),
+            ),
+        )
+        new_current = versioned.filter(F.col("_rk") == F.col("_n")).drop(
+            "_rk", "_n", "_base_version"
+        )
+        to_archive_from_batch = versioned.filter(
+            F.col("_rk") < F.col("_n")
+        ).drop("_rk", "_n", "_base_version")
+
+        if cur is None:
+            current_out = new_current
+            archive_add = to_archive_from_batch
+        else:
+            updated_urls = new_current.select("url", F.col("version").alias("_nv"))
+            # rows of current whose url got a new version → archive with
+            # descendant link filled in
+            displaced = (
+                cur.join(F.broadcast(updated_urls.select("url", "_nv")), "url")
+                .withColumn("descendant", F.col("version") + 1)
+                .withColumn("descendant", F.col("descendant").cast("int"))
+                .drop("_nv")
+            )
+            untouched = cur.join(updated_urls, "url", "left_anti")
+            current_out = untouched.unionByName(new_current)
+            archive_add = displaced.unionByName(to_archive_from_batch)
+
+        old_archive = self.archive()
+        archive_out = (
+            archive_add
+            if old_archive is None
+            else old_archive.unionByName(archive_add)
+        )
+        new_snap = snap + 1
+        self._commit(current_out, archive_out, new_snap)
+        return new_snap
+
+
+# ---------------------------------------------------------------------------
+# K9 savepath templating (reference helper_classes/savepath_parser.py:13-34,
+# 110-216): %domain, %md5_url, %time_download(fmt), %url_file_name, %subdirs —
+# as one native Column expression.
+
+def savepath(template: str, url: F.Column, download_ts: F.Column) -> F.Column:
+    """Compile the reference's save-path DSL into a Column."""
+    import re as _re
+
+    from news_please_spark.functions.urls import canonical_host, url_filename
+
+    parts: list[F.Column] = []
+    pos = 0
+    token_re = _re.compile(
+        r"%(domain|md5_url|url_file_name|time_download\(([^)]*)\))"
+    )
+    for m in token_re.finditer(template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos:m.start()]))
+        tok = m.group(1)
+        if tok == "domain":
+            parts.append(canonical_host(url))
+        elif tok == "md5_url":
+            parts.append(F.md5(url))
+        elif tok == "url_file_name":
+            parts.append(url_filename(url))
+        elif tok.startswith("time_download"):
+            parts.append(F.date_format(download_ts, m.group(2)))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    return F.concat(*parts) if parts else F.lit(template)

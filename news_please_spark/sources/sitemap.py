@@ -1,0 +1,66 @@
+"""S6 — recursive sitemap expansion as an iterative DataFrame loop
+(reference: scrapy SitemapSpider recursion in
+crawler/spiders/recursive_sitemap_crawler.py:10-79 + sitemap discovery
+from robots.txt `Sitemap:` lines, helper_classes/url_extractor.py:98-220).
+
+Input model: a `sitemaps` table (sitemap_url, entry_url, is_sitemap,
+entry_index) — the parsed form of sitemap XML (the XML→rows step is the
+rss.py-style pandas UDF; here the tree walk itself is the operator).
+Each wave: join the open sitemap set against the table, split entries
+into nested sitemaps (anti-joined against visited — sitemap graphs have
+cycles in the wild) vs leaf URLs. Leaf ordering is deterministic:
+(depth, parent discovery order, entry_index)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def expand_sitemaps(
+    sitemaps: DataFrame, roots: list[str], max_depth: int = 16
+) -> DataFrame:
+    """Returns (url, depth, order_key) for every leaf URL reachable from
+    the root sitemaps; order_key is lexicographic-by-level."""
+    spark = sitemaps.sparkSession
+    frontier = spark.createDataFrame(
+        [(u, 0, str(i).zfill(6)) for i, u in enumerate(sorted(roots))],
+        "sitemap_url string, depth int, okey string",
+    )
+    visited = frontier.select("sitemap_url")
+    leaves = None
+    depth = 0
+    while depth < max_depth:
+        if frontier.isEmpty():
+            break
+        joined = frontier.join(sitemaps, "sitemap_url").select(
+            "entry_url",
+            "is_sitemap",
+            (F.col("depth") + 1).alias("depth"),
+            F.concat(
+                F.col("okey"), F.lit("/"), F.lpad(F.col("entry_index").cast("string"), 6, "0")
+            ).alias("okey"),
+        )
+        new_leaves = joined.filter(~F.col("is_sitemap")).select(
+            F.col("entry_url").alias("url"), "depth", F.col("okey").alias("order_key")
+        )
+        leaves = new_leaves if leaves is None else leaves.unionByName(new_leaves)
+        nested = (
+            joined.filter(F.col("is_sitemap"))
+            .select(F.col("entry_url").alias("sitemap_url"), "depth", "okey")
+            .groupBy("sitemap_url")
+            .agg(F.min(F.struct("depth", "okey")).alias("m"))  # BFS: level first
+            .select("sitemap_url", F.col("m.depth").alias("depth"), F.col("m.okey").alias("okey"))
+            .join(visited, "sitemap_url", "left_anti")
+        )
+        frontier = nested.localCheckpoint(eager=True)
+        visited = visited.unionByName(frontier.select("sitemap_url")).localCheckpoint(eager=True)
+        depth += 1
+    if leaves is None:
+        return spark.createDataFrame([], "url string, depth int, order_key string")
+    # one URL can appear in several sitemaps — keep the first by BFS order
+    return (
+        leaves.groupBy("url")
+        .agg(F.min(F.struct("depth", "order_key")).alias("m"))
+        .select("url", F.col("m.depth").alias("depth"), F.col("m.order_key").alias("order_key"))
+    )

@@ -1,0 +1,116 @@
+"""Source connectors: sitemap recursion S6, RSS S7, GDELT S8,
+URL file S10, WARC split S4, WARC index S5."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from news_please_spark.sources.flat import gdelt_urls, urls_from_file, warc_index
+from news_please_spark.sources.rss import discover_feed_urls, parse_feeds
+from news_please_spark.sources.sitemap import expand_sitemaps
+from news_please_spark.sources.warc import split_warc_records, write_warc
+
+
+def test_sitemap_recursive_expansion_with_cycle(spark):
+    rows = [
+        # root → child sitemap + 2 leaves
+        ("https://s.com/sitemap.xml", "https://s.com/news.xml", True, 0),
+        ("https://s.com/sitemap.xml", "https://s.com/a", False, 1),
+        ("https://s.com/sitemap.xml", "https://s.com/b", False, 2),
+        # child → leaf + CYCLE back to root + dup leaf /a
+        ("https://s.com/news.xml", "https://s.com/c", False, 0),
+        ("https://s.com/news.xml", "https://s.com/sitemap.xml", True, 1),
+        ("https://s.com/news.xml", "https://s.com/a", False, 2),
+    ]
+    sm = spark.createDataFrame(
+        rows, "sitemap_url string, entry_url string, is_sitemap boolean, entry_index int"
+    )
+    out = expand_sitemaps(sm, ["https://s.com/sitemap.xml"])
+    got = {r.url: (r.depth, r.order_key) for r in out.collect()}
+    assert set(got) == {"https://s.com/a", "https://s.com/b", "https://s.com/c"}
+    assert got["https://s.com/a"][0] == 1           # first discovery wins
+    assert got["https://s.com/c"][0] == 2
+    # ordering: a(000000/000001) < b(000000/000002) < c(000000/000000/000000)
+    assert got["https://s.com/a"][1] < got["https://s.com/b"][1]
+
+
+def test_rss_discovery_and_parse(spark):
+    pages = spark.createDataFrame(
+        [
+            ("https://n.com/", '<html><link rel="alternate" type="application/rss+xml" href="https://n.com/feed.xml"></html>'),
+            ("https://x.com/", "<html>no feed here</html>"),
+        ],
+        "url string, html string",
+    )
+    feeds = discover_feed_urls(pages)
+    assert [r.feed_url for r in feeds.collect()] == ["https://n.com/feed.xml"]
+
+    xml = (
+        "<rss><channel>"
+        "<item><link>https://n.com/a1</link><title>T1</title>"
+        "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
+        "<item><link>https://n.com/a2</link><title>T2</title></item>"
+        "<item><title>no link, dropped</title></item>"
+        "</channel></rss>"
+    )
+    bodies = spark.createDataFrame(
+        [("https://n.com/feed.xml", xml), ("https://bad.com/f", "not xml <<<")],
+        "feed_url string, body string",
+    )
+    items = parse_feeds(bodies).collect()
+    assert len(items) == 2
+    assert items[0].item_url == "https://n.com/a1" and items[0].item_index == 0
+    assert items[1].title == "T2" and items[1].item_index == 1
+
+
+def test_gdelt_and_urlfile(spark, tmp_path):
+    csv = tmp_path / "export.CSV"
+    csv.write_text(
+        "1\tx\thttps://a.com/1\n2\ty\thttps://a.com/2\n3\tz\thttps://a.com/1\n4\tw\tnot-a-url\n"
+    )
+    urls = sorted(r.url for r in gdelt_urls(spark, str(csv)).collect())
+    assert urls == ["https://a.com/1", "https://a.com/2"]
+
+    uf = tmp_path / "urls.txt"
+    uf.write_text("https://b.com/x\n\n   \nhttps://b.com/y\n")
+    got = sorted(r.url for r in urls_from_file(spark, str(uf)).collect())
+    assert got == ["https://b.com/x", "https://b.com/y"]
+
+
+def test_warc_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "test-00001.warc.gz")
+    write_warc(
+        p,
+        [
+            ("https://w.com/ok", 200, "text/html; charset=utf-8", "<html>héllo</html>".encode()),
+            ("https://w.com/gone", 404, "text/html", b"<html>404</html>"),
+            ("https://w.com/latin", 200, "text/html", "caf\xe9".encode("latin-1")),
+        ],
+    )
+    recs = split_warc_records(
+        spark.read.format("binaryFile").load(p)
+    ).orderBy("record_index").collect()
+    assert len(recs) == 3
+    assert recs[0].target_uri == "https://w.com/ok"
+    assert recs[0].http_status == 200
+    assert "héllo" in recs[0].body
+    assert recs[1].http_status == 404
+    assert recs[2].body == "café"  # latin-1 fallback (S3)
+
+
+def test_warc_index_window_and_completed(spark):
+    files = spark.createDataFrame(
+        [
+            ("s3://cc/CC-NEWS-20230101120000-00001.warc.gz",),
+            ("s3://cc/CC-NEWS-20230215120000-00002.warc.gz",),
+            ("s3://cc/CC-NEWS-20230401120000-00003.warc.gz",),
+        ],
+        "path string",
+    )
+    done = spark.createDataFrame(
+        [("s3://cc/CC-NEWS-20230215120000-00002.warc.gz",)], "path string"
+    )
+    out = warc_index(files, "2023-02-01", "2023-12-31", completed=done)
+    assert [r.path for r in out.collect()] == [
+        "s3://cc/CC-NEWS-20230401120000-00003.warc.gz"
+    ]
