@@ -80,12 +80,66 @@ def _heuristics_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding near-dup pairs over documents plus planted
+    perturbed copies (the raw table has no dups). Rows-only check;
+    property tests in tests/test_dedup_similarity.py."""
+    from pyspark.sql import functions as F
+
+    from news_please_spark.operators.dedup import simhash_near_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n = docs.count()
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + n).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    return simhash_near_dups(docs.unionByName(planted), max_hamming=6)
+
+
+def _lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH approximate top-k (scale path of
+    ann_cosine_topk). Rows-only; recall bound tested in pytest."""
+    from pyspark.sql import functions as F
+
+    from news_please_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") % 101 == 0)
+    return lsh_topk(queries_df, emb, k=5)
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media columns → feature vectors via mapInPandas
+    (codec stubbed deterministically; plumbing real). Rows-only."""
+    from pyspark.sql import functions as F
+
+    from news_please_spark.operators.multimodal import decode_and_featurize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("data"),
+        F.struct(
+            F.lit(8).alias("width"), F.lit(8).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("image/png").alias("mime"),
+        ).alias("meta"),
+    )
+    return decode_and_featurize(media)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
     qs["crawl_politeness"] = _crawl_politeness
     qs["extract_articles"] = _extract_articles
     qs["extract_spans"] = _extract_spans
     qs["heuristics_gate"] = _heuristics_gate
+    qs["simhash_near_dup"] = _simhash_near_dup
+    qs["lsh_ann_topk"] = _lsh_ann_topk
+    qs["multimodal_features"] = _multimodal_features
     return qs
 
 

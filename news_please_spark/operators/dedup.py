@@ -1,0 +1,193 @@
+"""Deduplication operators for training-data pipelines (task brief:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup).
+
+Everything here is native Column expressions — higher-order functions,
+bit arithmetic, hash-bucket joins. No Python in the hot path: SimHash of
+a 10^10-document corpus is one whole-stage-codegen'd projection plus a
+banded self-join on 16-bit chunks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_of(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: canonical representative per content hash
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per exact content hash (lowest id wins —
+    deterministic, unlike dropDuplicates' arbitrary pick)."""
+    h = F.md5(F.col(text_col)).alias("_h")
+    keep = (
+        df.select(h, F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, [id_col], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 64-bit signature, one codegen'd expression per row
+def simhash64(text: Column) -> Column:
+    """Classic SimHash: per-token 64-bit hash votes ±1 on every bit;
+    signature bit j is the sign of the sum. Implemented as nested
+    higher-order functions (transform/aggregate/zip_with) — stays
+    JVM-side, no UDF."""
+    tok_hashes = F.transform(tokens_of(text), lambda t: F.xxhash64(t))
+
+    def _bits(h):  # shift amounts must be literals — unroll in Python
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for j in range(64)
+            ]
+        )
+
+    bit_sums = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, _bits(h), lambda a, b: a + b),
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        v = (1 << j) - (1 << 64 if j == 63 else 0)  # signed-long image of bit j
+        sig = sig.bitwiseOR(
+            F.when(F.element_at(bit_sums, j + 1) > 0, F.lit(v).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: 4×16-bit chunks — any pair
+    within hamming distance ≤ 3 shares at least one exact chunk
+    (pigeonhole), so the candidate join is exact-match on (band, chunk),
+    then the cheap bit_count verifies. Scale: the self-join is
+    hash-partitioned on the chunk value; no O(n²)."""
+    sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("_sig"))
+    chunks = sig.select(
+        id_col,
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("_sig"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bc"),
+    ).select(id_col, "_sig", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamming64(F.col("a._sig"), F.col("b._sig")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard: exact similarity on LSH-candidate pairs
+def ngram_set(text: Column, n: int = 3) -> Column:
+    toks = tokens_of(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    n: int = 3,
+) -> DataFrame:
+    """Verify candidate pairs (from MinHash-LSH or SimHash banding) with
+    exact n-gram Jaccard. candidate_pairs: (doc_a, doc_b)."""
+    grams = df.select(F.col(id_col), ngram_set(F.col(text_col), n).alias("_g"))
+    out = (
+        candidate_pairs.join(
+            grams.select(F.col(id_col).alias("doc_a"), F.col("_g").alias("_ga")),
+            "doc_a",
+        )
+        .join(
+            grams.select(F.col(id_col).alias("doc_b"), F.col("_g").alias("_gb")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", jaccard(F.col("_ga"), F.col("_gb")).alias("jaccard"))
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    lsh_planes: int = 12,
+) -> DataFrame:
+    """Near-identical embeddings: candidates from random-hyperplane LSH
+    buckets (pairs with cosine ≥ .95 almost always share the full sign
+    signature at 12 planes), verified with exact cosine. Deterministic
+    planes derive from xxhash64 — no RNG, reproducible across runs."""
+    from news_please_spark.operators.similarity import cosine, lsh_bucket
+
+    v = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).withColumn("_b", lsh_bucket(F.col("_v"), lsh_planes))
+    a, b = v.alias("a"), v.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a._b") == F.col("b._b"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    return cand.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cosine(F.col("a._v"), F.col("b._v")).alias("cos"),
+    ).filter(F.col("cos") >= threshold)

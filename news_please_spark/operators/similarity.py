@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (task brief: brute-force
+cosine top-k baseline + an LSH-bucketed scale path).
+
+All math is native higher-order functions (zip_with/aggregate) — the
+dot products run inside whole-stage codegen, no Python. The brute-force
+path broadcasts the (small) query side so the corpus never shuffles;
+the LSH path buckets the corpus once and only compares within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus, per-query window.
+    Scale: O(|Q|·|C|) compute but zero corpus shuffle — right whenever
+    |Q| is small (the usual 'find neighbors of these docs' shape)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_q")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_v")
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_q"), F.col("_v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def _plane_coef(plane: int, i: Column) -> Column:
+    """Deterministic pseudo-random coefficient in [-1, 1] for plane
+    `plane`, dimension i — derived from xxhash64, reproducible across
+    runs and engines."""
+    h = F.xxhash64(F.concat(F.lit(f"plane{plane}_"), i.cast("string")))
+    return (F.pmod(h, F.lit(2001)) - 1000).cast("double") / 1000.0
+
+
+def lsh_bucket(vec: Column, planes: int = 12, table: int = 0) -> Column:
+    """Random-hyperplane signature: bit p = sign of <v, plane_p>.
+    `table` offsets the plane family for multi-table LSH."""
+    idx = F.sequence(F.lit(1), F.size(vec))
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        proj = F.aggregate(
+            F.zip_with(vec, idx, lambda x, i: x * _plane_coef(table * 1000 + p, i)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def lsh_buckets(vec: Column, planes: int, tables: int) -> Column:
+    """Array of (table, bucket) keys — classic OR-amplified LSH: a pair
+    is a candidate if ANY table agrees. Recall → 1 as `tables` grows,
+    cost grows linearly."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"), lsh_bucket(vec, planes, t).alias("b")
+            )
+            for t in range(tables)
+        ]
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    planes: int = 4,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare only within matching LSH buckets of
+    any of `tables` independent plane families (OR-amplification).
+    Scale path: the corpus is bucketed once (a single projection),
+    candidates come from hash-joins on (table, bucket) — the corpus is
+    never crossed. Recall tunes with tables (up) and planes (down)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_q")
+    ).withColumn("_tb", F.explode(lsh_buckets(F.col("_q"), planes, tables)))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_tb", F.explode(lsh_buckets(F.col("_v"), planes, tables)))
+    cand = (
+        q.join(c, "_tb")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "_q", "neighbor_id", "_v")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sims = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("_q"), F.col("_v")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

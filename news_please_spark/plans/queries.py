@@ -673,6 +673,39 @@ def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_near_dup_exact",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id % 7 = 0),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(floor(10000 * (
+               list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             )) AS BIGINT) AS cos_q
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_q FROM p WHERE cos_q >= 3000
+    """,
+)
+def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs over a subset (the LSH
+    variant is the scale path; this is the verifiable baseline)."""
+    from news_please_spark.operators.similarity import as_double, cosine
+
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.floor(10000 * cosine(F.col("a.v"), F.col("b.v"))).cast("long").alias("cos_q"),
+    )
+    return pairs.filter(F.col("cos_q") >= 3000)
+
+
+@register(
     "events_props_agg",
     """
     SELECT event_type,
