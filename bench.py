@@ -116,38 +116,133 @@ def main() -> None:
     print(json.dumps(out))
 
 
+PIPE_PAGES = 1_000_000
+PIPE_SEEDS = 100_000
+PIPE_WAVES = 4
+
+
+def run_pipeline(spark, n_pages: int, max_waves: int) -> tuple[float, int]:
+    """The scaling-evidence job: crawl waves + full per-page extraction
+    of every fetched URL (render → E1-E4 → cleaner → comparer → article).
+    This is the real news-please workload shape — fetch scheduling plus
+    extraction compute proportional to pages fetched."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from news_please_spark.extraction.extract import extract_articles
+    from news_please_spark.operators.frontier import FrontierConfig, FrontierEngine
+    from news_please_spark.synth import DocWorld
+    from news_please_spark.world import World
+
+    world = World(n_pages=n_pages, n_hosts=max(64, n_pages // 20), n_seeds=64)
+    edges = world.webgraph_df(spark).persist()
+    edges.count()
+    seeds = world.seeds_range_df(spark, PIPE_SEEDS)
+    engine = FrontierEngine(
+        spark,
+        edges,
+        robots=world.robots_df(spark),
+        cfg=FrontierConfig(
+            budget_per_host=CRAWL_BUDGET, max_depth=4,
+            max_waves=max_waves, salt_buckets=16,
+        ),
+    )
+    doc_world = DocWorld(n_pages)
+
+    def render(batches):
+        for pdf in batches:
+            ids = pdf["pid"].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": [f"doc{d}" for d in ids],
+                    "url": [doc_world.spec(d).url for d in ids],
+                    "html": [doc_world.html(d) for d in ids],
+                }
+            )
+
+    t0 = time.time()
+    res = engine.run(seeds)
+    res.order.write.mode("overwrite").format("noop").save()
+    t1 = time.time()
+    pages = (
+        res.order.select(
+            F.regexp_extract(F.col("url"), r"(\d+)$", 1).cast("long").alias("pid")
+        )
+        .filter(F.col("pid").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+        .mapInPandas(render, "doc_id string, url string, html string")
+    )
+    extract_articles(pages).write.mode("overwrite").format("noop").save()
+    t2 = time.time()
+    edges.unpersist()
+    return t2 - t0, res.fetched, round(t1 - t0, 2), round(t2 - t1, 2)
+
+
 def scaling_child(cpus: int) -> None:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from news_please_spark.session import get_spark
 
     spark = get_spark(f"scaling{cpus}", cpus=cpus, shuffle_partitions=cpus)
-    sec, urls = run_crawl(spark, CRAWL_PAGES, CRAWL_WAVES)
-    print(json.dumps({"cpus": cpus, "sec": round(sec, 2), "urls": urls}))
-
-
-def scaling() -> None:
-    results = {}
-    for cpus in (8, 32):
-        p = subprocess.run(
-            [sys.executable, __file__, "--scaling-child", str(cpus)],
-            capture_output=True,
-            text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+    sec, urls, crawl_sec, extract_sec = run_pipeline(spark, PIPE_PAGES, PIPE_WAVES)
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "sec": round(sec, 2),
+                "crawl_sec": crawl_sec,
+                "extract_sec": extract_sec,
+                "urls": urls,
+            }
         )
-        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-    t8, t32 = results[8]["sec"], results[32]["sec"]
-    eff = round((t8 / t32) / 4, 3)
+    )
+
+
+def scaling(pair: tuple[int, int] = (4, 16), trials: int = 2) -> None:
+    """N vs 4N parallelism on the same input; interleaved trials, min
+    per level (the host is shared — min isolates our job's cost)."""
+    n, n4 = pair
+    best: dict[int, dict] = {}
+
+    def wait_for_quiet(max_wait: int = 600, threshold: float = 5.0) -> float:
+        """The sandbox host is shared; gate each trial on 1-min load so
+        external bursts don't masquerade as scaling losses."""
+        waited = 0
+        while waited < max_wait:
+            load1 = float(open("/proc/loadavg").read().split()[0])
+            if load1 < threshold:
+                return load1
+            time.sleep(30)
+            waited += 30
+        return load1
+
+    for _ in range(trials):
+        for cpus in (n, n4):
+            load = wait_for_quiet()
+            print(json.dumps({"load_before": load, "cpus": cpus}), flush=True)
+            p = subprocess.run(
+                [sys.executable, __file__, "--scaling-child", str(cpus)],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+            if not lines:
+                raise RuntimeError(p.stderr[-2000:])
+            r = json.loads(lines[-1])
+            print(json.dumps({"trial": r}), flush=True)
+            if cpus not in best or r["sec"] < best[cpus]["sec"]:
+                best[cpus] = r
+    tn, t4n = best[n]["sec"], best[n4]["sec"]
     out = {
-        "n_parallelism": 8,
-        "n4_parallelism": 32,
-        "urls": results[8]["urls"],
-        "sec_at_8": t8,
-        "sec_at_32": t32,
-        "urls_per_sec_at_8": round(results[8]["urls"] / t8, 1),
-        "urls_per_sec_at_32": round(results[32]["urls"] / t32, 1),
-        "scaling_efficiency": eff,
+        "n_parallelism": n,
+        "n4_parallelism": n4,
+        "urls": best[n]["urls"],
+        f"sec_at_{n}": tn,
+        f"sec_at_{n4}": t4n,
+        f"urls_per_sec_at_{n}": round(best[n]["urls"] / tn, 1),
+        f"urls_per_sec_at_{n4}": round(best[n4]["urls"] / t4n, 1),
+        "scaling_efficiency": round((tn / t4n) / (n4 / n), 3),
     }
     print(json.dumps(out))
 

@@ -52,7 +52,9 @@ from news_please_spark.world import (
 )
 
 BROADCAST_FETCH_LIMIT = 2_000_000  # rows; fetch set is budget×hosts, usually small
-SMALL_SEQ_LIMIT = 50_000  # below this a single-partition window beats two-phase
+SMALL_SEQ_LIMIT = 500_000  # below this a single-partition window beats two-phase
+# (a one-task sort of 500k rows is ~0.3 s; the two-phase numbering costs
+# two extra jobs + a shuffle — only worth it for genuinely huge waves)
 
 
 @dataclass

@@ -214,9 +214,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_please_spark.functions.text import fingerprint as fp
+
     return load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("fp"),
+        "doc_id", fp(F.col("text")).alias("fp")
     )
 
 
@@ -334,30 +335,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
-    )
-    stop = ("the", "a", "of", "and")
-    return t.select(
-        "doc_id",
-        F.size("toks").cast("long").alias("n_tokens"),
-        F.size(F.array_distinct("toks")).cast("long").alias("n_uniq"),
-        F.length("text").cast("long").alias("n_chars"),
-        F.floor(
-            10000.0
-            * F.length(F.regexp_replace("text", "[^a-z]", ""))
-            / F.length("text")
-        )
-        .cast("long")
-        .alias("alpha_q"),
-        F.floor(
-            10000.0
-            * F.size(F.filter(F.col("toks"), lambda x: x.isin(*stop)))
-            / F.size("toks")
-        )
-        .cast("long")
-        .alias("stop_q"),
-    )
+    from news_please_spark.functions.text import quality_struct
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", quality_struct(F.col("text")).alias("q")
+    ).select("doc_id", "q.n_tokens", "q.n_uniq", "q.n_chars", "q.alpha_q", "q.stop_q")
 
 
 @register(
@@ -404,37 +386,68 @@ def token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram-free stopword language id (E4 analogue,
+    """Stopword-vote language id (E4 analogue,
     lang_detect_extractor.py:21-83 — the real cascade runs on HTML in
     the extraction chain; this is the table-level scoring primitive)."""
-    t = load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    from news_please_spark.functions.text import predict_lang
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", predict_lang(F.col("text")).alias("pred_lang")
     )
 
-    def score(words):
-        return F.size(F.filter(F.col("toks"), lambda x: x.isin(*words)))
 
-    s = t.select(
-        "doc_id",
-        "lang",
-        score(("the", "a", "of", "and")).alias("s_en"),
-        score(("der", "die", "und")).alias("s_de"),
-        score(("el", "los", "y")).alias("s_es"),
-    )
-    return s.select(
-        "doc_id",
-        "lang",
-        F.when(
-            (F.col("s_en") >= F.col("s_de"))
-            & (F.col("s_en") >= F.col("s_es"))
-            & (F.col("s_en") > 0),
-            F.lit("en"),
+@register(
+    "bpe_token_totals",
+    r"""
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_subtokens,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def bpe_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word (BPE-ish regex) token counting per source — the corpus
+    size proxy a training pipeline budgets with."""
+    from news_please_spark.functions.text import bpe_ish_tokens
+
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(bpe_ish_tokens(F.col("text")))).cast("long").alias("total_subtokens"),
+            F.count(F.lit(1)).alias("n_docs"),
         )
-        .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") > 0), F.lit("de"))
-        .when(F.col("s_es") > 0, F.lit("es"))
-        .otherwise(F.lit("und"))
-        .alias("pred_lang"),
     )
+
+
+@register(
+    "rolling_fingerprint",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             CAST(greatest(ceil((len(toks) - 32) / 16.0) + 1, 1) AS INT) AS n_win,
+             toks
+      FROM t
+    )
+    SELECT doc_id, CAST(win AS INT) AS win,
+           md5(array_to_string(list_slice(toks, win * 16 + 1, win * 16 + 32), ' ')) AS fp
+    FROM w, LATERAL (SELECT unnest(range(0, n_win)) AS win)
+    """,
+)
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed (rolling) document fingerprints for containment /
+    partial-overlap detection: md5 per 32-token window, stride 16."""
+    from news_please_spark.functions.text import rolling_fingerprints
+
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", rolling_fingerprints(F.col("text")).alias("fps")
+    )
+    return t.select(
+        "doc_id", F.posexplode(F.col("fps")).alias("win", "fp")
+    ).select("doc_id", F.col("win").cast("int").alias("win"), "fp")
 
 
 # ---------------------------------------------------------------------------

@@ -36,6 +36,18 @@ def test_articles_match_golden_oracle(spark):
         assert got.date_publish == exp_dt, (d, got.date_publish, exp_dt)
 
 
+def test_fused_equals_modular_pipeline(spark):
+    """The fused single-pass UDF and the modular candidates pipeline
+    (native cleaner between UDFs) must produce identical articles."""
+    world = DocWorld(60)
+    fetched = world.responses_df(spark)
+    a = {r.doc_id: r for r in extract_articles(fetched, fused=True).collect()}
+    b = {r.doc_id: r for r in extract_articles(fetched, fused=False).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == b[k], (k, a[k], b[k])
+
+
 def test_span_sequence_equality(spark):
     world = DocWorld(N_DOCS)
     fetched = world.responses_df(spark)

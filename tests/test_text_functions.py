@@ -1,0 +1,70 @@
+"""Text-analysis scalar functions (functions/text.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from news_please_spark.functions.text import (
+    bpe_ish_tokens,
+    fingerprint,
+    predict_lang,
+    quality_struct,
+    rolling_fingerprints,
+    token_count,
+)
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame(
+        [("the cat and the hat sat, 42 times!",)], "text string"
+    )
+    row = df.select(
+        token_count(F.col("text")).alias("n"),
+        quality_struct(F.col("text")).alias("q"),
+        bpe_ish_tokens(F.col("text")).alias("bpe"),
+    ).first()
+    assert row.n == 8
+    assert row.q.n_tokens == 8
+    assert row.q.n_uniq == 7  # 'the' repeats
+    # bpe-ish: words + '42' + ',' + '!' split out
+    assert list(row.bpe) == [
+        "the", "cat", "and", "the", "hat", "sat", ",", "42", "times", "!",
+    ]
+
+
+def test_predict_lang(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", "the cat and the dog of a house"),
+            ("de", "der hund und die katze"),
+            ("es", "el perro y los gatos"),
+            ("und", "xyzzy plugh quux"),
+        ],
+        "expected string, text string",
+    )
+    rows = df.select("expected", predict_lang(F.col("text")).alias("p")).collect()
+    for r in rows:
+        assert r.p == r.expected, r
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("  The   QUICK fox  ",), ("the quick fox",)], "text string"
+    )
+    fps = [r.fp for r in df.select(fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_rolling_fingerprints_detect_containment(spark):
+    base = " ".join(f"w{i}" for i in range(100))
+    contained = " ".join(f"w{i}" for i in range(32, 64))  # one aligned window
+    df = spark.createDataFrame(
+        [("a", base), ("b", contained)], "id string, text string"
+    )
+    rows = {
+        r.id: set(r.fps)
+        for r in df.select(
+            "id", rolling_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    }
+    assert rows["b"] & rows["a"], "aligned window fingerprint must match"
