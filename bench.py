@@ -9,10 +9,13 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced end-to-end with a noop write (count() would let
 Catalyst prune the very columns we mean to benchmark).
 
-`python bench.py --scaling` additionally re-runs the frontier job at
-local[8] vs local[32] in fresh subprocesses and reports throughput at
-both + scaling efficiency (the BASELINE.json two-cluster-size rule;
-sandbox stand-in for N vs 4N executors).
+`python bench.py --scaling` runs the full pipeline job (crawl waves +
+per-page extraction) at N vs 4N cores in fresh subprocesses and reports
+throughput at both + scaling efficiency (the BASELINE.json
+two-cluster-size rule; local-mode stand-in for N vs 4N executors).
+Default pair is (2, 8): the host is shared with ~4-8 cores of co-tenant
+load, so parallelism levels that approach the core count measure
+contention, not scaling; each trial is additionally load-gated.
 """
 
 from __future__ import annotations
@@ -116,9 +119,9 @@ def main() -> None:
     print(json.dumps(out))
 
 
-PIPE_PAGES = 1_000_000
-PIPE_SEEDS = 100_000
-PIPE_WAVES = 4
+PIPE_PAGES = 1_500_000
+PIPE_SEEDS = 300_000
+PIPE_WAVES = 5
 
 
 def run_pipeline(spark, n_pages: int, max_waves: int) -> tuple[float, int]:
@@ -149,30 +152,61 @@ def run_pipeline(spark, n_pages: int, max_waves: int) -> tuple[float, int]:
     )
     doc_world = DocWorld(n_pages)
 
-    def render(batches):
+    def render_and_extract(batches):
+        # one python phase per task: render the fetched page and run the
+        # whole extraction chain on it (extract → clean → compare) —
+        # no html strings cross Arrow at all
+        from news_please_spark.extraction.extract import (
+            _clean_candidate,
+            _compare_row,
+            _EXTRACTORS,
+        )
+
         for pdf in batches:
-            ids = pdf["pid"].tolist()
+            rows = []
+            for d in pdf["pid"].tolist():
+                spec_url = doc_world.spec(d).url
+                html = doc_world.html(d)
+                cands = [_clean_candidate(ex(spec_url, html)) for ex in _EXTRACTORS]
+                r = _compare_row(spec_url, cands)
+                r["doc_id"] = f"doc{d}"
+                r["url"] = spec_url
+                rows.append(r)
             yield pd.DataFrame(
-                {
-                    "doc_id": [f"doc{d}" for d in ids],
-                    "url": [doc_world.spec(d).url for d in ids],
-                    "html": [doc_world.html(d) for d in ids],
-                }
+                rows,
+                columns=[
+                    "doc_id", "url", "title", "description", "maintext",
+                    "image_url", "authors", "date_publish_str", "language",
+                ],
             )
+
+    art_schema = (
+        "doc_id string, url string, title string, description string, "
+        "maintext string, image_url string, authors array<string>, "
+        "date_publish_str string, language string"
+    )
+    # warm the python workers (cold interpreters import pyspark+pandas,
+    # ~2-3 s each — a real cluster's executors stay warm)
+    (
+        spark.range(0, 64, 1, spark.sparkContext.defaultParallelism)
+        .select(F.col("id").alias("pid"))
+        .mapInPandas(render_and_extract, art_schema)
+        .count()
+    )
 
     t0 = time.time()
     res = engine.run(seeds)
     res.order.write.mode("overwrite").format("noop").save()
     t1 = time.time()
-    pages = (
+    articles = (
         res.order.select(
             F.regexp_extract(F.col("url"), r"(\d+)$", 1).cast("long").alias("pid")
         )
         .filter(F.col("pid").isNotNull())
         .repartition(spark.sparkContext.defaultParallelism * 2)
-        .mapInPandas(render, "doc_id string, url string, html string")
+        .mapInPandas(render_and_extract, art_schema)
     )
-    extract_articles(pages).write.mode("overwrite").format("noop").save()
+    articles.write.mode("overwrite").format("noop").save()
     t2 = time.time()
     edges.unpersist()
     return t2 - t0, res.fetched, round(t1 - t0, 2), round(t2 - t1, 2)
@@ -198,7 +232,7 @@ def scaling_child(cpus: int) -> None:
     )
 
 
-def scaling(pair: tuple[int, int] = (4, 16), trials: int = 2) -> None:
+def scaling(pair: tuple[int, int] = (2, 8), trials: int = 2) -> None:
     """N vs 4N parallelism on the same input; interleaved trials, min
     per level (the host is shared — min isolates our job's cost)."""
     n, n4 = pair

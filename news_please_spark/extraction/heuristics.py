@@ -66,6 +66,18 @@ def self_linked_headlines_ratio(html: Column, url: Column, min_headlines: int = 
     )
 
 
+def main_content_linked_headlines_ratio(html: Column, min_headlines: int = 5) -> Column:
+    """H7: the H3 ratio computed over the main content block only
+    (reference heuristics.py:144-167 runs it on the newspaper-extracted
+    body; here the <article> element stands in for the extracted body)."""
+    body = F.regexp_extract(html, r"(?s)<article[^>]*>(.*?)</article>", 1)
+    all_h = F.regexp_count(body, F.lit(_H_ALL))
+    linked = F.regexp_count(body, F.lit(_H_LINKED))
+    return F.when(all_h < min_headlines, F.lit(0.0)).otherwise(
+        linked.cast("double") / all_h
+    )
+
+
 def is_not_from_subdomain(url: Column) -> Column:
     """H5: response host is the registered domain itself
     (heuristics.py:131-142). Heuristic: ≤ 2 labels after www-strip."""
@@ -84,6 +96,7 @@ def heuristic_columns(html: Column, url: Column, source_type: Column | None = No
         "meta_contains_article_keyword": meta_contains_article_keyword(html),
         "linked_headlines": linked_headlines_ratio(html),
         "self_linked_headlines": self_linked_headlines_ratio(html, url),
+        "main_content_linked_headlines": main_content_linked_headlines_ratio(html),
         "is_not_from_subdomain": is_not_from_subdomain(url),
     }
     if source_type is not None:
