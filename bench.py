@@ -41,6 +41,8 @@ HEADLINE = [
     "token_totals",
     "lang_id",
     "ann_cosine_topk",
+    "sitemap_expand",
+    "events_hourly",
     "events_sessionize",
     "recency_filter",
     "versioning_chain",

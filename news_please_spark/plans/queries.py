@@ -686,6 +686,84 @@ def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sitemap_expand",
+    """
+    WITH RECURSIVE p AS (
+      SELECT CAST(ceil((max(doc_id)+1)/10.0) AS BIGINT) AS s,
+             max(doc_id)+1 AS n
+      FROM documents
+    ),
+    sm AS (SELECT unnest(range(0, (SELECT s FROM p))) AS sid),
+    entries AS (
+      SELECT sid, 'sm://' || CAST((sid*2+1) % (SELECT s FROM p) AS VARCHAR) AS entry, true AS is_sm FROM sm
+      UNION ALL SELECT sid, 'sm://' || CAST((sid*3+2) % (SELECT s FROM p) AS VARCHAR), true FROM sm
+      UNION ALL SELECT sid, 'https://site.example.com/p/' || CAST((sid*5+3) % (SELECT n FROM p) AS VARCHAR), false FROM sm
+      UNION ALL SELECT sid, 'https://site.example.com/p/' || CAST((sid*7+4) % (SELECT n FROM p) AS VARCHAR), false FROM sm
+    ),
+    walk(node, depth) AS (
+      SELECT 'sm://' || CAST(sid AS VARCHAR), 0 FROM sm WHERE sid % 11 = 0
+      UNION ALL
+      SELECT e.entry, w.depth + 1 FROM walk w
+      JOIN entries e ON ('sm://' || CAST(e.sid AS VARCHAR)) = w.node
+      WHERE w.depth < 5 AND e.is_sm
+    )
+    SELECT e.entry AS url, CAST(min(w.depth + 1) AS INT) AS depth
+    FROM walk w
+    JOIN entries e ON ('sm://' || CAST(e.sid AS VARCHAR)) = w.node
+    WHERE NOT e.is_sm AND w.depth < 5
+    GROUP BY e.entry
+    """,
+)
+def sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 recursive sitemap expansion through the real engine operator
+    (sources/sitemap.expand_sitemaps), on a sitemap tree derived from
+    `documents` — the DuckDB oracle walks the same tree as a recursive
+    CTE (cycles bounded by depth, min-depth dedup)."""
+    from news_please_spark.sources.sitemap import expand_sitemaps
+
+    n = load(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0] + 1
+    s_count = (n + 9) // 10
+    sm = spark.range(0, s_count).select(F.col("id").alias("sid"))
+    su = lambda c: F.concat(F.lit("sm://"), c.cast("string"))  # noqa: E731
+    lu = lambda c: F.concat(F.lit("https://site.example.com/p/"), c.cast("string"))  # noqa: E731
+    entries = sm.select(
+        su(F.col("sid")).alias("sitemap_url"),
+        F.explode(
+            F.array(
+                F.struct(su((F.col("sid") * 2 + 1) % s_count).alias("entry_url"), F.lit(True).alias("is_sitemap"), F.lit(0).alias("entry_index")),
+                F.struct(su((F.col("sid") * 3 + 2) % s_count).alias("entry_url"), F.lit(True).alias("is_sitemap"), F.lit(1).alias("entry_index")),
+                F.struct(lu((F.col("sid") * 5 + 3) % n).alias("entry_url"), F.lit(False).alias("is_sitemap"), F.lit(2).alias("entry_index")),
+                F.struct(lu((F.col("sid") * 7 + 4) % n).alias("entry_url"), F.lit(False).alias("is_sitemap"), F.lit(3).alias("entry_index")),
+            )
+        ).alias("e"),
+    ).select("sitemap_url", "e.entry_url", "e.is_sitemap", "e.entry_index")
+    roots = [f"sm://{s}" for s in range(0, s_count, 11)]
+    out = expand_sitemaps(entries, roots, max_depth=5)
+    return out.select("url", F.col("depth").cast("int").alias("depth"))
+
+
+@register(
+    "events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (the batch image of the streaming
+    windowed agg; portable via date_trunc)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+    )
+
+
+@register(
     "embedding_near_dup_exact",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
