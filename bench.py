@@ -37,10 +37,12 @@ HEADLINE = [
     "fingerprint",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "simhash_near_dup",
     "doc_quality",
     "token_totals",
     "lang_id",
     "ann_cosine_topk",
+    "extract_articles",
     "sitemap_expand",
     "events_hourly",
     "events_sessionize",
@@ -50,6 +52,19 @@ HEADLINE = [
     "segment_revenue",
     "events_props_agg",
 ]
+
+
+def _embedding_near_dups_lsh(spark, sf_dir):
+    """Headline near-dup number = the LSH SCALE path (bucketed candidate
+    join + exact verify), not the O(n²) exact baseline that only exists
+    as the oracle-checkable subset variant."""
+    from news_please_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb)
+
+
+EXTRA_HEADLINE = {"embedding_near_dups_lsh": _embedding_near_dups_lsh}
 
 CRAWL_PAGES = 1_500_000
 CRAWL_SEED_PAGES = 150_000
@@ -90,6 +105,7 @@ def run_crawl(spark, n_pages: int, max_waves: int) -> tuple[float, int]:
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import news_please_spark.plans.extraction_queries  # noqa: F401 (registers entries)
     from news_please_spark.plans.queries import QUERIES
     from news_please_spark.session import get_spark
 
@@ -97,8 +113,9 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        df = QUERIES[name](spark, SF_DIR)
+    runs = [(name, QUERIES[name]) for name in HEADLINE] + list(EXTRA_HEADLINE.items())
+    for name, fn in runs:
+        df = fn(spark, SF_DIR)
         t0 = time.time()
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
@@ -287,6 +304,10 @@ if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--scaling-child":
         scaling_child(int(sys.argv[2]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
-        scaling()
+        # optional pair override: python bench.py --scaling 4 16
+        if len(sys.argv) > 3:
+            scaling(pair=(int(sys.argv[2]), int(sys.argv[3])))
+        else:
+            scaling()
     else:
         main()

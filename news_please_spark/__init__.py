@@ -10,4 +10,48 @@ Architecture (see SURVEY.md §7):
   - URL-seen is a partitioned bloom filter + exact anti-join confirm.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+# ---------------------------------------------------------------------------
+# Library facade — the one-call API mirroring the reference's most-used
+# entry points NewsPlease.from_url / from_urls / from_html / from_file
+# (reference newsplease/__init__.py:65-183). Network-free by design: the
+# fetch tier resolves against a `responses` table with identical filter
+# semantics (see sources/fetch.py); production would plug an HTTP
+# resolver into the same seam.
+
+def from_html(spark, pages, fused: bool = True):
+    """pages: DataFrame(url, html) or list[(url, html)] → article rows
+    (the from_html analogue, reference __init__.py:65-114)."""
+    from news_please_spark.extraction.extract import extract_articles
+
+    if not hasattr(pages, "select"):
+        pages = spark.createDataFrame(pages, "url string, html string")
+    return extract_articles(pages, fused=fused)
+
+
+def from_urls(spark, urls, responses, fused: bool = True):
+    """urls (list[str] or DataFrame(url)) × responses table → fetch
+    (F1/F5/F6/S3/D4) → extraction chain → article rows (the from_urls
+    analogue, reference __init__.py:116-169)."""
+    from news_please_spark.extraction.extract import extract_articles
+    from news_please_spark.sources.fetch import fetch_from_responses
+
+    if not hasattr(urls, "select"):
+        urls = spark.createDataFrame([(u,) for u in urls], "url string")
+    fetched = fetch_from_responses(urls, responses)
+    return extract_articles(fetched, fused=fused)
+
+
+def from_url(spark, url: str, responses, fused: bool = True):
+    """Single-URL convenience wrapper (reference __init__.py:116-127)."""
+    return from_urls(spark, [url], responses, fused=fused)
+
+
+def from_file(spark, path: str, responses, fused: bool = True):
+    """URL-file (one per line, blanks dropped) → from_urls (the
+    from_file analogue, reference __init__.py:171-183)."""
+    from news_please_spark.sources.flat import urls_from_file
+
+    return from_urls(spark, urls_from_file(spark, path), responses, fused=fused)

@@ -12,6 +12,13 @@ from pyspark.sql import functions as F
 _ENTITIES = [("&amp;", "&"), ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">")]
 
 
+def ws_trim(c: Column) -> Column:
+    """Strip leading/trailing whitespace INCLUDING newlines — the exact
+    Column image of Python str.strip() (F.trim strips spaces only, which
+    would diverge from the fused path on newline-framed fields)."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def clean_text(c: Column) -> Column:
     """strip tags → decode common entities → collapse whitespace → trim."""
     out = F.regexp_replace(c, r"<[^>]+>", " ")
@@ -20,7 +27,7 @@ def clean_text(c: Column) -> Column:
     out = F.regexp_replace(out, r"[ \t\x0b\r\f]+", " ")       # horizontal ws
     out = F.regexp_replace(out, r" ?\n ?", "\n")              # tidy newlines
     out = F.regexp_replace(out, r"\n{2,}", "\n")              # collapse blank lines
-    return F.trim(out)
+    return ws_trim(out)
 
 
 def empty_to_null(c: Column) -> Column:
@@ -39,9 +46,9 @@ def clean_candidates(cands: Column) -> Column:
             clean_text(c["title"]).alias("title"),
             clean_text(c["description"]).alias("description"),
             clean_text(c["text"]).alias("text"),
-            F.trim(c["topimage"]).alias("topimage"),
-            F.transform(c["author"], lambda a: F.trim(a)).alias("author"),
-            F.trim(c["publish_date"]).alias("publish_date"),
-            F.trim(c["language"]).alias("language"),
+            ws_trim(c["topimage"]).alias("topimage"),
+            F.transform(c["author"], lambda a: ws_trim(a)).alias("author"),
+            ws_trim(c["publish_date"]).alias("publish_date"),
+            ws_trim(c["language"]).alias("language"),
         ),
     )

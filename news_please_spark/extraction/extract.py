@@ -44,31 +44,78 @@ _RE = {
     "img": re.compile(r'<img[^>]*src=["\']([^"\']*)["\']'),
     "article": re.compile(r"<article[^>]*>(.*?)</article>", re.S),
     "p": re.compile(r"<p[^>]*>(.*?)</p>", re.S),
+    # E2 block scoring (readability-style; reference readability_extractor.py:18-38)
+    "block": re.compile(r"<(article|main|section|div)\b[^>]*>(.*?)</\1>", re.S),
+    "a_inner": re.compile(r"<a\b[^>]*>(.*?)</a>", re.S),
     # E3 date cascade (reference date_extractor.py:30-58)
-    "jsonld_date": re.compile(r'"datePublished"\s*:\s*"([^"]+)"'),
-    "meta_pubtime": re.compile(r'<meta[^>]*property=["\']article:published_time["\'][^>]*content=["\']([^"\']*)["\']'),
-    "meta_date": re.compile(r'<meta[^>]*name=["\']date["\'][^>]*content=["\']([^"\']*)["\']'),
-    "time_tag": re.compile(r'<time[^>]*datetime=["\']([^"\']*)["\']'),
-    "itemprop_date": re.compile(r'<meta[^>]*itemprop=["\']datePublished["\'][^>]*content=["\']([^"\']*)["\']'),
+    "jsonld_block": re.compile(
+        r'<script[^>]*type=["\']application/ld\+json["\'][^>]*>(.*?)</script>', re.S
+    ),
+    "jsonld_pub": re.compile(r'"datePublished"\s*:\s*"([^"]+)"'),
+    "jsonld_created": re.compile(r'"dateCreated"\s*:\s*"([^"]+)"'),
+    "meta_tag": re.compile(r"<meta\b[^>]*>", re.I),
+    "attr": re.compile(r'([a-zA-Z_:.\-]+)\s*=\s*["\']([^"\']*)["\']'),
+    "time_el": re.compile(r"<time\b([^>]*)>(.*?)</time>", re.S),
+    "span_itemprop_date": re.compile(
+        r'<span\b[^>]*itemprop=["\']datePublished["\'][^>]*>(.*?)</span>', re.S
+    ),
+    "date_class_el": re.compile(
+        r'<(span|p|div)\b[^>]*class=["\']([^"\']*)["\'][^>]*>(.*?)</\1>', re.S
+    ),
     "url_date": re.compile(r"/(\d{4})/(\d{2})/(\d{2})/"),
-    # E4 lang cascade (reference lang_detect_extractor.py:21-83)
+    # E4 lang cascade (reference lang_detect_extractor.py:30-68)
     "html_lang": re.compile(r'<html[^>]*\slang=["\']([A-Za-z-]{2,})["\']'),
     "xml_lang": re.compile(r'<html[^>]*xml:lang=["\']([A-Za-z-]{2,})["\']'),
+    "meta_lang": re.compile(r'<meta[^>]*name=["\']language["\'][^>]*content=["\']([A-Za-z_-]{2,})["\']'),
     "http_equiv_lang": re.compile(r'<meta[^>]*http-equiv=["\']content-language["\'][^>]*content=["\']([A-Za-z_-]{2,})["\']'),
     "og_locale": re.compile(r'<meta[^>]*property=["\']og:locale["\'][^>]*content=["\']([A-Za-z_-]{2,})["\']'),
 }
 
-_EN_STOP = {"the", "a", "of", "and", "to", "in"}
+# E4 text fallback vocabularies — shared with functions/text.py::predict_lang
+# (reference lang_detect_extractor.py:50-68 delegates to langdetect; this
+# is the from-scratch stopword-vote analogue, multi-language)
+_STOP = {
+    "en": {"the", "a", "of", "and"},
+    "de": {"der", "die", "und"},
+    "es": {"el", "los", "y"},
+}
+
+# E3 meta-attribute catalog (reference date_extractor.py:99-222, full set)
+_META_NAME_DATES = {
+    "pubdate", "publishdate", "timestamp", "dc.date.issued", "date",
+    "sailthru.date", "article.published", "published-date",
+    "article.created", "article_date_original",
+    "cxenseparse:recs:publishtime", "date_published",
+}
+_META_PROP_DATES = {"article:published_time", "bt:pubdate"}
+_META_ITEMPROP_DATES = {
+    "dc.date", "datepublished", "datecreated", "dcterms.date",
+    "dcterms.created", "og:published_time datetime",
+}
+_META_HTTPEQUIV_DATES = {"date"}
+# tag-scan class filter (reference date_extractor.py:19 re_class)
+_DATE_CLASS = re.compile(r"pubdate|timestamp|article_date|articledate|date", re.I)
 
 
 def _norm_date(s: str | None) -> str | None:
+    """Parse-and-normalize to 'YYYY-MM-DD HH:MM:SS' (the reference pipes
+    everything through dateutil.parse then strftime,
+    date_extractor.py:60-65; this handles the ISO-ish shapes the catalog
+    actually carries: date-only, minute precision, fractional seconds,
+    trailing timezone — tz dropped, as strftime does)."""
     if not s:
         return None
     s = s.strip().replace("T", " ")
-    m = re.match(r"^(\d{4}-\d{2}-\d{2})[ ]?(\d{2}:\d{2}:\d{2})?", s)
+    m = re.match(
+        r"^(\d{4}-\d{2}-\d{2})(?:[ ](\d{2}:\d{2})(:\d{2})?(?:\.\d+)?)?"
+        r"(?:\s*(?:Z|[+-]\d{2}:?\d{2}))?\s*$",
+        s,
+    )
     if not m:
         return None
-    return f"{m.group(1)} {m.group(2) or '00:00:00'}"
+    hm = m.group(2) or "00:00"
+    sec = m.group(3) or ":00"
+    return f"{m.group(1)} {hm}{sec}"
 
 
 def _norm_lang(s: str | None) -> str | None:
@@ -111,11 +158,34 @@ def _meta_extractor(url: str, html: str) -> dict:
     }
 
 
+def _block_score(block_html: str) -> float:
+    """Readability-style block score: visible text length × (1 − link
+    density). The reference delegates to readability-lxml's
+    text/link-density scoring (readability_extractor.py:18-38); this is
+    the from-scratch equivalent over regex-found blocks."""
+    text = " ".join(_TAG.sub(" ", block_html).split())
+    if not text:
+        return 0.0
+    link_text = " ".join(
+        " ".join(_TAG.sub(" ", a).split()) for a in _RE["a_inner"].findall(block_html)
+    )
+    density = len(link_text) / len(text)
+    return len(text) * (1.0 - density)
+
+
 def _dom_extractor(url: str, html: str) -> dict:
-    """E2 analogue: DOM/body-first extraction (h1 + paragraph text)."""
+    """E2 analogue: DOM/body-first extraction — h1 title + the
+    paragraphs of the highest-scoring content block (text length ×
+    (1 − link density)), so nav/footer link farms lose to the article
+    body. Falls back to all <p> when no block candidate contains
+    paragraphs."""
     m = _RE["h1"].search(html)
     title = m.group(1) if m else None
-    paras = _RE["p"].findall(html)
+    blocks = [b for _, b in _RE["block"].findall(html)]
+    best = max(blocks, key=_block_score, default=None)
+    paras = _RE["p"].findall(best) if best else []
+    if not paras:
+        paras = _RE["p"].findall(html)
     text = " ".join(paras) if paras else None
     m = _RE["img"].search(html)
     image = m.group(1) if m else None
@@ -131,20 +201,92 @@ def _dom_extractor(url: str, html: str) -> dict:
     }
 
 
+def _date_from_url(url: str | None) -> str | None:
+    """Last cascade step: calendar date in the URL path
+    (reference date_extractor.py:67-74; newspaper3k-style regex)."""
+    if not url:
+        return None
+    m = _RE["url_date"].search(url)
+    if m:
+        return f"{m.group(1)}-{m.group(2)}-{m.group(3)} 00:00:00"
+    return None
+
+
+def _date_from_jsonld(html: str) -> str | None:
+    """JSON-LD datePublished / dateCreated (reference
+    date_extractor.py:76-97; dateCreated overrides when present — the
+    reference reassigns `date` on the second try-block)."""
+    m = _RE["jsonld_block"].search(html)
+    if not m:
+        return None
+    blob = m.group(1)
+    created = _RE["jsonld_created"].search(blob)
+    if created:
+        return _norm_date(created.group(1))
+    pub = _RE["jsonld_pub"].search(blob)
+    return _norm_date(pub.group(1)) if pub else None
+
+
+def _date_from_meta(html: str) -> str | None:
+    """Document-order scan over <meta> tags against the full name/
+    property/itemprop/http-equiv catalog (reference
+    date_extractor.py:99-222 iterates soup.findAll('meta') and breaks on
+    the first hit). og:image / itemprop=image content URLs are probed
+    for a path date, as the reference does."""
+    for m in _RE["meta_tag"].finditer(html):
+        attrs = {k.lower(): v for k, v in _RE["attr"].findall(m.group(0))}
+        content = attrs.get("content", "")
+        name = attrs.get("name", "").lower()
+        prop = attrs.get("property", "").lower()
+        iprop = attrs.get("itemprop", "").lower()
+        hequiv = attrs.get("http-equiv", "").lower()
+        if (
+            name in _META_NAME_DATES
+            or prop in _META_PROP_DATES
+            or iprop in _META_ITEMPROP_DATES
+            or hequiv in _META_HTTPEQUIV_DATES
+        ):
+            return _norm_date(content)
+        if prop == "og:image" or iprop == "image":
+            d = _date_from_url(content)
+            if d:
+                return d
+    return None
+
+
+def _date_from_tags(html: str) -> str | None:
+    """<time datetime>/<time class=timestamp>, <span itemprop=
+    datePublished>, then span/p/div with a date-ish class (reference
+    date_extractor.py:224-254)."""
+    for m in _RE["time_el"].finditer(html):
+        attrs = {k.lower(): v for k, v in _RE["attr"].findall(m.group(1))}
+        dt = attrs.get("datetime")
+        if dt:
+            return _norm_date(dt)
+        cls = attrs.get("class", "")
+        if cls and cls.split()[0].lower() == "timestamp":
+            return _norm_date(m.group(2))
+    m = _RE["span_itemprop_date"].search(html)
+    if m:
+        tag_attrs = {k.lower(): v for k, v in _RE["attr"].findall(m.group(0))}
+        return _norm_date(tag_attrs.get("content") or m.group(1))
+    for m in _RE["date_class_el"].finditer(html):
+        if _DATE_CLASS.search(m.group(2)):
+            d = _norm_date(m.group(3))
+            if d:
+                return d
+    return None
+
+
 def _date_extractor(url: str, html: str) -> dict:
-    """E3: cascade JSON-LD → article:published_time → meta name=date →
-    <time datetime> → itemprop → URL path date."""
-    date = None
-    for key in ("jsonld_date", "meta_pubtime", "meta_date", "time_tag", "itemprop_date"):
-        m = _RE[key].search(html)
-        if m:
-            date = _norm_date(m.group(1))
-            if date:
-                break
-    if date is None:
-        m = _RE["url_date"].search(url)
-        if m:
-            date = f"{m.group(1)}-{m.group(2)}-{m.group(3)} 00:00:00"
+    """E3: cascade JSON-LD → meta catalog → html tags → URL path date
+    (reference date_extractor.py:30-58 order)."""
+    date = (
+        _date_from_jsonld(html)
+        or _date_from_meta(html)
+        or _date_from_tags(html)
+        or _date_from_url(url)
+    )
     return {
         "extractor": "date_extractor",
         "title": None,
@@ -157,21 +299,37 @@ def _date_extractor(url: str, html: str) -> dict:
     }
 
 
+def _stopword_lang(text: str) -> str | None:
+    """Multi-language stopword vote (the langdetect analogue; same
+    vocabularies and tie rules as functions/text.py::predict_lang so the
+    extraction fallback and the table-level primitive agree)."""
+    toks = text.lower().split()
+    if not toks:
+        return None
+    s = {lg: sum(t in ws for t in toks) for lg, ws in _STOP.items()}
+    if s["en"] >= s["de"] and s["en"] >= s["es"] and s["en"] > 0:
+        return "en"
+    if s["de"] >= s["es"] and s["de"] > 0:
+        return "de"
+    if s["es"] > 0:
+        return "es"
+    return None
+
+
 def _lang_extractor(url: str, html: str) -> dict:
-    """E4: cascade html@lang → xml:lang → http-equiv → og:locale →
-    stopword detection on body text."""
+    """E4: cascade html@lang → xml:lang → meta name=language →
+    og:locale → http-equiv → stopword vote on body text (reference
+    lang_detect_extractor.py:30-68; langdetect replaced by the en/de/es
+    stopword vote — the container ships no langdetect)."""
     lang = None
-    for key in ("html_lang", "xml_lang", "http_equiv_lang", "og_locale"):
+    for key in ("html_lang", "xml_lang", "meta_lang", "og_locale", "http_equiv_lang"):
         m = _RE[key].search(html)
         if m:
             lang = _norm_lang(m.group(1))
             if lang:
                 break
     if lang is None:
-        text = " ".join(_RE["p"].findall(html)).lower()
-        toks = text.split()
-        if toks and sum(t in _EN_STOP for t in toks) / len(toks) > 0.02:
-            lang = "en"
+        lang = _stopword_lang(" ".join(_RE["p"].findall(html)))
     return {
         "extractor": "lang_detect",
         "title": None,

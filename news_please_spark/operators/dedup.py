@@ -33,12 +33,32 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # ---------------------------------------------------------------------------
 # SimHash: 64-bit signature, one codegen'd expression per row
-def simhash64(text: Column) -> Column:
+def _md5_hash64(t: Column) -> Column:
+    """Engine-portable 64-bit token hash: the first 16 hex chars of md5
+    as a signed long (two 32-bit halves via conv — conv of the full 16
+    chars would overflow the signed-long cast). md5 exists in Spark,
+    DuckDB, and every warehouse, so oracle checks are exact; xxhash64 is
+    Spark-private."""
+    h = F.md5(t)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    signed_hi = hi - F.when(hi >= F.lit(1 << 31), F.lit(1 << 32)).otherwise(F.lit(0))
+    return signed_hi * F.lit(1 << 32) + lo
+
+
+def simhash64(text: Column, token_hash: str = "md5") -> Column:
     """Classic SimHash: per-token 64-bit hash votes ±1 on every bit;
     signature bit j is the sign of the sum. Implemented as nested
     higher-order functions (transform/aggregate/zip_with) — stays
-    JVM-side, no UDF."""
-    tok_hashes = F.transform(tokens_of(text), lambda t: F.xxhash64(t))
+    JVM-side, no UDF.
+
+    token_hash: 'md5' (default; engine-portable, oracle-checkable) or
+    'xxhash64' (Spark-native, ~2× cheaper per token — use when
+    cross-engine reproducibility is not needed)."""
+    if token_hash == "xxhash64":
+        tok_hashes = F.transform(tokens_of(text), lambda t: F.xxhash64(t))
+    else:
+        tok_hashes = F.transform(tokens_of(text), lambda t: _md5_hash64(t))
 
     def _bits(h):  # shift amounts must be literals — unroll in Python
         return F.array(
@@ -75,13 +95,25 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    token_hash: str = "md5",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash banding: 4×16-bit chunks — any pair
-    within hamming distance ≤ 3 shares at least one exact chunk
-    (pigeonhole), so the candidate join is exact-match on (band, chunk),
-    then the cheap bit_count verifies. Scale: the self-join is
-    hash-partitioned on the chunk value; no O(n²)."""
-    sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("_sig"))
+    """Near-dup pairs by SimHash banding. The band count DERIVES from
+    max_hamming: splitting 64 bits into (max_hamming + 1) chunks
+    guarantees (pigeonhole) that any pair within the distance shares at
+    least one exact chunk — so the candidate join is exact-match on
+    (band, chunk) and COMPLETE, then the cheap bit_count verifies.
+    Scale: the self-join is hash-partitioned on the chunk value; no
+    O(n²). (A fixed 4-band split was silently lossy for max_hamming>3.)
+    """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_bands = max_hamming + 1
+    base, rem = divmod(64, n_bands)
+    widths = [base + 1 if b < rem else base for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
+    sig = df.select(
+        F.col(id_col), simhash64(F.col(text_col), token_hash).alias("_sig")
+    )
     chunks = sig.select(
         id_col,
         "_sig",
@@ -90,11 +122,11 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("_sig"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("_sig"), offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
                         .alias("chunk"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bc"),

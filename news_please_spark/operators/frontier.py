@@ -53,6 +53,13 @@ from news_please_spark.world import (
 
 BROADCAST_FETCH_LIMIT = 2_000_000  # rows; fetch set is budget×hosts, usually small
 SMALL_SEQ_LIMIT = 500_000  # below this a single-partition window beats two-phase
+# discovery-key encoding: children get (parent_seq + 1) * DISC_STRIDE +
+# link_index, seeds get their url-rank 0..n_seeds-1. Child keys start at
+# DISC_STRIDE, so keys stay unique within any frontier as long as
+# n_seeds < DISC_STRIDE and every page has < DISC_STRIDE outlinks —
+# asserted below. Uniqueness is the precondition of the exact
+# 'threshold' politeness path. 64-bit headroom: parent seq < 2^43.
+DISC_STRIDE = 1 << 20
 # (a one-task sort of 500k rows is ~0.3 s; the two-phase numbering costs
 # two extra jobs + a shuffle — only worth it for genuinely huge waves)
 
@@ -167,18 +174,29 @@ class FrontierEngine:
         seq_base = 0
         frontier = seen = None
         if resume and cfg.state_dir:
+            # a crash mid _save_wave leaves a wave=NNNNN.tmp directory;
+            # it must neither count as a wave (latest_wave skips it) nor
+            # contribute its partially-written seen delta — globbing
+            # wave=*/seen would silently mark the re-run wave's URLs as
+            # already seen. Enumerate complete wave dirs explicitly and
+            # clear stale tmp dirs.
+            for n in os.listdir(cfg.state_dir) if os.path.isdir(cfg.state_dir) else []:
+                if n.startswith("wave=") and n.endswith(".tmp"):
+                    shutil.rmtree(os.path.join(cfg.state_dir, n))
             last = self.latest_wave(cfg.state_dir)
             if last is not None:
                 d = self._wave_dir(last)
                 with open(os.path.join(d, "meta.json")) as f:
                     meta = json.load(f)
                 frontier = spark.read.parquet(os.path.join(d, "frontier"))
-                # seen = initial seeds ∪ all per-wave deltas (append-only
-                # layout: what Iceberg appends would be at scale)
-                seen = spark.read.parquet(
-                    os.path.join(cfg.state_dir, "init", "seen"),
-                    os.path.join(cfg.state_dir, "wave=*", "seen"),
-                )
+                # seen = initial seeds ∪ per-wave deltas of COMPLETE waves
+                # (append-only layout: what Iceberg appends would be at scale)
+                seen_paths = [os.path.join(cfg.state_dir, "init", "seen")] + [
+                    os.path.join(self._wave_dir(w), "seen")
+                    for w in range(last + 1)
+                    if os.path.isdir(self._wave_dir(w))
+                ]
+                seen = spark.read.parquet(*seen_paths)
                 start_wave = last + 1
                 seq_base = meta["seq_next"]
         if frontier is None:
@@ -197,7 +215,13 @@ class FrontierEngine:
                     .filter(~robots_blocked(url_path(F.col("url")), F.col("prefixes")))
                     .select("url")
                 )
-            seeds, _ = with_global_seq(seeds, ["url"], 0, out="disc_key")
+            seeds, n_seeds = with_global_seq(seeds, ["url"], 0, out="disc_key")
+            if n_seeds >= DISC_STRIDE:
+                raise ValueError(
+                    f"{n_seeds} seeds ≥ DISC_STRIDE={DISC_STRIDE}: seed "
+                    "disc_keys would collide with child keys; raise "
+                    "DISC_STRIDE or split the seed list"
+                )
             frontier = seeds.select(
                 F.col("url"),
                 url_host(F.col("url")).alias("host"),
@@ -299,9 +323,15 @@ class FrontierEngine:
                 )
                 .select(
                     F.col("dst_url").alias("url"),
-                    (F.col("p_seq") * 1024 + F.col("link_index")).alias(
-                        "disc_key"
-                    ),
+                    # (p_seq + 1)*DISC_STRIDE keeps child keys disjoint
+                    # from the seed keys 0..n_seeds-1 (seeds deferred by
+                    # politeness would otherwise collide with children of
+                    # early parents), so disc_key is unique WITHIN EVERY
+                    # HOST — the precondition of the exact threshold
+                    # politeness path
+                    (
+                        (F.col("p_seq") + 1) * DISC_STRIDE + F.col("link_index")
+                    ).alias("disc_key"),
                     (F.col("p_depth") + 1).alias("depth"),
                 )
                 .filter(allowed_url(F.col("url")))

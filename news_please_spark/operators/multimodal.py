@@ -10,6 +10,7 @@ raises NotImplementedError in strict mode.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -52,12 +53,21 @@ def _try_pil():
 
 
 def _fake_features(data: bytes, dim: int) -> list[float]:
-    """Deterministic stand-in feature vector: md5-seeded, unit-normed."""
+    """Deterministic stand-in feature vector: md5-seeded, unit-normed.
+
+    Arithmetic is an explicit left-fold in float64 (not numpy pairwise
+    summation) so a SQL oracle — md5 hex → little-endian uint32s →
+    (u/2^32 − 0.5)/‖v‖ cast to float32 — reproduces every value
+    bit-for-bit."""
     d = hashlib.md5(data or b"").digest()
-    vals = np.frombuffer((d * ((dim * 4) // len(d) + 1))[: dim * 4], dtype=np.uint32)
-    v = (vals.astype(np.float64) / 2**32) - 0.5
-    n = np.linalg.norm(v)
-    return (v / (n or 1.0)).astype(np.float32).tolist()
+    raw = (d * ((dim * 4) // len(d) + 1))[: dim * 4]
+    us = [int.from_bytes(raw[4 * i : 4 * i + 4], "little") for i in range(dim)]
+    v = [u / 4294967296.0 - 0.5 for u in us]
+    ss = 0.0
+    for x in v:
+        ss += x * x
+    n = math.sqrt(ss) or 1.0
+    return [float(np.float32(x / n)) for x in v]
 
 
 def decode_and_featurize(

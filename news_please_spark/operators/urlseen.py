@@ -4,8 +4,17 @@ persisted per crawler JOBDIR, reference newsplease/single_crawler.py:170-187).
 
 Design: the `seen` table is hash-bucketed by pmod(xxhash64(url), B).
 Per bucket we build an independent bloom blob with `applyInPandas`
-(numpy bit array, double hashing from two md5-derived 64-bit lanes),
-so build parallelism == bucket count and each blob sizes to its bucket.
+(numpy bit array, double hashing), so build parallelism == bucket count
+and each blob sizes to its bucket.
+
+Hashing discipline: BOTH 64-bit hash lanes are computed JVM-side with
+the codegen'd xxhash64 (two different seed columns) — no URL string
+ever crosses Arrow, and the Python side only does numpy bit-twiddling
+over int64 arrays (vectorized across the whole batch, zero per-row
+Python). Spark's internal BloomFilterAggregate/might_contain pair would
+be simpler still, but it is not registered in the public function
+registry as of Spark 4.1.2 (UNRESOLVED_ROUTINE), so this keeps the same
+JVM-hash + Arrow-batch shape explicitly.
 
 Probe path: candidates get the same bucket id, join the (tiny) blobs
 table broadcast, and a vectorized pandas UDF answers might_contain.
@@ -17,25 +26,23 @@ is preserved, the bloom only cuts the big-join input.
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _hash_lanes(urls: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Two independent 64-bit hash lanes per url from one md5 pass."""
-    h1 = np.empty(len(urls), dtype=np.uint64)
-    h2 = np.empty(len(urls), dtype=np.uint64)
-    for i, u in enumerate(urls):
-        d = hashlib.md5(u.encode("utf-8", "surrogatepass")).digest()
-        h1[i] = int.from_bytes(d[:8], "little")
-        h2[i] = int.from_bytes(d[8:], "little")
-    return h1, h2
+def _lane_cols(url: str | Column = "url") -> tuple[Column, Column]:
+    """Two independent JVM-side 64-bit hash lanes (xxhash64, distinct
+    seeds via an extra literal column)."""
+    return F.xxhash64(url), F.xxhash64(url, F.lit(0x9E3779B9))
+
+
+def _as_u64(s: pd.Series) -> np.ndarray:
+    return s.to_numpy(dtype=np.int64).view(np.uint64)
 
 
 def _bloom_set(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -66,16 +73,21 @@ def build_bloom_blobs(
         bucket = int(pdf["bucket"].iloc[0])
         m, k = _bloom_set(len(pdf), fpp)
         bits = np.zeros(m // 8, dtype=np.uint8)
-        h1, h2 = _hash_lanes(pdf["url"])
-        for j in range(k):
+        h1, h2 = _as_u64(pdf["h1"]), _as_u64(pdf["h2"])
+        for j in range(k):  # k ≤ 8 vectorized passes, no per-row work
             idx = (h1 + np.uint64(j) * h2) % np.uint64(m)
-            np.bitwise_or.at(bits, (idx // 8).astype(np.int64), (1 << (idx % 8)).astype(np.uint8))
+            np.bitwise_or.at(
+                bits, (idx // 8).astype(np.int64), (1 << (idx % 8)).astype(np.uint8)
+            )
         return pd.DataFrame(
             [{"bucket": bucket, "m": m, "k": k, "blob": bits.tobytes()}]
         )
 
-    bucketed = seen.withColumn(
-        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    h1, h2 = _lane_cols("url")
+    bucketed = seen.select(
+        F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        h1.alias("h1"),
+        h2.alias("h2"),
     )
     return bucketed.groupBy("bucket").applyInPandas(build, schema)
 
@@ -93,33 +105,47 @@ def bloom_prefilter(
     cand_cols = candidates.columns
 
     @F.pandas_udf(T.BooleanType())
-    def might_contain(url: pd.Series, m: pd.Series, k: pd.Series, blob: pd.Series) -> pd.Series:
-        out = np.ones(len(url), dtype=bool)
-        if len(url) == 0:
+    def might_contain(
+        bucket: pd.Series, h1s: pd.Series, h2s: pd.Series,
+        m: pd.Series, k: pd.Series, blob: pd.Series,
+    ) -> pd.Series:
+        out = np.ones(len(bucket), dtype=bool)
+        if len(bucket) == 0:
             return pd.Series(out)
-        h1, h2 = _hash_lanes(url)
-        for i in range(len(url)):
-            if blob.iloc[i] is None:
-                out[i] = False  # empty bucket: nothing seen there
-                continue
-            bits = np.frombuffer(blob.iloc[i], dtype=np.uint8)
-            mm = np.uint64(m.iloc[i])
-            hit = True
-            for j in range(int(k.iloc[i])):
-                idx = int((h1[i] + np.uint64(j) * h2[i]) % mm)
-                if not (bits[idx // 8] >> (idx % 8)) & 1:
-                    hit = False
-                    break
-            out[i] = hit
+        empties = blob.isna().to_numpy()
+        out[empties] = False  # empty bucket: nothing seen there
+        h1a, h2a = _as_u64(h1s), _as_u64(h2s)
+        # one vectorized probe per distinct bucket in the batch (each
+        # bucket shares one blob) — no per-row Python
+        for b in pd.unique(bucket[~empties]):
+            sel = (bucket == b).to_numpy() & ~empties
+            i0 = int(np.flatnonzero(sel)[0])
+            bits = np.frombuffer(blob.iloc[i0], dtype=np.uint8)
+            mm = np.uint64(int(m.iloc[i0]))
+            hit = np.ones(int(sel.sum()), dtype=bool)
+            g1, g2 = h1a[sel], h2a[sel]
+            for j in range(int(k.iloc[i0])):
+                idx = (g1 + np.uint64(j) * g2) % mm
+                hit &= (
+                    (bits[(idx // 8).astype(np.int64)] >> (idx % 8).astype(np.uint8)) & 1
+                ) == 1
+            out[sel] = hit
         return pd.Series(out)
 
+    h1, h2 = _lane_cols("url")
     probed = (
         candidates.withColumn(
             "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
         )
+        .withColumn("_h1", h1)
+        .withColumn("_h2", h2)
         .join(F.broadcast(blobs), "bucket", "left")
         .withColumn(
-            "_maybe", might_contain(F.col("url"), F.col("m"), F.col("k"), F.col("blob"))
+            "_maybe",
+            might_contain(
+                F.col("bucket"), F.col("_h1"), F.col("_h2"),
+                F.col("m"), F.col("k"), F.col("blob"),
+            ),
         )
     )
     definitely_new = probed.filter(~F.col("_maybe")).select(*cand_cols)

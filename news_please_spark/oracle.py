@@ -13,7 +13,9 @@ total order:
     (depth, disc_key, url);
   * children of fetched pages pass filters F2/F3/F4/F11, are deduped
     against the URL-seen set *at enqueue time*, and enter the frontier
-    with disc_key = parent_seq * 1024 + link_index (min over parents);
+    with disc_key = (parent_seq + 1) * DISC_STRIDE + link_index (min
+    over parents) — disjoint from the seed keys 0..n_seeds-1, so every
+    disc_key is unique within any frontier;
   * unfetched frontier rows carry over unchanged.
 
 The Spark engine (operators/frontier.py) must reproduce `crawl_order`
@@ -26,6 +28,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+from news_please_spark.operators.frontier import DISC_STRIDE
 from news_please_spark.world import (
     ALLOWED_DOMAIN_SUFFIX,
     IGNORE_EXTENSIONS,
@@ -116,7 +119,7 @@ class CrawlOracle:
                 for dst, k in self.world.edges_of(p):
                     if not self._allowed(dst) or dst in seen:
                         continue
-                    key = pseq * 1024 + k
+                    key = (pseq + 1) * DISC_STRIDE + k
                     prev = children.get(dst)
                     if prev is None or key < prev[1]:
                         children[dst] = (depth + 1, key)

@@ -495,10 +495,15 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
+        # operation order mirrors the SQL exactly — 10000 * (dot/denom),
+        # not (10000*dot)/denom — so quantization boundaries agree to
+        # the last ulp across engines
         F.floor(
             10000
-            * dot(F.col("qv"), F.col("v"))
-            / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v"))))
+            * (
+                dot(F.col("qv"), F.col("v"))
+                / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v"))))
+            )
         )
         .cast("long")
         .alias("sim_q"),

@@ -149,34 +149,7 @@ class VersionedArticleStore:
 
 
 # ---------------------------------------------------------------------------
-# K9 savepath templating (reference helper_classes/savepath_parser.py:13-34,
-# 110-216): %domain, %md5_url, %time_download(fmt), %url_file_name, %subdirs —
-# as one native Column expression.
+# K9 savepath templating — the full reference token catalog lives in
+# sinks/savepath.py; re-exported here for back-compat.
 
-def savepath(template: str, url: F.Column, download_ts: F.Column) -> F.Column:
-    """Compile the reference's save-path DSL into a Column."""
-    import re as _re
-
-    from news_please_spark.functions.urls import canonical_host, url_filename
-
-    parts: list[F.Column] = []
-    pos = 0
-    token_re = _re.compile(
-        r"%(domain|md5_url|url_file_name|time_download\(([^)]*)\))"
-    )
-    for m in token_re.finditer(template):
-        if m.start() > pos:
-            parts.append(F.lit(template[pos:m.start()]))
-        tok = m.group(1)
-        if tok == "domain":
-            parts.append(canonical_host(url))
-        elif tok == "md5_url":
-            parts.append(F.md5(url))
-        elif tok == "url_file_name":
-            parts.append(url_filename(url))
-        elif tok.startswith("time_download"):
-            parts.append(F.date_format(download_ts, m.group(2)))
-        pos = m.end()
-    if pos < len(template):
-        parts.append(F.lit(template[pos:]))
-    return F.concat(*parts) if parts else F.lit(template)
+from news_please_spark.sinks.savepath import savepath  # noqa: E402,F401

@@ -11,7 +11,9 @@ semantics:
   F5 status filter (non-200 dropped, reference pipelines.py:44-57)
   F1 content-type filter (text/html only, parse_crawler.py:122-137)
   F6 size bounds (10 B – 20 MB, simple_crawler.py:11-12)
-  S3 encoding detection (UTF-8 → latin-1 fallback, response_decoder.py)
+  S3 encoding detection (UTF-8 first, then a candidate-scoring guess
+     over cp1251/shift_jis/gbk/latin-1 — the cchardet-free analogue of
+     response_decoder.py:19-48)
   D4 redirect-canonical keying (first redirect source wins,
      pipelines.py:516-521)
 """
@@ -26,20 +28,58 @@ from pyspark.sql import types as T
 MIN_BYTES = 10
 MAX_BYTES = 20 * 1024 * 1024
 
+def detect_and_decode(raw: bytes) -> str:
+    """S3: UTF-8 first (reference response_decoder.py:9-17 isutf8), then
+    a script-evidence decision tree over shift_jis / gbk / cp1251 /
+    latin-1 — the from-scratch stand-in for cchardet.detect (:19-31):
+
+      * shift_jis wins when it strict-decodes AND ≥20% of the non-ASCII
+        output is kana (Japanese text always carries kana; other byte
+        streams decoded as shift_jis yield at most stray kana),
+      * word-spaced byte streams (≥5% 0x20) are single-byte European:
+        cp1251 when the non-ASCII mass decodes to Cyrillic letters and
+        dominates the letters (Russian is ~all high bytes), else latin-1
+        (European text has sparse accents among ASCII),
+      * unspaced dense-high streams that strict-decode as gbk to mostly
+        han are gbk,
+      * latin-1 is the decode-anything last resort, as in the reference.
+    """
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    try:
+        txt = raw.decode("shift_jis")
+        non_ascii = [ch for ch in txt if ord(ch) > 127]
+        kana = sum("぀" <= ch <= "ヿ" for ch in non_ascii)
+        if non_ascii and kana / len(non_ascii) >= 0.2:
+            return txt
+    except UnicodeDecodeError:
+        pass
+    word_spaced = raw.count(0x20) / max(len(raw), 1) >= 0.05
+    if not word_spaced:
+        try:
+            txt = raw.decode("gbk")
+            non_ascii = [ch for ch in txt if ord(ch) > 127]
+            han = sum("一" <= ch <= "鿿" for ch in non_ascii)
+            if non_ascii and han / len(non_ascii) >= 0.5:
+                return txt
+        except UnicodeDecodeError:
+            pass
+    txt = txt_1251 = raw.decode("cp1251")
+    non_ascii = [ch for ch in txt_1251 if ord(ch) > 127]
+    letters = sum(ch.isalpha() for ch in txt_1251)
+    cyr = sum("Ѐ" <= ch <= "ӿ" for ch in non_ascii)
+    if non_ascii and letters and cyr / len(non_ascii) >= 0.9 and len(non_ascii) / letters >= 0.4:
+        return txt_1251
+    return raw.decode("latin-1")
+
 
 @F.pandas_udf(T.StringType())
 def decode_body_udf(body: pd.Series) -> pd.Series:
-    """S3: UTF-8 first, latin-1 fallback (cchardet-free)."""
     out = []
     for b in body:
-        if b is None:
-            out.append(None)
-            continue
-        raw = bytes(b)
-        try:
-            out.append(raw.decode("utf-8"))
-        except UnicodeDecodeError:
-            out.append(raw.decode("latin-1"))
+        out.append(None if b is None else detect_and_decode(bytes(b)))
     return pd.Series(out)
 
 

@@ -5,8 +5,8 @@ delegates to warcio — here the record framing is parsed from scratch).
 `spark.read.format("binaryFile")` → one row per .warc(.gz) file →
 mapInPandas splits each file into response records: one output row per
 record with the target URI, HTTP status, content type and decoded body
-(S3 encoding detection: UTF-8 first, latin-1 fallback — mirrors
-crawler/response_decoder.py:19-48 without cchardet).
+(S3 encoding detection via the shared fetch.detect_and_decode tree —
+mirrors crawler/response_decoder.py:19-48 without cchardet).
 
 Scale note: CC-NEWS WARCs are ~1 GB; one file = one task is the right
 granularity (the reference uses one process per WARC). Partition count
@@ -73,11 +73,10 @@ def parse_warc_bytes(raw: bytes) -> list[dict]:
                     rec["content_type"] = (
                         hl.split(b":", 1)[1].strip().decode("ascii", "replace")
                     )
-            # S3: UTF-8 first, latin-1 fallback
-            try:
-                rec["body"] = payload.decode("utf-8")
-            except UnicodeDecodeError:
-                rec["body"] = payload.decode("latin-1")
+            # S3: shared charset-detection tree (fetch.detect_and_decode)
+            from news_please_spark.sources.fetch import detect_and_decode
+
+            rec["body"] = detect_and_decode(payload)
         out.append(rec)
         idx += 1
     return out

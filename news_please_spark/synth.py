@@ -8,12 +8,17 @@ One arithmetic spec, two views:
 
 Every document embeds its metadata in a different HTML shape so the
 extraction cascades are exercised:
-  * date markup rotates through the reference DateExtractor's cascade
-    (JSON-LD → article:published_time → meta name=date → <time datetime>
-    → itemprop → URL date; reference date_extractor.py:30-58),
+  * date markup rotates through 12 variants of the reference
+    DateExtractor's catalog (JSON-LD, article:published_time, meta
+    name=date/pubdate/sailthru.date/published-date, bt:pubDate,
+    itemprop datePublished/dcterms.date, <time datetime>,
+    <span class="article_date">, URL path date; reference
+    date_extractor.py:99-254),
   * language markup rotates through the LangExtractor cascade
-    (html@lang → xml:lang → http-equiv → og:locale → text fallback;
-    reference lang_detect_extractor.py:21-83),
+    (html@lang → xml:lang → meta name=language → og:locale → text
+    fallback; reference lang_detect_extractor.py:30-68). Fallback docs
+    (v_lang==4) carry language-specific stopword filler (en/de/es) so
+    the multi-language text detector is exercised,
   * og:type and linked-headline counts vary for the heuristics H1-H7.
 """
 
@@ -65,13 +70,18 @@ class DocWorld:
         self.n_docs = n_docs
 
     # ---- spec -----------------------------------------------------------
+    N_DATE_VARIANTS = 12
+    URL_DATE_VARIANT = 5  # the only variant whose date lives in the URL
+
     def spec(self, d: int) -> DocSpec:
         host = f"h{mix(d, 21) % 20}.news-example.org"
-        v_date = d % 6
+        v_date = d % self.N_DATE_VARIANTS
         v_lang = d % 5
-        # v_lang==4 has no lang markup → detector falls back to text
-        # stopwords (English vocab) so the expected language is 'en'
-        lang = "en" if v_lang == 4 else LANGS[mix(d, 24) % 5]
+        # v_lang==4 has no lang markup → detector falls back to the
+        # multi-language stopword vote (en/de/es vocabularies); the
+        # paragraph filler word carries the language signal
+        lang = ("en", "de", "es")[mix(d, 24) % 3] if v_lang == 4 else LANGS[mix(d, 24) % 5]
+        filler = {"en": "the", "de": "der", "es": "el"}[lang] if v_lang == 4 else "the"
         dt = EPOCH + timedelta(
             days=mix(d, 22) % 1500, seconds=mix(d, 23) % 86400
         )
@@ -81,14 +91,14 @@ class DocWorld:
         description = " ".join(_words(d, 2, 8))
         n_para = 2 + mix(d, 25) % 3
         paragraphs = [
-            " ".join(["the"] + _words(d, 3 + i, 24 + mix(d, 30 + i) % 16))
+            " ".join([filler] + _words(d, 3 + i, 24 + mix(d, 30 + i) % 16))
             for i in range(n_para)
         ]
         image_path = f"/media/img{d}.jpg" if d % 4 == 0 else None
         image_url = f"https://{host}{image_path}" if image_path else None
         authors = [f"Alex {WORDS[mix(d, 27) % 20].capitalize()}"]
         slug = "-".join(title_words)
-        if v_date == 5:
+        if v_date == self.URL_DATE_VARIANT:
             path = f"/{dt.year}/{dt.month:02d}/{dt.day:02d}/{slug}.html"
         else:
             path = f"/articles/{slug}-{d}.html"
@@ -133,7 +143,11 @@ class DocWorld:
         s = self.spec(d)
         # the URL-date variant only carries the calendar date (E3's last
         # cascade step), so the expected timestamp is midnight
-        date = s.date_publish[:10] + " 00:00:00" if s.v_date == 5 else s.date_publish
+        date = (
+            s.date_publish[:10] + " 00:00:00"
+            if s.v_date == self.URL_DATE_VARIANT
+            else s.date_publish
+        )
         return {
             "url": s.url,
             "source_domain": s.host,
@@ -157,9 +171,7 @@ class DocWorld:
         elif s.v_lang == 1:
             html_attr = f' xml:lang="{s.language}"'
         elif s.v_lang == 2:
-            head.append(
-                f'<meta http-equiv="content-language" content="{s.language}">'
-            )
+            head.append(f'<meta name="language" content="{s.language}">')
         elif s.v_lang == 3:
             head.append(
                 f'<meta property="og:locale" content="{s.language}_XX">'
@@ -173,6 +185,7 @@ class DocWorld:
         if s.image_path:
             head.append(f'<meta property="og:image" content="{s.image_path}">')
         time_tag = ""
+        date_span = ""
         if s.v_date == 0:
             head.append(
                 '<script type="application/ld+json">'
@@ -192,7 +205,19 @@ class DocWorld:
                 f'<meta itemprop="datePublished" content="{iso}">'
             )
         # v_date == 5: only the URL carries the date
-        body: list[str] = [f"<h1>{s.title}</h1>", time_tag]
+        elif s.v_date == 6:
+            head.append(f'<meta name="pubdate" content="{iso}">')
+        elif s.v_date == 7:
+            head.append(f'<meta name="sailthru.date" content="{iso}">')
+        elif s.v_date == 8:
+            head.append(f'<meta property="bt:pubDate" content="{iso}">')
+        elif s.v_date == 9:
+            head.append(f'<meta itemprop="dcterms.date" content="{iso}">')
+        elif s.v_date == 10:
+            date_span = f'<span class="article_date">{iso}</span>'
+        elif s.v_date == 11:
+            head.append(f'<meta name="published-date" content="{iso}">')
+        body: list[str] = [f"<h1>{s.title}</h1>", time_tag, date_span]
         for i in range(s.n_headlines):
             h = f"section {WORDS[mix(d, 40 + i) % 20]}"
             if i < s.n_linked:

@@ -48,6 +48,33 @@ def test_fused_equals_modular_pipeline(spark):
         assert a[k] == b[k], (k, a[k], b[k])
 
 
+def test_fused_equals_modular_with_newlines(spark):
+    """Trim-semantics parity: HTML whose cleaned fields carry embedded /
+    framing newlines must produce identical articles on the fused
+    (Python str.strip) and modular (native ws_trim) paths."""
+    html = (
+        '<html lang="en"><head>\n'
+        '<meta property="og:title" content="\nSpaced   Title\n">\n'
+        '<meta name="description" content="  line one\n\n\nline two  ">\n'
+        '<meta name="author" content="\n A. Writer \n">\n'
+        '<meta name="date" content="\n2021-05-06T07:08:09\n">\n'
+        "</head><body><h1>\nSpaced   Title\n</h1><article>\n"
+        "<p>the quick brown fox jumps over the lazy dog again and again "
+        "and again and then some more words for the minimum\n</p>\n"
+        "<p>\nthe second paragraph also has plenty of words to clear the "
+        "fifteen word cutoff of the voting rule here\n</p>\n"
+        "</article></body></html>"
+    )
+    fetched = spark.createDataFrame(
+        [("docX", "https://h1.news-example.org/a.html", html)],
+        "doc_id string, url string, html string",
+    )
+    a = extract_articles(fetched, fused=True).collect()[0]
+    b = extract_articles(fetched, fused=False).collect()[0]
+    assert a == b, (a, b)
+    assert a.title == "Spaced Title"
+
+
 def test_span_sequence_equality(spark):
     world = DocWorld(N_DOCS)
     fetched = world.responses_df(spark)

@@ -1,0 +1,142 @@
+"""Unit tests for the extractor internals: the full E3 date catalog
+(every meta name/property/itemprop the reference DateExtractor checks,
+date_extractor.py:99-254), the E4 multi-language fallback, and the E2
+block scorer — pure Python, no Spark session."""
+
+from __future__ import annotations
+
+import pytest
+
+from news_please_spark.extraction.extract import (
+    _date_extractor,
+    _dom_extractor,
+    _lang_extractor,
+    _norm_date,
+    _stopword_lang,
+)
+
+ISO = "2021-03-04T05:06:07"
+WANT = "2021-03-04 05:06:07"
+URL = "https://h1.news-example.org/articles/x-1.html"
+
+
+def _date(html: str, url: str = URL) -> str | None:
+    return _date_extractor(url, html)["publish_date"]
+
+
+# --- E3: one case per reference catalog entry ------------------------------
+
+META_CASES = [
+    f'<meta name="{n}" content="{ISO}">'
+    for n in (
+        "pubdate", "publishdate", "timestamp", "DC.date.issued", "date",
+        "sailthru.date", "article.published", "published-date",
+        "article.created", "article_date_original",
+        "cXenseParse:recs:publishtime", "DATE_PUBLISHED",
+    )
+] + [
+    f'<meta property="{p}" content="{ISO}">'
+    for p in ("article:published_time", "bt:pubDate")
+] + [
+    f'<meta itemprop="{i}" content="{ISO}">'
+    for i in (
+        "dc.date", "datePublished", "dateCreated", "dcterms.date",
+        "dcterms.created",
+    )
+] + [
+    f'<meta http-equiv="date" content="{ISO}">',
+]
+
+
+@pytest.mark.parametrize("tag", META_CASES)
+def test_meta_date_catalog(tag):
+    html = f"<html><head>{tag}</head><body></body></html>"
+    assert _date(html) == WANT, tag
+
+
+def test_jsonld_date_and_created_override():
+    pub = (
+        '<script type="application/ld+json">'
+        f'{{"datePublished": "{ISO}"}}</script>'
+    )
+    assert _date(f"<html><head>{pub}</head></html>") == WANT
+    both = (
+        '<script type="application/ld+json">'
+        f'{{"datePublished": "{ISO}", "dateCreated": "2020-01-02T03:04:05"}}'
+        "</script>"
+    )
+    # dateCreated overrides (the reference reassigns on the second try)
+    assert _date(f"<html><head>{both}</head></html>") == "2020-01-02 03:04:05"
+
+
+def test_html_tag_dates():
+    assert _date(f'<html><body><time datetime="{ISO}">x</time></body></html>') == WANT
+    assert _date(f'<html><body><time class="timestamp">{ISO}</time></body></html>') == WANT
+    assert (
+        _date(f'<html><body><span itemprop="datePublished" content="{ISO}">x</span></body></html>')
+        == WANT
+    )
+    assert _date(f'<html><body><span itemprop="datePublished">{ISO}</span></body></html>') == WANT
+    for cls in ("pubdate", "article_date", "articledate", "entry-date"):
+        assert _date(f'<html><body><span class="{cls}">{ISO}</span></body></html>') == WANT, cls
+    # a date-classed element with unparseable text must not stop the scan
+    html = (
+        '<html><body><div class="dateline">yesterday</div>'
+        f'<span class="pubdate">{ISO}</span></body></html>'
+    )
+    assert _date(html) == WANT
+
+
+def test_og_image_url_date_probe():
+    html = (
+        '<html><head><meta property="og:image" '
+        'content="https://h1.x.org/2019/07/08/pic.jpg"></head></html>'
+    )
+    assert _date(html) == "2019-07-08 00:00:00"
+
+
+def test_url_date_fallback_and_norm_forms():
+    assert _date("<html></html>", "https://h1.x.org/2018/02/03/slug.html") == "2018-02-03 00:00:00"
+    assert _norm_date("2021-03-04") == "2021-03-04 00:00:00"
+    assert _norm_date("2021-03-04T05:06") == "2021-03-04 05:06:00"
+    assert _norm_date("2021-03-04T05:06:07.123Z") == WANT
+    assert _norm_date("2021-03-04T05:06:07+02:00") == WANT
+    assert _norm_date("not a date") is None
+
+
+# --- E4: multi-language fallback -------------------------------------------
+
+def test_stopword_lang_votes():
+    assert _stopword_lang("the cat sat of the mat and more") == "en"
+    assert _stopword_lang("der hund und die katze laufen schnell") == "de"
+    assert _stopword_lang("el perro y los gatos corren") == "es"
+    assert _stopword_lang("xyzzy plugh qwerty") is None
+    assert _stopword_lang("") is None
+
+
+def test_lang_cascade_order():
+    assert _lang_extractor(URL, '<html lang="fr"><body></body></html>')["language"] == "fr"
+    assert (
+        _lang_extractor(URL, '<html><head><meta name="language" content="it"></head></html>')["language"]
+        == "it"
+    )
+    body = "<p>der hund und die katze und der vogel und die maus</p>"
+    assert _lang_extractor(URL, f"<html><body>{body}</body></html>")["language"] == "de"
+
+
+# --- E2: block scoring drops nav/footer link farms --------------------------
+
+def test_dom_extractor_prefers_content_block():
+    nav = '<div><a href="/a">Home</a> <a href="/b">World</a> <a href="/c">Sport</a></div>'
+    art = (
+        "<article><p>The first real paragraph of the story body with many words.</p>"
+        "<p>The second paragraph continues the actual article text here.</p></article>"
+    )
+    footer = (
+        '<div><p><a href="/imprint">Imprint</a> <a href="/privacy">Privacy</a> '
+        '<a href="/contact">Contact</a> <a href="/jobs">Jobs</a></p></div>'
+    )
+    got = _dom_extractor(URL, f"<html><body>{nav}{art}{footer}</body></html>")["text"]
+    assert "first real paragraph" in got
+    assert "second paragraph" in got
+    assert "Imprint" not in got  # footer junk must not leak into maintext

@@ -1,0 +1,60 @@
+"""Library facade: from_html / from_url / from_urls / from_file drive
+the full fetch → extract chain in one call (reference NewsPlease
+__init__.py:65-183 analogues)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import news_please_spark as nps
+from news_please_spark.schemas import RESPONSES
+from news_please_spark.synth import DocWorld
+
+N = 12
+
+
+def _responses(spark, world):
+    rows = [
+        (
+            world.spec(d).url,
+            200,
+            "text/html; charset=utf-8",
+            bytearray(world.html(d).encode("utf-8")),
+            None,
+            None,
+        )
+        for d in range(N)
+    ]
+    return spark.createDataFrame(rows, RESPONSES)
+
+
+def test_from_html_and_from_url(spark):
+    world = DocWorld(N)
+    pages = [(world.spec(d).url, world.html(d)) for d in range(N)]
+    arts = {r.url: r for r in nps.from_html(spark, pages).collect()}
+    for d in range(N):
+        exp = world.expected_article(d)
+        assert arts[exp["url"]].title == exp["title"], d
+        assert arts[exp["url"]].maintext == exp["maintext"], d
+
+    one = nps.from_url(
+        spark, world.spec(0).url, _responses(spark, world)
+    ).collect()
+    assert len(one) == 1 and one[0].title == world.expected_article(0)["title"]
+
+
+def test_from_file_end_to_end(spark, tmp_path):
+    world = DocWorld(N)
+    url_file = tmp_path / "urls.txt"
+    url_file.write_text(
+        "\n".join(world.spec(d).url for d in range(N)) + "\n\n"
+    )
+    arts = nps.from_file(spark, str(url_file), _responses(spark, world))
+    got = {r.url: r for r in arts.collect()}
+    assert len(got) == N
+    for d in range(N):
+        exp = world.expected_article(d)
+        a = got[exp["url"]]
+        assert a.title == exp["title"], d
+        assert a.language == exp["language"], d
+        assert list(a.authors) == exp["authors"], d

@@ -63,3 +63,24 @@ def test_file_sinks(spark, tmp_path):
     write_json_storage(arts, jdir)
     j = spark.read.json(jdir)
     assert j.count() == 1 and j.first().title == "T"
+
+
+def test_charset_detection_tree():
+    """S3 charset guess (cchardet-free image of response_decoder.py:19-48):
+    utf-8 → shift_jis/gbk/cp1251 evidence → latin-1 last resort."""
+    from news_please_spark.sources.fetch import detect_and_decode
+
+    cases = [
+        ("utf-8", "Привет мир — 日本語テキスト"),
+        ("cp1251", "Привет мир это тест новостей сегодня вечером"),
+        ("cp1251", "В Москве сегодня прошла выставка, сообщает агентство."),
+        ("shift_jis", "これはニュースのテストです。記事の本文がここにあります。"),
+        ("shift_jis", "東京で新しい展示会が開幕しました。詳細は記事をご覧ください。"),
+        ("gbk", "这是新闻测试内容，文章正文在这里。"),
+        ("gbk", "北京今天举行了新的展览会，详情请看报道。"),
+        ("latin-1", "Müller in der Straße trinkt Kaffee täglich früh"),
+        ("latin-1", "L'été à Paris: des cafés, des musées et des balades"),
+        ("latin-1", "plain ascii only text with no accents at all"),
+    ]
+    for enc, text in cases:
+        assert detect_and_decode(text.encode(enc)) == text, enc

@@ -59,11 +59,22 @@ def test_bloom_and_salted_topk_are_exact(spark):
     assert e_order == o_order
 
 
-def test_threshold_politeness_is_exact(spark):
+@pytest.mark.parametrize(
+    "n_pages,budget",
+    [
+        (250, 8),
+        # budget < seeds-per-host: waves where deferred seeds and
+        # children coexist in the frontier — the regression case for
+        # disc_key collisions at the k-th threshold (child keys start at
+        # DISC_STRIDE, so ties at the threshold are impossible)
+        (300, 2),
+    ],
+)
+def test_threshold_politeness_is_exact(spark, n_pages, budget):
     """The no-sort politeness path (k-th smallest disc_key threshold)
     must match the oracle exactly too."""
     o_order, o_seen, e_order, e_seen, _ = run_both(
-        spark, 250, 8, 3, salt_buckets=8, politeness_impl="threshold"
+        spark, n_pages, budget, 3, salt_buckets=8, politeness_impl="threshold"
     )
     assert e_seen == o_seen
     assert e_order == o_order

@@ -46,3 +46,49 @@ def test_resume_matches_uninterrupted(spark, tmp_path):
     assert stitched == full_order
     resumed_seen = {r.url for r in resumed.seen.collect()}
     assert resumed_seen == full_seen
+
+
+def test_resume_ignores_partial_tmp_wave(spark, tmp_path):
+    """A kill mid _save_wave leaves wave=NNNNN.tmp with a (possibly
+    partial) seen delta. Resume must neither read that seen delta (it
+    would silently anti-join away the re-run wave's URLs) nor trip over
+    truncated files — the stale tmp dir is discarded."""
+    import shutil
+
+    world = World(n_pages=300)
+    edges = world.webgraph_df(spark)
+    robots = world.robots_df(spark)
+    seeds = world.seed_urls()
+
+    full = FrontierEngine(
+        spark, edges, robots,
+        cfg=FrontierConfig(budget_per_host=8, max_depth=3),
+    ).run(seeds)
+    full_order = collect_order(full.order)
+    full_seen = {r.url for r in full.seen.collect()}
+
+    state = str(tmp_path / "crashstate")
+    FrontierEngine(
+        spark, edges, robots,
+        cfg=FrontierConfig(budget_per_host=8, max_depth=3, max_waves=3,
+                           state_dir=state),
+    ).run(seeds)
+    # simulate the crash: wave 3 died mid-save, leaving its seen delta
+    # (URLs NOT in any complete wave — the worst case: reading it would
+    # mark wave-3 discoveries as already seen) under .tmp
+    longer = str(tmp_path / "longerstate")
+    FrontierEngine(
+        spark, edges, robots,
+        cfg=FrontierConfig(budget_per_host=8, max_depth=3, max_waves=4,
+                           state_dir=longer),
+    ).run(seeds)
+    shutil.copytree(f"{longer}/wave=00003", f"{state}/wave=00003.tmp")
+
+    resumed = FrontierEngine(
+        spark, edges, robots,
+        cfg=FrontierConfig(budget_per_host=8, max_depth=3, state_dir=state),
+    ).run(seeds, resume=True)
+    pre = spark.read.parquet(f"{state}/wave=0000[012]/order")
+    stitched = collect_order(pre.unionByName(resumed.order))
+    assert stitched == full_order
+    assert {r.url for r in resumed.seen.collect()} == full_seen

@@ -71,3 +71,71 @@ def test_savepath_templating(spark):
 
     md5 = hashlib.md5(b"https://www.example.com/a/b/story.html").hexdigest()
     assert out == f"/data/example.com/2026/02/03/{md5}_story.html"
+
+
+URL2 = "https://www.blog.news.example.co/world/politics/story-one.html"
+
+
+def _one(spark, template, url=URL2, **kw):
+    from news_please_spark.sinks.savepath import savepath as sp
+
+    df = spark.createDataFrame(
+        [(url, "2026-02-03 10:11:12")], "url string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    return df.select(sp(template, F.col("url"), F.col("ts"), **kw).alias("p")).first()[0]
+
+
+def test_savepath_full_catalog(spark):
+    """Reference token catalog (savepath_parser.py:13-34) — each token
+    against hand-derived reference semantics."""
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert _one(spark, "%domain(20)") == "example.co"
+    assert _one(spark, "%domain(5)") == "examp"
+    assert _one(spark, "%full_domain(40)") == "blog.news.example.co"
+    assert _one(spark, "%subdomains(20)") == "blog.news."
+    assert _one(spark, "%url_directory_string(40)") == "world_politics"
+    assert _one(spark, "%url_file_name(40)") == "story-one"
+    assert _one(spark, "%md5_domain(8)") == md5("example.co")[:8]
+    assert _one(spark, "%md5_full_domain(6)") == md5("blog.news.example.co")[:6]
+    assert _one(spark, "%md5_url_file_name(10)") == md5("story-one")[:10]
+    # appendmd5: unchanged when short enough; md5 prefix when n <= 32;
+    # trim + '_' + md5 when n > 32 (savepath_parser.py:95-108)
+    assert _one(spark, "%appendmd5_domain(32)") == "example.co"
+    assert _one(spark, "%appendmd5_domain(4)") == md5("example.co")[:4]
+    long_comp = "blog.news.example.co"
+    got = _one(spark, "%appendmd5_full_domain(36)")
+    assert got == long_comp  # len 20 <= 36: unchanged
+    got = _one(spark, "%appendmd5_full_domain(35)", url="https://" + "a" * 40 + ".example.co/x")
+    comp = "a" * 40 + ".example.co"
+    assert got == comp[: 35 - 33] + "_" + md5(comp) and len(got) == 35
+    # time tokens: strftime forms are translated, legacy Java passes through
+    assert _one(spark, "%time_download(%Y-%m-%d_%H)") == "2026-02-03_10"
+    assert _one(spark, "%timestamp_download").isdigit()
+    assert (
+        _one(spark, "%working_path/x%timestamp_execution", working_path="/wp", execution_ts=1700000000)
+        == "/wp/x1700000000"
+    )
+    assert (
+        _one(spark, "%time_execution(%Y)/f", execution_ts=1700000000) == "2023/f"
+    )
+    # max_url_file_name: budget = 259 - len(everything else)
+    assert _one(spark, "/data/%domain(7)/%max_url_file_name") == "/data/example/story-one"
+    long_url = "https://h.example.co/" + "f" * 300 + ".html"
+    got = _one(spark, "/data/%max_url_file_name", url=long_url)
+    assert got == "/data/" + "f" * (259 - 6)
+    got = _one(spark, "/data/%appendmd5_max_url_file_name", url=long_url)
+    comp = "f" * 300
+    assert got == "/data/" + comp[: 253 - 33] + "_" + md5(comp)
+    # invalid filesystem chars are replaced (savepath_parser.py:218-230)
+    assert _one(spark, 'a<b>c:d"e|f?g*h/%domain(3)') == "a_b_c_d_e_f_g_h/exa"
+
+
+def test_savepath_trailing_slash_directory_quirk(spark):
+    """The reference drops the last directory when the URL ends in '/'
+    (url_extractor.py:264-272 slices [idx+1:-2]) — mirrored."""
+    assert (
+        _one(spark, "%url_directory_string(40)", url="https://h.example.co/a/b/")
+        == "a"
+    )
