@@ -6,9 +6,10 @@ the sf0.001 `documents` table.
 
 `queries()` / `oracle_sql()` — operator registry; implementations live
 in news_please_spark.plans.queries + plans.extraction_queries (all
-SQL-oracle-checked) plus rows-only entries for ops DuckDB can't express
-(the full iterative politeness crawl engine; the approximate LSH ANN
-whose guarantee is a recall bound, tested in pytest).
+SQL-oracle-checked) plus ONE rows-only entry for the op DuckDB can't
+express in a single statement (the full iterative politeness crawl
+engine — exact oracle equality is enforced bit-for-bit by the
+pure-Python crawl oracle in tests/test_frontier.py instead).
 """
 
 from __future__ import annotations
@@ -49,22 +50,9 @@ def _crawl_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.run(world.seed_urls()).order
 
 
-def _lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table LSH approximate top-k (scale path of
-    ann_cosine_topk). Rows-only; recall bound tested in pytest."""
-    from pyspark.sql import functions as F
-
-    from news_please_spark.operators.similarity import lsh_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries_df = emb.filter(F.col("vec_id") % 101 == 0)
-    return lsh_topk(queries_df, emb, k=5)
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
     qs["crawl_politeness"] = _crawl_politeness
-    qs["lsh_ann_topk"] = _lsh_ann_topk
     return qs
 
 

@@ -72,7 +72,9 @@ CRAWL_WAVES = 6
 CRAWL_BUDGET = 32
 
 
-def run_crawl(spark, n_pages: int, max_waves: int) -> tuple[float, int]:
+def run_crawl(
+    spark, n_pages: int, max_waves: int, use_bloom: bool = False
+) -> tuple[float, int]:
     """Frontier throughput: budgeted waves over a spark.range-generated
     webgraph, starting from a pre-loaded large frontier (measuring the
     engine, not BFS warmup). Returns (seconds, urls_fetched)."""
@@ -92,6 +94,7 @@ def run_crawl(spark, n_pages: int, max_waves: int) -> tuple[float, int]:
             max_depth=4,
             max_waves=max_waves,
             salt_buckets=16,
+            use_bloom=use_bloom,
         ),
     )
     t0 = time.time()
@@ -300,9 +303,28 @@ def scaling(pair: tuple[int, int] = (2, 8), trials: int = 2) -> None:
     print(json.dumps(out))
 
 
+def bloom_ab() -> None:
+    """A/B the URL-seen bloom prefilter on the headline crawl: same
+    world, bloom off vs on (both paths are bit-exact — the bloom only
+    changes the anti-join's probe size)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from news_please_spark.session import get_spark
+
+    spark = get_spark("bloom_ab", cpus=CPUS, shuffle_partitions=CPUS)
+    out = {}
+    for label, flag in (("bloom_off", False), ("bloom_on", True)):
+        sec, urls = run_crawl(spark, CRAWL_PAGES, CRAWL_WAVES, use_bloom=flag)
+        out[label] = {"sec": round(sec, 2), "urls": urls,
+                      "urls_per_sec": round(urls / sec, 1)}
+        print(json.dumps({label: out[label]}), flush=True)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--scaling-child":
         scaling_child(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--bloom-ab":
+        bloom_ab()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         # optional pair override: python bench.py --scaling 4 16
         if len(sys.argv) > 3:

@@ -63,9 +63,14 @@ def brute_force_topk(
 
 def _plane_coef(plane: int, i: Column) -> Column:
     """Deterministic pseudo-random coefficient in [-1, 1] for plane
-    `plane`, dimension i — derived from xxhash64, reproducible across
-    runs and engines."""
-    h = F.xxhash64(F.concat(F.lit(f"plane{plane}_"), i.cast("string")))
+    `plane`, dimension i — derived from md5 (first 8 hex chars as a
+    uint32), so the SAME planes are reproducible in any engine with md5
+    (the DuckDB oracle re-derives them; xxhash64 is Spark-private)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"plane{plane}_"), i.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
     return (F.pmod(h, F.lit(2001)) - 1000).cast("double") / 1000.0
 
 
@@ -108,12 +113,17 @@ def lsh_topk(
     tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> DataFrame:
     """Approximate top-k: compare only within matching LSH buckets of
     any of `tables` independent plane families (OR-amplification).
     Scale path: the corpus is bucketed once (a single projection),
     candidates come from hash-joins on (table, bucket) — the corpus is
-    never crossed. Recall tunes with tables (up) and planes (down)."""
+    never crossed. Recall tunes with tables (up) and planes (down).
+
+    quantize=True ranks and returns sim_q = floor(10^4·cos) as BIGINT
+    (the cross-engine-exact form the oracle gate hashes) instead of the
+    raw double cos."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_q")
     ).withColumn("_tb", F.explode(lsh_buckets(F.col("_q"), planes, tables)))
@@ -126,10 +136,18 @@ def lsh_topk(
         .select("query_id", "_q", "neighbor_id", "_v")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sims = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("_q"), F.col("_v")).alias("cos")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    if quantize:
+        sims = cand.select(
+            "query_id",
+            "neighbor_id",
+            F.floor(10000 * cosine(F.col("_q"), F.col("_v"))).cast("long").alias("sim_q"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("sim_q"), F.col("neighbor_id"))
+    else:
+        sims = cand.select(
+            "query_id", "neighbor_id", cosine(F.col("_q"), F.col("_v")).alias("cos")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
     return (
         sims.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)

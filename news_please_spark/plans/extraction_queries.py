@@ -242,6 +242,64 @@ WHERE bit_count(xor(a.sg, b.sg)) <= 6
 
 
 # ---------------------------------------------------------------------------
+# LSH ANN: SQL image of similarity.lsh_buckets/lsh_topk — the md5-derived
+# hyperplane coefficients, OR-amplified (table, bucket) candidate join,
+# and quantized cosine ranking, all re-derived in DuckDB.
+
+_LSH_PLANES = 4
+_LSH_TABLES = 8
+
+
+def _hex32(md5_expr: str) -> str:
+    """First 8 hex chars of an md5 VARCHAR expression as a BIGINT."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({md5_expr}, {c + 1}, 1)) - 1) * {16 ** (7 - c)}"
+        for c in range(8)
+    )
+
+
+# coefficient for plane s = t*1000 + p, dimension i (1-based):
+# (hex32(md5('plane{s}_{i}')) % 2001 - 1000) / 1000.0
+_COEF = (
+    "(("
+    + _hex32("md5('plane' || CAST(t * 1000 + p AS VARCHAR) || '_' || CAST(i AS VARCHAR))")
+    + ") % 2001 - 1000) / 1000.0"
+)
+
+_LSH_ANN_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bkt AS (
+  SELECT vec_id, v, t,
+    list_aggregate(list_transform(range(0, {_LSH_PLANES}), p ->
+      CASE WHEN list_dot_product(
+             v, list_transform(range(1, len(v) + 1), i -> {_COEF})) > 0
+           THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+           ELSE CAST(0 AS BIGINT) END), 'sum') AS b
+  FROM e, (SELECT unnest(range(0, {_LSH_TABLES})) AS t)
+),
+q AS (SELECT vec_id AS query_id, t, b FROM bkt WHERE vec_id % 101 = 0),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM q JOIN bkt c ON q.t = c.t AND q.b = c.b AND q.query_id <> c.vec_id
+),
+sims AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    CAST(floor(10000 * (
+      list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+    )) AS BIGINT) AS sim_q
+  FROM cand
+  JOIN e a ON a.vec_id = cand.query_id
+  JOIN e b ON b.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, sim_q FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_q DESC, neighbor_id) AS rk
+  FROM sims
+) WHERE rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # Spark-side entries
 
 @register("extract_articles", _ARTICLES_SQL)
@@ -323,6 +381,22 @@ def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = simhash_near_dups(docs.unionByName(planted), max_hamming=6)
     return pairs.select(
         "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@register("lsh_ann_topk", _LSH_ANN_SQL)
+def lsh_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH approximate top-k (the scale path of
+    ann_cosine_topk): md5-derived hyperplanes make bucketing
+    engine-portable, so DuckDB re-derives the SAME candidate set and
+    quantized ranking — the approximate operator is equality-checked,
+    not just recall-bounded."""
+    from news_please_spark.operators.similarity import lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 101 == 0)
+    return lsh_topk(
+        queries_df, emb, k=5, planes=_LSH_PLANES, tables=_LSH_TABLES, quantize=True
     )
 
 
