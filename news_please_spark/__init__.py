@@ -55,3 +55,24 @@ def from_file(spark, path: str, responses, fused: bool = True):
     from news_please_spark.sources.flat import urls_from_file
 
     return from_urls(spark, urls_from_file(spark, path), responses, fused=fused)
+
+
+def from_warc(spark, warc_glob: str, fused: bool = True):
+    """WARC files → response records (200, text/html) → extraction
+    chain → article rows (the from_warc analogue, reference
+    __init__.py:28-63; record framing + charset detection in
+    sources/warc.py)."""
+    from pyspark.sql import functions as F
+
+    from news_please_spark.extraction.extract import extract_articles
+    from news_please_spark.sources.warc import split_warc_records
+
+    files = spark.read.format("binaryFile").load(warc_glob)
+    recs = split_warc_records(files)
+    pages = (
+        recs.filter(F.col("warc_type") == "response")
+        .filter(F.col("http_status") == 200)
+        .filter(F.col("content_type").rlike("^text/html"))
+        .select(F.col("target_uri").alias("url"), F.col("body").alias("html"))
+    )
+    return extract_articles(pages, fused=fused)

@@ -70,6 +70,8 @@ class FrontierConfig:
     max_depth: int = 4
     max_waves: int = 10_000
     use_bloom: bool = False
+    bloom_capacity: int = 1 << 17     # expected per-bucket rows; fixes (m, k)
+    # so per-wave blob deltas OR-merge — each wave hashes only its delta
     salt_buckets: int = 1             # >1 enables skew-safe two-phase top-k
     state_dir: str | None = None      # enables checkpoint/resume
     seen_buckets: int = 32            # hash-bucket layout of the seen table
@@ -242,6 +244,20 @@ class FrontierEngine:
         frontier = frontier.localCheckpoint(eager=True)
         seen_chunks: list[DataFrame] = [seen.localCheckpoint(eager=True)]
 
+        # incremental bloom state: blobs are built once from the initial
+        # seen set with a FIXED (m, k), then OR-merged with each wave's
+        # delta — per-wave bloom cost is O(wave), never O(seen)
+        blob_state: DataFrame | None = None
+        if cfg.use_bloom:
+            from news_please_spark.operators.urlseen import (
+                build_bloom_blobs,
+                merge_bloom_blobs,
+            )
+
+            blob_state = build_bloom_blobs(
+                seen_chunks[0], cfg.seen_buckets, capacity=cfg.bloom_capacity
+            ).localCheckpoint(eager=True)
+
         def seen_df() -> DataFrame:
             s = seen_chunks[0]
             for c in seen_chunks[1:]:
@@ -362,13 +378,22 @@ class FrontierEngine:
             if cfg.use_bloom:
                 from news_please_spark.operators.urlseen import bloom_prefilter
 
-                cand = bloom_prefilter(cand, seen, self.cfg.seen_buckets)
+                cand = bloom_prefilter(
+                    cand, seen, self.cfg.seen_buckets, blobs=blob_state
+                )
             new = (
                 cand.join(seen, "url", "left_anti")
                 .select("url", "host", "depth", "disc_key")
                 .localCheckpoint(eager=True)
             )
             seen_chunks.append(new.select("url"))
+            if cfg.use_bloom:
+                delta = build_bloom_blobs(
+                    new.select("url"), cfg.seen_buckets, capacity=cfg.bloom_capacity
+                )
+                blob_state = merge_bloom_blobs(blob_state, delta).localCheckpoint(
+                    eager=True
+                )
             frontier = deferred.unionByName(new)
 
             if cfg.state_dir:

@@ -53,25 +53,35 @@ def _bloom_set(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, min(k, 8)
 
 
-def build_bloom_blobs(
-    seen: DataFrame, n_buckets: int, fpp: float = 0.01
-) -> DataFrame:
-    """seen(url) → blobs(bucket, m, k, blob) — one bloom per hash bucket."""
+_BLOB_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("m", T.LongType(), False),
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("blob", T.BinaryType(), False),
+    ]
+)
 
-    schema = T.StructType(
-        [
-            T.StructField("bucket", T.IntegerType(), False),
-            T.StructField("m", T.LongType(), False),
-            T.StructField("k", T.IntegerType(), False),
-            T.StructField("blob", T.BinaryType(), False),
-        ]
-    )
+
+def build_bloom_blobs(
+    seen: DataFrame, n_buckets: int, fpp: float = 0.01, capacity: int | None = None
+) -> DataFrame:
+    """seen(url) → blobs(bucket, m, k, blob) — one bloom per hash bucket.
+
+    capacity=None sizes each blob to its bucket's actual row count
+    (tightest for a one-shot build). With capacity=N the (m, k) pair is
+    FIXED for the expected per-bucket capacity, which makes blobs from
+    different deltas bitwise OR-mergeable — the incremental path the
+    crawl loop uses so each wave hashes only its delta, never the whole
+    seen set. Overfilling past capacity only raises the false-positive
+    rate; the exact anti-join confirm keeps results bit-exact."""
+    fixed = _bloom_set(capacity, fpp) if capacity else None
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame(columns=["bucket", "m", "k", "blob"])
         bucket = int(pdf["bucket"].iloc[0])
-        m, k = _bloom_set(len(pdf), fpp)
+        m, k = fixed if fixed else _bloom_set(len(pdf), fpp)
         bits = np.zeros(m // 8, dtype=np.uint8)
         h1, h2 = _as_u64(pdf["h1"]), _as_u64(pdf["h2"])
         for j in range(k):  # k ≤ 8 vectorized passes, no per-row work
@@ -89,42 +99,95 @@ def build_bloom_blobs(
         h1.alias("h1"),
         h2.alias("h2"),
     )
-    return bucketed.groupBy("bucket").applyInPandas(build, schema)
+    return bucketed.groupBy("bucket").applyInPandas(build, _BLOB_SCHEMA)
+
+
+def merge_bloom_blobs(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bitwise-OR per-bucket blobs built with the SAME fixed capacity
+    (m, k must match within a bucket; asserted). One tiny
+    applyInPandas over ≤ n_buckets groups."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=["bucket", "m", "k", "blob"])
+        ms = pdf["m"].unique()
+        ks = pdf["k"].unique()
+        if len(ms) != 1 or len(ks) != 1:
+            raise ValueError(
+                f"bloom blobs in bucket {pdf['bucket'].iloc[0]} have mixed "
+                f"(m, k) — build deltas with the same fixed capacity"
+            )
+        acc = np.zeros(int(ms[0]) // 8, dtype=np.uint8)
+        for blob in pdf["blob"]:
+            acc |= np.frombuffer(blob, dtype=np.uint8)
+        return pd.DataFrame(
+            [{"bucket": int(pdf["bucket"].iloc[0]), "m": int(ms[0]),
+              "k": int(ks[0]), "blob": acc.tobytes()}]
+        )
+
+    return a.unionByName(b).groupBy("bucket").applyInPandas(merge, _BLOB_SCHEMA)
 
 
 def bloom_prefilter(
-    candidates: DataFrame, seen: DataFrame, n_buckets: int, fpp: float = 0.01
+    candidates: DataFrame,
+    seen: DataFrame,
+    n_buckets: int,
+    fpp: float = 0.01,
+    blobs: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Split candidates by bloom verdict; return
     definitely-new ∪ (maybe-seen exact-anti-join seen).
 
     Output preserves the candidate schema and exact semantics; the bloom
-    only shrinks the expensive anti-join's probe side.
+    only shrinks the expensive anti-join's probe side. Pass prebuilt
+    `blobs` (incrementally merged across waves) to avoid rehashing the
+    whole seen set per call.
+
+    materialize=True localCheckpoints the probed candidates before the
+    split — the verdict column feeds THREE consumers (two filter
+    branches + the anti-join), and without a cut each one would
+    re-execute the whole upstream plan (for the crawl loop that is the
+    expansion join, 3×).
     """
-    blobs = build_bloom_blobs(seen, n_buckets, fpp)
+    if blobs is None:
+        blobs = build_bloom_blobs(seen, n_buckets, fpp)
     cand_cols = candidates.columns
+
+    # ship the blobs as a REAL broadcast variable, not a broadcast JOIN:
+    # a join would copy each bucket's ~100 KB blob into every candidate
+    # row (the probe then materializes GBs); as a task broadcast the
+    # blobs exist once per executor. ≤ n_buckets rows collect to the
+    # driver — the classic runtime-filter distribution path.
+    blob_map = {
+        int(r["bucket"]): (int(r["m"]), int(r["k"]), bytes(r["blob"]))
+        for r in blobs.collect()
+    }
+    bc = candidates.sparkSession.sparkContext.broadcast(blob_map)
 
     @F.pandas_udf(T.BooleanType())
     def might_contain(
-        bucket: pd.Series, h1s: pd.Series, h2s: pd.Series,
-        m: pd.Series, k: pd.Series, blob: pd.Series,
+        bucket: pd.Series, h1s: pd.Series, h2s: pd.Series
     ) -> pd.Series:
-        out = np.ones(len(bucket), dtype=bool)
+        bm = bc.value
+        out = np.zeros(len(bucket), dtype=bool)
         if len(bucket) == 0:
             return pd.Series(out)
-        empties = blob.isna().to_numpy()
-        out[empties] = False  # empty bucket: nothing seen there
         h1a, h2a = _as_u64(h1s), _as_u64(h2s)
+        barr = bucket.to_numpy()
         # one vectorized probe per distinct bucket in the batch (each
         # bucket shares one blob) — no per-row Python
-        for b in pd.unique(bucket[~empties]):
-            sel = (bucket == b).to_numpy() & ~empties
-            i0 = int(np.flatnonzero(sel)[0])
-            bits = np.frombuffer(blob.iloc[i0], dtype=np.uint8)
-            mm = np.uint64(int(m.iloc[i0]))
+        for b in np.unique(barr):
+            sel = barr == b
+            entry = bm.get(int(b))
+            if entry is None:
+                continue  # empty bucket: nothing seen there
+            m, k, blob = entry
+            bits = np.frombuffer(blob, dtype=np.uint8)
+            mm = np.uint64(m)
             hit = np.ones(int(sel.sum()), dtype=bool)
             g1, g2 = h1a[sel], h2a[sel]
-            for j in range(int(k.iloc[i0])):
+            for j in range(k):
                 idx = (g1 + np.uint64(j) * g2) % mm
                 hit &= (
                     (bits[(idx // 8).astype(np.int64)] >> (idx % 8).astype(np.uint8)) & 1
@@ -133,21 +196,13 @@ def bloom_prefilter(
         return pd.Series(out)
 
     h1, h2 = _lane_cols("url")
-    probed = (
-        candidates.withColumn(
-            "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
-        )
-        .withColumn("_h1", h1)
-        .withColumn("_h2", h2)
-        .join(F.broadcast(blobs), "bucket", "left")
-        .withColumn(
-            "_maybe",
-            might_contain(
-                F.col("bucket"), F.col("_h1"), F.col("_h2"),
-                F.col("m"), F.col("k"), F.col("blob"),
-            ),
-        )
+    probed = candidates.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    ).withColumn(
+        "_maybe", might_contain(F.col("bucket"), h1, h2)
     )
+    if materialize:
+        probed = probed.localCheckpoint(eager=True)
     definitely_new = probed.filter(~F.col("_maybe")).select(*cand_cols)
     maybe = probed.filter(F.col("_maybe")).select(*cand_cols)
     confirmed_new = maybe.join(seen, "url", "left_anti")

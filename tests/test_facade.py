@@ -43,6 +43,27 @@ def test_from_html_and_from_url(spark):
     assert len(one) == 1 and one[0].title == world.expected_article(0)["title"]
 
 
+def test_from_warc_end_to_end(spark, tmp_path):
+    from news_please_spark.sources.warc import write_warc
+
+    world = DocWorld(N)
+    warc = tmp_path / "pages.warc.gz"
+    write_warc(
+        str(warc),
+        [
+            (world.spec(d).url, 200, "text/html", world.html(d).encode("utf-8"))
+            for d in range(N)
+        ]
+        + [("https://h0.news-example.org/gone", 404, "text/html", b"nope")],
+    )
+    got = {r.url: r for r in nps.from_warc(spark, str(warc)).collect()}
+    assert len(got) == N  # the 404 record is filtered out
+    for d in range(N):
+        exp = world.expected_article(d)
+        assert got[exp["url"]].title == exp["title"], d
+        assert got[exp["url"]].maintext == exp["maintext"], d
+
+
 def test_from_file_end_to_end(spark, tmp_path):
     world = DocWorld(N)
     url_file = tmp_path / "urls.txt"
