@@ -82,7 +82,11 @@ def run_crawl(
     from news_please_spark.world import World
 
     world = World(n_pages=n_pages, n_hosts=max(64, n_pages // 20), n_seeds=64)
-    edges = world.webgraph_df(spark).persist()
+    # persist the webgraph already hash-partitioned by src_url — the local
+    # image of the Iceberg edges table bucketed by src_url (north_rule);
+    # the expansion join then never re-shuffles the edge side
+    n_part = spark.sparkContext.defaultParallelism
+    edges = world.webgraph_df(spark).repartition(n_part, "src_url").persist()
     edges.count()
     seeds = world.seeds_range_df(spark, CRAWL_SEED_PAGES)
     engine = FrontierEngine(
@@ -96,6 +100,7 @@ def run_crawl(
             salt_buckets=16,
             use_bloom=use_bloom,
         ),
+        edges_partitioned_by_src=True,
     )
     t0 = time.time()
     res = engine.run(seeds)
@@ -160,7 +165,8 @@ def run_pipeline(spark, n_pages: int, max_waves: int) -> tuple[float, int]:
     from news_please_spark.world import World
 
     world = World(n_pages=n_pages, n_hosts=max(64, n_pages // 20), n_seeds=64)
-    edges = world.webgraph_df(spark).persist()
+    n_part = spark.sparkContext.defaultParallelism
+    edges = world.webgraph_df(spark).repartition(n_part, "src_url").persist()
     edges.count()
     seeds = world.seeds_range_df(spark, PIPE_SEEDS)
     engine = FrontierEngine(
@@ -171,6 +177,7 @@ def run_pipeline(spark, n_pages: int, max_waves: int) -> tuple[float, int]:
             budget_per_host=CRAWL_BUDGET, max_depth=4,
             max_waves=max_waves, salt_buckets=16,
         ),
+        edges_partitioned_by_src=True,
     )
     doc_world = DocWorld(n_pages)
 

@@ -51,7 +51,10 @@ from news_please_spark.world import (
     IGNORE_REGEX,
 )
 
-BROADCAST_FETCH_LIMIT = 2_000_000  # rows; fetch set is budget×hosts, usually small
+BROADCAST_FETCH_LIMIT = 100_000  # rows; above this the driver-side broadcast
+# build (collect + hash-relation + serialize, ~3-5 s at 150k rows) becomes the
+# SERIAL floor of every wave — larger fetch sets use a shuffle-hash join
+# against src_url-co-partitioned edges instead (all phases parallel)
 SMALL_SEQ_LIMIT = 500_000  # below this a single-partition window beats two-phase
 # discovery-key encoding: children get (parent_seq + 1) * DISC_STRIDE +
 # link_index, seeds get their url-rank 0..n_seeds-1. Child keys start at
@@ -120,19 +123,42 @@ class FrontierEngine:
         webgraph: DataFrame,
         robots: DataFrame | None = None,
         cfg: FrontierConfig | None = None,
+        edges_partitioned_by_src: bool = False,
     ):
+        """edges_partitioned_by_src: pass True when `webgraph` is already
+        hash-partitioned/bucketed by src_url (the Iceberg-table layout at
+        scale) — the big-wave shuffle-hash join then uses it directly
+        instead of building a second co-partitioned cached copy."""
         self.spark = spark
         self.cfg = cfg or FrontierConfig()
         # edges keyed by src_url; at scale this is an Iceberg table
         # bucketed by src_url so the per-wave join is co-partitioned.
         self.edges = webgraph
+        self._edges_coparted: DataFrame | None = (
+            webgraph if edges_partitioned_by_src else None
+        )
         if robots is not None:
+            # persist: rebuilt-per-wave robots aggregation was a serial
+            # job in every wave's critical path
             self.robots_by_host = (
                 robots.groupBy("host")
                 .agg(F.collect_list("disallow_prefix").alias("prefixes"))
+                .persist()
             )
         else:
             self.robots_by_host = None
+
+    def _edges_by_src(self) -> DataFrame:
+        """edges hash-partitioned by src_url, cached — the shuffle-hash
+        expansion join then exchanges ONLY the (small) fetch side; the
+        9M-row edge scan stays partition-local every wave. One-time
+        shuffle, amortized over all waves (the local image of an Iceberg
+        table bucketed by src_url)."""
+        if self._edges_coparted is None:
+            n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            self._edges_coparted = self.edges.repartition(n, "src_url").persist()
+            self._edges_coparted.count()
+        return self._edges_coparted
 
     # -- state snapshots ------------------------------------------------
     def _wave_dir(self, wave: int) -> str:
@@ -295,6 +321,7 @@ class FrontierEngine:
                     flag="_fetch",
                 )
             ann = marked.localCheckpoint(eager=True)
+            _t_mark = _time.time()
             fetch_raw = ann.filter(F.col("_fetch")).drop("_fetch")
             deferred = ann.filter(~F.col("_fetch")).drop("_fetch")
             n_fetched = fetch_raw.count()
@@ -320,6 +347,7 @@ class FrontierEngine:
                     seq_base,
                     materialize=True,
                 )
+            _t_seq = _time.time()
             order_wave = fetch.select(
                 "url", "host", "depth", "seq", F.lit(wave).alias("wave")
             )
@@ -332,10 +360,16 @@ class FrontierEngine:
                 F.col("seq").alias("p_seq"),
             )
             if n_fetched <= BROADCAST_FETCH_LIMIT:
+                edges = self.edges
                 expandable = F.broadcast(expandable)
+            else:
+                # big wave: shuffle-hash join on co-partitioned edges —
+                # no driver-serial broadcast build in the wave loop
+                edges = self._edges_by_src()
+                expandable = expandable.hint("shuffle_hash")
             cand = (
-                self.edges.join(
-                    expandable, self.edges.src_url == expandable.p_url
+                edges.join(
+                    expandable, edges.src_url == expandable.p_url
                 )
                 .select(
                     F.col("dst_url").alias("url"),
@@ -404,12 +438,16 @@ class FrontierEngine:
                     order_wave,
                     {"seq_next": seq_next, "wave": wave},
                 )
+            _t_end = _time.time()
             metrics.append(
                 {
                     "wave": wave,
                     "fetched": n_fetched,
                     "seq_next": seq_next,
-                    "wave_secs": round(_time.time() - _t0, 3),
+                    "wave_secs": round(_t_end - _t0, 3),
+                    "mark_secs": round(_t_mark - _t0, 3),
+                    "seq_secs": round(_t_seq - _t_mark, 3),
+                    "expand_secs": round(_t_end - _t_seq, 3),
                 }
             )
             if cfg.verbose:

@@ -80,6 +80,19 @@ def test_threshold_politeness_is_exact(spark, n_pages, budget):
     assert e_order == o_order
 
 
+def test_shuffle_hash_expansion_is_exact(spark, monkeypatch):
+    """Big waves use a shuffle-hash join on src_url-co-partitioned edges
+    instead of broadcasting the fetch side (the driver-serial broadcast
+    build was every wave's scaling floor). Force that path and require
+    bit-exact results."""
+    import news_please_spark.operators.frontier as fr
+
+    monkeypatch.setattr(fr, "BROADCAST_FETCH_LIMIT", 0)
+    o_order, o_seen, e_order, e_seen, _ = run_both(spark, 300, 8, 3)
+    assert e_seen == o_seen
+    assert e_order == o_order
+
+
 def test_politeness_and_filters(spark):
     world = World(n_pages=500)
     engine = FrontierEngine(
