@@ -146,8 +146,15 @@ def main() -> None:
     print(json.dumps(out))
 
 
-PIPE_PAGES = 1_500_000
-PIPE_SEEDS = 300_000
+# SPARK_GRAFT_PIPE_SCALE multiplies the scaling-job world so waves stay
+# FAT relative to per-wave fixed driver costs (~4 s/wave scheduling +
+# checkpoint barriers). The design point is a 10^10-URL frontier where
+# waves are 10^4× fatter than any local run — at higher parallelism
+# levels a larger world is the more representative measurement, not a
+# smaller one. Within one --scaling run both levels use the SAME input.
+PIPE_SCALE = float(os.environ.get("SPARK_GRAFT_PIPE_SCALE", "1"))
+PIPE_PAGES = int(1_500_000 * PIPE_SCALE)
+PIPE_SEEDS = int(300_000 * PIPE_SCALE)
 PIPE_WAVES = 5
 
 
