@@ -82,9 +82,16 @@ class VersionedArticleStore:
         snap = self.snapshot_id()
         cur = self.current()
 
-        # in-batch version ordering (deterministic)
+        # in-batch version ordering — the tie-break must be a STABLE
+        # content hash, never monotonically_increasing_id(): mono-id
+        # depends on partition layout, so two runs of the same tied batch
+        # could assign versions differently (repartition-invariance is
+        # asserted in tests/test_versioned_store.py)
+        content_key = F.xxhash64(
+            F.to_json(F.struct(*[F.col(c) for c in batch.columns]))
+        )
         w = Window.partitionBy("url").orderBy(
-            F.col(order_col).asc_nulls_first(), F.monotonically_increasing_id()
+            F.col(order_col).asc_nulls_first(), content_key
         )
         b = batch.withColumn("_rk", F.row_number().over(w))
         b_count = b.groupBy("url").agg(F.max("_rk").alias("_n"))

@@ -66,7 +66,14 @@ def detect_and_decode(raw: bytes) -> str:
                 return txt
         except UnicodeDecodeError:
             pass
-    txt = txt_1251 = raw.decode("cp1251")
+    try:
+        # cp1251 is not decode-anything: byte 0x98 is undefined, so a
+        # windows-1252-ish body reaching this branch must fall through to
+        # the latin-1 last resort instead of raising (the reference's
+        # decoder always falls back, response_decoder.py:40-48)
+        txt_1251 = raw.decode("cp1251")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
     non_ascii = [ch for ch in txt_1251 if ord(ch) > 127]
     letters = sum(ch.isalpha() for ch in txt_1251)
     cyr = sum("Ѐ" <= ch <= "ӿ" for ch in non_ascii)

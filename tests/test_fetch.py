@@ -84,3 +84,19 @@ def test_charset_detection_tree():
     ]
     for enc, text in cases:
         assert detect_and_decode(text.encode(enc)) == text, enc
+
+
+def test_charset_undecodable_cp1251_falls_to_latin1():
+    """Byte 0x98 is UNDEFINED in cp1251 — a windows-1252-ish body that
+    reaches the cp1251 branch must fall through to the latin-1 last
+    resort (reference response_decoder.py always falls back), never
+    raise inside the decode UDF."""
+    from news_please_spark.sources.fetch import detect_and_decode
+
+    # word-spaced (skips the gbk gate), non-utf8, contains 0x98
+    raw = b"some words here \x98 and more plain words after that"
+    assert detect_and_decode(raw) == raw.decode("latin-1")
+    # unspaced stream with 0x98 must decode without raising whichever
+    # branch claims it
+    raw2 = bytes([0x98, 0x20, 0x98, 0xFF]) * 40
+    assert isinstance(detect_and_decode(raw2), str)

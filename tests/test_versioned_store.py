@@ -55,6 +55,38 @@ def test_merge_versioning_chain(spark, tmp_path):
     assert arch[("https://a.com/x", 3)].title == "t3"
 
 
+def test_merge_tied_batch_is_repartition_invariant(spark, tmp_path):
+    """Exact order_col ties must version deterministically: the
+    tie-break is a stable content hash, so the SAME tied batch merged
+    under two different partition layouts yields identical
+    version/ancestor/descendant assignments (round-2 verdict: the old
+    monotonically_increasing_id tie-break depended on layout)."""
+    rows = [
+        ("https://a.com/x", f"t{i}", "2026-01-01 00:00:00") for i in range(6)
+    ] + [("https://a.com/y", "solo", "2026-01-01 00:00:00")]
+
+    outs = []
+    for name, nparts in (("s1", 1), ("s2", 7)):
+        store = VersionedArticleStore(spark, str(tmp_path / name), buckets=4)
+        store.merge(_batch(spark, rows).repartition(nparts))
+        cur = sorted(
+            (r.url, r.version, r.title, r.ancestor)
+            for r in store.current().collect()
+        )
+        arch = sorted(
+            (r.url, r.version, r.title, r.ancestor, r.descendant)
+            for r in store.archive().collect()
+        )
+        outs.append((cur, arch))
+    assert outs[0] == outs[1]
+    # the chain itself is well-formed: versions 1..6 for x, each archived
+    # row points at its successor
+    cur, arch = outs[0]
+    assert [v for (u, v, *_r) in cur if u == "https://a.com/x"] == [6]
+    x_arch = [(v, d) for (u, v, _t, _a, d) in arch if u == "https://a.com/x"]
+    assert sorted(x_arch) == [(v, v + 1) for v in range(1, 6)]
+
+
 def test_savepath_templating(spark):
     df = spark.createDataFrame(
         [("https://www.example.com/a/b/story.html", "2026-02-03 10:11:12")],
