@@ -35,13 +35,9 @@ from news_please_spark.schemas import CANDIDATE
 # python-side scalar extractors (compiled once per worker)
 
 _RE = {
-    "og_title": re.compile(r'<meta[^>]*property=["\']og:title["\'][^>]*content=["\']([^"\']*)["\']'),
     "title_tag": re.compile(r"<title[^>]*>(.*?)</title>", re.S),
     "h1": re.compile(r"<h1[^>]*>(.*?)</h1>", re.S),
-    "meta_desc": re.compile(r'<meta[^>]*name=["\']description["\'][^>]*content=["\']([^"\']*)["\']'),
-    "meta_author": re.compile(r'<meta[^>]*name=["\']author["\'][^>]*content=["\']([^"\']*)["\']'),
-    "og_image": re.compile(r'<meta[^>]*property=["\']og:image["\'][^>]*content=["\']([^"\']*)["\']'),
-    "img": re.compile(r'<img[^>]*src=["\']([^"\']*)["\']'),
+    "img_tag": re.compile(r"<img\b[^>]*>", re.I),
     "article": re.compile(r"<article[^>]*>(.*?)</article>", re.S),
     "p": re.compile(r"<p[^>]*>(.*?)</p>", re.S),
     # E2 block scoring (readability-style; reference readability_extractor.py:18-38)
@@ -49,27 +45,87 @@ _RE = {
     "a_inner": re.compile(r"<a\b[^>]*>(.*?)</a>", re.S),
     # E3 date cascade (reference date_extractor.py:30-58)
     "jsonld_block": re.compile(
-        r'<script[^>]*type=["\']application/ld\+json["\'][^>]*>(.*?)</script>', re.S
+        r'<script[^>]*type=["\']?application/ld\+json["\']?[^>]*>(.*?)</script>',
+        re.S,
     ),
     "jsonld_pub": re.compile(r'"datePublished"\s*:\s*"([^"]+)"'),
     "jsonld_created": re.compile(r'"dateCreated"\s*:\s*"([^"]+)"'),
     "meta_tag": re.compile(r"<meta\b[^>]*>", re.I),
-    "attr": re.compile(r'([a-zA-Z_:.\-]+)\s*=\s*["\']([^"\']*)["\']'),
+    "html_tag": re.compile(r"<html\b[^>]*>", re.I),
     "time_el": re.compile(r"<time\b([^>]*)>(.*?)</time>", re.S),
-    "span_itemprop_date": re.compile(
-        r'<span\b[^>]*itemprop=["\']datePublished["\'][^>]*>(.*?)</span>', re.S
-    ),
-    "date_class_el": re.compile(
-        r'<(span|p|div)\b[^>]*class=["\']([^"\']*)["\'][^>]*>(.*?)</\1>', re.S
-    ),
+    # generic inline element with attrs + inner (itemprop / date-class scan)
+    "el_generic": re.compile(r"<(span|p|div)\b([^>]*)>(.*?)</\1>", re.S),
     "url_date": re.compile(r"/(\d{4})/(\d{2})/(\d{2})/"),
-    # E4 lang cascade (reference lang_detect_extractor.py:30-68)
-    "html_lang": re.compile(r'<html[^>]*\slang=["\']([A-Za-z-]{2,})["\']'),
-    "xml_lang": re.compile(r'<html[^>]*xml:lang=["\']([A-Za-z-]{2,})["\']'),
-    "meta_lang": re.compile(r'<meta[^>]*name=["\']language["\'][^>]*content=["\']([A-Za-z_-]{2,})["\']'),
-    "http_equiv_lang": re.compile(r'<meta[^>]*http-equiv=["\']content-language["\'][^>]*content=["\']([A-Za-z_-]{2,})["\']'),
-    "og_locale": re.compile(r'<meta[^>]*property=["\']og:locale["\'][^>]*content=["\']([A-Za-z_-]{2,})["\']'),
 }
+
+# Attribute parser shared by every tag scan. The reference parses HTML
+# with bs4/lxml (newspaper_extractor.py:21-50, lang_detect_extractor.py:
+# 30-48), so attribute ORDER, quote STYLE (double / single / unquoted)
+# and duplicate attributes all behave like a real parser; this regex +
+# first-wins dict reproduces that for well-formed tags. Never require
+# property-before-content or matched double quotes anywhere.
+_ATTR = re.compile(
+    r"""([a-zA-Z_:.\-]+)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))"""
+)
+
+
+def _attrs(tag: str) -> dict[str, str]:
+    """Attributes of one tag string as a first-wins lowercase-key dict."""
+    out: dict[str, str] = {}
+    for m in _ATTR.finditer(tag):
+        k = m.group(1).lower()
+        if k not in out:
+            v = m.group(2)
+            if v is None:
+                v = m.group(3)
+            if v is None:
+                v = m.group(4)
+            out[k] = v
+    return out
+
+
+def _scan_meta(html: str) -> dict:
+    """One pass over all <meta> tags collecting the E1/E4 fields the
+    reference reads via bs4 attribute lookups. First occurrence wins per
+    field (soup.find semantics); authors collects EVERY
+    <meta name=author> in document order (newspaper4k returns lists)."""
+    found: dict = {
+        "og_title": None, "description": None, "authors": [],
+        "og_image": None, "meta_lang": None, "og_locale": None,
+        "http_equiv_lang": None,
+    }
+    for m in _RE["meta_tag"].finditer(html):
+        a = _attrs(m.group(0))
+        content = a.get("content")
+        if content is None:
+            continue
+        name = a.get("name", "").lower()
+        prop = a.get("property", "").lower()
+        hequiv = a.get("http-equiv", "").lower()
+        if prop == "og:title" and found["og_title"] is None:
+            found["og_title"] = content
+        elif name == "description" and found["description"] is None:
+            found["description"] = content
+        elif name == "author":
+            found["authors"].append(content)
+        elif prop == "og:image" and found["og_image"] is None:
+            found["og_image"] = content
+        elif name == "language" and found["meta_lang"] is None:
+            found["meta_lang"] = content
+        elif prop == "og:locale" and found["og_locale"] is None:
+            found["og_locale"] = content
+        elif hequiv == "content-language" and found["http_equiv_lang"] is None:
+            found["http_equiv_lang"] = content
+    return found
+
+
+def _html_tag_lang(html: str) -> tuple[str | None, str | None]:
+    """(lang, xml:lang) of the first <html> tag, via the attr dict."""
+    m = _RE["html_tag"].search(html)
+    if not m:
+        return None, None
+    a = _attrs(m.group(0))
+    return a.get("lang"), a.get("xml:lang")
 
 # E4 text fallback vocabularies — shared with functions/text.py::predict_lang
 # (reference lang_detect_extractor.py:50-68 delegates to langdetect; this
@@ -125,27 +181,23 @@ def _norm_lang(s: str | None) -> str | None:
 
 
 def _meta_extractor(url: str, html: str) -> dict:
-    """E1 analogue: metadata-first extraction (og/meta tags + <article>)."""
-    title = None
-    m = _RE["og_title"].search(html)
-    if m:
-        title = m.group(1)
-    else:
+    """E1 analogue: metadata-first extraction (og/meta tags + <article>),
+    attribute-order/quote-robust via the _attrs scan (the reference's
+    bs4 lookups, newspaper_extractor.py:21-50)."""
+    meta = _scan_meta(html)
+    title = meta["og_title"]
+    if title is None:
         m = _RE["title_tag"].search(html)
         if m:
             title = m.group(1)
-    m = _RE["meta_desc"].search(html)
-    desc = m.group(1) if m else None
+    desc = meta["description"]
     body = None
     m = _RE["article"].search(html)
     if m:
         body = "\n".join(_RE["p"].findall(m.group(1)))
-    m = _RE["og_image"].search(html)
-    image = m.group(1) if m else None
-    m = _RE["meta_author"].search(html)
-    authors = [m.group(1)] if m else None
-    m = _RE["html_lang"].search(html)
-    lang = _norm_lang(m.group(1)) if m else None
+    image = meta["og_image"]
+    authors = [meta["authors"][0]] if meta["authors"] else None
+    lang = _norm_lang(_html_tag_lang(html)[0])
     return {
         "extractor": "meta",
         "title": title,
@@ -187,8 +239,12 @@ def _dom_extractor(url: str, html: str) -> dict:
     if not paras:
         paras = _RE["p"].findall(html)
     text = " ".join(paras) if paras else None
-    m = _RE["img"].search(html)
-    image = m.group(1) if m else None
+    image = None
+    for m in _RE["img_tag"].finditer(html):
+        src = _attrs(m.group(0)).get("src")
+        if src:
+            image = src
+            break
     return {
         "extractor": "dom",
         "title": title,
@@ -234,7 +290,7 @@ def _date_from_meta(html: str) -> str | None:
     the first hit). og:image / itemprop=image content URLs are probed
     for a path date, as the reference does."""
     for m in _RE["meta_tag"].finditer(html):
-        attrs = {k.lower(): v for k, v in _RE["attr"].findall(m.group(0))}
+        attrs = _attrs(m.group(0))
         content = attrs.get("content", "")
         name = attrs.get("name", "").lower()
         prop = attrs.get("property", "").lower()
@@ -259,19 +315,19 @@ def _date_from_tags(html: str) -> str | None:
     datePublished>, then span/p/div with a date-ish class (reference
     date_extractor.py:224-254)."""
     for m in _RE["time_el"].finditer(html):
-        attrs = {k.lower(): v for k, v in _RE["attr"].findall(m.group(1))}
+        attrs = _attrs(m.group(1))
         dt = attrs.get("datetime")
         if dt:
             return _norm_date(dt)
         cls = attrs.get("class", "")
         if cls and cls.split()[0].lower() == "timestamp":
             return _norm_date(m.group(2))
-    m = _RE["span_itemprop_date"].search(html)
-    if m:
-        tag_attrs = {k.lower(): v for k, v in _RE["attr"].findall(m.group(0))}
-        return _norm_date(tag_attrs.get("content") or m.group(1))
-    for m in _RE["date_class_el"].finditer(html):
-        if _DATE_CLASS.search(m.group(2)):
+    for m in _RE["el_generic"].finditer(html):
+        if _attrs(m.group(2)).get("itemprop", "").lower() == "datepublished":
+            tag_attrs = _attrs(m.group(2))
+            return _norm_date(tag_attrs.get("content") or m.group(3))
+    for m in _RE["el_generic"].finditer(html):
+        if _DATE_CLASS.search(_attrs(m.group(2)).get("class", "")):
             d = _norm_date(m.group(3))
             if d:
                 return d
@@ -321,13 +377,16 @@ def _lang_extractor(url: str, html: str) -> dict:
     og:locale → http-equiv → stopword vote on body text (reference
     lang_detect_extractor.py:30-68; langdetect replaced by the en/de/es
     stopword vote — the container ships no langdetect)."""
+    html_lang, xml_lang = _html_tag_lang(html)
+    meta = _scan_meta(html)
     lang = None
-    for key in ("html_lang", "xml_lang", "meta_lang", "og_locale", "http_equiv_lang"):
-        m = _RE[key].search(html)
-        if m:
-            lang = _norm_lang(m.group(1))
-            if lang:
-                break
+    for cand in (
+        html_lang, xml_lang, meta["meta_lang"], meta["og_locale"],
+        meta["http_equiv_lang"],
+    ):
+        lang = _norm_lang(cand)
+        if lang:
+            break
     if lang is None:
         lang = _stopword_lang(" ".join(_RE["p"].findall(html)))
     return {

@@ -22,11 +22,15 @@ _H_LINKED = r"<h[1-6][^>]*>\s*<a\s"
 
 
 def og_type(html: Column) -> Column:
-    """H1: page declares og:type=article (heuristics.py:63-80)."""
+    """H1: page declares og:type=article (heuristics.py:63-80). The
+    reference reads the parsed attribute (bs4), so attribute order AND
+    quote style (double/single/unquoted) must all match — both orders ×
+    optional quotes are covered, with a delimiter class after each value
+    so og:typefoo / articlefoo can't false-positive."""
     return html.rlike(
-        r'<meta[^>]*property=["\']og:type["\'][^>]*content=["\']article["\']'
+        r'<meta[^>]*property=["\']?og:type["\'\s][^>]*content=["\']?article(["\'\s/>]|$)'
     ) | html.rlike(
-        r'<meta[^>]*content=["\']article["\'][^>]*property=["\']og:type["\']'
+        r'<meta[^>]*content=["\']?article["\'\s][^>]*property=["\']?og:type(["\'\s/>]|$)'
     )
 
 
@@ -57,7 +61,8 @@ def self_linked_headlines_ratio(html: Column, url: Column, min_headlines: int = 
     self_linked = F.regexp_count(
         html,
         F.concat(
-            F.lit(r"<h[1-6][^>]*>\s*<a\s[^>]*href=[\"'][a-z]+://(www\.)?"),
+            # href value may be double-/single-/un-quoted (bs4 parity)
+            F.lit(r"<h[1-6][^>]*>\s*<a\s[^>]*href=[\"']?[a-z]+://(www\.)?"),
             canonical_host(url),
         ),
     )

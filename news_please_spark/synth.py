@@ -40,6 +40,44 @@ WORDS = [
 LANGS = ["en", "de", "es", "fr", "it"]
 EPOCH = datetime(2020, 1, 1)
 
+# ---------------------------------------------------------------------------
+# markup permutation axis: every tag's attribute ORDER (deterministic
+# rotation) and per-attribute QUOTE STYLE (double / single / unquoted
+# when legal) vary per document, so the extraction regexes are forced to
+# behave like the reference's real HTML parser (bs4 reads parsed
+# attributes; <meta content=... property=og:title> is as common on the
+# web as the canonical order). The EXPECTED values never change — only
+# the markup shape — so the golden/SQL oracles exercise the robustness.
+
+import re as _re
+
+_UNQUOTABLE = _re.compile(r"[\s\"'`=<>]")
+
+
+def _attr_str(k: str, v: str, style: int) -> str:
+    if style == 2 and v and not _UNQUOTABLE.search(v):
+        return f"{k}={v}"
+    if style == 1 and "'" not in v:
+        return f"{k}='{v}'"
+    return f'{k}="{v}"'
+
+
+def _render_tag(
+    d: int,
+    salt: int,
+    name: str,
+    attrs: list[tuple[str, str]],
+    inner: str | None = None,
+) -> str:
+    rot = mix(d, 9000 + salt) % len(attrs) if attrs else 0
+    ordered = attrs[rot:] + attrs[:rot]
+    parts = [name] + [
+        _attr_str(k, v, mix(d, 9100 + salt * 16 + i) % 3)
+        for i, (k, v) in enumerate(ordered)
+    ]
+    open_tag = "<" + " ".join(parts) + ">"
+    return open_tag if inner is None else f"{open_tag}{inner}</{name}>"
+
 
 def _words(d: int, salt: int, n: int) -> list[str]:
     return [WORDS[mix(d, salt * 100 + i) % len(WORDS)] for i in range(n)]
@@ -164,74 +202,76 @@ class DocWorld:
     def html(self, d: int) -> str:
         s = self.spec(d)
         iso = s.date_publish.replace(" ", "T")
+        meta = lambda salt, *attrs: _render_tag(d, salt, "meta", list(attrs))  # noqa: E731
         head: list[str] = []
-        html_attr = ""
+        html_attrs: list[tuple[str, str]] = []
         if s.v_lang == 0:
-            html_attr = f' lang="{s.language}"'
+            html_attrs = [("lang", s.language)]
         elif s.v_lang == 1:
-            html_attr = f' xml:lang="{s.language}"'
+            html_attrs = [("xml:lang", s.language)]
         elif s.v_lang == 2:
-            head.append(f'<meta name="language" content="{s.language}">')
+            head.append(meta(2, ("name", "language"), ("content", s.language)))
         elif s.v_lang == 3:
             head.append(
-                f'<meta property="og:locale" content="{s.language}_XX">'
+                meta(3, ("property", "og:locale"), ("content", f"{s.language}_XX"))
             )
         head.append(f"<title>{s.title} - Example Site</title>")
-        head.append(f'<meta property="og:title" content="{s.title}">')
-        head.append(f'<meta name="description" content="{s.description}">')
-        head.append(f'<meta name="author" content="{s.authors[0]}">')
+        head.append(meta(5, ("property", "og:title"), ("content", s.title)))
+        head.append(meta(6, ("name", "description"), ("content", s.description)))
+        head.append(meta(7, ("name", "author"), ("content", s.authors[0])))
         if s.og_article:
-            head.append('<meta property="og:type" content="article">')
+            head.append(meta(8, ("property", "og:type"), ("content", "article")))
         if s.image_path:
-            head.append(f'<meta property="og:image" content="{s.image_path}">')
+            head.append(meta(9, ("property", "og:image"), ("content", s.image_path)))
         time_tag = ""
         date_span = ""
         if s.v_date == 0:
             head.append(
-                '<script type="application/ld+json">'
-                f'{{"@type": "NewsArticle", "datePublished": "{iso}"}}'
-                "</script>"
+                _render_tag(
+                    d, 10, "script",
+                    [("type", "application/ld+json")],
+                    f'{{"@type": "NewsArticle", "datePublished": "{iso}"}}',
+                )
             )
         elif s.v_date == 1:
             head.append(
-                f'<meta property="article:published_time" content="{iso}">'
+                meta(11, ("property", "article:published_time"), ("content", iso))
             )
         elif s.v_date == 2:
-            head.append(f'<meta name="date" content="{iso}">')
+            head.append(meta(11, ("name", "date"), ("content", iso)))
         elif s.v_date == 3:
-            time_tag = f'<time datetime="{iso}">published</time>'
+            time_tag = _render_tag(d, 12, "time", [("datetime", iso)], "published")
         elif s.v_date == 4:
-            head.append(
-                f'<meta itemprop="datePublished" content="{iso}">'
-            )
+            head.append(meta(11, ("itemprop", "datePublished"), ("content", iso)))
         # v_date == 5: only the URL carries the date
         elif s.v_date == 6:
-            head.append(f'<meta name="pubdate" content="{iso}">')
+            head.append(meta(11, ("name", "pubdate"), ("content", iso)))
         elif s.v_date == 7:
-            head.append(f'<meta name="sailthru.date" content="{iso}">')
+            head.append(meta(11, ("name", "sailthru.date"), ("content", iso)))
         elif s.v_date == 8:
-            head.append(f'<meta property="bt:pubDate" content="{iso}">')
+            head.append(meta(11, ("property", "bt:pubDate"), ("content", iso)))
         elif s.v_date == 9:
-            head.append(f'<meta itemprop="dcterms.date" content="{iso}">')
+            head.append(meta(11, ("itemprop", "dcterms.date"), ("content", iso)))
         elif s.v_date == 10:
-            date_span = f'<span class="article_date">{iso}</span>'
+            date_span = _render_tag(d, 13, "span", [("class", "article_date")], iso)
         elif s.v_date == 11:
-            head.append(f'<meta name="published-date" content="{iso}">')
+            head.append(meta(11, ("name", "published-date"), ("content", iso)))
         body: list[str] = [f"<h1>{s.title}</h1>", time_tag, date_span]
         for i in range(s.n_headlines):
             h = f"section {WORDS[mix(d, 40 + i) % 20]}"
             if i < s.n_linked:
-                body.append(f'<h2><a href="https://{s.host}/s/{i}">{h}</a></h2>')
+                a = _render_tag(d, 20 + i, "a", [("href", f"https://{s.host}/s/{i}")], h)
+                body.append(f"<h2>{a}</h2>")
             else:
                 body.append(f"<h2>{h}</h2>")
         body.append("<article>")
         if s.image_path:
-            body.append(f'<img src="{s.image_path}" alt="">')
+            body.append(_render_tag(d, 14, "img", [("src", s.image_path), ("alt", "")]))
         for p in s.paragraphs:
             body.append(f"<p>{p}</p>")
         body.append("</article>")
         return (
-            f"<html{html_attr}><head>{''.join(head)}</head>"
+            f"{_render_tag(d, 1, 'html', html_attrs)}<head>{''.join(head)}</head>"
             f"<body>{''.join(body)}</body></html>"
         )
 

@@ -36,6 +36,24 @@ def test_articles_match_golden_oracle(spark):
         assert got.date_publish == exp_dt, (d, got.date_publish, exp_dt)
 
 
+def test_markup_permutation_axis_is_exercised():
+    """Guard: the rendered world must actually vary attribute order and
+    quote style (round-2 verdict: DocWorld never varied them, so the
+    oracle could not catch order-brittle regexes). If a refactor drops
+    the permutation axis, this fails before the golden test goes blind."""
+    world = DocWorld(200)
+    pages = [world.html(d) for d in range(200)]
+    blob = "\n".join(pages)
+    # content before the property/name key on a meta tag
+    import re
+
+    assert re.search(r"<meta content=[^>]*(property|name)=", blob)
+    assert re.search(r"<meta (property|name)=[^>]*content=", blob)
+    assert "='" in blob                            # single-quoted attr
+    assert re.search(r"<meta [a-z:\-]+=[a-zA-Z]", blob)  # unquoted attr
+    assert re.search(r"property=.og:type", blob)
+
+
 def test_fused_equals_modular_pipeline(spark):
     """The fused single-pass UDF and the modular candidates pipeline
     (native cleaner between UDFs) must produce identical articles."""
