@@ -153,25 +153,86 @@ _META_HTTPEQUIV_DATES = {"date"}
 _DATE_CLASS = re.compile(r"pubdate|timestamp|article_date|articledate|date", re.I)
 
 
+_MONTHS = {
+    m: i + 1
+    for i, names in enumerate(
+        [
+            ("jan", "january"), ("feb", "february"), ("mar", "march"),
+            ("apr", "april"), ("may",), ("jun", "june"), ("jul", "july"),
+            ("aug", "august"), ("sep", "sept", "september"),
+            ("oct", "october"), ("nov", "november"), ("dec", "december"),
+        ]
+    )
+    for m in names
+}
+# trailing timezone designators dateutil accepts and strftime drops:
+# Z, ±HH:MM/±HHMM, and alphabetic names (GMT, UTC, EST, CEST, ...)
+_TZ_TAIL = r"(?:\s*(?:Z|[+-]\d{2}:?\d{2}|[A-Z]{2,5}))?"
+# optional clock with the same tz tail
+_CLOCK = rf"(?:\s+(\d{{1,2}}):(\d{{2}})(?::(\d{{2}}))?(?:\.\d+)?{_TZ_TAIL})?"
+_ISO_RE = re.compile(rf"^(\d{{4}})-(\d{{2}})-(\d{{2}}){_CLOCK}\s*$")
+# RFC 2822 / 1123 (RSS pubDate): [Tue, ]04 Mar 2021[ 05:06[:07]][ GMT]
+_RFC_RE = re.compile(
+    rf"^(?:(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun)[a-z]*,?\s+)?"
+    rf"(\d{{1,2}})\.?\s+([A-Za-z]+)\.?\s+(\d{{4}}){_CLOCK}\s*$"
+)
+# human US order: March 4, 2021 [05:06[:07]]
+_HUMAN_RE = re.compile(
+    rf"^([A-Za-z]+)\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?,?\s+(\d{{4}}){_CLOCK}\s*$"
+)
+# European dotted: 4.3.2021 / 04.03.2021 (day first, as dateutil
+# resolves D.M.YYYY)
+_DMY_RE = re.compile(rf"^(\d{{1,2}})\.(\d{{1,2}})\.(\d{{4}}){_CLOCK}\s*$")
+
+
+def _fmt_ymd(y: int, mo: int, dy: int, clock: tuple) -> str | None:
+    if not (1 <= mo <= 12 and 1 <= dy <= 31):
+        return None
+    hh = int(clock[0]) if clock[0] else 0
+    mi = int(clock[1]) if clock[1] else 0
+    ss = int(clock[2]) if clock[2] else 0
+    if hh > 23 or mi > 59 or ss > 60:
+        return None
+    return f"{y:04d}-{mo:02d}-{dy:02d} {hh:02d}:{mi:02d}:{ss:02d}"
+
+
 def _norm_date(s: str | None) -> str | None:
-    """Parse-and-normalize to 'YYYY-MM-DD HH:MM:SS' (the reference pipes
-    everything through dateutil.parse then strftime,
-    date_extractor.py:60-65; this handles the ISO-ish shapes the catalog
-    actually carries: date-only, minute precision, fractional seconds,
-    trailing timezone — tz dropped, as strftime does)."""
+    """Parse-and-normalize to 'YYYY-MM-DD HH:MM:SS'. The reference pipes
+    every date string through dateutil.parse then strftime
+    (date_extractor.py:60-65); this covers the dateutil-reachable shapes
+    real pages carry: ISO (date-only / minute / fractional seconds /
+    trailing numeric-or-named timezone), RFC-2822/1123 RSS pubDates
+    ('Tue, 04 Mar 2021 05:06:07 GMT'), 'March 4, 2021', and D.M.YYYY.
+    Timezones are dropped, as the reference's strftime does; unparseable
+    strings return None so the cascade can fall through."""
     if not s:
         return None
-    s = s.strip().replace("T", " ")
-    m = re.match(
-        r"^(\d{4}-\d{2}-\d{2})(?:[ ](\d{2}:\d{2})(:\d{2})?(?:\.\d+)?)?"
-        r"(?:\s*(?:Z|[+-]\d{2}:?\d{2}))?\s*$",
-        s,
-    )
-    if not m:
+    # only the ISO date-time separator (digit-T-digit): a global
+    # replace would corrupt 'Tue,' / 'GMT' / month names
+    s = re.sub(r"(?<=\d)T(?=\d)", " ", s.strip())
+    m = _ISO_RE.match(s)
+    if m:
+        return _fmt_ymd(int(m.group(1)), int(m.group(2)), int(m.group(3)),
+                        m.group(4, 5, 6))
+    m = _RFC_RE.match(s)
+    if m:
+        mo = _MONTHS.get(m.group(2).lower())
+        if mo:
+            return _fmt_ymd(int(m.group(3)), mo, int(m.group(1)),
+                            m.group(4, 5, 6))
         return None
-    hm = m.group(2) or "00:00"
-    sec = m.group(3) or ":00"
-    return f"{m.group(1)} {hm}{sec}"
+    m = _HUMAN_RE.match(s)
+    if m:
+        mo = _MONTHS.get(m.group(1).lower())
+        if mo:
+            return _fmt_ymd(int(m.group(3)), mo, int(m.group(2)),
+                            m.group(4, 5, 6))
+        return None
+    m = _DMY_RE.match(s)
+    if m:
+        return _fmt_ymd(int(m.group(3)), int(m.group(2)), int(m.group(1)),
+                        m.group(4, 5, 6))
+    return None
 
 
 def _norm_lang(s: str | None) -> str | None:

@@ -58,7 +58,7 @@ ids AS (SELECT unnest(range(0, (SELECT count(*) FROM documents))) AS d),
 s0 AS (
   SELECT d, ws,
     'h' || CAST({_mix('d', '21')} % 20 AS VARCHAR) || '.news-example.org' AS host,
-    d % 12 AS v_date,
+    d % 15 AS v_date,
     d % 5 AS v_lang,
     CASE WHEN d % 5 = 4 THEN (['en', 'de', 'es'])[1 + {_mix('d', '24')} % 3]
          ELSE (['en', 'de', 'es', 'fr', 'it'])[1 + {_mix('d', '24')} % 5]
@@ -92,7 +92,7 @@ s2 AS (
         list_transform(range(0, 24 + {_mix('d', '30 + i')} % 16),
                        j -> {_word('(3 + i) * 100 + j')}), ' ')
     ) AS paragraphs,
-    CASE WHEN v_date = 5 THEN strftime(dt, '%Y-%m-%d') || ' 00:00:00'
+    CASE WHEN v_date IN (5, 13, 14) THEN strftime(dt, '%Y-%m-%d') || ' 00:00:00'
          ELSE strftime(dt, '%Y-%m-%d %H:%M:%S') END AS date_publish,
     CASE WHEN v_date = 5 THEN strftime(dt, '/%Y/%m/%d/') || slug || '.html'
          ELSE '/articles/' || slug || '-' || CAST(d AS VARCHAR) || '.html'

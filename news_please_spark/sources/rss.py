@@ -20,6 +20,10 @@ _FEED_ITEM = T.ArrayType(
             T.StructField("item_url", T.StringType()),
             T.StructField("title", T.StringType()),
             T.StructField("pub_date", T.StringType()),
+            # pubDate run through the fuzzy date parser (the reference
+            # pipes it through dateutil downstream; RSS pubDates are
+            # RFC-2822 — 'Tue, 04 Mar 2021 05:06:07 GMT')
+            T.StructField("pub_date_parsed", T.StringType()),
         ]
     )
 )
@@ -42,6 +46,8 @@ def discover_feed_urls(pages: DataFrame, html_col: str = "html") -> DataFrame:
 def _parse_feed_udf(body: pd.Series) -> pd.Series:
     import xml.etree.ElementTree as ET
 
+    from news_please_spark.extraction.extract import _norm_date
+
     out = []
     for xml in body:
         items = []
@@ -52,11 +58,13 @@ def _parse_feed_udf(body: pd.Series) -> pd.Series:
                     link = item.findtext("link")
                     if not link:
                         continue
+                    pub = (item.findtext("pubDate") or "").strip() or None
                     items.append(
                         {
                             "item_url": link.strip(),
                             "title": (item.findtext("title") or "").strip() or None,
-                            "pub_date": (item.findtext("pubDate") or "").strip() or None,
+                            "pub_date": pub,
+                            "pub_date_parsed": _norm_date(pub),
                         }
                     )
             except ET.ParseError:
@@ -76,5 +84,6 @@ def parse_feeds(feeds: DataFrame, body_col: str = "body") -> DataFrame:
         F.col("it.item_url").alias("item_url"),
         F.col("it.title").alias("title"),
         F.col("it.pub_date").alias("pub_date"),
+        F.to_timestamp(F.col("it.pub_date_parsed")).alias("pub_date_parsed"),
         F.col("item_index").cast("int").alias("item_index"),
     )

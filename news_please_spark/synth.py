@@ -83,6 +83,35 @@ def _words(d: int, salt: int, n: int) -> list[str]:
     return [WORDS[mix(d, salt * 100 + i) % len(WORDS)] for i in range(n)]
 
 
+# locale-independent name tables (strftime %a/%b vary with locale)
+_WDAYS = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
+_MONS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+         "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+_MONS_FULL = ["January", "February", "March", "April", "May", "June",
+              "July", "August", "September", "October", "November", "December"]
+
+
+def _rfc1123(date_publish: str) -> str:
+    """'YYYY-MM-DD HH:MM:SS' → 'Tue, 04 Mar 2021 05:06:07 GMT'."""
+    dt = datetime.strptime(date_publish, "%Y-%m-%d %H:%M:%S")
+    return (
+        f"{_WDAYS[dt.weekday()]}, {dt.day:02d} {_MONS[dt.month - 1]} "
+        f"{dt.year} {dt.hour:02d}:{dt.minute:02d}:{dt.second:02d} GMT"
+    )
+
+
+def _human_date(date_publish: str) -> str:
+    """'YYYY-MM-DD ...' → 'March 4, 2021' (date only)."""
+    dt = datetime.strptime(date_publish[:10], "%Y-%m-%d")
+    return f"{_MONS_FULL[dt.month - 1]} {dt.day}, {dt.year}"
+
+
+def _dotted_date(date_publish: str) -> str:
+    """'YYYY-MM-DD ...' → '4.3.2021' (date only, no zero padding)."""
+    dt = datetime.strptime(date_publish[:10], "%Y-%m-%d")
+    return f"{dt.day}.{dt.month}.{dt.year}"
+
+
 @dataclass
 class DocSpec:
     doc_id: str
@@ -108,8 +137,11 @@ class DocWorld:
         self.n_docs = n_docs
 
     # ---- spec -----------------------------------------------------------
-    N_DATE_VARIANTS = 12
+    N_DATE_VARIANTS = 15
     URL_DATE_VARIANT = 5  # the only variant whose date lives in the URL
+    # variants whose markup carries only a calendar date (URL path date,
+    # 'March 4, 2021' span, D.M.YYYY meta) — expected timestamp is midnight
+    DATE_ONLY_VARIANTS = (5, 13, 14)
 
     def spec(self, d: int) -> DocSpec:
         host = f"h{mix(d, 21) % 20}.news-example.org"
@@ -179,11 +211,12 @@ class DocWorld:
 
     def expected_article(self, d: int) -> dict:
         s = self.spec(d)
-        # the URL-date variant only carries the calendar date (E3's last
-        # cascade step), so the expected timestamp is midnight
+        # date-only variants carry just the calendar date (URL path,
+        # human 'Month D, YYYY', dotted D.M.YYYY), so the expected
+        # timestamp is midnight
         date = (
             s.date_publish[:10] + " 00:00:00"
-            if s.v_date == self.URL_DATE_VARIANT
+            if s.v_date in self.DATE_ONLY_VARIANTS
             else s.date_publish
         )
         return {
@@ -256,6 +289,17 @@ class DocWorld:
             date_span = _render_tag(d, 13, "span", [("class", "article_date")], iso)
         elif s.v_date == 11:
             head.append(meta(11, ("name", "published-date"), ("content", iso)))
+        elif s.v_date == 12:
+            # RFC-1123 (the wire format of RSS pubDate / Last-Modified)
+            head.append(meta(11, ("name", "date"), ("content", _rfc1123(s.date_publish))))
+        elif s.v_date == 13:
+            # human US form, date-only → expected midnight
+            date_span = _render_tag(
+                d, 13, "span", [("class", "article_date")], _human_date(s.date_publish)
+            )
+        elif s.v_date == 14:
+            # European dotted D.M.YYYY, date-only → expected midnight
+            head.append(meta(11, ("name", "pubdate"), ("content", _dotted_date(s.date_publish))))
         body: list[str] = [f"<h1>{s.title}</h1>", time_tag, date_span]
         for i in range(s.n_headlines):
             h = f"section {WORDS[mix(d, 40 + i) % 20]}"

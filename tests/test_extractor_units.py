@@ -104,6 +104,28 @@ def test_url_date_fallback_and_norm_forms():
     assert _norm_date("not a date") is None
 
 
+def test_norm_date_fuzzy_shapes():
+    """The dateutil-reachable shapes the reference parses
+    (date_extractor.py:60-65 pipes everything through dateutil.parse):
+    RFC-2822/1123 RSS pubDates, named-tz ISO, 'Month D, YYYY', D.M.YYYY."""
+    assert _norm_date("Tue, 04 Mar 2021 05:06:07 GMT") == WANT
+    assert _norm_date("Tuesday, 4 Mar 2021 05:06:07 +0000") == WANT
+    assert _norm_date("4 March 2021 05:06:07") == WANT
+    assert _norm_date("04 Mar 2021") == "2021-03-04 00:00:00"
+    assert _norm_date("2021-03-04 05:06:07 GMT") == WANT
+    assert _norm_date("2021-03-04 05:06:07 CEST") == WANT
+    assert _norm_date("March 4, 2021") == "2021-03-04 00:00:00"
+    assert _norm_date("March 4th, 2021 05:06") == "2021-03-04 05:06:00"
+    assert _norm_date("Sept. 9, 2020") == "2020-09-09 00:00:00"
+    assert _norm_date("4.3.2021") == "2021-03-04 00:00:00"
+    assert _norm_date("04.03.2021") == "2021-03-04 00:00:00"
+    # junk stays None (cascade falls through, never a wrong date)
+    assert _norm_date("Foo, 99 Zzz 2021") is None
+    assert _norm_date("March 42, 2021") is None
+    assert _norm_date("2021-13-04") is None
+    assert _norm_date("") is None
+
+
 # --- E4: multi-language fallback -------------------------------------------
 
 def test_stopword_lang_votes():

@@ -61,6 +61,10 @@ def test_rss_discovery_and_parse(spark):
     assert len(items) == 2
     assert items[0].item_url == "https://n.com/a1" and items[0].item_index == 0
     assert items[1].title == "T2" and items[1].item_index == 1
+    # RFC-2822 pubDate is parsed to a real timestamp (reference pipes it
+    # through dateutil); missing pubDate stays null
+    assert str(items[0].pub_date_parsed) == "2024-01-01 00:00:00"
+    assert items[1].pub_date_parsed is None
 
 
 def test_gdelt_and_urlfile(spark, tmp_path):
