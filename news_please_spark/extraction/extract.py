@@ -257,7 +257,10 @@ def _meta_extractor(url: str, html: str) -> dict:
     if m:
         body = "\n".join(_RE["p"].findall(m.group(1)))
     image = meta["og_image"]
-    authors = [meta["authors"][0]] if meta["authors"] else None
+    # every <meta name=author> in document order, else JSON-LD authors
+    # (newspaper4k returns author LISTS; reference comparer_author.py
+    # consumes them — multiple authors are the common case on news sites)
+    authors = meta["authors"] or _authors_from_jsonld(html) or None
     lang = _norm_lang(_html_tag_lang(html)[0])
     return {
         "extractor": "meta",
@@ -332,16 +335,47 @@ def _date_from_url(url: str | None) -> str | None:
 def _date_from_jsonld(html: str) -> str | None:
     """JSON-LD datePublished / dateCreated (reference
     date_extractor.py:76-97; dateCreated overrides when present — the
-    reference reassigns `date` on the second try-block)."""
-    m = _RE["jsonld_block"].search(html)
-    if not m:
-        return None
-    blob = m.group(1)
-    created = _RE["jsonld_created"].search(blob)
-    if created:
-        return _norm_date(created.group(1))
-    pub = _RE["jsonld_pub"].search(blob)
-    return _norm_date(pub.group(1)) if pub else None
+    reference reassigns `date` on the second try-block). ALL ld+json
+    scripts are scanned, not just the first — pages often carry several
+    blocks (author/org/article), and the date may not be in the first."""
+    for m in _RE["jsonld_block"].finditer(html):
+        blob = m.group(1)
+        created = _RE["jsonld_created"].search(blob)
+        if created:
+            return _norm_date(created.group(1))
+        pub = _RE["jsonld_pub"].search(blob)
+        if pub:
+            return _norm_date(pub.group(1))
+    return None
+
+
+def _authors_from_jsonld(html: str) -> list[str]:
+    """Author names from JSON-LD blocks: 'author' may be a string, an
+    object with 'name', or a list of either (newspaper4k reads the same
+    shapes; reference comparer_author.py consumes the resulting list)."""
+    import json as _json
+
+    names: list[str] = []
+    for m in _RE["jsonld_block"].finditer(html):
+        try:
+            obj = _json.loads(m.group(1))
+        except (ValueError, TypeError):
+            continue
+        objs = obj if isinstance(obj, list) else [obj]
+        for o in objs:
+            if not isinstance(o, dict):
+                continue
+            a = o.get("author")
+            items = a if isinstance(a, list) else [a] if a is not None else []
+            for it in items:
+                if isinstance(it, str) and it.strip():
+                    names.append(it.strip())
+                elif isinstance(it, dict) and isinstance(it.get("name"), str):
+                    if it["name"].strip():
+                        names.append(it["name"].strip())
+    # order-preserving dedup
+    seen: set[str] = set()
+    return [n for n in names if not (n in seen or seen.add(n))]
 
 
 def _date_from_meta(html: str) -> str | None:
@@ -504,10 +538,11 @@ def _vote_text(cands: list[dict]) -> str | None:
     texts = [(c["extractor"], c["text"]) for c in cands if c.get("text")]
     texts = [(e, t) for e, t in texts if len(t.split()) >= 15]
     if not texts:
-        # fall back to any non-null text
-        for c in cands:
-            if c.get("text"):
-                return c["text"]
+        # reference parity: when no candidate reaches 15 words, maintext
+        # is None (comparer_text.py:29-31) — never a junk-short fallback.
+        # (The reference's remove-while-iterating quirk, which can leak
+        # the second of two consecutive short texts, is deliberately NOT
+        # reproduced; the documented intent is the filter.)
         return None
     if len(texts) == 1:
         return texts[0][1]

@@ -78,7 +78,10 @@ s1 AS (
     ELSE 'the' END AS filler,
     array_to_string(list_transform(title_words, x -> {_cap('x')}), ' ') AS title,
     array_to_string(title_words, '-') AS slug,
-    'Alex ' || {_cap(_word("27"))} AS author,
+    array_to_string(
+      list_transform(range(0, 1 + {_mix('d', '26')} % 3),
+                     i -> 'Alex ' || {_cap(f"ws[1 + ({_mix('d', '27')} + i * 7) % 20]")}),
+      ';') AS author,
     CASE WHEN d % 4 = 0 THEN
       'https://' || 'h' || CAST({_mix('d', '21')} % 20 AS VARCHAR)
       || '.news-example.org' || '/media/img' || CAST(d AS VARCHAR) || '.jpg'

@@ -166,7 +166,16 @@ class DocWorld:
         ]
         image_path = f"/media/img{d}.jpg" if d % 4 == 0 else None
         image_url = f"https://{host}{image_path}" if image_path else None
-        authors = [f"Alex {WORDS[mix(d, 27) % 20].capitalize()}"]
+        # 1-3 authors; every third doc carries them as a JSON-LD author
+        # array instead of <meta name=author> tags (both shapes are
+        # common; newspaper4k reads either)
+        n_auth = 1 + mix(d, 26) % 3
+        # stride 7 is coprime with 20 → the names are always DISTINCT
+        # (the JSON-LD author path dedups, so the spec must too)
+        authors = [
+            f"Alex {WORDS[(mix(d, 27) + i * 7) % 20].capitalize()}"
+            for i in range(n_auth)
+        ]
         slug = "-".join(title_words)
         if v_date == self.URL_DATE_VARIANT:
             path = f"/{dt.year}/{dt.month:02d}/{dt.day:02d}/{slug}.html"
@@ -251,7 +260,18 @@ class DocWorld:
         head.append(f"<title>{s.title} - Example Site</title>")
         head.append(meta(5, ("property", "og:title"), ("content", s.title)))
         head.append(meta(6, ("name", "description"), ("content", s.description)))
-        head.append(meta(7, ("name", "author"), ("content", s.authors[0])))
+        if mix(d, 29) % 3 == 0:
+            payload = ", ".join(f'{{"name": "{a}"}}' for a in s.authors)
+            head.append(
+                _render_tag(
+                    d, 15, "script",
+                    [("type", "application/ld+json")],
+                    f'{{"@type": "Article", "author": [{payload}]}}',
+                )
+            )
+        else:
+            for i, a in enumerate(s.authors):
+                head.append(meta(70 + i, ("name", "author"), ("content", a)))
         if s.og_article:
             head.append(meta(8, ("property", "og:type"), ("content", "article")))
         if s.image_path:

@@ -126,6 +126,24 @@ def test_norm_date_fuzzy_shapes():
     assert _norm_date("") is None
 
 
+def test_vote_text_all_short_returns_none():
+    """V2 reference parity (comparer_text.py:25-31): candidates under 15
+    words are dropped, and when NONE survives, maintext is None — not a
+    junk-short fallback. (We implement the documented intent; the
+    reference's remove-while-iterating quirk that can leak the second of
+    two consecutive short texts is deliberately not reproduced.)"""
+    from news_please_spark.extraction.extract import _vote_text
+
+    short = {"extractor": "meta", "text": "only four words here"}
+    short2 = {"extractor": "dom", "text": "also way too short"}
+    assert _vote_text([short, short2]) is None
+    long = {
+        "extractor": "dom",
+        "text": "fifteen words exactly " + " ".join(["w"] * 12),
+    }
+    assert _vote_text([short, long]) == long["text"]
+
+
 # --- E4: multi-language fallback -------------------------------------------
 
 def test_stopword_lang_votes():
