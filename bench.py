@@ -73,7 +73,8 @@ CRAWL_BUDGET = 32
 
 
 def run_crawl(
-    spark, n_pages: int, max_waves: int, use_bloom: bool = False
+    spark, n_pages: int, max_waves: int, use_bloom: bool = False,
+    bloom_distribute: str = "broadcast",
 ) -> tuple[float, int]:
     """Frontier throughput: budgeted waves over a spark.range-generated
     webgraph, starting from a pre-loaded large frontier (measuring the
@@ -99,6 +100,7 @@ def run_crawl(
             max_waves=max_waves,
             salt_buckets=16,
             use_bloom=use_bloom,
+            bloom_distribute=bloom_distribute,
         ),
         edges_partitioned_by_src=True,
     )
@@ -319,15 +321,24 @@ def scaling(pair: tuple[int, int] = (2, 8), trials: int = 2) -> None:
 
 def bloom_ab() -> None:
     """A/B the URL-seen bloom prefilter on the headline crawl: same
-    world, bloom off vs on (both paths are bit-exact — the bloom only
-    changes the anti-join's probe size)."""
+    world, bloom off vs on-broadcast vs on-copartition (all three paths
+    are bit-exact — the bloom only changes the anti-join's probe size;
+    copartition is the one-blob-per-task distribution for filters too
+    big to broadcast)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from news_please_spark.session import get_spark
 
     spark = get_spark("bloom_ab", cpus=CPUS, shuffle_partitions=CPUS)
     out = {}
-    for label, flag in (("bloom_off", False), ("bloom_on", True)):
-        sec, urls = run_crawl(spark, CRAWL_PAGES, CRAWL_WAVES, use_bloom=flag)
+    for label, flag, dist in (
+        ("bloom_off", False, "broadcast"),
+        ("bloom_on", True, "broadcast"),
+        ("bloom_on_copart", True, "copartition"),
+    ):
+        sec, urls = run_crawl(
+            spark, CRAWL_PAGES, CRAWL_WAVES, use_bloom=flag,
+            bloom_distribute=dist,
+        )
         out[label] = {"sec": round(sec, 2), "urls": urls,
                       "urls_per_sec": round(urls / sec, 1)}
         print(json.dumps({label: out[label]}), flush=True)

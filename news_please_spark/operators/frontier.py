@@ -59,9 +59,11 @@ SMALL_SEQ_LIMIT = 500_000  # below this a single-partition window beats two-phas
 # discovery-key encoding: children get (parent_seq + 1) * DISC_STRIDE +
 # link_index, seeds get their url-rank 0..n_seeds-1. Child keys start at
 # DISC_STRIDE, so keys stay unique within any frontier as long as
-# n_seeds < DISC_STRIDE and every page has < DISC_STRIDE outlinks —
-# asserted below. Uniqueness is the precondition of the exact
-# 'threshold' politeness path. 64-bit headroom: parent seq < 2^43.
+# n_seeds < DISC_STRIDE (asserted at seed numbering) and every page has
+# < DISC_STRIDE outlinks (enforced per row by a raise_error branch in
+# the expansion select). Uniqueness is the precondition of the exact
+# 'threshold' politeness path. 64-bit headroom: parent seq < 2^43
+# (~8.8e12 fetched pages — unreachable before the multiply overflows).
 DISC_STRIDE = 1 << 20
 # (a one-task sort of 500k rows is ~0.3 s; the two-phase numbering costs
 # two extra jobs + a shuffle — only worth it for genuinely huge waves)
@@ -75,6 +77,10 @@ class FrontierConfig:
     use_bloom: bool = False
     bloom_capacity: int = 1 << 17     # expected per-bucket rows; fixes (m, k)
     # so per-wave blob deltas OR-merge — each wave hashes only its delta
+    # "broadcast": all blobs in one task broadcast (small filters);
+    # "copartition": cogroup probe, one blob per task — the 10^10-URL
+    # design point where total blob bytes exceed any single JVM
+    bloom_distribute: str = "broadcast"
     salt_buckets: int = 1             # >1 enables skew-safe two-phase top-k
     state_dir: str | None = None      # enables checkpoint/resume
     seen_buckets: int = 32            # hash-bucket layout of the seen table
@@ -379,9 +385,24 @@ class FrontierEngine:
                     # early parents), so disc_key is unique WITHIN EVERY
                     # HOST — the precondition of the exact threshold
                     # politeness path
-                    (
-                        (F.col("p_seq") + 1) * DISC_STRIDE + F.col("link_index")
-                    ).alias("disc_key"),
+                    # the < DISC_STRIDE outlink precondition is enforced
+                    # here, per row, inside codegen (a branch, not a
+                    # scan) — a page with ≥ 2^20 outlinks would silently
+                    # corrupt disc_key uniqueness otherwise
+                    F.when(
+                        F.col("link_index") < DISC_STRIDE,
+                        (F.col("p_seq") + 1) * DISC_STRIDE + F.col("link_index"),
+                    )
+                    .otherwise(
+                        F.raise_error(
+                            F.concat(
+                                F.lit("link_index >= DISC_STRIDE on "),
+                                F.col("dst_url"),
+                                F.lit(" — raise DISC_STRIDE for pages with >1M outlinks"),
+                            )
+                        )
+                    )
+                    .alias("disc_key"),
                     (F.col("p_depth") + 1).alias("depth"),
                 )
                 .filter(allowed_url(F.col("url")))
@@ -413,7 +434,11 @@ class FrontierEngine:
                 from news_please_spark.operators.urlseen import bloom_prefilter
 
                 cand = bloom_prefilter(
-                    cand, seen, self.cfg.seen_buckets, blobs=blob_state
+                    cand,
+                    seen,
+                    self.cfg.seen_buckets,
+                    blobs=blob_state,
+                    distribute=cfg.bloom_distribute,
                 )
             new = (
                 cand.join(seen, "url", "left_anti")

@@ -16,12 +16,25 @@ be simpler still, but it is not registered in the public function
 registry as of Spark 4.1.2 (UNRESOLVED_ROUTINE), so this keeps the same
 JVM-hash + Arrow-batch shape explicitly.
 
-Probe path: candidates get the same bucket id, join the (tiny) blobs
-table broadcast, and a vectorized pandas UDF answers might_contain.
-Candidates the bloom rejects are *definitely unseen* → skip the exact
-join entirely. Candidates the bloom accepts go through the exact
-left_anti confirm, so false positives can never drop URLs — exactness
-is preserved, the bloom only cuts the big-join input.
+Probe path: candidates get the same bucket id, then one of two
+distribution strategies answers might_contain:
+
+- "broadcast" (default, small filters): the ≤ n_buckets blob rows are
+  collected and shipped once per executor as a task broadcast; a
+  vectorized pandas UDF probes them. Right up to a few GB of blobs.
+- "copartition" (the 10^10-URL design point): candidates and blobs are
+  cogrouped on `bucket` — each task receives ONE bucket's candidates
+  plus that bucket's single blob row and probes partition-locally.
+  Nothing is collected to the driver and no task ever holds more than
+  one blob, so total blob bytes can exceed any single JVM's memory
+  (~76k buckets × ~150 KB ≈ 11 GB at the design point). This is the
+  bucket-co-partitioned probe a cluster deployment would use, with the
+  blob table as an Iceberg table bucketed by `bucket`.
+
+Either way, candidates the bloom rejects are *definitely unseen* → skip
+the exact join entirely. Candidates the bloom accepts go through the
+exact left_anti confirm, so false positives can never drop URLs —
+exactness is preserved, the bloom only cuts the big-join input.
 """
 
 from __future__ import annotations
@@ -128,37 +141,15 @@ def merge_bloom_blobs(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b).groupBy("bucket").applyInPandas(merge, _BLOB_SCHEMA)
 
 
-def bloom_prefilter(
-    candidates: DataFrame,
-    seen: DataFrame,
-    n_buckets: int,
-    fpp: float = 0.01,
-    blobs: DataFrame | None = None,
-    materialize: bool = True,
-) -> DataFrame:
-    """Split candidates by bloom verdict; return
-    definitely-new ∪ (maybe-seen exact-anti-join seen).
+def _probe_broadcast(candidates: DataFrame, blobs: DataFrame, materialize: bool) -> DataFrame:
+    """Verdict column via a task broadcast of ALL blobs.
 
-    Output preserves the candidate schema and exact semantics; the bloom
-    only shrinks the expensive anti-join's probe side. Pass prebuilt
-    `blobs` (incrementally merged across waves) to avoid rehashing the
-    whole seen set per call.
-
-    materialize=True localCheckpoints the probed candidates before the
-    split — the verdict column feeds THREE consumers (two filter
-    branches + the anti-join), and without a cut each one would
-    re-execute the whole upstream plan (for the crawl loop that is the
-    expansion join, 3×).
-    """
-    if blobs is None:
-        blobs = build_bloom_blobs(seen, n_buckets, fpp)
-    cand_cols = candidates.columns
-
-    # ship the blobs as a REAL broadcast variable, not a broadcast JOIN:
-    # a join would copy each bucket's ~100 KB blob into every candidate
-    # row (the probe then materializes GBs); as a task broadcast the
-    # blobs exist once per executor. ≤ n_buckets rows collect to the
-    # driver — the classic runtime-filter distribution path.
+    A REAL broadcast variable, not a broadcast JOIN: a join would copy
+    each bucket's ~100 KB blob into every candidate row (the probe then
+    materializes GBs); as a task broadcast the blobs exist once per
+    executor. ≤ n_buckets rows collect to the driver — the classic
+    runtime-filter distribution path. Capped by driver/executor memory;
+    use distribute="copartition" past a few GB of blobs."""
     blob_map = {
         int(r["bucket"]): (int(r["m"]), int(r["k"]), bytes(r["blob"]))
         for r in blobs.collect()
@@ -195,14 +186,113 @@ def bloom_prefilter(
             out[sel] = hit
         return pd.Series(out)
 
-    h1, h2 = _lane_cols("url")
     probed = candidates.withColumn(
-        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
-    ).withColumn(
-        "_maybe", might_contain(F.col("bucket"), h1, h2)
+        "_maybe", might_contain(F.col("bucket"), F.col("h1"), F.col("h2"))
+    ).drop("h1", "h2")
+    if materialize:
+        probed = probed.localCheckpoint(eager=True)
+        # after the eager checkpoint nothing re-executes the UDF; free
+        # the per-wave blob broadcast instead of accreting one per wave
+        # on driver + executors over a long crawl
+        bc.destroy()
+    return probed
+
+
+def _probe_copartition(candidates: DataFrame, blobs: DataFrame, materialize: bool) -> DataFrame:
+    """Verdict column via cogroup on `bucket`: each task holds exactly
+    one bucket's blob while probing that bucket's candidates. Scales to
+    blob tables far larger than any single JVM (the 10^10-URL design
+    point); the price is one hash exchange of the candidate side, which
+    the broadcast path avoids — so it is the big-filter strategy, not
+    the default."""
+    out_schema = T.StructType(
+        [f for f in candidates.schema.fields if f.name not in ("h1", "h2")]
+        + [T.StructField("_maybe", T.BooleanType(), False)]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def probe(cand: pd.DataFrame, blob: pd.DataFrame) -> pd.DataFrame:
+        if cand.empty:
+            return pd.DataFrame(columns=out_cols)
+        out = cand.drop(columns=["h1", "h2"])
+        if blob.empty:
+            out["_maybe"] = False  # no blob → bucket never saw a URL
+            return out
+        if blob["m"].nunique() != 1 or blob["k"].nunique() != 1:
+            raise ValueError(
+                f"bloom blobs in bucket {int(cand['bucket'].iloc[0])} have "
+                "mixed (m, k) — merge deltas with the same fixed capacity"
+            )
+        m = int(blob["m"].iloc[0])
+        k = int(blob["k"].iloc[0])
+        # tolerate unmerged deltas: OR the bucket's blobs on the fly
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        for bl in blob["blob"]:
+            bits |= np.frombuffer(bl, dtype=np.uint8)
+        h1a, h2a = _as_u64(cand["h1"]), _as_u64(cand["h2"])
+        mm = np.uint64(m)
+        hit = np.ones(len(cand), dtype=bool)
+        for j in range(k):
+            idx = (h1a + np.uint64(j) * h2a) % mm
+            hit &= (
+                (bits[(idx // 8).astype(np.int64)] >> (idx % 8).astype(np.uint8)) & 1
+            ) == 1
+        out["_maybe"] = hit
+        return out
+
+    probed = (
+        candidates.groupBy("bucket")
+        .cogroup(blobs.groupBy("bucket"))
+        .applyInPandas(probe, out_schema)
     )
     if materialize:
         probed = probed.localCheckpoint(eager=True)
+    return probed
+
+
+def bloom_prefilter(
+    candidates: DataFrame,
+    seen: DataFrame,
+    n_buckets: int,
+    fpp: float = 0.01,
+    blobs: DataFrame | None = None,
+    materialize: bool = True,
+    distribute: str = "broadcast",
+) -> DataFrame:
+    """Split candidates by bloom verdict; return
+    definitely-new ∪ (maybe-seen exact-anti-join seen).
+
+    Output preserves the candidate schema and exact semantics; the bloom
+    only shrinks the expensive anti-join's probe side. Pass prebuilt
+    `blobs` (incrementally merged across waves) to avoid rehashing the
+    whole seen set per call.
+
+    distribute: "broadcast" collects all blobs into one task broadcast
+    (fastest while total blob bytes fit comfortably in each JVM);
+    "copartition" cogroups candidates with blobs on `bucket` so each
+    task holds exactly one blob — the scale path for filters whose blob
+    table exceeds executor memory (see module docstring).
+
+    materialize=True localCheckpoints the probed candidates before the
+    split — the verdict column feeds THREE consumers (two filter
+    branches + the anti-join), and without a cut each one would
+    re-execute the whole upstream plan (for the crawl loop that is the
+    expansion join, 3×).
+    """
+    if distribute not in ("broadcast", "copartition"):
+        raise ValueError(f"unknown bloom distribute strategy: {distribute!r}")
+    if blobs is None:
+        blobs = build_bloom_blobs(seen, n_buckets, fpp)
+    cand_cols = candidates.columns
+
+    h1, h2 = _lane_cols("url")
+    keyed = candidates.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    ).withColumn("h1", h1).withColumn("h2", h2)
+    if distribute == "copartition":
+        probed = _probe_copartition(keyed, blobs, materialize)
+    else:
+        probed = _probe_broadcast(keyed, blobs, materialize)
     definitely_new = probed.filter(~F.col("_maybe")).select(*cand_cols)
     maybe = probed.filter(F.col("_maybe")).select(*cand_cols)
     confirmed_new = maybe.join(seen, "url", "left_anti")

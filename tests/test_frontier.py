@@ -11,7 +11,8 @@ from news_please_spark.world import World
 
 
 def run_both(spark, n_pages, budget, max_depth, use_bloom=False, n_seeds=8,
-             salt_buckets=1, politeness_impl="window"):
+             salt_buckets=1, politeness_impl="window",
+             bloom_distribute="broadcast"):
     world = World(n_pages=n_pages, n_seeds=n_seeds)
     oracle = CrawlOracle(world, CrawlConfig(budget_per_host=budget, max_depth=max_depth))
     o_order, o_seen = oracle.run()
@@ -26,6 +27,7 @@ def run_both(spark, n_pages, budget, max_depth, use_bloom=False, n_seeds=8,
             use_bloom=use_bloom,
             salt_buckets=salt_buckets,
             politeness_impl=politeness_impl,
+            bloom_distribute=bloom_distribute,
         ),
     )
     res = engine.run(world.seed_urls())
@@ -54,6 +56,17 @@ def test_bloom_and_salted_topk_are_exact(spark):
     top-k) must not change results by one bit."""
     o_order, o_seen, e_order, e_seen, _ = run_both(
         spark, 400, 8, 3, use_bloom=True, salt_buckets=8
+    )
+    assert e_seen == o_seen
+    assert e_order == o_order
+
+
+def test_bloom_copartition_probe_is_exact(spark):
+    """The cogroup (one-blob-per-task) bloom distribution — the
+    10^10-URL design point where blobs don't fit one broadcast — must
+    be bit-exact too."""
+    o_order, o_seen, e_order, e_seen, _ = run_both(
+        spark, 400, 8, 3, use_bloom=True, bloom_distribute="copartition"
     )
     assert e_seen == o_seen
     assert e_order == o_order

@@ -19,7 +19,8 @@ def _urls(spark, prefix, n):
     return spark.range(n).selectExpr(f"concat('https://{prefix}/', id) AS url")
 
 
-def test_merged_blobs_cover_both_deltas(spark):
+@pytest.mark.parametrize("distribute", ["broadcast", "copartition"])
+def test_merged_blobs_cover_both_deltas(spark, distribute):
     a = _urls(spark, "wave-a", 400)
     b = _urls(spark, "wave-b", 300)
     blobs_a = build_bloom_blobs(a, BUCKETS, capacity=1024)
@@ -28,10 +29,30 @@ def test_merged_blobs_cover_both_deltas(spark):
 
     seen = a.unionByName(b)
     fresh = _urls(spark, "unseen", 200)
-    out = bloom_prefilter(fresh.unionByName(seen), seen, BUCKETS, blobs=merged)
+    out = bloom_prefilter(
+        fresh.unionByName(seen), seen, BUCKETS, blobs=merged,
+        distribute=distribute,
+    )
     got = {r.url for r in out.collect()}
     # exactness: every unseen url survives, every seen url is removed
     assert got == {r.url for r in fresh.collect()}
+
+
+def test_copartition_probe_tolerates_unmerged_deltas(spark):
+    """The cogroup probe ORs a bucket's delta blobs on the fly, so the
+    caller may pass the raw per-wave union without a merge pass."""
+    a = _urls(spark, "wave-a", 200)
+    b = _urls(spark, "wave-b", 200)
+    deltas = build_bloom_blobs(a, BUCKETS, capacity=1024).unionByName(
+        build_bloom_blobs(b, BUCKETS, capacity=1024)
+    )
+    seen = a.unionByName(b)
+    fresh = _urls(spark, "unseen", 100)
+    out = bloom_prefilter(
+        fresh.unionByName(seen), seen, BUCKETS, blobs=deltas,
+        distribute="copartition",
+    )
+    assert {r.url for r in out.collect()} == {r.url for r in fresh.collect()}
 
 
 def test_mixed_capacity_blobs_refuse_to_merge(spark):
