@@ -76,3 +76,19 @@ def from_warc(spark, warc_glob: str, fused: bool = True):
         .select(F.col("target_uri").alias("url"), F.col("body").alias("html"))
     )
     return extract_articles(pages, fused=fused)
+
+
+def load_sitelist(text_or_path: str):
+    """Per-site config layer: parse a sitelist.hjson document (or a path
+    to one) into a SiteConfigs whose overrides compile into native
+    Columns — gate_column() for F7 per-host heuristics, ignore_column()
+    for frontier URL filters, crawler_for()/daemon_intervals() for O5/O4
+    (reference config.py:257-299 + sitelist.hjson)."""
+    import os
+
+    from news_please_spark.siteconfig import SiteConfigs
+
+    if os.path.exists(text_or_path):
+        with open(text_or_path) as f:
+            text_or_path = f.read()
+    return SiteConfigs.from_sitelist(text_or_path)

@@ -130,13 +130,19 @@ class FrontierEngine:
         robots: DataFrame | None = None,
         cfg: FrontierConfig | None = None,
         edges_partitioned_by_src: bool = False,
+        site_configs=None,
     ):
         """edges_partitioned_by_src: pass True when `webgraph` is already
         hash-partitioned/bucketed by src_url (the Iceberg-table layout at
         scale) — the big-wave shuffle-hash join then uses it directly
-        instead of building a second co-partitioned cached copy."""
+        instead of building a second co-partitioned cached copy.
+
+        site_configs: optional siteconfig.SiteConfigs whose per-host
+        ignore_regex ANDs into the URL gate (sitelist.hjson analogue) —
+        compiled into the same codegen'd Column, no join."""
         self.spark = spark
         self.cfg = cfg or FrontierConfig()
+        self.site_configs = site_configs
         # edges keyed by src_url; at scale this is an Iceberg table
         # bucketed by src_url so the per-wave join is co-partitioned.
         self.edges = webgraph
@@ -153,6 +159,14 @@ class FrontierEngine:
             )
         else:
             self.robots_by_host = None
+
+    def _url_gate(self, url_col) -> F.Column:
+        """Global allowed_url AND any per-site ignore_regex — still one
+        codegen'd boolean Column."""
+        gate = allowed_url(url_col)
+        if self.site_configs is not None:
+            gate = gate & self.site_configs.ignore_column(url_col)
+        return gate
 
     def _edges_by_src(self) -> DataFrame:
         """edges hash-partitioned by src_url, cached — the shuffle-hash
@@ -241,7 +255,7 @@ class FrontierEngine:
                 seeds = spark.createDataFrame(
                     [(u,) for u in seed_urls], "url string"
                 )
-            seeds = seeds.filter(allowed_url(F.col("url")))
+            seeds = seeds.filter(self._url_gate(F.col("url")))
             if self.robots_by_host is not None:
                 seeds = (
                     seeds.withColumn("host", url_host(F.col("url")))
@@ -405,7 +419,7 @@ class FrontierEngine:
                     .alias("disc_key"),
                     (F.col("p_depth") + 1).alias("depth"),
                 )
-                .filter(allowed_url(F.col("url")))
+                .filter(self._url_gate(F.col("url")))
                 .withColumn("host", url_host(F.col("url")))
             )
             if self.robots_by_host is not None:
