@@ -56,6 +56,27 @@ BROADCAST_FETCH_LIMIT = 100_000  # rows; above this the driver-side broadcast
 # SERIAL floor of every wave — larger fetch sets use a shuffle-hash join
 # against src_url-co-partitioned edges instead (all phases parallel)
 SMALL_SEQ_LIMIT = 500_000  # below this a single-partition window beats two-phase
+SMALL_SEQ_BYTES = 64 << 20  # ... but only while the whole fetch set also fits
+# one task's sort buffer comfortably — fat rows (multi-KB URLs) must take the
+# two-phase path even at low row counts
+
+
+def estimated_fetch_bytes(n_rows: int, url_bytes: int) -> int:
+    """Wave fetch-set size estimate from the stats the per-wave count
+    job already computes: URL chars dominate a fetch row (url + derived
+    host ≈ 2×) plus fixed depth/disc_key/struct overhead. (Catalyst's
+    sizeInBytes was tried and rejected: for a localCheckpointed RDD it
+    falls back to schema-default column widths — a 90 MB fat-URL table
+    estimated as 8.4 KB.)"""
+    return 2 * url_bytes + 32 * n_rows
+
+
+def use_single_partition_seq(n_rows: int, est_bytes: int) -> bool:
+    """True when the global fetch-order numbering should take the
+    one-task window (cheapest for typical waves); False → the scalable
+    two-phase numbering. Keyed on rows AND estimated bytes so fat rows
+    can't ride the single-task path."""
+    return n_rows <= SMALL_SEQ_LIMIT and est_bytes <= SMALL_SEQ_BYTES
 # discovery-key encoding: children get (parent_seq + 1) * DISC_STRIDE +
 # link_index, seeds get their url-rank 0..n_seeds-1. Child keys start at
 # DISC_STRIDE, so keys stay unique within any frontier as long as
@@ -344,16 +365,24 @@ class FrontierEngine:
             _t_mark = _time.time()
             fetch_raw = ann.filter(F.col("_fetch")).drop("_fetch")
             deferred = ann.filter(~F.col("_fetch")).drop("_fetch")
-            n_fetched = fetch_raw.count()
+            # one job returns the row count AND the byte estimate the
+            # sequencing guard needs (same stage the bare count() ran)
+            _stats = fetch_raw.agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum(F.length("url")), F.lit(0)).alias("b"),
+            ).first()
+            n_fetched = int(_stats["n"])
+            fetch_bytes = estimated_fetch_bytes(n_fetched, int(_stats["b"]))
             if n_fetched == 0:
                 break
             # deterministic global fetch order (O1): a single-partition
             # window is cheapest for the usual budget×hosts-sized fetch
             # set; fall back to the scalable two-phase numbering when the
             # wave is genuinely large.
-            if n_fetched <= SMALL_SEQ_LIMIT:
+            if use_single_partition_seq(n_fetched, fetch_bytes):
                 from pyspark.sql import Window
 
+                seq_path = "window"
                 w = Window.orderBy("depth", "disc_key", "url")
                 fetch = fetch_raw.coalesce(1).withColumn(
                     "seq", (F.row_number().over(w) - 1 + F.lit(seq_base)).cast("long")
@@ -361,6 +390,7 @@ class FrontierEngine:
                 seq_next = seq_base + n_fetched
                 fetch = fetch.localCheckpoint(eager=True)
             else:
+                seq_path = "two_phase"
                 fetch, seq_next = with_global_seq(
                     fetch_raw,
                     ["depth", "disc_key", "url"],
@@ -482,6 +512,8 @@ class FrontierEngine:
                 {
                     "wave": wave,
                     "fetched": n_fetched,
+                    "fetch_bytes_est": fetch_bytes,
+                    "seq_path": seq_path,
                     "seq_next": seq_next,
                     "wave_secs": round(_t_end - _t0, 3),
                     "mark_secs": round(_t_mark - _t0, 3),

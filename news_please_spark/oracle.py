@@ -70,7 +70,7 @@ class CrawlOracle:
     def _allowed(self, url: str) -> bool:
         if _JUNK_RE.search(url):
             return False
-        if _EXT_RE.match(url):
+        if _EXT_RE.search(url):
             return False
         h = host_of(url)
         if not h.endswith(ALLOWED_DOMAIN_SUFFIX):

@@ -134,7 +134,7 @@ def _derived_url_col():
            regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
            regexp_replace(lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)), '^www\\.', '') AS canon_host,
            regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) AS path,
-           regexp_matches(url, '(?i).*\\.(pdf|docx?|xlsx?)$') AS is_ignored
+           regexp_matches(url, '(?i)\\.(pdf|docx?|xlsx?)$') AS is_ignored
     FROM u
     """,
 )
@@ -150,7 +150,7 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_host(F.col("url")).alias("host"),
         canonical_host(F.col("url")).alias("canon_host"),
         url_path(F.col("url")).alias("path"),
-        F.col("url").rlike(r"(?i).*\.(pdf|docx?|xlsx?)$").alias("is_ignored"),
+        F.col("url").rlike(r"(?i)\.(pdf|docx?|xlsx?)$").alias("is_ignored"),
     )
 
 

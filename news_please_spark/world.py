@@ -31,8 +31,12 @@ M31 = 2**31
 
 # mirrors the reference's default filters:
 # extension regex — reference newsplease/config/config.cfg:74
+# NO leading .*: under search semantics (Spark rlike / re.search) it is
+# redundant, and the greedy-prefix retry from every start position made
+# rlike O(len²) — a 180 KB URL took ~3×10^10 regex steps. Anchored-suffix
+# only is the same predicate in O(len).
 IGNORE_EXTENSIONS = (
-    r"(?i).*\.(pdf|docx?|xlsx?|pptx?|zip|gz|img|jpe?g|png|gif|mp3|mp4|avi|css|js)$"
+    r"(?i)\.(pdf|docx?|xlsx?|pptx?|zip|gz|img|jpe?g|png|gif|mp3|mp4|avi|css|js)$"
 )
 # scheme junk regex — reference newsplease/config/config.cfg:78
 IGNORE_REGEX = r"^(mailto|javascript|tel|fax):"

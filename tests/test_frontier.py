@@ -61,6 +61,44 @@ def test_bloom_and_salted_topk_are_exact(spark):
     assert e_order == o_order
 
 
+def test_seq_guard_is_byte_keyed(spark):
+    """The single-task fetch-order window must be gated on estimated
+    BYTES, not just rows — a wave of fat rows (multi-KB URLs) takes the
+    scalable two-phase numbering even at a tiny row count, and the
+    resulting order is still 0..n-1 in (depth, disc_key, url) order."""
+    from news_please_spark.operators.frontier import FrontierConfig, FrontierEngine
+
+    # 400 URLs × ~180 KB ≈ 72 MB of fetch rows > SMALL_SEQ_BYTES (64 MB)
+    fat_seeds = spark.range(400).selectExpr(
+        "concat('https://h', CAST(id % 50 AS STRING), '.example.com/p/',"
+        " repeat('x', 180000), CAST(id AS STRING)) AS url"
+    )
+    edges = spark.createDataFrame(
+        [], "src_url string, dst_url string, link_index long"
+    )
+    engine = FrontierEngine(
+        spark, edges, cfg=FrontierConfig(budget_per_host=100, max_depth=1)
+    )
+    res = engine.run(fat_seeds)
+    assert res.metrics[0]["seq_path"] == "two_phase"
+    assert res.fetched == 400
+    rows = res.order.select("url", "seq").collect()
+    by_seq = sorted((r.seq, r.url) for r in rows)
+    assert [s for s, _ in by_seq] == list(range(400))
+    assert [u for _, u in by_seq] == sorted(r.url for r in rows)
+
+    # control: thin seeds on the same engine shape stay on the window path
+    thin_seeds = spark.range(400).selectExpr(
+        "concat('https://h', CAST(id % 50 AS STRING), '.example.com/p/',"
+        " CAST(id AS STRING)) AS url"
+    )
+    res2 = FrontierEngine(
+        spark, edges, cfg=FrontierConfig(budget_per_host=100, max_depth=1)
+    ).run(thin_seeds)
+    assert res2.metrics[0]["seq_path"] == "window"
+    assert res2.fetched == 400
+
+
 def test_bloom_copartition_probe_is_exact(spark):
     """The cogroup (one-blob-per-task) bloom distribution — the
     10^10-URL design point where blobs don't fit one broadcast — must

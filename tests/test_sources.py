@@ -81,6 +81,30 @@ def test_gdelt_and_urlfile(spark, tmp_path):
     assert got == ["https://b.com/x", "https://b.com/y"]
 
 
+def test_gdelt_zip_matches_csv_path(spark, tmp_path):
+    """The export.CSV.zip shape the reference actually downloads
+    (gdelt_crawler.py:54-71): zip → distinct URLs must equal the
+    extracted-CSV path byte for byte."""
+    import zipfile
+
+    from news_please_spark.sources.flat import gdelt_urls_from_zip
+
+    body = (
+        "1\tx\thttps://a.com/1\n2\ty\thttps://a.com/2\n"
+        "3\tz\thttps://a.com/1\n4\tw\tnot-a-url\n"
+    )
+    csv = tmp_path / "20240101.export.CSV"
+    csv.write_text(body)
+    zpath = tmp_path / "20240101.export.CSV.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("20240101.export.CSV", body)
+        zf.writestr("README.txt", "not a csv")  # non-CSV members skipped
+
+    via_zip = sorted(r.url for r in gdelt_urls_from_zip(spark, str(zpath)).collect())
+    via_csv = sorted(r.url for r in gdelt_urls(spark, str(csv)).collect())
+    assert via_zip == via_csv == ["https://a.com/1", "https://a.com/2"]
+
+
 def test_warc_roundtrip(spark, tmp_path):
     p = str(tmp_path / "test-00001.warc.gz")
     write_warc(
