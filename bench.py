@@ -270,15 +270,114 @@ def scaling_child(cpus: int) -> None:
     )
 
 
+# a trial is CONTENDED when co-tenants averaged more than this many
+# cores of CPU during our run window (measured, not inferred from
+# loadavg — see run_scaling_trial)
+EXT_CONTENTION_CORES = 1.0
+
+
+def _host_busy_jiffies() -> int:
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:9]]
+    # busy = everything except idle+iowait (steal stays in: cycles taken
+    # from us are interference whoever takes them)
+    return sum(vals) - vals[3] - vals[4]
+
+
+def _tree_cpu_sampler(root_pid: int, stop_evt, acc: dict) -> None:
+    """Track cumulative utime+stime for every descendant of root_pid
+    (the trial's JVM + python workers). Counters are cumulative, so the
+    last sample per pid is its total; only sub-second process tails can
+    be missed at the 1 s cadence."""
+    while True:
+        info: dict[int, tuple[int, int]] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    s = f.read()
+                rest = s[s.rindex(")") + 2:].split()
+                info[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+            except (OSError, ValueError, IndexError):
+                continue
+        children: dict[int, list[int]] = {}
+        for pid, (ppid, _) in info.items():
+            children.setdefault(ppid, []).append(pid)
+        stack, tree = [root_pid], set()
+        while stack:
+            p = stack.pop()
+            if p not in tree:
+                tree.add(p)
+                stack.extend(children.get(p, []))
+        for pid in tree:
+            if pid in info:
+                acc[pid] = max(acc.get(pid, 0), info[pid][1])
+        if stop_evt.wait(0.5):
+            return
+
+
+def run_scaling_trial(cpus: int) -> dict:
+    """One child run with DURING-RUN interference accounting: host busy
+    CPU-seconds (/proc/stat) minus our child process-tree's CPU-seconds
+    (1 s cumulative sampling) = external cores consumed while we ran.
+    Trials where co-tenants averaged > EXT_CONTENTION_CORES are flagged
+    contended and excluded from the min (loadavg gates can't see
+    co-tenants that arrive MID-run; this measures them)."""
+    import threading
+
+    hz = os.sysconf("SC_CLK_TCK")
+    busy0 = _host_busy_jiffies()
+    t0 = time.time()
+    p = subprocess.Popen(
+        [sys.executable, __file__, "--scaling-child", str(cpus)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    acc: dict[int, int] = {}
+    stop = threading.Event()
+    th = threading.Thread(
+        target=_tree_cpu_sampler, args=(p.pid, stop, acc), daemon=True
+    )
+    th.start()
+    out, err = p.communicate()
+    stop.set()
+    th.join(timeout=5)
+    wall = time.time() - t0
+    busy_sec = (_host_busy_jiffies() - busy0) / hz
+    tree_sec = sum(acc.values()) / hz
+    ext_cores = max(0.0, (busy_sec - tree_sec) / wall)
+    lines = [ln for ln in out.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(err[-2000:])
+    r = json.loads(lines[-1])
+    r.update(
+        {
+            "wall": round(wall, 2),
+            "tree_cpu_sec": round(tree_sec, 1),
+            "host_busy_sec": round(busy_sec, 1),
+            "ext_cores_avg": round(ext_cores, 2),
+            "contended": ext_cores > EXT_CONTENTION_CORES,
+        }
+    )
+    return r
+
+
 def scaling(pair: tuple[int, int] = (2, 8), trials: int = 2) -> None:
-    """N vs 4N parallelism on the same input; interleaved trials, min
-    per level (the host is shared — min isolates our job's cost)."""
+    """N vs 4N parallelism on the same input. Levels interleave (so a
+    load regime covers both levels symmetrically), every trial records
+    measured external interference, contended trials auto-retry (up to
+    3× the clean-trial target), and the reported time per level is the
+    min over CLEAN trials."""
     n, n4 = pair
-    best: dict[int, dict] = {}
+    clean: dict[int, list[dict]] = {n: [], n4: []}
+    attempts: list[dict] = []
 
     def wait_for_quiet(max_wait: int = 600, threshold: float = 5.0) -> float:
-        """The sandbox host is shared; gate each trial on 1-min load so
-        external bursts don't masquerade as scaling losses."""
+        """Pre-gate on 1-min load (cheap); the in-run ext_cores_avg
+        measurement is the authoritative discard signal."""
         waited = 0
         while waited < max_wait:
             load1 = float(open("/proc/loadavg").read().split()[0])
@@ -288,23 +387,24 @@ def scaling(pair: tuple[int, int] = (2, 8), trials: int = 2) -> None:
             waited += 30
         return load1
 
-    for _ in range(trials):
+    for _ in range(trials * 3):
         for cpus in (n, n4):
+            if len(clean[cpus]) >= trials:
+                continue
             load = wait_for_quiet()
             print(json.dumps({"load_before": load, "cpus": cpus}), flush=True)
-            p = subprocess.run(
-                [sys.executable, __file__, "--scaling-child", str(cpus)],
-                capture_output=True,
-                text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
-            if not lines:
-                raise RuntimeError(p.stderr[-2000:])
-            r = json.loads(lines[-1])
+            r = run_scaling_trial(cpus)
+            attempts.append(r)
             print(json.dumps({"trial": r}), flush=True)
-            if cpus not in best or r["sec"] < best[cpus]["sec"]:
-                best[cpus] = r
+            if not r["contended"]:
+                clean[cpus].append(r)
+        if all(len(clean[c]) >= trials for c in clean):
+            break
+
+    best: dict[int, dict] = {}
+    for cpus in (n, n4):
+        pool = clean[cpus] or [a for a in attempts if a["cpus"] == cpus]
+        best[cpus] = min(pool, key=lambda r: r["sec"])
     tn, t4n = best[n]["sec"], best[n4]["sec"]
     out = {
         "n_parallelism": n,
@@ -315,6 +415,14 @@ def scaling(pair: tuple[int, int] = (2, 8), trials: int = 2) -> None:
         f"urls_per_sec_at_{n}": round(best[n]["urls"] / tn, 1),
         f"urls_per_sec_at_{n4}": round(best[n4]["urls"] / t4n, 1),
         "scaling_efficiency": round((tn / t4n) / (n4 / n), 3),
+        "clean_trials": {str(c): len(clean[c]) for c in (n, n4)},
+        "best_ext_cores": {
+            str(c): best[c]["ext_cores_avg"] for c in (n, n4)
+        },
+        "attempts": [
+            {k: a[k] for k in ("cpus", "sec", "ext_cores_avg", "contended")}
+            for a in attempts
+        ],
     }
     print(json.dumps(out))
 

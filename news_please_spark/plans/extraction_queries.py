@@ -439,3 +439,63 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("f").cast("double") * 10000).cast("long").alias("f_q"),
         "decode_ok",
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-site config gate: the sitelist.hjson override layer end to end.
+# Three of DocWorld's twenty hosts get overrides (two swap the whole
+# condition to H2-only with the ratio heuristics disabled, one tightens
+# the ratio comparators); the oracle re-derives each host group's
+# verdict from the spec arithmetic (host index = mix(d,21) % 20):
+#   H2 "meta contains article" ⟺ og:type meta present (d % 7 != 0) OR
+#   the article:published_time date variant (d % 15 == 1) — the only
+#   two <meta> tags whose markup contains the string 'article'.
+
+_SITE_SITELIST = """{"base_urls": [
+  {"url": "https://h3.news-example.org",
+   "pass_heuristics_condition": "meta_contains_article_keyword",
+   "overwrite_heuristics": {"og_type": false, "linked_headlines": false,
+                            "self_linked_headlines": false}},
+  {"url": "https://h7.news-example.org",
+   "pass_heuristics_condition": "meta_contains_article_keyword",
+   "overwrite_heuristics": {"og_type": false, "linked_headlines": false,
+                            "self_linked_headlines": false}},
+  {"url": "https://h5.news-example.org",
+   "overwrite_heuristics": {"linked_headlines": "<=0.4",
+                            "self_linked_headlines": "<=0.4"}}
+]}"""
+
+_SITE_GATE_SQL = f"""
+WITH ids AS (SELECT unnest(range(0, (SELECT count(*) FROM documents))) AS d),
+hx AS (SELECT d, {_mix('d', '21')} % 20 AS hn FROM ids)
+SELECT 'doc' || CAST(d AS VARCHAR) AS doc_id,
+  CASE
+    WHEN hn IN (3, 7) THEN ((d % 7) <> 0) OR ((d % 15) = 1)
+    WHEN hn = 5 THEN ((d % 7) <> 0) AND (
+      ((3 + d % 7) < 5)
+      OR (5 * ({_mix('d', '28')} % (3 + d % 7)) <= 2 * (3 + d % 7))
+    )
+    ELSE ((d % 7) <> 0) AND (
+      ((3 + d % 7) < 5)
+      OR (20 * ({_mix('d', '28')} % (3 + d % 7)) <= 13 * (3 + d % 7))
+    )
+  END AS is_article
+FROM hx
+"""
+
+
+@register("site_gate", _SITE_GATE_SQL)
+def site_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 with the per-site config layer: sitelist overrides compiled
+    into one chained-CASE Column over native heuristics (reference
+    sitelist.hjson + heuristics_manager merge)."""
+    from news_please_spark.siteconfig import SiteConfigs
+    from news_please_spark.synth import DocWorld
+
+    cfg = SiteConfigs.from_sitelist(_SITE_SITELIST)
+    n_docs = load(spark, sf_dir, "documents").count()
+    fetched = DocWorld(n_docs).responses_df(spark)
+    return fetched.select(
+        "doc_id",
+        cfg.gate_column(F.col("html"), F.col("url")).alias("is_article"),
+    )
