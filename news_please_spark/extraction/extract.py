@@ -34,27 +34,32 @@ from news_please_spark.schemas import CANDIDATE
 # ---------------------------------------------------------------------------
 # python-side scalar extractors (compiled once per worker)
 
+# Tag names match case-insensitively throughout (re.I): the reference
+# parses with bs4/lxml, which lowercases tag and attribute names, so
+# <TITLE>/<P>/<ARTICLE> work on real pages. Attribute VALUES keep their
+# case (the attr-dict lowercases keys only).
 _RE = {
-    "title_tag": re.compile(r"<title[^>]*>(.*?)</title>", re.S),
-    "h1": re.compile(r"<h1[^>]*>(.*?)</h1>", re.S),
+    "title_tag": re.compile(r"<title[^>]*>(.*?)</title>", re.S | re.I),
+    "h1": re.compile(r"<h1[^>]*>(.*?)</h1>", re.S | re.I),
     "img_tag": re.compile(r"<img\b[^>]*>", re.I),
-    "article": re.compile(r"<article[^>]*>(.*?)</article>", re.S),
-    "p": re.compile(r"<p[^>]*>(.*?)</p>", re.S),
+    "article": re.compile(r"<article[^>]*>(.*?)</article>", re.S | re.I),
+    "p": re.compile(r"<p[^>]*>(.*?)</p>", re.S | re.I),
     # E2 block scoring (readability-style; reference readability_extractor.py:18-38)
-    "block": re.compile(r"<(article|main|section|div)\b[^>]*>(.*?)</\1>", re.S),
-    "a_inner": re.compile(r"<a\b[^>]*>(.*?)</a>", re.S),
-    # E3 date cascade (reference date_extractor.py:30-58)
+    "block": re.compile(r"<(article|main|section|div)\b[^>]*>(.*?)</\1>", re.S | re.I),
+    "a_inner": re.compile(r"<a\b[^>]*>(.*?)</a>", re.S | re.I),
+    # E3 date cascade (reference date_extractor.py:30-58); the ld+json
+    # mime value is case-insensitive per RFC 2045
     "jsonld_block": re.compile(
         r'<script[^>]*type=["\']?application/ld\+json["\']?[^>]*>(.*?)</script>',
-        re.S,
+        re.S | re.I,
     ),
     "jsonld_pub": re.compile(r'"datePublished"\s*:\s*"([^"]+)"'),
     "jsonld_created": re.compile(r'"dateCreated"\s*:\s*"([^"]+)"'),
     "meta_tag": re.compile(r"<meta\b[^>]*>", re.I),
     "html_tag": re.compile(r"<html\b[^>]*>", re.I),
-    "time_el": re.compile(r"<time\b([^>]*)>(.*?)</time>", re.S),
+    "time_el": re.compile(r"<time\b([^>]*)>(.*?)</time>", re.S | re.I),
     # generic inline element with attrs + inner (itemprop / date-class scan)
-    "el_generic": re.compile(r"<(span|p|div)\b([^>]*)>(.*?)</\1>", re.S),
+    "el_generic": re.compile(r"<(span|p|div)\b([^>]*)>(.*?)</\1>", re.S | re.I),
     "url_date": re.compile(r"/(\d{4})/(\d{2})/(\d{2})/"),
 }
 

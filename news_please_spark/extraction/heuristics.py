@@ -17,8 +17,11 @@ from pyspark.sql import functions as F
 
 from news_please_spark.functions.urls import canonical_host, url_host
 
-_H_ALL = r"<h[1-6][^>]*>"
-_H_LINKED = r"<h[1-6][^>]*>\s*<a\s"
+# Tag and attribute NAMES match case-insensitively ((?i:…) scopes) —
+# the reference goes through lxml, which lowercases both before its
+# case-sensitive value regexes run. Values stay case-sensitive.
+_H_ALL = r"(?i)<h[1-6][^>]*>"
+_H_LINKED = r"(?i)<h[1-6][^>]*>\s*<a\s"
 
 
 def og_type(html: Column) -> Column:
@@ -28,15 +31,17 @@ def og_type(html: Column) -> Column:
     optional quotes are covered, with a delimiter class after each value
     so og:typefoo / articlefoo can't false-positive."""
     return html.rlike(
-        r'<meta[^>]*property=["\']?og:type["\'\s][^>]*content=["\']?article(["\'\s/>]|$)'
+        r'(?i:<meta)[^>]*(?i:property)=["\']?og:type["\'\s][^>]*(?i:content)=["\']?article(["\'\s/>]|$)'
     ) | html.rlike(
-        r'<meta[^>]*content=["\']?article["\'\s][^>]*property=["\']?og:type(["\'\s/>]|$)'
+        r'(?i:<meta)[^>]*(?i:content)=["\']?article["\'\s][^>]*(?i:property)=["\']?og:type(["\'\s/>]|$)'
     )
 
 
 def meta_contains_article_keyword(html: Column) -> Column:
-    """H2: any meta attribute mentions 'article' (heuristics.py:45-61)."""
-    return html.rlike(r"<meta[^>]*article")
+    """H2: any meta attribute mentions 'article' (heuristics.py:45-61;
+    the keyword itself is a value — case-sensitive like the
+    reference's)."""
+    return html.rlike(r"(?i:<meta)[^>]*article")
 
 
 def headline_counts(html: Column) -> tuple[Column, Column]:
@@ -61,8 +66,11 @@ def self_linked_headlines_ratio(html: Column, url: Column, min_headlines: int = 
     self_linked = F.regexp_count(
         html,
         F.concat(
-            # href value may be double-/single-/un-quoted (bs4 parity)
-            F.lit(r"<h[1-6][^>]*>\s*<a\s[^>]*href=[\"']?[a-z]+://(www\.)?"),
+            # href value may be double-/single-/un-quoted (bs4 parity);
+            # (?i) also covers scheme + host case (both are
+            # case-insensitive per RFC 3986, and canonical_host is
+            # already lowercased)
+            F.lit(r"(?i)<h[1-6][^>]*>\s*<a\s[^>]*href=[\"']?[a-z]+://(www\.)?"),
             canonical_host(url),
         ),
     )
@@ -75,7 +83,7 @@ def main_content_linked_headlines_ratio(html: Column, min_headlines: int = 5) ->
     """H7: the H3 ratio computed over the main content block only
     (reference heuristics.py:144-167 runs it on the newspaper-extracted
     body; here the <article> element stands in for the extracted body)."""
-    body = F.regexp_extract(html, r"(?s)<article[^>]*>(.*?)</article>", 1)
+    body = F.regexp_extract(html, r"(?si)<article[^>]*>(.*?)</article>", 1)
     all_h = F.regexp_count(body, F.lit(_H_ALL))
     linked = F.regexp_count(body, F.lit(_H_LINKED))
     return F.when(all_h < min_headlines, F.lit(0.0)).otherwise(

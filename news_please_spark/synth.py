@@ -53,6 +53,9 @@ import re as _re
 
 _UNQUOTABLE = _re.compile(r"[\s\"'`=<>]")
 
+# open/close tag names (anchored at '<' / '</') for the markup-case axis
+_TAG_NAME_RE = _re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)")
+
 
 def _attr_str(k: str, v: str, style: int) -> str:
     if style == 2 and v and not _UNQUOTABLE.search(v):
@@ -334,10 +337,19 @@ class DocWorld:
         for p in s.paragraphs:
             body.append(f"<p>{p}</p>")
         body.append("</article>")
-        return (
+        doc = (
             f"{_render_tag(d, 1, 'html', html_attrs)}<head>{''.join(head)}</head>"
             f"<body>{''.join(body)}</body></html>"
         )
+        if mix(d, 61) % 5 == 0:
+            # markup-case axis: every fifth doc UPPERCASES its tag names
+            # (values and text untouched) — real pages mix <META>/<TITLE>
+            # shapes, and the reference's lxml lowercases them before any
+            # extractor runs. Safe textual transform: '<' never occurs in
+            # DocWorld attr values or text, so the pattern only ever hits
+            # real open/close tags.
+            doc = _TAG_NAME_RE.sub(lambda m: "<" + m.group(1) + m.group(2).upper(), doc)
+        return doc
 
     # ---- spark generation ----------------------------------------------
     def responses_df(self, spark: SparkSession, num_partitions: int | None = None) -> DataFrame:
