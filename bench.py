@@ -41,6 +41,8 @@ HEADLINE = [
     "doc_quality",
     "token_totals",
     "lang_id",
+    "mixture_sample",
+    "quality_topfrac",
     "ann_cosine_topk",
     "extract_articles",
     "sitemap_expand",

@@ -420,6 +420,79 @@ def bpe_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# data-mixture weights for the mixture_sample entry: src{i} keeps
+# (i % 10 + 1)/10 of its rows — every rate in (0, 1] exercised.  The
+# hex thresholds are computed ONCE here and embedded verbatim in both
+# the Spark plan and the DuckDB oracle, so the two engines compare the
+# same md5 prefix against the same string.
+def _mixture_rates() -> dict[str, float]:
+    return {f"src{i}": (i % 10 + 1) / 10 for i in range(20)}
+
+
+def _mixture_values_sql() -> str:
+    from news_please_spark.operators.sampling import rate_to_hex8
+
+    return ", ".join(
+        f"('{s}', '{rate_to_hex8(r)}')" for s, r in sorted(_mixture_rates().items())
+    )
+
+
+@register(
+    "mixture_sample",
+    r"""
+    WITH rates(source, thr) AS (VALUES __MIXTURE_VALUES__)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < r.thr
+    """,
+)
+def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture subsampling: per-source keep-rates
+    decided by a content hash of doc_id (operators/sampling.py) — the
+    auditable alternative to rand()-based sampling."""
+    from news_please_spark.operators.sampling import mixture_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_sample(docs, _mixture_rates()).select("doc_id", "source")
+
+
+ORACLES["mixture_sample"] = ORACLES["mixture_sample"].replace(
+    "__MIXTURE_VALUES__", _mixture_values_sql()
+)
+
+
+@register(
+    "quality_topfrac",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(floor(10000.0 * length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text)) AS BIGINT) AS alpha_q
+      FROM documents
+    )
+    SELECT doc_id, source, alpha_q
+    FROM t
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY alpha_q DESC, doc_id)
+            <= CAST(floor((count(*) OVER (PARTITION BY source) * 30 + 99) / 100) AS BIGINT)
+    """,
+)
+def quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality filter: exactly the best ⌈30%⌉ of each
+    source's documents by alphabetic-ratio score.  The naive plan (the
+    oracle's QUALIFY) is a per-source global window — a skew bomb at
+    one-big-domain corpora; operators/sampling.topfrac_per_group
+    computes the identical set via the (source, score)-histogram
+    threshold, so no task ever sees more than one score cell."""
+    from news_please_spark.functions.text import quality_struct
+    from news_please_spark.operators.sampling import topfrac_per_group
+
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_struct(F.col("text"))["alpha_q"].alias("alpha_q")
+    )
+    return topfrac_per_group(
+        t, group_col="source", score_col="alpha_q", frac_pct=30, id_col="doc_id"
+    ).select("doc_id", "source", "alpha_q")
+
+
 @register(
     "rolling_fingerprint",
     r"""
