@@ -9,7 +9,28 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_ENTITIES = [("&amp;", "&"), ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">")]
+# Entity catalog shared by the native chain and the fused-path Python
+# mirror (extract.py imports THIS list — one source of truth).  Ordered
+# so `&amp;` decodes LAST: bs4 (the reference's parser) decodes in a
+# single pass, so `&amp;lt;` means the literal text `&lt;`, not `<` —
+# replacing `&amp;` first would double-decode.  Covers the named +
+# numeric forms that dominate real pages (curly quotes, dashes,
+# ellipsis, nbsp) beyond the XML five.
+_ENTITIES = [
+    ("&quot;", '"'), ("&#34;", '"'),
+    ("&#39;", "'"), ("&#x27;", "'"), ("&apos;", "'"),
+    ("&nbsp;", " "), ("&#160;", " "),
+    ("&lt;", "<"), ("&#60;", "<"),
+    ("&gt;", ">"), ("&#62;", ">"),
+    ("&lsquo;", "‘"), ("&#8216;", "‘"),
+    ("&rsquo;", "’"), ("&#8217;", "’"), ("&#x2019;", "’"),
+    ("&ldquo;", "“"), ("&#8220;", "“"),
+    ("&rdquo;", "”"), ("&#8221;", "”"),
+    ("&ndash;", "–"), ("&#8211;", "–"),
+    ("&mdash;", "—"), ("&#8212;", "—"),
+    ("&hellip;", "…"), ("&#8230;", "…"),
+    ("&amp;", "&"), ("&#38;", "&"),
+]
 
 
 def ws_trim(c: Column) -> Column:

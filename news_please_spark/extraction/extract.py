@@ -27,6 +27,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from news_please_spark.extraction.cleaner import (
+    _ENTITIES as _PY_ENTITIES,
+)
 from news_please_spark.extraction.cleaner import clean_candidates, empty_to_null
 from news_please_spark.functions.urls import canonical_host, url_host
 from news_please_spark.schemas import CANDIDATE
@@ -664,7 +667,7 @@ _WS = re.compile(r"[ \t\x0b\r\f]+")
 _NL = re.compile(r" ?\n ?")
 _NLS = re.compile(r"\n{2,}")
 _TAG = re.compile(r"<[^>]+>")
-_PY_ENTITIES = [("&amp;", "&"), ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">")]
+# entity table shared with the native chain — imported at module top
 
 
 def _py_clean(s: str | None) -> str | None:

@@ -50,6 +50,18 @@ def _cap(expr: str) -> str:
     return f"upper(({expr})[1:1]) || ({expr})[2:]"
 
 
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+# entity-axis suffixes — imported from the spec so the two engines can
+# never drift (the SQL literal is generated from the Python constant)
+from news_please_spark.synth import DESC_SUFFIX, TITLE_SUFFIX  # noqa: E402
+
+_TITLE_SUFFIX_SQL = _sql_str(TITLE_SUFFIX)
+_DESC_SUFFIX_SQL = _sql_str(DESC_SUFFIX)
+
+
 # spec CTE chain: one row per synthetic document, mirroring
 # DocWorld.spec / expected_article / expected_spans (synth.py)
 _SPEC_CTES = f"""
@@ -67,7 +79,9 @@ s0 AS (
       + ({_mix('d', '22')} % 1500) * INTERVAL '1 day'
       + ({_mix('d', '23')} % 86400) * INTERVAL '1 second' AS dt,
     list_transform(range(0, 4 + d % 3), i -> {_word('100 + i')}) AS title_words,
-    array_to_string(list_transform(range(0, 8), i -> {_word('200 + i')}), ' ') AS description,
+    array_to_string(list_transform(range(0, 8), i -> {_word('200 + i')}), ' ')
+      || CASE WHEN {_mix('d', '62')} % 4 = 0 THEN {_DESC_SUFFIX_SQL} ELSE '' END
+      AS description,
     2 + {_mix('d', '25')} % 3 AS n_para
   FROM ids, w
 ),
@@ -76,7 +90,9 @@ s1 AS (
     CASE WHEN v_lang = 4 THEN
       CASE language WHEN 'de' THEN 'der' WHEN 'es' THEN 'el' ELSE 'the' END
     ELSE 'the' END AS filler,
-    array_to_string(list_transform(title_words, x -> {_cap('x')}), ' ') AS title,
+    array_to_string(list_transform(title_words, x -> {_cap('x')}), ' ')
+      || CASE WHEN {_mix('d', '62')} % 4 = 0 THEN {_TITLE_SUFFIX_SQL} ELSE '' END
+      AS title,
     array_to_string(title_words, '-') AS slug,
     array_to_string(
       list_transform(range(0, 1 + {_mix('d', '26')} % 3),

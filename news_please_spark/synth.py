@@ -86,6 +86,31 @@ def _words(d: int, salt: int, n: int) -> list[str]:
     return [WORDS[mix(d, salt * 100 + i) % len(WORDS)] for i in range(n)]
 
 
+# entity-axis suffixes (spec stores the DECODED form; html() encodes)
+TITLE_SUFFIX = " – Q&A"
+DESC_SUFFIX = " … “word” & more’s"
+
+# char → (named, numeric) entity forms; '&' FIRST so later replacements'
+# own ampersands are never re-encoded (single-pass, bs4-compatible)
+_ENC_PAIRS = [
+    ("&", ("&amp;", "&#38;")),
+    ("–", ("&ndash;", "&#8211;")),
+    ("…", ("&hellip;", "&#8230;")),
+    ("“", ("&ldquo;", "&#8220;")),
+    ("”", ("&rdquo;", "&#8221;")),
+    ("’", ("&rsquo;", "&#8217;")),
+]
+
+
+def _enc(text: str, d: int, salt: int) -> str:
+    """Entity-encode the special characters of the entity axis, choosing
+    named vs numeric form per (doc, site, char) deterministically."""
+    for i, (ch, forms) in enumerate(_ENC_PAIRS):
+        if ch in text:
+            text = text.replace(ch, forms[mix(d, 9500 + salt * 8 + i) % 2])
+    return text
+
+
 # locale-independent name tables (strftime %a/%b vary with locale)
 _WDAYS = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
 _MONS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
@@ -162,6 +187,14 @@ class DocWorld:
         title_words = _words(d, 1, 4 + d % 3)
         title = " ".join(w.capitalize() for w in title_words)
         description = " ".join(_words(d, 2, 8))
+        # entity axis: every fourth doc carries punctuation that real
+        # pages ship entity-encoded (en dash, ellipsis, curly quotes,
+        # ampersand); html() encodes these (named or numeric form per
+        # site, mix-chosen), the EXPECTED text stays decoded — so the
+        # golden + SQL oracles exercise the cleaner's entity catalog
+        if mix(d, 62) % 4 == 0:
+            title = title + TITLE_SUFFIX
+            description = description + DESC_SUFFIX
         n_para = 2 + mix(d, 25) % 3
         paragraphs = [
             " ".join([filler] + _words(d, 3 + i, 24 + mix(d, 30 + i) % 16))
@@ -260,9 +293,11 @@ class DocWorld:
             head.append(
                 meta(3, ("property", "og:locale"), ("content", f"{s.language}_XX"))
             )
-        head.append(f"<title>{s.title} - Example Site</title>")
-        head.append(meta(5, ("property", "og:title"), ("content", s.title)))
-        head.append(meta(6, ("name", "description"), ("content", s.description)))
+        head.append(f"<title>{_enc(s.title, d, 0)} - Example Site</title>")
+        head.append(meta(5, ("property", "og:title"), ("content", _enc(s.title, d, 1))))
+        head.append(
+            meta(6, ("name", "description"), ("content", _enc(s.description, d, 2)))
+        )
         if mix(d, 29) % 3 == 0:
             payload = ", ".join(f'{{"name": "{a}"}}' for a in s.authors)
             head.append(
@@ -323,7 +358,7 @@ class DocWorld:
         elif s.v_date == 14:
             # European dotted D.M.YYYY, date-only → expected midnight
             head.append(meta(11, ("name", "pubdate"), ("content", _dotted_date(s.date_publish))))
-        body: list[str] = [f"<h1>{s.title}</h1>", time_tag, date_span]
+        body: list[str] = [f"<h1>{_enc(s.title, d, 3)}</h1>", time_tag, date_span]
         for i in range(s.n_headlines):
             h = f"section {WORDS[mix(d, 40 + i) % 20]}"
             if i < s.n_linked:
