@@ -36,7 +36,7 @@ import os
 import shutil
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from news_please_spark.functions.urls import url_host, url_path
@@ -395,16 +395,22 @@ class FrontierEngine:
                     salt_on="url",
                     flag="_fetch",
                 )
-            ann = marked.localCheckpoint(eager=True)
+            # the row count AND byte estimate the sequencing guard needs
+            # ride the checkpoint job itself as an Observation — zero
+            # extra jobs, zero extra scans (a separate .first() job per
+            # wave was one of the four per-wave driver barriers)
+            _obs = Observation()
+            ann = marked.observe(
+                _obs,
+                F.count_if(F.col("_fetch")).alias("n"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_fetch"), F.length("url"))), F.lit(0)
+                ).alias("b"),
+            ).localCheckpoint(eager=True)
             _t_mark = _time.time()
             fetch_raw = ann.filter(F.col("_fetch")).drop("_fetch")
             deferred = ann.filter(~F.col("_fetch")).drop("_fetch")
-            # one job returns the row count AND the byte estimate the
-            # sequencing guard needs (same stage the bare count() ran)
-            _stats = fetch_raw.agg(
-                F.count("*").alias("n"),
-                F.coalesce(F.sum(F.length("url")), F.lit(0)).alias("b"),
-            ).first()
+            _stats = _obs.get
             n_fetched = int(_stats["n"])
             fetch_bytes = estimated_fetch_bytes(n_fetched, int(_stats["b"]))
             if n_fetched == 0:
