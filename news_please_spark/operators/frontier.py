@@ -528,9 +528,19 @@ class FrontierEngine:
                     blobs=blob_state,
                     distribute=cfg.bloom_distribute,
                 )
+            # the seen side is a union of localCheckpointed chunks, and a
+            # LogicalRDD leaf has NO usable size statistics — Catalyst
+            # estimates it at schema-default width and would happily
+            # BROADCAST a multi-million-row (at design scale, multi-TB)
+            # seen set, building the hash relation serially on the
+            # driver every wave (measured: random 40-170 s CPU-burn
+            # spikes; AQE cannot fix a leaf estimate because there is no
+            # shuffle stage to re-measure). Force the scale-safe
+            # shuffle-hash join: cand streams, each task builds only its
+            # own seen partition.
             _obs_new = Observation()
             new = (
-                cand.join(seen, "url", "left_anti")
+                cand.join(seen.hint("shuffle_hash"), "url", "left_anti")
                 .select("url", "host", "depth", "disc_key")
                 .observe(_obs_new, F.count(F.lit(1)).alias("n"))
                 .localCheckpoint(eager=True)
