@@ -55,6 +55,11 @@ BROADCAST_FETCH_LIMIT = 100_000  # rows; above this the driver-side broadcast
 # build (collect + hash-relation + serialize, ~3-5 s at 150k rows) becomes the
 # SERIAL floor of every wave — larger fetch sets use a shuffle-hash join
 # against src_url-co-partitioned edges instead (all phases parallel)
+BROADCAST_SEEN_URL_BYTES = 32 << 20  # raw URL bytes; below this the URL-seen
+# anti-join may broadcast the seen side (hash-relation overhead ≈ 3-4× raw
+# keeps the driver build well under the 64 MB broadcast budget) — above it
+# the engine forces shuffle_hash, never trusting Catalyst's schema-default
+# estimate of a checkpointed leaf
 SMALL_SEQ_LIMIT = 500_000  # below this a single-partition window beats two-phase
 SMALL_SEQ_BYTES = 64 << 20  # ... but only while the whole fetch set also fits
 # one task's sort buffer comfortably — fat rows (multi-KB URLs) must take the
@@ -350,11 +355,14 @@ class FrontierEngine:
         frontier = frontier.localCheckpoint(eager=True)
         _obs_seen = Observation()
         seen_chunks: list[DataFrame] = [
-            seen.observe(_obs_seen, F.count(F.lit(1)).alias("n")).localCheckpoint(
-                eager=True
-            )
+            seen.observe(
+                _obs_seen,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(F.length("url")), F.lit(0)).alias("b"),
+            ).localCheckpoint(eager=True)
         ]
         chunk_sizes: list[int] = [int(_obs_seen.get["n"])]
+        seen_url_bytes: int = int(_obs_seen.get["b"])
 
         # incremental bloom state: blobs are built once from the initial
         # seen set with a FIXED (m, k), then OR-merged with each wave's
@@ -535,17 +543,28 @@ class FrontierEngine:
             # seen set, building the hash relation serially on the
             # driver every wave (measured: random 40-170 s CPU-burn
             # spikes; AQE cannot fix a leaf estimate because there is no
-            # shuffle stage to re-measure). Force the scale-safe
-            # shuffle-hash join: cand streams, each task builds only its
-            # own seen partition.
+            # shuffle stage to re-measure). The engine carries the
+            # statistics Catalyst lacks (exact chunk row/byte counts via
+            # per-wave Observations) and routes the join itself: a
+            # genuinely small seen set broadcasts — the cheap and
+            # correct local plan — while anything larger takes the
+            # scale-safe shuffle-hash join (cand streams, each task
+            # builds only its own seen partition).
+            if seen_url_bytes > BROADCAST_SEEN_URL_BYTES:
+                seen = seen.hint("shuffle_hash")
             _obs_new = Observation()
             new = (
-                cand.join(seen.hint("shuffle_hash"), "url", "left_anti")
+                cand.join(seen, "url", "left_anti")
                 .select("url", "host", "depth", "disc_key")
-                .observe(_obs_new, F.count(F.lit(1)).alias("n"))
+                .observe(
+                    _obs_new,
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum(F.length("url")), F.lit(0)).alias("b"),
+                )
                 .localCheckpoint(eager=True)
             )
             n_new = int(_obs_new.get["n"])
+            seen_url_bytes += int(_obs_new.get["b"])
             if n_new > 0:
                 seen_chunks.append(new.select("url"))
                 chunk_sizes.append(n_new)
