@@ -386,6 +386,33 @@ class FrontierEngine:
 
         import time as _time
 
+        # AQE is valuable for ad-hoc queries, but inside the wave loop
+        # every join is already routed by engine-held statistics
+        # (broadcast/shuffle-hash by measured bytes) and every input is
+        # a checkpointed leaf AQE cannot re-measure — so adaptive
+        # re-planning contributes only extra query-stage barriers per
+        # wave (and was observed sporadically mis-planning long stages:
+        # 16-core crawls measured 88-125 s with AQE off vs 88-395 s
+        # with it on). Scope it off for the loop, restore after.
+        _aqe_key = "spark.sql.adaptive.enabled"
+        _aqe_prev = spark.conf.get(_aqe_key)
+        spark.conf.set(_aqe_key, "false")
+        try:
+            return self._run_waves(
+                spark, cfg, frontier, seen_chunks, chunk_sizes,
+                seen_url_bytes, blob_state, order_parts, metrics,
+                start_wave, seq_base, seen_df,
+            )
+        finally:
+            spark.conf.set(_aqe_key, _aqe_prev)
+
+    def _run_waves(
+        self, spark, cfg, frontier, seen_chunks, chunk_sizes,
+        seen_url_bytes, blob_state, order_parts, metrics,
+        start_wave, seq_base, seen_df,
+    ) -> "CrawlResult":
+        import time as _time
+
         wave = start_wave
         while wave < cfg.max_waves:
             _t0 = _time.time()
@@ -579,6 +606,11 @@ class FrontierEngine:
                 seen_chunks[-2:] = [folded]
                 chunk_sizes[-2:] = [chunk_sizes[-2] + chunk_sizes[-1]]
             if cfg.use_bloom:
+                from news_please_spark.operators.urlseen import (
+                    build_bloom_blobs,
+                    merge_bloom_blobs,
+                )
+
                 delta = build_bloom_blobs(
                     new.select("url"), cfg.seen_buckets, capacity=cfg.bloom_capacity
                 )
