@@ -35,7 +35,14 @@ def _crawl_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full frontier engine (politeness buckets, robots gate, URL-seen)
     on a synthetic world sized from the documents table. Non-SQL (an
     iterative stateful job) → rows-only driver check; exact oracle
-    equality is enforced by tests/test_frontier.py."""
+    equality is enforced by tests/test_frontier.py.
+
+    The crawl ORDER rides with the engine's per-wave metrics contract
+    (wave, fetched, new_urls, seq_path, …) joined on wave, so this
+    entry also exercises the metrics the 100-TB operator would monitor
+    (the reference's crawler log lines, as a queryable DataFrame)."""
+    from pyspark.sql import functions as F
+
     from news_please_spark.operators.frontier import FrontierConfig, FrontierEngine
     from news_please_spark.world import World
 
@@ -47,7 +54,11 @@ def _crawl_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         robots=world.robots_df(spark),
         cfg=FrontierConfig(budget_per_host=16, max_depth=3),
     )
-    return engine.run(world.seed_urls()).order
+    res = engine.run(world.seed_urls())
+    metrics = res.metrics_df(spark).select(
+        "wave", "fetched", "new_urls", "seen_chunks", "seq_path"
+    )
+    return res.order.join(F.broadcast(metrics), "wave")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -76,7 +76,7 @@ CRAWL_BUDGET = 32
 
 def run_crawl(
     spark, n_pages: int, max_waves: int, use_bloom: bool = False,
-    bloom_distribute: str = "broadcast",
+    bloom_distribute: str = "broadcast", politeness_impl: str = "window",
 ) -> tuple[float, int]:
     """Frontier throughput: budgeted waves over a spark.range-generated
     webgraph, starting from a pre-loaded large frontier (measuring the
@@ -97,6 +97,7 @@ def run_crawl(
             salt_buckets=16,
             use_bloom=use_bloom,
             bloom_distribute=bloom_distribute,
+            politeness_impl=politeness_impl,
         ),
     )
     # one-time table prep (co-partitioned robots-filtered edge cache —
@@ -107,7 +108,8 @@ def run_crawl(
     # force the order output too
     res.order.write.mode("overwrite").format("noop").save()
     dt = time.time() - t0
-    engine._expansion_edges().unpersist()
+    res.release()
+    engine.close()
     return dt, res.fetched
 
 
@@ -242,7 +244,8 @@ def run_pipeline(spark, n_pages: int, max_waves: int) -> tuple[float, int]:
     )
     articles.write.mode("overwrite").format("noop").save()
     t2 = time.time()
-    engine._expansion_edges().unpersist()
+    res.release()
+    engine.close()
     return t2 - t0, res.fetched, round(t1 - t0, 2), round(t2 - t1, 2)
 
 
@@ -449,11 +452,33 @@ def bloom_ab() -> None:
     print(json.dumps(out))
 
 
+def politeness_ab() -> None:
+    """A/B the two politeness implementations on the headline crawl:
+    'window' (salted two-phase row_number) vs 'threshold' (k-th-smallest
+    aggregate + explicitly-broadcast threshold join — the no-sort path
+    for extreme per-host skew). Both are bit-exact vs the oracle."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from news_please_spark.session import get_spark
+
+    spark = get_spark("politeness_ab", cpus=CPUS, shuffle_partitions=CPUS)
+    out = {}
+    for impl in ("window", "threshold"):
+        sec, urls = run_crawl(
+            spark, CRAWL_PAGES, CRAWL_WAVES, politeness_impl=impl
+        )
+        out[impl] = {"sec": round(sec, 2), "urls": urls,
+                     "urls_per_sec": round(urls / sec, 1)}
+        print(json.dumps({impl: out[impl]}), flush=True)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--scaling-child":
         scaling_child(int(sys.argv[2]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--bloom-ab":
         bloom_ab()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--politeness-ab":
+        politeness_ab()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         # optional pair override: python bench.py --scaling 4 16
         if len(sys.argv) > 3:

@@ -33,13 +33,13 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from news_please_spark.functions.urls import url_host, url_path
+from news_please_spark.operators.cacheutil import release_df
 from news_please_spark.operators.ordering import (
     mark_top_k_by_threshold,
     mark_top_k_per_key,
@@ -129,6 +129,42 @@ class CrawlResult:
     waves: int
     fetched: int
     metrics: list[dict] = field(default_factory=list)
+    # checkpoint leaves backing order/seen — released via release()
+    _caches: list[DataFrame] = field(default_factory=list)
+
+    def release(self) -> None:
+        """Free every checkpoint block backing `order`/`seen`. Call when
+        done consuming the result (or use the engine as a context
+        manager and call result.release() before exit); `order`/`seen`
+        are unusable afterwards. Without this the result's state lives
+        until driver GC — an accretion on long-lived sessions that run
+        many crawls."""
+        from news_please_spark.operators.cacheutil import release_df
+
+        for df in self._caches:
+            release_df(df)
+        self._caches.clear()
+
+    def metrics_df(self, spark: SparkSession) -> DataFrame:
+        """Per-wave engine metrics as a DataFrame — the metrics contract
+        (wave, fetched, new_urls, seq_path, …) in queryable form, the
+        library-mode analogue of the reference's crawler log lines."""
+        rows = [
+            (
+                int(m["wave"]),
+                int(m["fetched"]),
+                int(m["new_urls"]),
+                int(m["seen_chunks"]),
+                str(m["seq_path"]),
+                int(m["seq_next"]),
+            )
+            for m in self.metrics
+        ]
+        return spark.createDataFrame(
+            rows,
+            "wave int, fetched long, new_urls long, seen_chunks int, "
+            "seq_path string, seq_next long",
+        )
 
 
 def allowed_url(url_col) -> F.Column:
@@ -176,6 +212,7 @@ class FrontierEngine:
             webgraph if edges_partitioned_by_src else None
         )
         self._exp_edges: DataFrame | None = None
+        self._exp_owned = False  # True when _exp_edges is OUR persist()
         if robots is not None:
             # persist: rebuilt-per-wave robots aggregation was a serial
             # job in every wave's critical path
@@ -232,6 +269,7 @@ class FrontierEngine:
                 .drop("_dhost", "host", "prefixes")
             )
         self._exp_edges = filtered.persist()
+        self._exp_owned = True
         self._exp_edges.count()
         return self._exp_edges
 
@@ -240,35 +278,57 @@ class FrontierEngine:
         edges) outside the timed crawl loop — table prep, not crawling."""
         self._expansion_edges()
 
+    def close(self) -> None:
+        """Release the engine's long-lived caches (robots aggregate +
+        the robots-filtered co-partitioned edge cache). Call when the
+        engine is done — on a long-lived session the caches otherwise
+        accrete across engines. Caches the CALLER handed in
+        (edges_partitioned_by_src=True with no robots filtering) are
+        the caller's to release and are left alone. Idempotent; the
+        engine stays usable (both caches are plain persists over live
+        plans — a later run() transparently rebuilds them)."""
+        if self._exp_owned and self._exp_edges is not None:
+            release_df(self._exp_edges)
+            self._exp_edges = None
+            self._exp_owned = False
+        if self.robots_by_host is not None:
+            release_df(self.robots_by_host)
+
+    def __enter__(self) -> "FrontierEngine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     # -- state snapshots ------------------------------------------------
+    # Per-wave checkpoints are snapshots in a SnapshotCatalog (state.py):
+    # stage → atomic rename commit, with compare-and-swap on the wave id
+    # so two crawlers resuming the same state dir cannot both commit a
+    # wave — one gets CommitConflict (the Iceberg commit protocol the
+    # 100-TB deployment would run on the catalog's metadata pointer).
+    def _wave_catalog(self):
+        from news_please_spark.state import SnapshotCatalog
+
+        return SnapshotCatalog(self.cfg.state_dir, prefix="wave=", width=5)
+
     def _wave_dir(self, wave: int) -> str:
-        return os.path.join(self.cfg.state_dir, f"wave={wave:05d}")
+        return self._wave_catalog().snapshot_dir(wave)
 
     def _save_wave(self, wave, frontier, seen, order_wave, meta) -> None:
-        d = self._wave_dir(wave)
-        tmp = d + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        tx = self._wave_catalog().begin(expected=wave - 1)
         bucket = F.pmod(F.xxhash64("url"), F.lit(self.cfg.seen_buckets))
-        frontier.write.mode("overwrite").parquet(os.path.join(tmp, "frontier"))
+        frontier.write.mode("overwrite").parquet(tx.path("frontier"))
         seen.repartition(self.cfg.seen_buckets, bucket).write.mode(
             "overwrite"
-        ).parquet(os.path.join(tmp, "seen"))
-        order_wave.write.mode("overwrite").parquet(os.path.join(tmp, "order"))
-        with open(os.path.join(tmp, "meta.json"), "w") as f:
-            json.dump(meta, f)
-        os.rename(tmp, d)  # atomic-ish commit marker
+        ).parquet(tx.path("seen"))
+        order_wave.write.mode("overwrite").parquet(tx.path("order"))
+        tx.commit(meta)  # raises state.CommitConflict on a racing writer
 
     @staticmethod
     def latest_wave(state_dir: str) -> int | None:
-        if not os.path.isdir(state_dir):
-            return None
-        waves = [
-            int(n.split("=")[1])
-            for n in os.listdir(state_dir)
-            if n.startswith("wave=") and not n.endswith(".tmp")
-        ]
-        return max(waves) if waves else None
+        from news_please_spark.state import SnapshotCatalog
+
+        return SnapshotCatalog(state_dir, prefix="wave=", width=5).latest()
 
     # -- main loop --------------------------------------------------------
     def run(
@@ -281,16 +341,15 @@ class FrontierEngine:
         start_wave = 0
         seq_base = 0
         frontier = seen = None
+        _seed_caches: list[DataFrame] = []
         if resume and cfg.state_dir:
-            # a crash mid _save_wave leaves a wave=NNNNN.tmp directory;
-            # it must neither count as a wave (latest_wave skips it) nor
-            # contribute its partially-written seen delta — globbing
-            # wave=*/seen would silently mark the re-run wave's URLs as
-            # already seen. Enumerate complete wave dirs explicitly and
-            # clear stale tmp dirs.
-            for n in os.listdir(cfg.state_dir) if os.path.isdir(cfg.state_dir) else []:
-                if n.startswith("wave=") and n.endswith(".tmp"):
-                    shutil.rmtree(os.path.join(cfg.state_dir, n))
+            # a crash mid _save_wave leaves a wave=NNNNN.tmp* staging
+            # dir; it must neither count as a wave (the catalog's
+            # listing skips it) nor contribute its partially-written
+            # seen delta — globbing wave=*/seen would silently mark the
+            # re-run wave's URLs as already seen. Sweep stale staging,
+            # then enumerate committed waves only.
+            self._wave_catalog().sweep_staging()
             last = self.latest_wave(cfg.state_dir)
             if last is not None:
                 d = self._wave_dir(last)
@@ -323,7 +382,9 @@ class FrontierEngine:
                     .filter(~robots_blocked(url_path(F.col("url")), F.col("prefixes")))
                     .select("url")
                 )
-            seeds, n_seeds = with_global_seq(seeds, ["url"], 0, out="disc_key")
+            seeds, n_seeds = with_global_seq(
+                seeds, ["url"], 0, out="disc_key", caches=_seed_caches
+            )
             if n_seeds >= DISC_STRIDE:
                 raise ValueError(
                     f"{n_seeds} seeds ≥ DISC_STRIDE={DISC_STRIDE}: seed "
@@ -363,6 +424,11 @@ class FrontierEngine:
         ]
         chunk_sizes: list[int] = [int(_obs_seen.get["n"])]
         seen_url_bytes: int = int(_obs_seen.get["b"])
+        # frontier + seen chunk 0 are checkpointed above — the seed
+        # numbering's internal range-partitioned cache is now dead state
+        for c in _seed_caches:
+            release_df(c)
+        _seed_caches.clear()
 
         # incremental bloom state: blobs are built once from the initial
         # seen set with a FIXED (m, k), then OR-merged with each wave's
@@ -414,6 +480,25 @@ class FrontierEngine:
         import time as _time
 
         wave = start_wave
+        # superseded-state tracking: the previous wave's politeness
+        # checkpoint dies the moment the current one materializes (its
+        # only consumers — fetch/deferred/frontier/save — have all run);
+        # per-wave fetch checkpoints die at the next order-part
+        # compaction. Releasing them deterministically keeps storage at
+        # O(frontier + seen), not O(waves · frontier).
+        # the incoming frontier checkpoint's only consumer is wave 0's
+        # politeness checkpoint — chain it into the same release slot
+        prev_ann: DataFrame | None = frontier
+        order_leaves: list[DataFrame] = []
+        # chunk_backing[i]: the wave's `new` checkpoint whose blocks back
+        # seen_chunks[i] when the chunk is a projection over it (None for
+        # chunks that own their root: the initial chunk and fold
+        # products). A folded-away wave-delta chunk can't free its
+        # backing checkpoint immediately — the next frontier still
+        # shares it — so it retires one wave later, once the next
+        # politeness checkpoint has consumed that frontier.
+        chunk_backing: list[DataFrame | None] = [None] * len(seen_chunks)
+        retire_next: list[DataFrame] = []
         while wave < cfg.max_waves:
             _t0 = _time.time()
             # politeness: each host fetches at most B URLs per wave (O2).
@@ -453,6 +538,11 @@ class FrontierEngine:
                     F.sum(F.when(F.col("_fetch"), F.length("url"))), F.lit(0)
                 ).alias("b"),
             ).localCheckpoint(eager=True)
+            release_df(prev_ann)
+            prev_ann = ann
+            for df in retire_next:
+                release_df(df)
+            retire_next.clear()
             _t_mark = _time.time()
             fetch_raw = ann.filter(F.col("_fetch")).drop("_fetch")
             deferred = ann.filter(~F.col("_fetch")).drop("_fetch")
@@ -488,6 +578,7 @@ class FrontierEngine:
                 "url", "host", "depth", "seq", F.lit(wave).alias("wave")
             )
             order_parts.append(order_wave)
+            order_leaves.append(fetch)
 
             # expansion: fetch-set × edges (S9); broadcast the small side
             expandable = fetch.filter(F.col("depth") < cfg.max_depth).select(
@@ -595,9 +686,17 @@ class FrontierEngine:
             if n_new > 0:
                 seen_chunks.append(new.select("url"))
                 chunk_sizes.append(n_new)
+                chunk_backing.append(new)
+            else:
+                # nothing new: the checkpoint still backs this wave's
+                # frontier union, so it retires after the next
+                # politeness checkpoint like a folded delta (tail waves
+                # that only drain deferred URLs hit this every wave)
+                retire_next.append(new)
             # size-tiered merge: fold the tail while neighbors are within
             # 2× — the big old chunks are rewritten only O(log) times
             while len(seen_chunks) > 1 and chunk_sizes[-2] < 2 * chunk_sizes[-1]:
+                replaced = list(zip(seen_chunks[-2:], chunk_backing[-2:]))
                 folded = (
                     seen_chunks[-2]
                     .unionByName(seen_chunks[-1])
@@ -605,6 +704,20 @@ class FrontierEngine:
                 )
                 seen_chunks[-2:] = [folded]
                 chunk_sizes[-2:] = [chunk_sizes[-2] + chunk_sizes[-1]]
+                chunk_backing[-2:] = [None]
+                # the fold is eager, so the replaced chunks are dead AS
+                # SEEN STATE — release their blocks deterministically
+                # instead of waiting for driver GC + ContextCleaner (at
+                # design scale a fold transiently holding 2× the seen
+                # set is a spill). Owned roots (chunk 0, fold products)
+                # free now; a wave-delta chunk shares its `new`
+                # checkpoint with the live frontier, so its backing
+                # retires after the NEXT politeness checkpoint.
+                for c, b in replaced:
+                    if b is None:
+                        release_df(c)
+                    else:
+                        retire_next.append(b)
             if cfg.use_bloom:
                 from news_please_spark.operators.urlseen import (
                     build_bloom_blobs,
@@ -652,20 +765,38 @@ class FrontierEngine:
             # merge above
             if wave % cfg.checkpoint_every == 0:
                 if order_parts:
+                    old_parts = order_parts
                     merged = order_parts[0]
                     for part in order_parts[1:]:
                         merged = merged.unionByName(part)
                     order_parts = [merged.localCheckpoint(eager=True)]
+                    # the compacted checkpoint supersedes the per-wave
+                    # fetch checkpoints and any prior compaction root
+                    for df in order_leaves:
+                        release_df(df)
+                    order_leaves.clear()
+                    for df in old_parts:
+                        release_df(df)
 
+        # the last politeness checkpoint (and any still-pending retired
+        # wave checkpoint) has no consumers after the loop — every
+        # wave's fetch/deferred/save actions already ran
+        release_df(prev_ann)
+        for df in retire_next:
+            release_df(df)
         order = order_parts[0] if order_parts else self.spark.createDataFrame(
             [], "url string, host string, depth int, seq long, wave int"
         )
         for part in order_parts[1:]:
             order = order.unionByName(part)
+        result_caches = [
+            (c if b is None else b) for c, b in zip(seen_chunks, chunk_backing)
+        ] + order_leaves + order_parts
         return CrawlResult(
             order=order,
             seen=seen_df(),
             waves=wave - start_wave,
             fetched=seq_base,
             metrics=metrics,
+            _caches=result_caches,
         )

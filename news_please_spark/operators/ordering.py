@@ -25,6 +25,7 @@ def with_global_seq(
     out: str = "seq",
     num_partitions: int | None = None,
     materialize: bool = False,
+    caches: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, int]:
     """Attach a dense global sequence number by `order_cols`.
 
@@ -33,6 +34,15 @@ def with_global_seq(
     result is localCheckpoint'ed and the internal cache released —
     callers in iterative loops should use this or the per-iteration
     caches pile up in storage memory.
+
+    With materialize=False the internal range-partitioned cache MUST
+    stay alive while the result is consumed (repartitionByRange samples
+    its boundaries — a recompute would renumber rows), so it cannot be
+    released here. Pass `caches`: the persisted intermediate is
+    appended to it, and the caller releases it (cacheutil.release_df)
+    once the result has been materialized downstream. Without `caches`
+    the intermediate lives until context cleanup — fine for one-shot
+    jobs, a storage leak in loops.
     """
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
@@ -40,6 +50,8 @@ def with_global_seq(
         "_pid", F.spark_partition_id()
     )
     d = d.persist()
+    if not materialize and caches is not None:
+        caches.append(d)
     counts = dict(
         d.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
     )
@@ -71,6 +83,7 @@ def mark_top_k_by_threshold(
     k: int,
     salt_buckets: int = 16,
     flag: str = "_topk",
+    broadcast_threshold: bool = True,
 ) -> DataFrame:
     """Skew-safe top-k marking WITHOUT sorting the input: requires
     `order_col` values to be unique within each key (true for the
@@ -78,10 +91,20 @@ def mark_top_k_by_threshold(
 
     Two-level aggregation computes each key's k-th smallest order value
     (map-side combinable; the salt bounds any single buffer at
-    ~|group|/salt_buckets), then one join marks rows ≤ threshold. This
-    replaces two full window sorts of the frontier with one tiny
-    aggregate + a broadcastable threshold join — the difference between
+    ~|group|/salt_buckets), then one join marks rows ≤ threshold.
+    This replaces two full window sorts of the frontier with one tiny
+    aggregate + a broadcast threshold join — the difference between
     O(frontier·log) per wave and O(frontier).
+
+    The threshold side is ≤ one fixed-width row per key, so it is
+    broadcast EXPLICITLY (default): the frontier engine runs this
+    inside its AQE-off wave loop, where Catalyst's static estimate of a
+    two-level aggregate is schema-default garbage and would otherwise
+    plan a sort-merge join that re-sorts the whole frontier — the exact
+    cost this variant exists to avoid. Pass broadcast_threshold=False
+    only when the key cardinality itself is broadcast-hostile (≳10^8
+    distinct keys); the join then shuffles both sides hash-partitioned
+    on `key`, still never sorting the full input.
     """
     salted = df.groupBy(
         key, F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets)).alias("_s")
@@ -94,8 +117,9 @@ def mark_top_k_by_threshold(
             F.element_at("_all", F.least(F.lit(k), F.size("_all"))).alias("_thr"),
         )
     )
+    thr = F.broadcast(thr) if broadcast_threshold else thr.hint("shuffle_hash")
     return (
-        df.join(thr, key)  # AQE picks broadcast when the threshold side is small
+        df.join(thr, key)
         .withColumn(flag, F.col(order_col) <= F.col("_thr"))
         .drop("_thr")
     )

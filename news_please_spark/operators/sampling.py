@@ -14,12 +14,11 @@ its output tables:
   (per-domain quality filtering).  The naive plan is a row_number()
   window partitioned by group, which funnels every row of a group
   through ONE task — a skew bomb when one domain holds 10^9 documents.
-  This implementation aggregates to the (group, score) histogram first
-  (bounded cardinality: quality scores are quantized), computes the
-  per-group admission threshold on the histogram, and only runs a
-  row_number over the single boundary (group, score) cell.  Result is
-  bit-identical to the naive window (ties broken by id ascending) while
-  every shuffle stage stays bounded.
+  This implementation aggregates to the (group, score) histogram first,
+  computes the per-group admission threshold on the histogram, and
+  ranks rows ONLY inside the one boundary (group, score) cell per
+  group.  Result is bit-identical to the naive window (ties broken by
+  id ascending) while every per-row stage stays bounded.
 
 Both are pure Column/DataFrame compositions — no UDFs.
 """
@@ -34,11 +33,18 @@ from pyspark.sql import functions as F
 
 
 def rate_to_hex8(rate: float) -> str:
-    """Map a keep-rate in [0, 1] to the 8-hex-digit threshold string
-    such that `md5(id)[:8] < threshold` keeps ~rate of uniformly-hashed
-    ids.  Lowercase-hex string comparison is monotonic with the value,
-    so the comparison itself needs no hex→int conversion — portable to
-    any engine that has md5 and string `<`."""
+    """Map a keep-rate in [0, 1] to the threshold string such that
+    `md5(id)[:8] < threshold` keeps ~rate of uniformly-hashed ids.
+    Lowercase-hex string comparison is monotonic with the value, so the
+    comparison itself needs no hex→int conversion — portable to any
+    engine that has md5 and string `<`.
+
+    rate >= 1.0 returns "g": lexicographically above every 8-hex-digit
+    lowercase string, so `<` admits ALL rows — including the p=2^-32
+    id whose md5 prefix is exactly "ffffffff", which a clamped
+    "ffffffff" threshold with strict `<` would wrongly drop."""
+    if rate >= 1.0:
+        return "g"
     n = min(max(int(round(rate * (1 << 32))), 0), (1 << 32) - 1)
     return format(n, "08x")
 
@@ -57,9 +63,10 @@ def mixture_sample(
 ) -> DataFrame:
     """Keep each row iff md5-hash-fraction(id) < rates[source].
 
-    Sources absent from `rates` are dropped (rate 0).  The rates dim is
-    tiny → broadcast hash join; the fact table never shuffles, the
-    filter is map-side, and the decision depends only on (id, rate):
+    Sources absent from `rates` are dropped (rate 0); rate 1.0 keeps
+    every row of its source (see rate_to_hex8).  The rates dim is tiny
+    → broadcast hash join; the fact table never shuffles, the filter is
+    map-side, and the decision depends only on (id, rate):
     deterministic across runs, partitionings, and engines."""
     spark = df.sparkSession
     dim = spark.createDataFrame(
@@ -85,50 +92,69 @@ def topfrac_per_group(
     id_col: str,
 ) -> DataFrame:
     """Exactly ⌈frac_pct% · n_g⌉ best rows per group, ordered by
-    (score DESC, id ASC) — equal to
+    (score DESC NULLS LAST, id ASC) — equal to
     `row_number() OVER (PARTITION BY g ORDER BY s DESC, id) <= k_g`
-    but computed skew-safely:
+    (NULL scores and NULL groups included, matching the window's
+    null-safe grouping) but computed skew-safely:
 
-      1. histogram = groupBy(group, score).count()        (bounded)
+      1. histogram = groupBy(group, score).count()
       2. running count of strictly-better rows per group   (tiny window
-         over the histogram, not the data)
+         over the histogram COUNTS, not the data rows)
       3. every row whose score cell fits entirely under k_g passes with
-         no per-row ranking at all; only the ONE boundary cell per
-         group ranks its rows by id to take the remainder.
+         NO per-row ranking; rows of cells entirely at/over k_g are cut
+         by the histogram join; only the ONE boundary cell per group
+         (_above < k_g < _above + _cnt) ranks its rows by id.
+
+    Skew contract: the per-ROW work is bounded by the largest single
+    (group, score) cell that straddles a group's admission boundary —
+    with quantized scores (recommended: quality scores at 10^3–10^4
+    distinct values) that is ~n_g/cells; with continuous scores every
+    cell has ~1 row and the ranking window is trivially bounded too.
+    What continuous scores DO degrade is step 2: the histogram collapses
+    toward one row per data row, so its per-group running sum approaches
+    the naive window's shape (on 3 thin columns, not full rows).  Keep
+    scores quantized when groups can be huge.
 
     frac_pct is an integer percentage so k_g = ⌈n_g·frac_pct/100⌉ is
     exact integer arithmetic — no float boundary flicker between
     engines."""
-    g, s = F.col(group_col), F.col(score_col)
     hist = df.groupBy(group_col, score_col).agg(F.count(F.lit(1)).alias("_cnt"))
     w = (
         Window.partitionBy(group_col)
-        .orderBy(F.col(score_col).desc())
+        .orderBy(F.col(score_col).desc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     wk = Window.partitionBy(group_col)
     hist = hist.select(
-        g,
-        s,
+        F.col(group_col).alias("_g"),
+        F.col(score_col).alias("_s"),
+        F.col("_cnt"),
         F.coalesce(F.sum("_cnt").over(w), F.lit(0)).alias("_above"),
         # k = ceil(n * frac_pct / 100), integer-exact
         ((F.sum("_cnt").over(wk) * frac_pct + 99) / 100)
         .cast("long")
         .alias("_k"),
+    ).filter(F.col("_above") < F.col("_k"))
+    # Null-safe equi-join (a plain equi-join would silently drop
+    # NULL-score/NULL-group rows that the naive window ranks — e.g. a
+    # ratio score over empty text is NULL in Spark). eqNullSafe keeps
+    # the join a hash join: <=> is still an equality predicate.
+    joined = df.join(
+        hist,
+        F.col(group_col).eqNullSafe(F.col("_g"))
+        & F.col(score_col).eqNullSafe(F.col("_s")),
     )
-    # Per-row admission: a row passes iff (strictly-better rows) +
-    # (its rank among equal-score rows, by id) fits under k.  The only
-    # row_number runs inside one (group, score) CELL — bounded by the
-    # score quantization — never over a whole group.  Cells that are
-    # fully out were already cut by the _above < _k semi-condition.
-    joined = df.join(hist, [group_col, score_col]).filter(
-        F.col("_above") < F.col("_k")
-    )
+    # Cells that fit entirely under k pass with no ranking at all — the
+    # short-circuit that keeps a heavily-tied admitted cell (one domain,
+    # one quantized score for millions of docs) out of any window task.
+    full_cells = joined.filter(F.col("_above") + F.col("_cnt") <= F.col("_k"))
+    boundary = joined.filter(F.col("_above") + F.col("_cnt") > F.col("_k"))
     rn = F.row_number().over(
-        Window.partitionBy(group_col, score_col).orderBy(F.col(id_col).asc())
+        Window.partitionBy("_g", "_s").orderBy(F.col(id_col).asc())
     )
-    return (
-        joined.withColumn("_adm", F.col("_above") + rn <= F.col("_k"))
-        .filter(F.col("_adm"))
-        .select(*df.columns)
+    boundary_adm = boundary.withColumn("_rn", rn).filter(
+        F.col("_above") + F.col("_rn") <= F.col("_k")
+    )
+    return full_cells.select(*df.columns).unionByName(
+        boundary_adm.select(*df.columns)
     )

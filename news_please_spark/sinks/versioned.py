@@ -12,20 +12,24 @@ Semantics per incoming batch, keyed on canonical url:
     tie-break deterministic) wins; earlier ones are archived immediately
     with the right version chain.
 
-Storage: parquet snapshot directories with an atomic rename commit —
-the same current/archive two-table layout an Iceberg catalog would hold
-(then `merge()` becomes a single MERGE INTO + INSERT). Partition layout:
-hash-bucketed by url so the merge join co-partitions at scale.
+Storage: snapshots in a SnapshotCatalog (state.py) — each committed
+snapshot dir holds BOTH tables (current/ + archive/), published by one
+atomic rename with compare-and-swap on the snapshot id, so two writers
+merging concurrently cannot both win: the loser's merge() raises
+state.CommitConflict and retries on top of the winner's snapshot. This
+is the same current/archive two-table layout an Iceberg catalog would
+hold (then `merge()` becomes a single MERGE INTO + INSERT). Partition
+layout: hash-bucketed by url so the merge join co-partitions at scale.
 """
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from news_please_spark.state import SnapshotCatalog
 
 
 class VersionedArticleStore:
@@ -33,44 +37,38 @@ class VersionedArticleStore:
         self.spark = spark
         self.path = path
         self.buckets = buckets
-        os.makedirs(path, exist_ok=True)
+        self.catalog = SnapshotCatalog(path)
 
     # -- snapshot plumbing -------------------------------------------------
-    def _meta_path(self) -> str:
-        return os.path.join(self.path, "meta.json")
-
     def snapshot_id(self) -> int:
-        try:
-            with open(self._meta_path()) as f:
-                return json.load(f)["snapshot"]
-        except FileNotFoundError:
-            return -1
+        latest = self.catalog.latest()
+        return -1 if latest is None else latest
 
     def _table(self, name: str, snap: int) -> str:
-        return os.path.join(self.path, name, f"snap={snap:06d}")
+        return os.path.join(self.catalog.snapshot_dir(snap), name)
 
-    def current(self) -> DataFrame | None:
-        snap = self.snapshot_id()
+    def current(self, snap: int | None = None) -> DataFrame | None:
+        snap = self.snapshot_id() if snap is None else snap
         if snap < 0:
             return None
         return self.spark.read.parquet(self._table("current", snap))
 
-    def archive(self) -> DataFrame | None:
-        snap = self.snapshot_id()
+    def archive(self, snap: int | None = None) -> DataFrame | None:
+        snap = self.snapshot_id() if snap is None else snap
         if snap < 0:
             return None
         return self.spark.read.parquet(self._table("archive", snap))
 
     def _commit(self, current: DataFrame, archive: DataFrame, snap: int) -> None:
+        """Stage both tables, then CAS-commit snapshot `snap` (raises
+        state.CommitConflict if another writer committed it first)."""
+        tx = self.catalog.begin(expected=snap - 1)
         bucket = F.pmod(F.xxhash64("url"), F.lit(self.buckets))
         for name, df in (("current", current), ("archive", archive)):
-            tmp = self._table(name, snap) + ".tmp"
-            if os.path.exists(tmp):
-                shutil.rmtree(tmp)
-            df.repartition(self.buckets, bucket).write.mode("overwrite").parquet(tmp)
-            os.rename(tmp, self._table(name, snap))
-        with open(self._meta_path(), "w") as f:
-            json.dump({"snapshot": snap}, f)
+            df.repartition(self.buckets, bucket).write.mode("overwrite").parquet(
+                tx.path(name)
+            )
+        tx.commit({"snapshot": snap})
 
     # -- the merge -----------------------------------------------------------
     def merge(self, batch: DataFrame, order_col: str = "date_download") -> int:

@@ -1,0 +1,158 @@
+"""Snapshot catalog: atomic commits + optimistic concurrency for the
+engine's table state — the minimal transaction layer the parquet state
+directories were implicitly assuming, made explicit and shared.
+
+This is the Iceberg commit protocol in miniature (what `MERGE INTO` +
+snapshot isolation give you on a real catalog), implemented on nothing
+but POSIX rename semantics so it runs anywhere the checkpoints do:
+
+* a table directory holds immutable snapshot dirs `snap=NNNNNN/`
+  (arbitrary content: one or many parquet tables + a meta.json);
+* a snapshot EXISTS iff its directory exists — `os.rename(staging,
+  final)` is the commit, so readers never observe a half-written
+  snapshot (crash mid-write leaves only a `.tmp-*` staging dir,
+  ignored by listing and swept on open);
+* concurrency is compare-and-swap on the snapshot id: a transaction
+  opened at expected snapshot E commits to `snap=E+1`. POSIX
+  `rename(2)` onto an existing non-empty directory fails, so when two
+  writers race for E+1 exactly one rename succeeds — the loser gets
+  CommitConflict, re-reads, and retries on top of the winner (the
+  optimistic loop Iceberg's catalog swap runs on its metadata pointer).
+  Committed snapshot dirs are never empty (commit always writes a
+  meta.json), which is what makes the losing rename reliably fail.
+
+Used by BOTH stateful components: the versioned article store
+(sinks/versioned.py — current/archive tables per snapshot) and the
+crawl frontier's per-wave checkpoints (operators/frontier.py —
+frontier/seen/order per wave), so resume, lineage, and writer-conflict
+semantics are one audited code path, not two ad-hoc rename dances.
+
+At 100 TB the snapshots live in an Iceberg catalog and `commit()`
+becomes the metadata-pointer swap; the directory layout here mirrors
+that 1:1 (immutable data + a single mutable pointer, which in this
+implementation is "the largest committed id").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+
+class CommitConflict(Exception):
+    """Another writer committed the snapshot id this transaction was
+    based on — re-read the table state and retry."""
+
+
+class SnapshotCatalog:
+    """One table directory of immutable snapshots with CAS commits.
+
+    `prefix` names the snapshot dirs (`snap=` by default; the frontier
+    uses `wave=` to keep its on-disk layout and resume format stable).
+    """
+
+    def __init__(self, path: str, prefix: str = "snap=", width: int = 6):
+        self.path = path
+        self.prefix = prefix
+        self.width = width
+        os.makedirs(path, exist_ok=True)
+
+    # -- listing ----------------------------------------------------------
+    def _is_snapshot_dir(self, name: str) -> bool:
+        return (
+            name.startswith(self.prefix)
+            and ".tmp" not in name
+            and name[len(self.prefix):].isdigit()
+        )
+
+    def snapshot_dir(self, snap: int) -> str:
+        return os.path.join(self.path, f"{self.prefix}{snap:0{self.width}d}")
+
+    def snapshots(self) -> list[int]:
+        """Committed snapshot ids, ascending."""
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            int(n[len(self.prefix):])
+            for n in os.listdir(self.path)
+            if self._is_snapshot_dir(n)
+        )
+
+    def latest(self) -> int | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    def read_meta(self, snap: int) -> dict:
+        with open(os.path.join(self.snapshot_dir(snap), "meta.json")) as f:
+            return json.load(f)
+
+    def sweep_staging(self) -> int:
+        """Remove crash-orphaned staging dirs; returns how many."""
+        n = 0
+        for name in os.listdir(self.path) if os.path.isdir(self.path) else []:
+            if name.startswith(self.prefix) and ".tmp" in name:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+                n += 1
+        return n
+
+    # -- writing -----------------------------------------------------------
+    def begin(self, expected: int | None = None) -> "Transaction":
+        """Open a transaction on top of snapshot `expected` (defaults to
+        the current latest). Commit targets expected+1 and fails with
+        CommitConflict if any other writer gets there first."""
+        if expected is None:
+            latest = self.latest()
+            expected = -1 if latest is None else latest
+        return Transaction(self, expected)
+
+
+class Transaction:
+    def __init__(self, catalog: SnapshotCatalog, expected: int):
+        self.catalog = catalog
+        self.expected = expected
+        self.snapshot = expected + 1
+        self.staging_dir = (
+            catalog.snapshot_dir(self.snapshot) + f".tmp-{uuid.uuid4().hex[:12]}"
+        )
+        os.makedirs(self.staging_dir, exist_ok=True)
+        self._done = False
+
+    def path(self, name: str) -> str:
+        """Staging path for one table/artifact inside the snapshot."""
+        return os.path.join(self.staging_dir, name)
+
+    def write_table(self, name: str, df, repartition=None) -> None:
+        """Stage a DataFrame as parquet under `name` (optionally
+        repartitioned first — pass (num, *cols_or_exprs))."""
+        if repartition is not None:
+            df = df.repartition(*repartition)
+        df.write.mode("overwrite").parquet(self.path(name))
+
+    def commit(self, meta: dict | None = None) -> int:
+        """Atomically publish the staged snapshot. Returns its id.
+
+        Raises CommitConflict when another writer already committed this
+        id — the staged data is removed; re-read and retry on a fresh
+        begin(). The rename-onto-nonempty-dir failure IS the CAS."""
+        if self._done:
+            raise RuntimeError("transaction already committed or aborted")
+        with open(self.path("meta.json"), "w") as f:
+            json.dump(meta or {}, f)
+        final = self.catalog.snapshot_dir(self.snapshot)
+        try:
+            os.rename(self.staging_dir, final)
+        except OSError as e:
+            self.abort()
+            raise CommitConflict(
+                f"snapshot {self.snapshot} was committed by another writer "
+                f"(expected base {self.expected})"
+            ) from e
+        self._done = True
+        return self.snapshot
+
+    def abort(self) -> None:
+        if not self._done:
+            shutil.rmtree(self.staging_dir, ignore_errors=True)
+            self._done = True

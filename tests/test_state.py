@@ -1,0 +1,147 @@
+"""SnapshotCatalog: atomic commit, listing, CAS conflict — the MERGE
+layer both the versioned store and the frontier checkpoints ride on."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from news_please_spark.state import CommitConflict, SnapshotCatalog
+
+
+def test_commit_listing_and_meta(tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "t"))
+    assert cat.latest() is None and cat.snapshots() == []
+    tx = cat.begin()
+    with open(tx.path("data.txt"), "w") as f:
+        f.write("a")
+    assert tx.commit({"rows": 1}) == 0
+    assert cat.latest() == 0
+    assert cat.read_meta(0) == {"rows": 1}
+    tx2 = cat.begin()
+    with open(tx2.path("data.txt"), "w") as f:
+        f.write("b")
+    assert tx2.commit({"rows": 2}) == 1
+    assert cat.snapshots() == [0, 1]
+    with open(os.path.join(cat.snapshot_dir(1), "data.txt")) as f:
+        assert f.read() == "b"
+
+
+def test_two_writers_one_loser(tmp_path):
+    """The CAS: two transactions based on the same snapshot — exactly
+    one commits, the other gets CommitConflict and can retry on top."""
+    cat = SnapshotCatalog(str(tmp_path / "t"))
+    base = cat.begin()
+    with open(base.path("d"), "w") as f:
+        f.write("base")
+    base.commit()
+
+    a = cat.begin()  # both open at expected snapshot 0
+    b = cat.begin()
+    with open(a.path("d"), "w") as f:
+        f.write("writer-a")
+    with open(b.path("d"), "w") as f:
+        f.write("writer-b")
+    assert a.commit({"writer": "a"}) == 1
+    with pytest.raises(CommitConflict):
+        b.commit({"writer": "b"})
+    # the loser's staging is cleaned up; the winner's data is intact
+    assert not any(".tmp" in n for n in os.listdir(cat.path))
+    with open(os.path.join(cat.snapshot_dir(1), "d")) as f:
+        assert f.read() == "writer-a"
+    assert cat.read_meta(1) == {"writer": "a"}
+    # retry path: re-begin on the new latest succeeds
+    retry = cat.begin()
+    with open(retry.path("d"), "w") as f:
+        f.write("writer-b-retry")
+    assert retry.commit() == 2
+    assert cat.latest() == 2
+
+
+def test_crash_staging_is_invisible_and_swept(tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "t"))
+    tx = cat.begin()
+    with open(tx.path("partial"), "w") as f:
+        f.write("half-written")
+    # "crash": transaction never commits. Listing must not see it.
+    assert cat.latest() is None
+    assert cat.sweep_staging() == 1
+    assert os.listdir(cat.path) == []
+
+
+def test_many_racers_exactly_one_winner_per_round(tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "t"))
+    for rnd in range(3):
+        txs = [cat.begin() for _ in range(5)]
+        results = []
+        for i, tx in enumerate(txs):
+            with open(tx.path("d"), "w") as f:
+                f.write(f"r{rnd}w{i}")
+            try:
+                results.append(tx.commit({"w": i}))
+            except CommitConflict:
+                results.append(None)
+        assert len([r for r in results if r is not None]) == 1
+        assert cat.latest() == rnd
+
+
+def test_wave_prefix_matches_frontier_layout(tmp_path):
+    """The frontier uses prefix='wave=' width=5 — the catalog must list
+    and name dirs exactly as the resume format expects."""
+    cat = SnapshotCatalog(str(tmp_path / "t"), prefix="wave=", width=5)
+    tx = cat.begin()
+    with open(tx.path("meta-extra"), "w") as f:
+        f.write("x")
+    tx.commit({"wave": 0})
+    assert os.path.basename(cat.snapshot_dir(0)) == "wave=00000"
+    assert cat.latest() == 0
+    meta = json.load(open(os.path.join(cat.snapshot_dir(0), "meta.json")))
+    assert meta == {"wave": 0}
+
+
+def test_versioned_store_two_writers_one_loser(spark, tmp_path):
+    """Store-level CAS: two writers staging snapshot 1 from the same
+    base — exactly one commit lands, the loser raises CommitConflict."""
+    from news_please_spark.sinks.versioned import VersionedArticleStore
+
+    path = str(tmp_path / "store")
+    st = VersionedArticleStore(spark, path, buckets=2)
+    batch = spark.createDataFrame(
+        [("u1", "2024-01-01", "t1")], "url string, date_download string, title string"
+    )
+    assert st.merge(batch) == 0
+
+    cur, arc = st.current(), st.archive()
+    st2 = VersionedArticleStore(spark, path, buckets=2)
+    st._commit(cur, arc, snap=1)
+    with pytest.raises(CommitConflict):
+        st2._commit(cur, arc, snap=1)
+    assert st.snapshot_id() == 1
+    # loser can retry on the new base
+    st2._commit(st2.current(), st2.archive(), snap=2)
+    assert st2.snapshot_id() == 2
+
+
+def test_frontier_save_wave_conflict(spark, tmp_path):
+    """Two crawlers checkpointing the same wave id into one state dir:
+    the second commit must fail, not silently clobber."""
+    from news_please_spark.operators.frontier import FrontierConfig, FrontierEngine
+    from news_please_spark.world import World
+
+    world = World(n_pages=150, n_seeds=4)
+    state = str(tmp_path / "state")
+    eng = FrontierEngine(
+        spark,
+        world.webgraph_df(spark),
+        robots=world.robots_df(spark),
+        cfg=FrontierConfig(budget_per_host=4, max_depth=2, state_dir=state),
+    )
+    res = eng.run(world.seed_urls())
+    assert res.waves >= 2
+    df = spark.range(3).selectExpr("cast(id as string) url")
+    with pytest.raises(CommitConflict):
+        eng._save_wave(0, df, df, df.selectExpr("url", "1 seq"), {"wave": 0})
+    res.release()
+    eng.close()
