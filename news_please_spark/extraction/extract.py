@@ -191,6 +191,13 @@ _HUMAN_RE = re.compile(
 # European dotted: 4.3.2021 / 04.03.2021 (day first, as dateutil
 # resolves D.M.YYYY)
 _DMY_RE = re.compile(rf"^(\d{{1,2}})\.(\d{{1,2}})\.(\d{{4}}){_CLOCK}\s*$")
+# compact all-numeric meta dates: YYYYMMDD / YYYYMMDDHHMM /
+# YYYYMMDDHHMMSS — the reference's own catalog example is
+# <meta name='publishdate' content='201511261006'/>
+# (reference date_extractor.py:112-115)
+_COMPACT_RE = re.compile(r"^(\d{4})(\d{2})(\d{2})(?:(\d{2})(\d{2})(\d{2})?)?$")
+# slash-delimited textual dates: 2021/03/04 [05:06[:07]]
+_SLASH_RE = re.compile(rf"^(\d{{4}})/(\d{{1,2}})/(\d{{1,2}}){_CLOCK}\s*$")
 
 
 def _fmt_ymd(y: int, mo: int, dy: int, clock: tuple) -> str | None:
@@ -210,7 +217,10 @@ def _norm_date(s: str | None) -> str | None:
     (date_extractor.py:60-65); this covers the dateutil-reachable shapes
     real pages carry: ISO (date-only / minute / fractional seconds /
     trailing numeric-or-named timezone), RFC-2822/1123 RSS pubDates
-    ('Tue, 04 Mar 2021 05:06:07 GMT'), 'March 4, 2021', and D.M.YYYY.
+    ('Tue, 04 Mar 2021 05:06:07 GMT'), 'March 4, 2021', D.M.YYYY,
+    compact all-numeric YYYYMMDD[HHMM[SS]] (the reference's publishdate
+    catalog example '201511261006', date_extractor.py:112-115), and
+    YYYY/MM/DD.
     Timezones are dropped, as the reference's strftime does; unparseable
     strings return None so the cascade can fall through."""
     if not s:
@@ -239,6 +249,14 @@ def _norm_date(s: str | None) -> str | None:
     m = _DMY_RE.match(s)
     if m:
         return _fmt_ymd(int(m.group(3)), int(m.group(2)), int(m.group(1)),
+                        m.group(4, 5, 6))
+    m = _COMPACT_RE.match(s)
+    if m:
+        return _fmt_ymd(int(m.group(1)), int(m.group(2)), int(m.group(3)),
+                        m.group(4, 5, 6))
+    m = _SLASH_RE.match(s)
+    if m:
+        return _fmt_ymd(int(m.group(1)), int(m.group(2)), int(m.group(3)),
                         m.group(4, 5, 6))
     return None
 

@@ -70,7 +70,7 @@ ids AS (SELECT unnest(range(0, (SELECT count(*) FROM documents))) AS d),
 s0 AS (
   SELECT d, ws,
     'h' || CAST({_mix('d', '21')} % 20 AS VARCHAR) || '.news-example.org' AS host,
-    d % 15 AS v_date,
+    d % 17 AS v_date,
     d % 5 AS v_lang,
     CASE WHEN d % 5 = 4 THEN (['en', 'de', 'es'])[1 + {_mix('d', '24')} % 3]
          ELSE (['en', 'de', 'es', 'fr', 'it'])[1 + {_mix('d', '24')} % 5]
@@ -111,7 +111,8 @@ s2 AS (
         list_transform(range(0, 24 + {_mix('d', '30 + i')} % 16),
                        j -> {_word('(3 + i) * 100 + j')}), ' ')
     ) AS paragraphs,
-    CASE WHEN v_date IN (5, 13, 14) THEN strftime(dt, '%Y-%m-%d') || ' 00:00:00'
+    CASE WHEN v_date IN (5, 13, 14, 16) THEN strftime(dt, '%Y-%m-%d') || ' 00:00:00'
+         WHEN v_date = 15 THEN strftime(dt, '%Y-%m-%d %H:%M') || ':00'
          ELSE strftime(dt, '%Y-%m-%d %H:%M:%S') END AS date_publish,
     CASE WHEN v_date = 5 THEN strftime(dt, '/%Y/%m/%d/') || slug || '.html'
          ELSE '/articles/' || slug || '-' || CAST(d AS VARCHAR) || '.html'
@@ -464,7 +465,7 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the ratio comparators); the oracle re-derives each host group's
 # verdict from the spec arithmetic (host index = mix(d,21) % 20):
 #   H2 "meta contains article" ⟺ og:type meta present (d % 7 != 0) OR
-#   the article:published_time date variant (d % 15 == 1) — the only
+#   the article:published_time date variant (d % 17 == 1) — the only
 #   two <meta> tags whose markup contains the string 'article'.
 
 _SITE_SITELIST = """{"base_urls": [
@@ -486,7 +487,7 @@ WITH ids AS (SELECT unnest(range(0, (SELECT count(*) FROM documents))) AS d),
 hx AS (SELECT d, {_mix('d', '21')} % 20 AS hn FROM ids)
 SELECT 'doc' || CAST(d AS VARCHAR) AS doc_id,
   CASE
-    WHEN hn IN (3, 7) THEN ((d % 7) <> 0) OR ((d % 15) = 1)
+    WHEN hn IN (3, 7) THEN ((d % 7) <> 0) OR ((d % 17) = 1)
     WHEN hn = 5 THEN ((d % 7) <> 0) AND (
       ((3 + d % 7) < 5)
       OR (5 * ({_mix('d', '28')} % (3 + d % 7)) <= 2 * (3 + d % 7))

@@ -8,12 +8,13 @@ One arithmetic spec, two views:
 
 Every document embeds its metadata in a different HTML shape so the
 extraction cascades are exercised:
-  * date markup rotates through 12 variants of the reference
+  * date markup rotates through 17 variants of the reference
     DateExtractor's catalog (JSON-LD, article:published_time, meta
     name=date/pubdate/sailthru.date/published-date, bt:pubDate,
     itemprop datePublished/dcterms.date, <time datetime>,
-    <span class="article_date">, URL path date; reference
-    date_extractor.py:99-254),
+    <span class="article_date">, URL path date, RFC-1123,
+    'Month D, YYYY', dotted D.M.YYYY, compact YYYYMMDDHHMM,
+    slash YYYY/MM/DD; reference date_extractor.py:99-254),
   * language markup rotates through the LangExtractor cascade
     (html@lang → xml:lang → meta name=language → og:locale → text
     fallback; reference lang_detect_extractor.py:30-68). Fallback docs
@@ -140,6 +141,19 @@ def _dotted_date(date_publish: str) -> str:
     return f"{dt.day}.{dt.month}.{dt.year}"
 
 
+def _compact_date(date_publish: str) -> str:
+    """'YYYY-MM-DD HH:MM:SS' → 'YYYYMMDDHHMM' (the reference's
+    publishdate catalog shape '201511261006', minute precision)."""
+    dt = datetime.strptime(date_publish, "%Y-%m-%d %H:%M:%S")
+    return dt.strftime("%Y%m%d%H%M")
+
+
+def _slash_date(date_publish: str) -> str:
+    """'YYYY-MM-DD ...' → 'YYYY/MM/DD' (date only)."""
+    dt = datetime.strptime(date_publish[:10], "%Y-%m-%d")
+    return f"{dt.year}/{dt.month:02d}/{dt.day:02d}"
+
+
 @dataclass
 class DocSpec:
     doc_id: str
@@ -165,11 +179,15 @@ class DocWorld:
         self.n_docs = n_docs
 
     # ---- spec -----------------------------------------------------------
-    N_DATE_VARIANTS = 15
+    N_DATE_VARIANTS = 17
     URL_DATE_VARIANT = 5  # the only variant whose date lives in the URL
     # variants whose markup carries only a calendar date (URL path date,
-    # 'March 4, 2021' span, D.M.YYYY meta) — expected timestamp is midnight
-    DATE_ONLY_VARIANTS = (5, 13, 14)
+    # 'March 4, 2021' span, D.M.YYYY meta, YYYY/MM/DD meta) — expected
+    # timestamp is midnight
+    DATE_ONLY_VARIANTS = (5, 13, 14, 16)
+    # compact numeric publishdate (YYYYMMDDHHMM) drops seconds —
+    # expected timestamp truncates to the minute
+    MINUTE_ONLY_VARIANTS = (15,)
 
     def spec(self, d: int) -> DocSpec:
         host = f"h{mix(d, 21) % 20}.news-example.org"
@@ -257,13 +275,15 @@ class DocWorld:
     def expected_article(self, d: int) -> dict:
         s = self.spec(d)
         # date-only variants carry just the calendar date (URL path,
-        # human 'Month D, YYYY', dotted D.M.YYYY), so the expected
-        # timestamp is midnight
-        date = (
-            s.date_publish[:10] + " 00:00:00"
-            if s.v_date in self.DATE_ONLY_VARIANTS
-            else s.date_publish
-        )
+        # human 'Month D, YYYY', dotted D.M.YYYY, YYYY/MM/DD), so the
+        # expected timestamp is midnight; the compact numeric variant
+        # carries minute precision — seconds truncate to :00
+        if s.v_date in self.DATE_ONLY_VARIANTS:
+            date = s.date_publish[:10] + " 00:00:00"
+        elif s.v_date in self.MINUTE_ONLY_VARIANTS:
+            date = s.date_publish[:16] + ":00"
+        else:
+            date = s.date_publish
         return {
             "url": s.url,
             "source_domain": s.host,
@@ -358,6 +378,13 @@ class DocWorld:
         elif s.v_date == 14:
             # European dotted D.M.YYYY, date-only → expected midnight
             head.append(meta(11, ("name", "pubdate"), ("content", _dotted_date(s.date_publish))))
+        elif s.v_date == 15:
+            # compact numeric YYYYMMDDHHMM (reference publishdate
+            # example, date_extractor.py:112-115) → minute precision
+            head.append(meta(11, ("name", "publishdate"), ("content", _compact_date(s.date_publish))))
+        elif s.v_date == 16:
+            # slash textual YYYY/MM/DD, date-only → expected midnight
+            head.append(meta(11, ("name", "date"), ("content", _slash_date(s.date_publish))))
         body: list[str] = [f"<h1>{_enc(s.title, d, 3)}</h1>", time_tag, date_span]
         for i in range(s.n_headlines):
             h = f"section {WORDS[mix(d, 40 + i) % 20]}"

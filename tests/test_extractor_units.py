@@ -119,6 +119,16 @@ def test_norm_date_fuzzy_shapes():
     assert _norm_date("Sept. 9, 2020") == "2020-09-09 00:00:00"
     assert _norm_date("4.3.2021") == "2021-03-04 00:00:00"
     assert _norm_date("04.03.2021") == "2021-03-04 00:00:00"
+    # compact all-numeric (the reference publishdate catalog example,
+    # date_extractor.py:112-115) — 8/12/14-digit precisions
+    assert _norm_date("201511261006") == "2015-11-26 10:06:00"
+    assert _norm_date("20151126") == "2015-11-26 00:00:00"
+    assert _norm_date("20151126100659") == "2015-11-26 10:06:59"
+    assert _norm_date("201513261006") is None  # month 13
+    # slash textual
+    assert _norm_date("2021/03/04") == "2021-03-04 00:00:00"
+    assert _norm_date("2021/3/4 05:06") == "2021-03-04 05:06:00"
+    assert _norm_date("2021/13/04") is None
     # junk stays None (cascade falls through, never a wrong date)
     assert _norm_date("Foo, 99 Zzz 2021") is None
     assert _norm_date("March 42, 2021") is None
