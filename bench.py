@@ -43,6 +43,9 @@ HEADLINE = [
     "lang_id",
     "mixture_sample",
     "quality_topfrac",
+    "repetition_scores",
+    "corpus_dup_ngrams",
+    "jaccard_verify",
     "ann_cosine_topk",
     "extract_articles",
     "sitemap_expand",

@@ -185,12 +185,18 @@ def simhash_near_dups(
 # ---------------------------------------------------------------------------
 # n-gram Jaccard: exact similarity on LSH-candidate pairs
 def ngram_set(text: Column, n: int = 3) -> Column:
+    # guard: sequence(1, 0) generates DESCENDING [1, 0] in Spark, and
+    # element_at(toks, 0) is a runtime error — short docs must yield an
+    # empty set, not a sequence heading the wrong way
     toks = tokens_of(text)
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
         )
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -153,3 +153,115 @@ def lsh_topk(
         .filter(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    centroid_stride: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the classic coarse-
+    quantizer ANN layout (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", IEEE TPAMI 2011, the IVF part without PQ
+    refinement):
+
+      1. a small deterministic centroid set (every `centroid_stride`-th
+         corpus vector — no RNG, reproducible in any engine);
+      2. every corpus vector is assigned to its nearest centroid (its
+         IVF "list") by a per-row fold over the broadcast centroid
+         array — zero shuffle, whole-stage codegen;
+      3. queries probe their `nprobe` nearest lists; candidates come
+         from an equi-join on the list id, so the corpus is never
+         crossed — per-query work is |corpus|/n_lists · nprobe.
+
+    Ties on equal cosine break toward the smaller centroid id (the
+    centroid array is sorted, the fold keeps the first winner), which
+    is exactly `ORDER BY cos DESC, cid` — engine-portable. Returns
+    (query_id, neighbor_id, sim_q) with sim_q = floor(10^4·cos) as
+    BIGINT, ranked per query, top k."""
+    c = corpus.select(
+        F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
+    )
+    cents = (
+        c.filter(F.col("_id") % centroid_stride == 0)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_id").alias("cid"), F.col("_v").alias("cv")))
+            ).alias("cents")
+        )
+    )
+
+    def _top2(vec: Column, cents: Column) -> Column:
+        """Fold: (best cid/cos, second-best cid/cos) over the sorted
+        centroid array; strict > keeps the smallest cid on ties. Each
+        centroid is scored ONCE (transform), the fold then compares
+        scalars — not re-deriving the 64-dim dot in every branch."""
+        scored = F.transform(
+            cents,
+            lambda cent: F.struct(
+                cent["cid"].alias("cid"), cosine(vec, cent["cv"]).alias("cos")
+            ),
+        )
+        init = F.struct(
+            F.lit(-1).cast("long").alias("b1"),
+            F.lit(-2.0).alias("c1"),
+            F.lit(-1).cast("long").alias("b2"),
+            F.lit(-2.0).alias("c2"),
+        )
+
+        def step(acc, s):
+            return F.struct(
+                F.when(s["cos"] > acc["c1"], s["cid"]).otherwise(acc["b1"]).alias("b1"),
+                F.when(s["cos"] > acc["c1"], s["cos"]).otherwise(acc["c1"]).alias("c1"),
+                F.when(s["cos"] > acc["c1"], acc["b1"])
+                .when(s["cos"] > acc["c2"], s["cid"])
+                .otherwise(acc["b2"])
+                .alias("b2"),
+                F.when(s["cos"] > acc["c1"], acc["c1"])
+                .when(s["cos"] > acc["c2"], s["cos"])
+                .otherwise(acc["c2"])
+                .alias("c2"),
+            )
+
+        return F.aggregate(scored, init, step)
+
+    assigned = c.crossJoin(F.broadcast(cents)).select(
+        "_id", "_v", _top2(F.col("_v"), F.col("cents")).alias("_a")
+    )
+    corpus_cells = assigned.select(
+        F.col("_id").alias("neighbor_id"),
+        F.col("_v").alias("_cv"),
+        F.col("_a.b1").alias("cell"),
+    )
+    query_cells = (
+        assigned.join(queries.select(F.col(id_col).alias("_id")), "_id", "left_semi")
+        .select(
+            F.col("_id").alias("query_id"),
+            F.col("_v").alias("_qv"),
+            F.explode(
+                F.slice(F.array(F.col("_a.b1"), F.col("_a.b2")), 1, nprobe)
+            ).alias("cell"),
+        )
+        .filter(F.col("cell") >= 0)  # fewer centroids than nprobe
+    )
+    sims = (
+        query_cells.join(corpus_cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(10000 * cosine(F.col("_qv"), F.col("_cv")))
+            .cast("long")
+            .alias("sim_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_q"), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

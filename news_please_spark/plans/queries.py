@@ -889,3 +889,196 @@ def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 10. repetition-based quality signals (Gopher §A1.1-style rules) +
+#     corpus-level duplicate n-grams + exact Jaccard verification of the
+#     MinHash-LSH candidates — the training-data repetition family
+@register(
+    "repetition_scores",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                            i -> toks[i] || ' ' || toks[i+1]) AS g2,
+             list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3,
+             list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lns
+      FROM t
+    ),
+    e2 AS (SELECT doc_id, unnest(g2) AS gram FROM g),
+    e3 AS (SELECT doc_id, unnest(g3) AS gram FROM g),
+    el AS (SELECT doc_id, unnest(lns) AS gram FROM g),
+    a2 AS (SELECT doc_id, gram, count(*) AS cnt FROM e2 GROUP BY 1, 2),
+    a3 AS (SELECT doc_id, gram, count(*) AS cnt FROM e3 GROUP BY 1, 2),
+    al AS (SELECT doc_id, gram, count(*) AS cnt FROM el GROUP BY 1, 2),
+    s2 AS (SELECT doc_id, sum(cnt) AS n, coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0) AS dup, max(cnt) AS mx FROM a2 GROUP BY 1),
+    s3 AS (SELECT doc_id, sum(cnt) AS n, coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0) AS dup, max(cnt) AS mx FROM a3 GROUP BY 1),
+    sl AS (SELECT doc_id, sum(cnt) AS n, coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0) AS dup FROM al GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(CASE WHEN coalesce(sl.n, 0) = 0 THEN 0 ELSE floor(10000.0 * sl.dup / sl.n) END AS BIGINT) AS dup_line_q,
+           CAST(CASE WHEN coalesce(s2.n, 0) = 0 THEN 0 ELSE floor(10000.0 * s2.dup / s2.n) END AS BIGINT) AS dup_bigram_q,
+           CAST(CASE WHEN coalesce(s3.n, 0) = 0 THEN 0 ELSE floor(10000.0 * s3.dup / s3.n) END AS BIGINT) AS dup_trigram_q,
+           CAST(CASE WHEN coalesce(s2.n, 0) = 0 THEN 0 ELSE floor(10000.0 * s2.mx / s2.n) END AS BIGINT) AS top_bigram_q,
+           CAST(CASE WHEN coalesce(s3.n, 0) = 0 THEN 0 ELSE floor(10000.0 * s3.mx / s3.n) END AS BIGINT) AS top_trigram_q
+    FROM t
+    LEFT JOIN s2 USING (doc_id)
+    LEFT JOIN s3 USING (doc_id)
+    LEFT JOIN sl USING (doc_id)
+    """,
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (duplicate-line / duplicate-ngram
+    / top-ngram fractions) — zero-shuffle array HOFs riding the scan."""
+    from news_please_spark.operators.repetition import repetition_struct
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", repetition_struct(F.col("text")).alias("r"))
+        .select(
+            "doc_id", "r.dup_line_q", "r.dup_bigram_q", "r.dup_trigram_q",
+            "r.top_bigram_q", "r.top_trigram_q",
+        )
+    )
+
+
+@register(
+    "corpus_dup_ngrams",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g3
+      FROM t
+    ),
+    p AS (SELECT doc_id, unnest(g3) AS gram FROM g),
+    docfreq AS (SELECT gram, count(*) AS c FROM p GROUP BY 1),
+    sh AS (
+      SELECT p.doc_id, count(*) AS shared
+      FROM p JOIN docfreq USING (gram) WHERE c > 1 GROUP BY 1
+    ),
+    tot AS (SELECT doc_id, count(*) AS n FROM p GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(coalesce(tot.n, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(sh.shared, 0) AS BIGINT) AS shared_grams,
+           CAST(CASE WHEN coalesce(tot.n, 0) = 0 THEN 0
+                ELSE floor(10000.0 * coalesce(sh.shared, 0) / tot.n) END AS BIGINT) AS dup_frac_q
+    FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN sh USING (doc_id)
+    """,
+)
+def corpus_dup_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate 3-grams per doc (boilerplate signal).
+    Shuffles only fixed-width md5 keys with map-side combine."""
+    from news_please_spark.operators.repetition import corpus_dup_ngrams
+
+    return corpus_dup_ngrams(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "jaccard_verify",
+    f"""
+    WITH t AS ({_SHINGLES_SQL}),
+    s AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+      FROM t WHERE len(toks) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, band,
+             list_aggregate(list_transform(shingles, sh -> md5(CAST(band AS VARCHAR) || '|' || sh)), 'min') AS sig
+      FROM s, (SELECT unnest([0, 1, 2, 3]) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list_distinct(shingles) AS gs FROM s),
+    j AS (
+      SELECT doc_a, doc_b,
+             CAST(floor(
+               (CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE)
+                / len(list_distinct(list_concat(sa.gs, sb.gs)))) * 10000
+             ) AS BIGINT) AS jaccard_q
+      FROM cand
+      JOIN sets sa ON sa.doc_id = cand.doc_a
+      JOIN sets sb ON sb.doc_id = cand.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard_q FROM j WHERE jaccard_q >= 5000
+    """,
+)
+def jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard on the MinHash-LSH candidate pairs (the
+    verify stage of the near-dup pipeline): candidates only — the
+    all-pairs square is never formed."""
+    from news_please_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    cand = QUERIES["minhash_lsh_pairs"](spark, sf_dir)
+    scored = ngram_jaccard_pairs(docs, cand, threshold=0.0)
+    return (
+        scored.select(
+            "doc_a", "doc_b",
+            F.floor(F.col("jaccard") * 10000).cast("long").alias("jaccard_q"),
+        )
+        .filter(F.col("jaccard_q") >= 5000)
+    )
+
+
+@register(
+    "ivf_ann_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 37 = 0),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             list_dot_product(e.v, c.cv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+      FROM e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+      FROM scored
+    ),
+    corpus_cell AS (SELECT vec_id AS neighbor_id, cid AS cell FROM assign WHERE rk = 1),
+    query_cell AS (
+      SELECT vec_id AS query_id, cid AS cell FROM assign
+      WHERE rk <= 2 AND vec_id % 31 = 0
+    ),
+    sims AS (
+      SELECT q.query_id, c.neighbor_id,
+             CAST(floor(10000 * (
+               list_dot_product(eq.v, ec.v)
+               / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v)))
+             )) AS BIGINT) AS sim_q
+      FROM query_cell q
+      JOIN corpus_cell c ON q.cell = c.cell AND q.query_id <> c.neighbor_id
+      JOIN e eq ON eq.vec_id = q.query_id
+      JOIN e ec ON ec.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim_q FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_q DESC, neighbor_id) AS rk
+      FROM sims
+    ) WHERE rk <= 5
+    """,
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (coarse-quantizer inverted lists, nprobe=2) — the
+    second approximate scale path next to multi-table LSH. Corpus is
+    assigned to lists with a zero-shuffle fold over broadcast
+    centroids; candidates come from the list equi-join only."""
+    from news_please_spark.operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 31 == 0)
+    return ivf_topk(q, e, k=5, nprobe=2, centroid_stride=37)

@@ -1,0 +1,160 @@
+"""Repetition-signal operators (Gopher-style quality rules) vs a naive
+pure-Python oracle, plus the guard rails the synthetic corpus can't
+exercise (newline-bearing docs, short docs, empty docs)."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from news_please_spark.operators.repetition import (
+    corpus_dup_ngrams,
+    dup_gram_frac_q,
+    dup_line_frac_q,
+    ngrams,
+    repetition_struct,
+    top_gram_frac_q,
+)
+
+DOCS = [
+    # (doc_id, text)
+    (0, "a b c a b c a b"),                      # heavy bigram repetition
+    (1, "the quick brown fox jumps"),            # all unique
+    (2, "x"),                                    # 1 token: no bigrams
+    (3, ""),                                     # empty
+    (4, "one two\none two\nthree four\n\n  \n"), # duplicate lines + blanks
+    (5, "a b c a b c a b"),                      # exact dup of doc 0
+    (6, "spam spam spam spam spam spam"),        # single token repeated
+]
+
+
+def _py_ngrams(text, n):
+    toks = [t for t in text.strip().split()] if text.strip() else [""]
+    if text.strip() == "":
+        toks = [""]
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _frac_q(num, den):
+    return 0 if den == 0 else int(10000.0 * num / den // 1)
+
+
+def _py_dup_frac(items):
+    c = Counter(items)
+    dup = sum(v for v in c.values() if v > 1)
+    return _frac_q(dup, len(items))
+
+
+def _py_top_frac(items):
+    c = Counter(items)
+    return _frac_q(max(c.values(), default=0), len(items))
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_ngrams_short_docs_yield_empty(spark):
+    rows = (
+        _df(spark)
+        .select("doc_id", F.size(ngrams(F.col("text"), 3)).alias("n"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    by_id = {r["doc_id"]: r["n"] for r in rows}
+    assert by_id[2] == 0 and by_id[3] == 0        # < 3 tokens: empty, no error
+    assert by_id[0] == len(_py_ngrams(DOCS[0][1], 3))
+
+
+def test_repetition_matches_python_oracle(spark):
+    rows = (
+        _df(spark)
+        .select("doc_id", repetition_struct(F.col("text")).alias("r"))
+        .select("doc_id", "r.*")
+        .collect()
+    )
+    for r in rows:
+        text = dict(DOCS)[r["doc_id"]]
+        # mirror the engine's tokenizer: Spark trim() strips SPACES
+        # only (not \n), and split('\s+') keeps empty edge tokens —
+        # the DuckDB oracle tokenizes identically
+        import re
+
+        toks = re.split(r"\s+", text.strip(" "))
+        for col, n, fn in [
+            ("dup_bigram_q", 2, _py_dup_frac),
+            ("dup_trigram_q", 3, _py_dup_frac),
+            ("top_bigram_q", 2, _py_top_frac),
+            ("top_trigram_q", 3, _py_top_frac),
+        ]:
+            grams = (
+                [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+                if len(toks) >= n
+                else []
+            )
+            assert r[col] == fn(grams), (r["doc_id"], col, grams)
+        lines = [ln for ln in text.split("\n") if ln.strip()]
+        assert r["dup_line_q"] == _py_dup_frac(lines), (r["doc_id"], "lines")
+
+
+def test_dup_line_counts_duplicates_not_blanks(spark):
+    row = (
+        _df(spark)
+        .filter(F.col("doc_id") == 4)
+        .select(dup_line_frac_q(F.col("text")).alias("q"))
+        .first()
+    )
+    # 3 non-blank lines, 'one two' twice → 2/3 of slots duplicated
+    assert row["q"] == _frac_q(2, 3)
+
+
+def test_single_token_doc_is_fully_repetitive(spark):
+    row = (
+        _df(spark)
+        .filter(F.col("doc_id") == 6)
+        .select(
+            dup_gram_frac_q(F.col("text"), 2).alias("d"),
+            top_gram_frac_q(F.col("text"), 2).alias("t"),
+        )
+        .first()
+    )
+    assert row["d"] == 10000 and row["t"] == 10000
+
+
+def test_corpus_dup_ngrams_matches_python_oracle(spark):
+    out = {
+        r["doc_id"]: (r["n_grams"], r["shared_grams"], r["dup_frac_q"])
+        for r in corpus_dup_ngrams(_df(spark)).collect()
+    }
+    # python oracle on distinct 3-grams (engine tokenization: trim
+    # spaces only, empty edge tokens kept)
+    import re
+
+    sets = {}
+    for d, text in DOCS:
+        toks = re.split(r"\s+", text.strip(" "))
+        sets[d] = (
+            {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+            if len(toks) >= 3
+            else set()
+        )
+    for d, grams in sets.items():
+        shared = sum(
+            1 for g in grams
+            if any(g in other for od, other in sets.items() if od != d)
+        )
+        assert out[d] == (len(grams), shared, _frac_q(shared, len(grams))), d
+    # docs 0 and 5 are identical: every gram shared
+    assert out[0][2] == 10000 and out[5][2] == 10000
+    # empty docs still present with zeros
+    assert out[3] == (0, 0, 0)
+
+
+def test_repetition_is_zero_shuffle(spark):
+    plan = (
+        _df(spark)
+        .select("doc_id", repetition_struct(F.col("text")).alias("r"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -1,0 +1,70 @@
+"""IVF ANN operator: structural invariants + exact equality with the
+brute-force baseline when every list is probed (nprobe covers all
+centroids ⇒ the approximation is exhaustive and must agree)."""
+
+from pyspark.sql import functions as F
+
+from news_please_spark.operators.similarity import brute_force_topk, ivf_topk
+
+
+def _vecs(spark, n=40, dim=8):
+    """Two deterministic clusters around +e0 and +e1 with small
+    per-dimension jitter — separable, no RNG."""
+    rows = []
+    for i in range(n):
+        base = 0 if i % 2 == 0 else 1
+        v = [0.05 * ((i * 7 + j * 3) % 11 - 5) for j in range(dim)]
+        v[base] += 10.0
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_structure(spark):
+    e = _vecs(spark)
+    q = e.filter(F.col("vec_id") < 4)
+    out = ivf_topk(q, e, k=3, nprobe=2, centroid_stride=10).collect()
+    per_q = {}
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+        per_q.setdefault(r["query_id"], []).append(r["sim_q"])
+    assert set(per_q) == {0, 1, 2, 3}
+    for sims in per_q.values():
+        assert len(sims) <= 3
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_equals_brute_force_when_all_lists_probed(spark):
+    # stride 20 over ids 0..39 → exactly 2 centroids (0, 20); nprobe=2
+    # probes both lists, so IVF degenerates to exhaustive search
+    e = _vecs(spark)
+    q = e.filter(F.col("vec_id") % 5 == 0)
+    ivf = {
+        (r["query_id"], r["neighbor_id"]): r["sim_q"]
+        for r in ivf_topk(q, e, k=4, nprobe=2, centroid_stride=20).collect()
+    }
+    # brute-force ALL sims, then rank on the QUANTIZED value with the
+    # same (sim_q desc, neighbor asc) tie-break ivf_topk uses — ranking
+    # raw doubles would pick different members inside a quantization tie
+    all_sims = brute_force_topk(q, e, k=10**9).collect()
+    by_q = {}
+    for r in all_sims:
+        by_q.setdefault(r["query_id"], []).append(
+            (-int(r["cos"] * 10000 // 1), r["neighbor_id"])
+        )
+    bf = {
+        (qid, nid): -negq
+        for qid, sims in by_q.items()
+        for negq, nid in sorted(sims)[:4]
+    }
+    assert ivf == bf
+
+
+def test_ivf_single_centroid_drops_second_probe(spark):
+    # stride larger than any id → only vec_id=0 is a centroid; the
+    # second probe slot is the -1 sentinel and must be dropped, with
+    # every vector landing in the single list (exhaustive again)
+    e = _vecs(spark, n=12)
+    q = e.filter(F.col("vec_id") < 2)
+    out = ivf_topk(q, e, k=100, nprobe=2, centroid_stride=10_000)
+    rows = out.groupBy("query_id").count().collect()
+    assert {r["query_id"]: r["count"] for r in rows} == {0: 11, 1: 11}
