@@ -259,6 +259,23 @@ def run_pipeline(spark, n_pages: int, max_waves: int) -> tuple[float, int]:
     res = engine.run(seeds)
     res.order.write.mode("overwrite").format("noop").save()
     t1 = time.time()
+    # phase decomposition for the scaling report: per-wave engine
+    # metrics expose where non-scaling time sits (mark/seq/expand vs
+    # run() prologue + order-write epilogue)
+    phases = {
+        "mark": round(sum(m["mark_secs"] for m in res.metrics), 2),
+        "seq": round(sum(m["seq_secs"] for m in res.metrics), 2),
+        "expand": round(sum(m["expand_secs"] for m in res.metrics), 2),
+        "waves_total": round(sum(m["wave_secs"] for m in res.metrics), 2),
+        "pro_epi": round(
+            (t1 - t0) - sum(m["wave_secs"] for m in res.metrics), 2
+        ),
+        "per_wave": [
+            {k: m[k] for k in ("wave", "fetched", "new_urls",
+                               "mark_secs", "seq_secs", "expand_secs")}
+            for m in res.metrics
+        ],
+    }
     articles = (
         res.order.select(
             F.regexp_extract(F.col("url"), r"(\d+)$", 1).cast("long").alias("pid")
@@ -271,7 +288,7 @@ def run_pipeline(spark, n_pages: int, max_waves: int) -> tuple[float, int]:
     t2 = time.time()
     res.release()
     engine.close()
-    return t2 - t0, res.fetched, round(t1 - t0, 2), round(t2 - t1, 2)
+    return t2 - t0, res.fetched, round(t1 - t0, 2), round(t2 - t1, 2), phases
 
 
 def scaling_child(cpus: int) -> None:
@@ -280,7 +297,9 @@ def scaling_child(cpus: int) -> None:
     from news_please_spark.session import get_spark
 
     spark = get_spark(f"scaling{cpus}", cpus=cpus, shuffle_partitions=cpus)
-    sec, urls, crawl_sec, extract_sec = run_pipeline(spark, PIPE_PAGES, PIPE_WAVES)
+    sec, urls, crawl_sec, extract_sec, phases = run_pipeline(
+        spark, PIPE_PAGES, PIPE_WAVES
+    )
     print(
         json.dumps(
             {
@@ -289,6 +308,7 @@ def scaling_child(cpus: int) -> None:
                 "crawl_sec": crawl_sec,
                 "extract_sec": extract_sec,
                 "urls": urls,
+                "phases": phases,
             }
         )
     )
@@ -300,12 +320,15 @@ def scaling_child(cpus: int) -> None:
 EXT_CONTENTION_CORES = 1.0
 
 
-def _host_busy_jiffies() -> int:
+def _host_busy_jiffies() -> tuple[int, int]:
+    """(busy, iowait) jiffies. busy = everything except idle+iowait
+    (steal stays in: cycles taken from us are interference whoever
+    takes them). iowait is tracked separately because co-tenant DISK
+    traffic stalls our shuffle/checkpoint writes without burning CPU —
+    invisible to the CPU-based ext_cores gate, visible here."""
     with open("/proc/stat") as f:
         vals = [int(x) for x in f.readline().split()[1:9]]
-    # busy = everything except idle+iowait (steal stays in: cycles taken
-    # from us are interference whoever takes them)
-    return sum(vals) - vals[3] - vals[4]
+    return sum(vals) - vals[3] - vals[4], vals[4]
 
 
 def _tree_cpu_sampler(root_pid: int, stop_evt, acc: dict) -> None:
@@ -351,7 +374,7 @@ def run_scaling_trial(cpus: int) -> dict:
     import threading
 
     hz = os.sysconf("SC_CLK_TCK")
-    busy0 = _host_busy_jiffies()
+    busy0, iow0 = _host_busy_jiffies()
     t0 = time.time()
     p = subprocess.Popen(
         [sys.executable, __file__, "--scaling-child", str(cpus)],
@@ -370,7 +393,9 @@ def run_scaling_trial(cpus: int) -> dict:
     stop.set()
     th.join(timeout=5)
     wall = time.time() - t0
-    busy_sec = (_host_busy_jiffies() - busy0) / hz
+    busy1, iow1 = _host_busy_jiffies()
+    busy_sec = (busy1 - busy0) / hz
+    iowait_sec = (iow1 - iow0) / hz
     tree_sec = sum(acc.values()) / hz
     ext_cores = max(0.0, (busy_sec - tree_sec) / wall)
     lines = [ln for ln in out.splitlines() if ln.startswith("{")]
@@ -383,6 +408,7 @@ def run_scaling_trial(cpus: int) -> dict:
             "tree_cpu_sec": round(tree_sec, 1),
             "host_busy_sec": round(busy_sec, 1),
             "ext_cores_avg": round(ext_cores, 2),
+            "iowait_cores_avg": round(iowait_sec / wall, 2),
             "contended": ext_cores > EXT_CONTENTION_CORES,
         }
     )
