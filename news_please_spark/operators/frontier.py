@@ -88,9 +88,11 @@ def use_single_partition_seq(n_rows: int, est_bytes: int) -> bool:
 # n_seeds < DISC_STRIDE (asserted at seed numbering) and every page has
 # < DISC_STRIDE outlinks (enforced per row by a raise_error branch in
 # the expansion select). Uniqueness is the precondition of the exact
-# 'threshold' politeness path. 64-bit headroom: parent seq < 2^43
-# (~8.8e12 fetched pages — unreachable before the multiply overflows).
-DISC_STRIDE = 1 << 20
+# 'threshold' politeness path. 64-bit headroom: parent seq < 2^41
+# (~2.2e12 fetched pages — unreachable before the multiply overflows).
+# 2^22 admits multi-million-URL seed lists (a 10^10-URL frontier is
+# seeded from CC-scale URL dumps, not a hand-curated file).
+DISC_STRIDE = 1 << 22
 # (a one-task sort of 500k rows is ~0.3 s; the two-phase numbering costs
 # two extra jobs + a shuffle — only worth it for genuinely huge waves)
 
@@ -618,7 +620,7 @@ class FrontierEngine:
                             F.concat(
                                 F.lit("link_index >= DISC_STRIDE on "),
                                 F.col("dst_url"),
-                                F.lit(" — raise DISC_STRIDE for pages with >1M outlinks"),
+                                F.lit(" — raise DISC_STRIDE for pages with >4M outlinks"),
                             )
                         )
                     )
