@@ -80,6 +80,7 @@ CRAWL_BUDGET = 32
 def run_crawl(
     spark, n_pages: int, max_waves: int, use_bloom: bool = False,
     bloom_distribute: str = "broadcast", politeness_impl: str = "window",
+    seen_filter: str = "bloom",
 ) -> tuple[float, int]:
     """Frontier throughput: budgeted waves over a spark.range-generated
     webgraph, starting from a pre-loaded large frontier (measuring the
@@ -99,6 +100,7 @@ def run_crawl(
             max_waves=max_waves,
             salt_buckets=16,
             use_bloom=use_bloom,
+            seen_filter=seen_filter,
             bloom_distribute=bloom_distribute,
             politeness_impl=politeness_impl,
         ),
@@ -583,14 +585,16 @@ def bloom_ab() -> None:
 
     spark = get_spark("bloom_ab", cpus=CPUS, shuffle_partitions=CPUS)
     out = {}
-    for label, flag, dist in (
-        ("bloom_off", False, "broadcast"),
-        ("bloom_on", True, "broadcast"),
-        ("bloom_on_copart", True, "copartition"),
+    for label, flag, filt, dist in (
+        ("bloom_off", False, "bloom", "broadcast"),
+        ("bloom_on", True, "bloom", "broadcast"),
+        ("bloom_on_copart", True, "bloom", "copartition"),
+        ("cuckoo_on", True, "cuckoo", "broadcast"),
+        ("cuckoo_on_copart", True, "cuckoo", "copartition"),
     ):
         sec, urls = run_crawl(
             spark, CRAWL_PAGES, CRAWL_WAVES, use_bloom=flag,
-            bloom_distribute=dist,
+            seen_filter=filt, bloom_distribute=dist,
         )
         out[label] = {"sec": round(sec, 2), "urls": urls,
                       "urls_per_sec": round(urls / sec, 1)}

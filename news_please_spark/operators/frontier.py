@@ -103,6 +103,13 @@ class FrontierConfig:
     max_depth: int = 4
     max_waves: int = 10_000
     use_bloom: bool = False
+    # which approximate-membership filter backs the prefilter when
+    # use_bloom is on: "bloom" (OR-mergeable bit array, ~1.2 B/URL at
+    # 1% FPR) or "cuckoo" (deletable 16-bit fingerprints, ~3 B/URL at
+    # ~5e-4 FPR — the variant that can follow a store that RETRACTS
+    # documents without a rebuild). Both share bucketing, hash lanes,
+    # probe strategies, and the exactness contract.
+    seen_filter: str = "bloom"
     bloom_capacity: int = 1 << 17     # expected per-bucket rows; fixes (m, k)
     # so per-wave blob deltas OR-merge — each wave hashes only its delta
     # "broadcast": all blobs in one task broadcast (small filters);
@@ -122,6 +129,29 @@ class FrontierConfig:
     # more than the sort it avoids at this scale).
     politeness_impl: str = "window"
     verbose: bool = False
+
+
+def _seen_filter_fns(cfg: "FrontierConfig"):
+    """(build, merge, prefilter) for the configured approximate URL-seen
+    filter — bloom and cuckoo share one call contract, so the wave loop
+    is filter-agnostic."""
+    if cfg.seen_filter == "cuckoo":
+        from news_please_spark.operators.cuckoo import (
+            build_cuckoo_blobs,
+            cuckoo_prefilter,
+            merge_cuckoo_blobs,
+        )
+
+        return build_cuckoo_blobs, merge_cuckoo_blobs, cuckoo_prefilter
+    if cfg.seen_filter == "bloom":
+        from news_please_spark.operators.urlseen import (
+            bloom_prefilter,
+            build_bloom_blobs,
+            merge_bloom_blobs,
+        )
+
+        return build_bloom_blobs, merge_bloom_blobs, bloom_prefilter
+    raise ValueError(f"unknown seen_filter: {cfg.seen_filter!r}")
 
 
 @dataclass
@@ -437,12 +467,8 @@ class FrontierEngine:
         # delta — per-wave bloom cost is O(wave), never O(seen)
         blob_state: DataFrame | None = None
         if cfg.use_bloom:
-            from news_please_spark.operators.urlseen import (
-                build_bloom_blobs,
-                merge_bloom_blobs,
-            )
-
-            blob_state = build_bloom_blobs(
+            build_blobs, _, _ = _seen_filter_fns(cfg)
+            blob_state = build_blobs(
                 seen_chunks[0], cfg.seen_buckets, capacity=cfg.bloom_capacity
             ).localCheckpoint(eager=True)
 
@@ -644,12 +670,12 @@ class FrontierEngine:
                     F.col("m.disc_key").alias("disc_key"),
                 )
             )
-            # URL-seen D1: optional bloom prefilter, exact anti-join confirm
+            # URL-seen D1: optional bloom/cuckoo prefilter, exact
+            # anti-join confirm
             seen = seen_df()
             if cfg.use_bloom:
-                from news_please_spark.operators.urlseen import bloom_prefilter
-
-                cand = bloom_prefilter(
+                _, _, prefilter = _seen_filter_fns(cfg)
+                cand = prefilter(
                     cand,
                     seen,
                     self.cfg.seen_buckets,
@@ -721,15 +747,11 @@ class FrontierEngine:
                     else:
                         retire_next.append(b)
             if cfg.use_bloom:
-                from news_please_spark.operators.urlseen import (
-                    build_bloom_blobs,
-                    merge_bloom_blobs,
-                )
-
-                delta = build_bloom_blobs(
+                build_blobs, merge_blobs, _ = _seen_filter_fns(cfg)
+                delta = build_blobs(
                     new.select("url"), cfg.seen_buckets, capacity=cfg.bloom_capacity
                 )
-                blob_state = merge_bloom_blobs(blob_state, delta).localCheckpoint(
+                blob_state = merge_blobs(blob_state, delta).localCheckpoint(
                     eager=True
                 )
             frontier = deferred.unionByName(new)
