@@ -46,6 +46,8 @@ HEADLINE = [
     "repetition_scores",
     "corpus_dup_ngrams",
     "jaccard_verify",
+    "decontam_hits",
+    "pii_redact",
     "ann_cosine_topk",
     "extract_articles",
     "sitemap_expand",
@@ -64,8 +66,9 @@ def _embedding_near_dups_lsh(spark, sf_dir):
     join + exact verify), not the O(n²) exact baseline that only exists
     as the oracle-checkable subset variant."""
     from news_please_spark.operators.dedup import embedding_near_dups
+    from news_please_spark.plans.queries import spread
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), spark)
     return embedding_near_dups(emb)
 
 

@@ -93,10 +93,17 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
 
-def rolling_fingerprints(text: Column, window_tokens: int = 32, stride: int = 16) -> Column:
-    """Windowed fingerprints (rolling-hash style): md5 per token window —
-    the building block for partial-overlap / containment detection."""
-    t = tokens(text)
+def rolling_fingerprints_of(
+    t: Column, window_tokens: int = 32, stride: int = 16
+) -> Column:
+    """Windowed fingerprints over an ALREADY-MATERIALIZED token array
+    column. The window slice necessarily references `t` inside the
+    transform lambda (the offset is per-element), so `t` must be a
+    column attribute — passing a raw split(...) expression here would
+    re-tokenize the whole text once per window in interpreted eval
+    (O(L^2/stride) per row). `t` is referenced twice (window count +
+    slice), which also keeps CollapseProject from re-inlining a
+    projected token column into this expression."""
     n_win = F.greatest(
         F.ceil((F.size(t) - window_tokens) / stride) + 1, F.lit(1)
     ).cast("int")
@@ -106,3 +113,11 @@ def rolling_fingerprints(text: Column, window_tokens: int = 32, stride: int = 16
             F.array_join(F.slice(t, i * stride + 1, window_tokens), " ")
         ),
     )
+
+
+def rolling_fingerprints(text: Column, window_tokens: int = 32, stride: int = 16) -> Column:
+    """Windowed fingerprints (rolling-hash style): md5 per token window —
+    the building block for partial-overlap / containment detection.
+    Convenience form for small texts; for per-row-heavy plans, project
+    tokens(text) to a column first and use rolling_fingerprints_of."""
+    return rolling_fingerprints_of(tokens(text), window_tokens, stride)

@@ -1,0 +1,110 @@
+"""Benchmark decontamination + PII redaction for training-data corpora.
+
+Two more operators a corpus builder needs downstream of the crawler
+(reference scope ends at extraction — news-please's NewsArticle rows
+are exactly the input these consume):
+
+* ``contamination`` / ``decontaminate`` — n-gram overlap against an
+  evaluation ("benchmark") set, the GPT-3/PaLM-style decontamination
+  step: a corpus document that shares any word n-gram with a benchmark
+  document leaks eval data into training and must be dropped.
+
+  Scale plan: the benchmark side is tiny relative to the corpus (10^5
+  eval docs vs 10^10 pages), so its distinct gram hashes BROADCAST;
+  the corpus side explodes distinct grams per doc (fixed-width md5
+  keys, never raw shingles) and the contamination count is a
+  broadcast-join + per-doc count with map-side partial aggregation.
+  The corpus is never shuffled by gram — the only shuffle carries
+  (doc_id, count) for the contaminated subset, which is by
+  construction a sliver of the corpus.
+
+* ``redact_pii`` — email / IPv4 / phone-shaped span redaction with
+  per-doc counts, as a chain of native regexp Columns riding the scan
+  (zero shuffle, whole-stage codegen). Patterns are deliberately
+  RE2-compatible (no lookaround, no backreferences) so the SAME regex
+  text runs on Spark (java.util.regex) and DuckDB (RE2) — which is what
+  makes the operator oracle-checkable cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from news_please_spark.operators.repetition import ngrams
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def _doc_grams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, md5(gram)) pairs, one row per DISTINCT gram per doc."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams(F.lower(F.col(text_col)), n))).alias("_g"),
+    ).select(id_col, F.md5("_g").alias("_g"))
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """(id_col, n_hits) for every corpus doc sharing >= 1 word n-gram
+    with the benchmark set; n_hits = # of the doc's distinct grams that
+    appear anywhere in the benchmark. Docs with zero overlap are NOT
+    returned (at design scale the clean set is ~the whole corpus —
+    materializing zeros would be a full-corpus row per operator call).
+    """
+    bench_grams = F.broadcast(
+        _doc_grams(benchmark, text_col, id_col, n).select("_g").distinct()
+    )
+    return (
+        _doc_grams(corpus, text_col, id_col, n)
+        .join(bench_grams, "_g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """The filtered corpus: drop every doc contamination() flags.
+    left_anti on the (small) contaminated-id set — no corpus shuffle."""
+    hits = contamination(corpus, benchmark, text_col, id_col, n).select(id_col)
+    return corpus.join(F.broadcast(hits), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+# RE2-compatible (and java.util.regex-compatible) patterns; keep in sync
+# with the SQL oracle strings in plans/queries.py.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9]{1,3}[- ][0-9]{2,4}[- ][0-9]{3,4}[- ][0-9]{3,4}"
+
+_PII = [("email", EMAIL_RE), ("ip", IPV4_RE), ("phone", PHONE_RE)]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace PII-shaped spans with <KIND> sentinels and count each
+    kind per row. Order matters and is fixed (email, ip, phone): email
+    local parts may contain digits that would otherwise half-match the
+    phone shape. Pure regexp Columns — rides the scan, no shuffle."""
+    out = df
+    clean = F.col(text_col)
+    for kind, pat in _PII:
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(clean, F.lit(pat), F.lit(0))).cast("long"),
+        )
+        clean = F.regexp_replace(clean, pat, f"<{kind.upper()}>")
+    return out.withColumn("clean_text", clean)

@@ -185,19 +185,15 @@ def simhash_near_dups(
 # ---------------------------------------------------------------------------
 # n-gram Jaccard: exact similarity on LSH-candidate pairs
 def ngram_set(text: Column, n: int = 3) -> Column:
-    # guard: sequence(1, 0) generates DESCENDING [1, 0] in Spark, and
-    # element_at(toks, 0) is a runtime error — short docs must yield an
-    # empty set, not a sequence heading the wrong way
-    toks = tokens_of(text)
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-        )
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    # zip_with over shifted slices: HOF lambdas here touch only element
+    # values, so the token array is evaluated once per row instead of
+    # once per element (element_at(toks, i) inside a lambda re-splits
+    # the whole text per gram in interpreted eval — O(L^2) per row).
+    # Short docs (< n tokens) yield an empty set via the length clamp.
+    from news_please_spark.operators.repetition import ngrams
+
+    # lower() first so tokenization matches tokens_of exactly
+    return F.array_distinct(ngrams(F.lower(text), n))
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -38,58 +38,76 @@ from news_please_spark.functions.text import tokens
 
 
 def ngrams(text: Column, n: int = 2) -> Column:
-    """All overlapping word n-grams, in document order (slots).
-    Short docs (< n tokens) yield an empty array — the guard matters
-    because sequence(1, 0) generates DESCENDING [1, 0] in Spark and
-    element_at(toks, 0) is a runtime error."""
+    """All overlapping word n-grams, in document order (slots), built by
+    zip_with over n shifted slices of the token array.
+
+    Expression-shape constraint (the reason for the zip_with form): a
+    higher-order-function lambda body is evaluated ONCE PER ELEMENT in
+    interpreted (non-codegen) mode, and any outer expression referenced
+    inside it — e.g. element_at(split(text), i) — is re-evaluated from
+    scratch each time, turning the n-gram build into O(L^2) regex work
+    per row. Here every lambda touches only its element values; the
+    token array appears solely as a HOF *argument*, evaluated once per
+    row. Short docs (< n tokens) yield an empty array via the slice
+    length clamp (slice with length 0 is an empty array)."""
     toks = tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    g = F.slice(toks, 1, m)
+    for j in range(1, n):
+        g = F.zip_with(
+            g, F.slice(toks, 1 + j, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return g
+
+
+def run_stats(arr: Column) -> Column:
+    """Run statistics over arr in ONE fold of the sorted array
+    (returned as the fold's accumulator struct — read .dup / .best):
+      dup  = # slots whose value occurs more than once (sum of run
+             lengths >= 2 — a run reaching 2 adds both slots, each
+             further extension adds 1);
+      best = occurrence count of the most frequent value (longest run).
+    The lambda touches only the accumulator and the element, so the
+    (potentially expensive) arr expression is evaluated once per row
+    even in interpreted eval. O(L log L) per row, no shuffle. The null
+    sentinel is safe because sorted-array elements here (grams/lines)
+    are never null (eqNullSafe(null) is false for non-null x)."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("dup"),
     )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def _merge(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            (
+                acc["dup"]
+                + F.when(run == 2, F.lit(2))
+                .when(run > 2, F.lit(1))
+                .otherwise(F.lit(0))
+            ).alias("dup"),
+        )
+
+    # Return the fold struct itself (fields prev/run/best/dup): wrapping
+    # dup+best in a fresh struct would inline the WHOLE fold once per
+    # extracted field. Callers project this to a column and read .dup /
+    # .best so the fold runs once per array per row.
+    return F.aggregate(F.array_sort(arr), acc0, _merge)
 
 
 def _dup_slot_count(arr: Column) -> Column:
-    """# slots whose value occurs more than once in arr — computed on
-    the sorted array: a slot is duplicated iff it equals a neighbour.
-    O(L log L) per row, no shuffle."""
-    s = F.array_sort(arr)
-    return F.size(
-        F.filter(
-            s,
-            lambda x, i: (x == F.get(s, i - 1)) | (x == F.get(s, i + 1)),
-        )
-    )
+    """# slots whose value occurs more than once in arr."""
+    return run_stats(arr)["dup"]
 
 
 def _top_run_length(arr: Column) -> Column:
-    """Occurrence count of the most frequent value = longest run in the
-    sorted array, via a single fold (ties resolved by count, value
-    irrelevant)."""
-    s = F.array_sort(arr)
-    acc0 = F.struct(
-        F.lit("\x00").alias("prev"),
-        F.lit(0).alias("run"),
-        F.lit(0).alias("best"),
-    )
-    folded = F.aggregate(
-        s,
-        acc0,
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-    )
-    return folded["best"]
+    """Occurrence count of the most frequent value in arr."""
+    return run_stats(arr)["best"]
 
 
 def _frac_q(num: Column, den: Column) -> Column:
@@ -127,6 +145,43 @@ def repetition_struct(text: Column) -> Column:
         dup_gram_frac_q(text, 3).alias("dup_trigram_q"),
         top_gram_frac_q(text, 2).alias("top_bigram_q"),
         top_gram_frac_q(text, 3).alias("top_trigram_q"),
+    )
+
+
+def repetition_scores_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Staged plan for the per-document repetition signals: the gram and
+    line arrays materialize as real columns (each is referenced more
+    than once downstream, so CollapseProject keeps the project
+    boundaries instead of re-inlining the array builds), then exactly
+    one run_stats fold per array. Per-row cost is O(L log L) with each
+    array built once — the shape that survives million-token documents."""
+    t = F.col(text_col)
+    staged = (
+        df.select(
+            F.col(id_col),
+            ngrams(t, 2).alias("_g2"),
+            ngrams(t, 3).alias("_g3"),
+            F.filter(F.split(t, "\n"), lambda x: F.trim(x) != "").alias("_lns"),
+        )
+        .select(
+            id_col,
+            F.size("_g2").alias("_n2"),
+            F.size("_g3").alias("_n3"),
+            F.size("_lns").alias("_nl"),
+            run_stats(F.col("_g2")).alias("_s2"),
+            run_stats(F.col("_g3")).alias("_s3"),
+            run_stats(F.col("_lns")).alias("_sl"),
+        )
+    )
+    return staged.select(
+        id_col,
+        _frac_q(F.col("_sl")["dup"], F.col("_nl")).alias("dup_line_q"),
+        _frac_q(F.col("_s2")["dup"], F.col("_n2")).alias("dup_bigram_q"),
+        _frac_q(F.col("_s3")["dup"], F.col("_n3")).alias("dup_trigram_q"),
+        _frac_q(F.col("_s2")["best"], F.col("_n2")).alias("top_bigram_q"),
+        _frac_q(F.col("_s3")["best"], F.col("_n3")).alias("top_trigram_q"),
     )
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from news_please_spark.plans.queries import load, register
+from news_please_spark.plans.queries import load, register, spread
 
 # ---------------------------------------------------------------------------
 # SQL images of world._mix_py and the DocWorld spec (synth.py)
@@ -392,7 +392,7 @@ def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's all-pairs filter exactly."""
     from news_please_spark.operators.dedup import simhash_near_dups
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     n = docs.count()
     planted = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + n).alias("doc_id"),
@@ -413,7 +413,7 @@ def lsh_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just recall-bounded."""
     from news_please_spark.operators.similarity import lsh_topk
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"), spark)
     queries_df = emb.filter(F.col("vec_id") % 101 == 0)
     return lsh_topk(
         queries_df, emb, k=5, planes=_LSH_PLANES, tables=_LSH_TABLES, quantize=True

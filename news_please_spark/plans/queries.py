@@ -43,6 +43,23 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Ensure a compute-bound per-row stage can use every core.
+
+    Parallelism of a scan-riding map stage equals the number of input
+    splits; the small-SF test tables are single parquet files with ONE
+    row group, which no split-size knob can subdivide, so per-row-heavy
+    queries (interpreted HOF folds, mapInPandas) would serialize on one
+    core. When the scan already yields at least defaultParallelism
+    splits — the 100-TB case, where a repartition here would be a full
+    shuffle of the corpus — this is a no-op; otherwise it redistributes
+    exactly the columns the downstream transform consumes."""
+    goal = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < goal:
+        return df.repartition(goal)
+    return df
+
+
 def q4(col):  # quantize: exact integer image of a double, portable
     return F.floor(col * 10000).cast("long")
 
@@ -248,7 +265,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-band MinHash over 3-token shingles; hash = md5(band || shingle)
     so the signature is engine-portable. Scale path: the band/sig table
     is the LSH index — near-dup candidates are same-bucket joins."""
-    t = load(spark, sf_dir, "documents").select(
+    t = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
     s = t.filter(F.size("toks") >= 3).select(
@@ -513,10 +530,12 @@ def quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed (rolling) document fingerprints for containment /
     partial-overlap detection: md5 per 32-token window, stride 16."""
-    from news_please_spark.functions.text import rolling_fingerprints
+    from news_please_spark.functions.text import rolling_fingerprints_of, tokens
 
-    t = load(spark, sf_dir, "documents").select(
-        "doc_id", rolling_fingerprints(F.col("text")).alias("fps")
+    t = (
+        spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+        .select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .select("doc_id", rolling_fingerprints_of(F.col("_toks")).alias("fps"))
     )
     return t.select(
         "doc_id", F.posexplode(F.col("fps")).alias("win", "fp")
@@ -549,7 +568,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles in BOTH engines so quantized sims agree exactly. Scale
     path: broadcast the (few) query vectors against the big side —
     no shuffle of the corpus at all."""
-    e = load(spark, sf_dir, "embeddings").select(
+    e = spread(load(spark, sf_dir, "embeddings"), spark).select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
@@ -862,9 +881,9 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant is the scale path; this is the verifiable baseline)."""
     from news_please_spark.operators.similarity import as_double, cosine
 
-    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0).select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
+    e = spread(
+        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0), spark
+    ).select("vec_id", as_double(F.col("embedding")).alias("v"))
     a, b = e.alias("a"), e.alias("b")
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("id_a"),
@@ -934,16 +953,12 @@ def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition signals (duplicate-line / duplicate-ngram
-    / top-ngram fractions) — zero-shuffle array HOFs riding the scan."""
-    from news_please_spark.operators.repetition import repetition_struct
+    / top-ngram fractions) — zero-shuffle array folds riding the scan,
+    staged so each gram array is built once per row."""
+    from news_please_spark.operators.repetition import repetition_scores_df
 
-    return (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", repetition_struct(F.col("text")).alias("r"))
-        .select(
-            "doc_id", "r.dup_line_q", "r.dup_bigram_q", "r.dup_trigram_q",
-            "r.top_bigram_q", "r.top_trigram_q",
-        )
+    return repetition_scores_df(
+        spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     )
 
 
@@ -980,7 +995,9 @@ def corpus_dup_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffles only fixed-width md5 keys with map-side combine."""
     from news_please_spark.operators.repetition import corpus_dup_ngrams
 
-    return corpus_dup_ngrams(load(spark, sf_dir, "documents"))
+    return corpus_dup_ngrams(
+        spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    )
 
 
 @register(
@@ -1022,7 +1039,7 @@ def jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs square is never formed."""
     from news_please_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     cand = QUERIES["minhash_lsh_pairs"](spark, sf_dir)
     scored = ngram_jaccard_pairs(docs, cand, threshold=0.0)
     return (
@@ -1079,6 +1096,113 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids; candidates come from the list equi-join only."""
     from news_please_spark.operators.similarity import ivf_topk
 
-    e = load(spark, sf_dir, "embeddings")
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
     q = e.filter(F.col("vec_id") % 31 == 0)
     return ivf_topk(q, e, k=5, nprobe=2, centroid_stride=37)
+
+
+# ---------------------------------------------------------------------------
+# 12. benchmark decontamination + PII redaction (corpus-hygiene family)
+_G8 = (
+    "list_transform(range(1, greatest(len(toks) - 7, 0) + 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]"
+    " || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])"
+)
+
+
+@register(
+    "decontam_hits",
+    rf"""
+    WITH nn AS (SELECT count(*) AS c FROM documents),
+    d AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    planted AS (
+      SELECT doc_id + (SELECT c FROM nn) AS doc_id,
+             string_split_regex(trim(lower(text || ' planted trailer')), '\s+') AS toks
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    bench AS (SELECT doc_id, {_G8} AS g8 FROM d WHERE doc_id % 13 = 0),
+    corpus AS (
+      SELECT doc_id, {_G8} AS g8 FROM d WHERE doc_id % 13 != 0
+      UNION ALL
+      SELECT doc_id, {_G8} AS g8 FROM planted
+    ),
+    cg AS (SELECT doc_id, unnest(list_distinct(g8)) AS gram FROM corpus),
+    bg AS (SELECT DISTINCT gram FROM (SELECT unnest(list_distinct(g8)) AS gram FROM bench))
+    SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM cg JOIN bg USING (gram) GROUP BY 1
+    """,
+)
+def decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM-style): 8-gram overlap of
+    the corpus against an eval set (every 13th doc), with planted
+    contaminated copies so the overlap is non-trivial. Scale plan:
+    benchmark grams broadcast; corpus never shuffles by gram."""
+    from news_please_spark.operators.decontam import contamination
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    n = docs.count()
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    planted = bench.select(
+        (F.col("doc_id") + n).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" planted trailer")).alias("text"),
+    )
+    corpus = docs.filter(F.col("doc_id") % 13 != 0).unionByName(planted)
+    return contamination(corpus, bench, n=8).select(
+        "doc_id", F.col("n_hits").cast("long").alias("n_hits")
+    )
+
+
+_PII_PLANT_SQL = (
+    "text || ' call +49 30-1234-567 now ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.7 mail a.b' || CAST(doc_id AS VARCHAR) || '@news.example.org'"
+)
+
+
+@register(
+    "pii_redact",
+    rf"""
+    WITH t AS (SELECT doc_id, {_PII_PLANT_SQL} AS txt FROM documents),
+    e AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+             regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS txt
+      FROM t
+    ),
+    i AS (
+      SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(txt, '\b[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\b')) AS BIGINT) AS n_ip,
+             regexp_replace(txt, '\b[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\b', '<IP>', 'g') AS txt
+      FROM e
+    ),
+    p AS (
+      SELECT doc_id, n_email, n_ip,
+             CAST(len(regexp_extract_all(txt, '\+[0-9]{{1,3}}[- ][0-9]{{2,4}}[- ][0-9]{{3,4}}[- ][0-9]{{3,4}}')) AS BIGINT) AS n_phone,
+             regexp_replace(txt, '\+[0-9]{{1,3}}[- ][0-9]{{2,4}}[- ][0-9]{{3,4}}[- ][0-9]{{3,4}}', '<PHONE>', 'g') AS txt
+      FROM i
+    )
+    SELECT doc_id, n_email, n_ip, n_phone, txt AS clean_text FROM p
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4 / phone shapes) with per-doc counts
+    over deterministically planted spans — RE2-compatible patterns so
+    the identical regex text runs on both engines. Zero shuffle."""
+    from news_please_spark.operators.decontam import redact_pii
+
+    planted = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" call +49 30-1234-567 now ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 mail a.b"),
+            F.col("doc_id").cast("string"),
+            F.lit("@news.example.org"),
+        ).alias("text"),
+    )
+    return redact_pii(planted).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "clean_text"
+    )

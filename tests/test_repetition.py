@@ -158,3 +158,28 @@ def test_repetition_is_zero_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_repetition_large_doc_is_linearithmic(spark):
+    """Regression guard for the interpreted-HOF re-evaluation pathology:
+    an expression like element_at(split(text), i) inside a transform
+    lambda re-tokenizes the whole text once per element (O(L^2) per
+    row), and referencing array_sort(grams) inside a filter lambda
+    compounds it to O(L^3) — a 20k-token doc then takes HOURS. The
+    zip_with/fold shapes finish instantly; completing at all (with
+    exact values) is the assertion."""
+    from news_please_spark.operators.repetition import repetition_scores_df
+
+    n = 20_000
+    toks = [f"w{i % 977}" for i in range(n)]  # every value repeats
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = repetition_scores_df(df).collect()[0]
+
+    big2 = [" ".join(toks[i : i + 2]) for i in range(n - 1)]
+    big3 = [" ".join(toks[i : i + 3]) for i in range(n - 2)]
+    assert row["dup_bigram_q"] == _py_dup_frac(big2)
+    assert row["dup_trigram_q"] == _py_dup_frac(big3)
+    assert row["top_bigram_q"] == _py_top_frac(big2)
+    assert row["top_trigram_q"] == _py_top_frac(big3)
+    assert row["dup_line_q"] == 0  # single line occurs once: no dup lines
