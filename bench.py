@@ -48,6 +48,9 @@ HEADLINE = [
     "jaccard_verify",
     "decontam_hits",
     "pii_redact",
+    "span_stats",
+    "interleaved_render",
+    "span_boilerplate",
     "ann_cosine_topk",
     "extract_articles",
     "sitemap_expand",

@@ -1,0 +1,220 @@
+"""Operators over the interleaved span-document table — the exact
+input shape of BASELINE.json's input_hint:
+
+    (doc_id: string, spans: array<struct<kind: string, text: string,
+     media_ref: string, offset: int>>)
+
+The extraction chain PRODUCES this shape (extract.article_to_spans);
+these operators CONSUME it — the steps a training-data pipeline runs
+over interleaved text + media documents after extraction:
+
+* ``synth_spans``          — deterministic spans table from (doc_id,
+                             text) rows, for tests/benchmarks (chunked
+                             text spans with media spans interleaved
+                             after every 2nd chunk, plus a planted
+                             boilerplate banner on every 4th doc). The
+                             DuckDB oracle re-derives the identical
+                             table from the same arithmetic.
+* ``span_stats``           — per-doc interleave statistics (span
+                             counts by kind, text chars, kind
+                             transitions in offset order). Zero
+                             shuffle: one fold per row.
+* ``render_interleaved``   — the training-sample view: text spans
+                             joined in offset order with <kind>
+                             placeholders where media sits. Zero
+                             shuffle.
+* ``boilerplate_spans``    — cross-doc duplicate span texts (the
+                             "subscribe banner in 40k pages" signal):
+                             explode text spans, md5 keys, doc-freq
+                             with map-side combine — only fixed-width
+                             hashes cross the shuffle.
+* ``strip_boilerplate``    — drop flagged spans from every doc without
+                             exploding the corpus: broadcast the (few)
+                             flagged hashes and filter INSIDE the
+                             spans array per row.
+
+Expression discipline (see operators/repetition.py): every HOF lambda
+here touches only its element values / accumulator — token arrays are
+materialized to real columns before any per-element slicing, so
+nothing is re-evaluated per element in interpreted eval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from news_please_spark.functions.text import tokens
+
+SPAN_SCHEMA = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+CHUNK_TOKENS = 10          # text-span width in tokens
+MEDIA_EVERY = 2            # a media span after every 2nd text chunk
+BANNER_EVERY = 4           # planted boilerplate banner on doc_id % 4 == 0
+BANNER = "subscribe to our newsletter for daily updates"
+
+
+def _span(kind, text, media_ref, offset) -> F.Column:
+    return F.struct(
+        kind.alias("kind"),
+        text.alias("text"),
+        media_ref.alias("media_ref"),
+        offset.cast("int").alias("offset"),
+    )
+
+
+def synth_spans(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, text) → (id, spans) in the input_hint shape, deterministic
+    pure arithmetic (no RNG) so DuckDB rebuilds the SAME table:
+
+      text chunks of CHUNK_TOKENS tokens at offsets i-1 + (i-1)//2,
+      an image span after every MEDIA_EVERY-th chunk at offset 3j-1,
+      and on every BANNER_EVERY-th doc the fixed BANNER text span at
+      the end — the cross-doc duplicate that boilerplate_spans exists
+      to find.
+    """
+    ns = F.lit(None).cast("string")
+    d = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        id_col,
+        "_toks",
+        F.ceil(F.size("_toks") / CHUNK_TOKENS).cast("int").alias("_nc"),
+    )
+    # _toks is referenced by the chunk lambda below AND by _nc's
+    # consumer projection — multiple references keep CollapseProject
+    # from inlining the split into the per-element slice.
+    text_spans = F.transform(
+        F.sequence(F.lit(1), F.col("_nc")),
+        lambda i: _span(
+            F.lit("text"),
+            F.array_join(F.slice(F.col("_toks"), (i - 1) * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "),
+            ns,
+            (i - 1) + F.floor((i - 1) / MEDIA_EVERY),
+        ),
+    )
+    # guard: sequence(1, 0) generates DESCENDING [1, 0] in Spark — a
+    # doc with fewer than MEDIA_EVERY chunks must get NO media spans,
+    # not two phantom ones (j=0 lands at offset -1 and sorts first)
+    n_media = F.floor(F.col("_nc") / MEDIA_EVERY).cast("int")
+    media_spans = F.when(
+        n_media > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_media),
+            lambda j: _span(
+                F.lit("image"),
+                ns,
+                F.concat(
+                    F.lit("img://"), F.col(id_col).cast("string"), F.lit("/"), j.cast("string")
+                ),
+                (MEDIA_EVERY + 1) * j - 1,
+            ),
+        ),
+    ).otherwise(F.array().cast(SPAN_SCHEMA))
+    # next free offset = total spans so far = nc text + nc//MEDIA_EVERY media
+    banner_off = F.col("_nc") + F.floor(F.col("_nc") / MEDIA_EVERY)
+    banner = F.when(
+        F.col(id_col) % BANNER_EVERY == 0,
+        F.array(_span(F.lit("text"), F.lit(BANNER), ns, banner_off)),
+    ).otherwise(F.array().cast(SPAN_SCHEMA))
+    unordered = F.concat(text_spans, media_spans, banner)
+    spans = F.array_sort(unordered, lambda a, b: a["offset"] - b["offset"])
+    return d.select(id_col, spans.alias("spans"))
+
+
+def span_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-doc interleave statistics over the spans array — one pass,
+    zero shuffle. n_transitions counts adjacent kind changes in offset
+    order (the interleaving degree a multimodal sampler cares about)."""
+    kinds = F.transform("spans", lambda s: s["kind"])
+    stats = df.select(
+        F.col(id_col),
+        F.size("spans").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == "text")).alias("n_text"),
+        F.size(F.filter("spans", lambda s: s["kind"] != "text")).alias("n_media"),
+        F.aggregate(
+            "spans",
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
+        ).alias("text_chars"),
+        # both slices are length size-1: zip_with pads unequal lengths
+        # with nulls, which would poison the sum
+        F.aggregate(
+            F.zip_with(
+                F.slice(kinds, 1, F.greatest(F.size("spans") - 1, F.lit(0))),
+                F.slice(kinds, 2, F.greatest(F.size("spans") - 1, F.lit(0))),
+                lambda a, b: (a != b).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("n_transitions"),
+    )
+    return stats.select(
+        id_col,
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_text").cast("long").alias("n_text"),
+        F.col("n_media").cast("long").alias("n_media"),
+        "text_chars",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+    )
+
+
+def render_interleaved(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """spans → the flat training-sample string: text spans in offset
+    order, media spans as <kind> placeholders. Assumes spans are
+    already offset-ordered (synth_spans and article_to_spans both
+    emit them ordered); zero shuffle."""
+    piece = lambda s: F.when(  # noqa: E731 - tiny local expression
+        s["kind"] == "text", s["text"]
+    ).otherwise(F.concat(F.lit("<"), s["kind"], F.lit(">")))
+    return df.select(
+        F.col(id_col),
+        F.array_join(F.transform("spans", piece), " ").alias("rendered"),
+        F.size(F.filter("spans", lambda s: s["kind"] != "text"))
+        .cast("long")
+        .alias("n_media"),
+    )
+
+
+def boilerplate_spans(
+    df: DataFrame, min_docs: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """(span_md5, n_docs) for every text-span content appearing in at
+    least min_docs distinct docs. Only md5 keys cross the shuffle and
+    the doc-frequency count is map-side combinable."""
+    hashes = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.filter("spans", lambda s: s["kind"] == "text"),
+                    lambda s: F.md5(F.lower(F.trim(s["text"]))),
+                )
+            )
+        ).alias("span_md5"),
+    )
+    return (
+        hashes.groupBy("span_md5")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame, min_docs: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Remove flagged boilerplate text spans from every doc WITHOUT
+    exploding the corpus: the flagged-hash set is tiny by construction
+    (it needs cross-doc repetition), so it broadcasts as an array and
+    the filter runs inside each row's spans column."""
+    flagged = boilerplate_spans(df, min_docs, id_col).select("span_md5")
+    flags = flagged.agg(F.sort_array(F.collect_list("span_md5")).alias("f"))
+    return df.crossJoin(F.broadcast(flags)).select(
+        F.col(id_col),
+        F.filter(
+            "spans",
+            lambda s: (s["kind"] != "text")
+            | ~F.array_contains(F.col("f"), F.md5(F.lower(F.trim(s["text"])))),
+        ).alias("spans"),
+    )

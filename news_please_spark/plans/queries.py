@@ -1206,3 +1206,111 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(planted).select(
         "doc_id", "n_email", "n_ip", "n_phone", "clean_text"
     )
+
+
+# ---------------------------------------------------------------------------
+# 13. interleaved span-document operators (BASELINE.json input_hint shape:
+#     doc_id + spans array<struct<kind,text,media_ref,offset>>) — synthesized
+#     deterministically from `documents` with the SAME arithmetic in DuckDB
+_SPAN_ROWS_SQL = r"""
+    WITH sd AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    sc AS (
+      SELECT doc_id, toks, CAST(ceil(len(toks) / 10.0) AS INT) AS nc FROM sd
+    ),
+    span_rows AS (
+      SELECT doc_id, unnest(list_transform(range(1, nc + 1), i -> {
+               'kind': 'text',
+               'text': array_to_string(list_slice(toks, (i-1)*10 + 1, (i-1)*10 + 10), ' '),
+               'media_ref': CAST(NULL AS VARCHAR),
+               'offset': CAST((i-1) + (i-1) // 2 AS INT)
+             }), recursive := true)
+      FROM sc
+      UNION ALL
+      SELECT doc_id, unnest(list_transform(range(1, nc // 2 + 1), j -> {
+               'kind': 'image',
+               'text': CAST(NULL AS VARCHAR),
+               'media_ref': 'img://' || CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR),
+               'offset': CAST(3*j - 1 AS INT)
+             }), recursive := true)
+      FROM sc
+      UNION ALL
+      SELECT doc_id, 'text' AS kind,
+             'subscribe to our newsletter for daily updates' AS text,
+             CAST(NULL AS VARCHAR) AS media_ref,
+             CAST(nc + nc // 2 AS INT) AS "offset"
+      FROM sc WHERE doc_id % 4 = 0
+    )
+"""
+
+
+def _synth_spans_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from news_please_spark.operators.spans import synth_spans
+
+    return synth_spans(
+        spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    )
+
+
+@register(
+    "span_stats",
+    _SPAN_ROWS_SQL
+    + """
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+           CAST(sum(CASE WHEN kind != 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+           CAST(coalesce(sum(len(text)), 0) AS BIGINT) AS text_chars,
+           CAST(coalesce(sum(trans), 0) AS BIGINT) AS n_transitions
+    FROM (
+      SELECT *, CASE WHEN kind != lag(kind) OVER (PARTITION BY doc_id ORDER BY "offset")
+                     THEN 1 ELSE 0 END AS trans
+      FROM span_rows
+    ) GROUP BY doc_id
+    """,
+)
+def span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleave statistics over the input_hint span table — span
+    counts by kind, text chars, kind transitions in offset order; one
+    zero-shuffle fold per row."""
+    from news_please_spark.operators.spans import span_stats
+
+    return span_stats(_synth_spans_df(spark, sf_dir))
+
+
+@register(
+    "interleaved_render",
+    _SPAN_ROWS_SQL
+    + """
+    SELECT doc_id,
+           string_agg(CASE WHEN kind = 'text' THEN text ELSE '<' || kind || '>' END,
+                      ' ' ORDER BY "offset") AS rendered,
+           CAST(sum(CASE WHEN kind != 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_media
+    FROM span_rows GROUP BY doc_id
+    """,
+)
+def interleaved_render_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spans → flat training-sample text with <kind> media placeholders
+    in offset order (the multimodal sampler's view). Zero shuffle."""
+    from news_please_spark.operators.spans import render_interleaved
+
+    return render_interleaved(_synth_spans_df(spark, sf_dir))
+
+
+@register(
+    "span_boilerplate",
+    _SPAN_ROWS_SQL
+    + """
+    SELECT md5(lower(trim(text))) AS span_md5,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM span_rows WHERE kind = 'text'
+    GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def span_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicate text spans (the planted banner + any chunk
+    collisions): md5 keys only across the shuffle, map-side combine."""
+    from news_please_spark.operators.spans import boilerplate_spans
+
+    return boilerplate_spans(_synth_spans_df(spark, sf_dir), min_docs=2)

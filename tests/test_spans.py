@@ -1,0 +1,96 @@
+"""Interleaved span-document operators (input_hint shape) vs pure-Python
+oracles, plus the guard rails: sub-chunk docs (no media spans), empty
+text, banner planting, boilerplate stripping."""
+
+from pyspark.sql import functions as F
+
+from news_please_spark.operators.spans import (
+    BANNER,
+    boilerplate_spans,
+    render_interleaved,
+    span_stats,
+    strip_boilerplate,
+    synth_spans,
+)
+
+DOCS = [
+    (0, " ".join(f"w{i}" for i in range(25))),   # 3 chunks, 1 media, banner
+    (1, "short doc only"),                        # 1 chunk, no media
+    (2, ""),                                      # empty text -> 1 empty chunk
+    (3, " ".join(f"x{i}" for i in range(40))),    # 4 chunks, 2 media
+    (4, " ".join(f"w{i}" for i in range(25))),    # same text as 0 + banner
+]
+
+
+def _py_spans(doc_id, text):
+    toks = text.strip().split() if text.strip() else [""]
+    nc = -(-len(toks) // 10)
+    spans = []
+    for i in range(1, nc + 1):
+        spans.append(("text", " ".join(toks[(i - 1) * 10 : (i - 1) * 10 + 10]),
+                      None, (i - 1) + (i - 1) // 2))
+    for j in range(1, nc // 2 + 1):
+        spans.append(("image", None, f"img://{doc_id}/{j}", 3 * j - 1))
+    if doc_id % 4 == 0:
+        spans.append(("text", BANNER, None, nc + nc // 2))
+    return sorted(spans, key=lambda s: s[3])
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_synth_spans_matches_python(spark):
+    rows = synth_spans(_df(spark)).collect()
+    got = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in rows}
+    for d, t in DOCS:
+        assert got[d] == _py_spans(d, t), d
+    # doc 1 has ONE chunk: no phantom media from sequence(1, 0)
+    assert all(s[0] == "text" for s in got[1])
+
+
+def test_span_stats_matches_python(spark):
+    rows = span_stats(synth_spans(_df(spark))).collect()
+    for r in rows:
+        spans = _py_spans(r["doc_id"], dict(DOCS)[r["doc_id"]])
+        kinds = [s[0] for s in spans]
+        assert r["n_spans"] == len(spans)
+        assert r["n_text"] == sum(k == "text" for k in kinds)
+        assert r["n_media"] == sum(k != "text" for k in kinds)
+        assert r["text_chars"] == sum(len(s[1]) for s in spans if s[1] is not None)
+        assert r["n_transitions"] == sum(
+            a != b for a, b in zip(kinds, kinds[1:])
+        ), r["doc_id"]
+
+
+def test_render_interleaved(spark):
+    rows = {r["doc_id"]: r for r in render_interleaved(synth_spans(_df(spark))).collect()}
+    for d, t in DOCS:
+        want = " ".join(
+            s[1] if s[0] == "text" else f"<{s[0]}>" for s in _py_spans(d, t)
+        )
+        assert rows[d]["rendered"] == want, d
+    assert rows[3]["n_media"] == 2 and rows[1]["n_media"] == 0
+
+
+def test_boilerplate_and_strip(spark):
+    df = synth_spans(_df(spark))
+    flagged = boilerplate_spans(df, min_docs=2).collect()
+    # banner (docs 0 and 4) + the identical chunk texts of docs 0 and 4
+    assert all(r["n_docs"] == 2 for r in flagged)
+    assert len(flagged) == 1 + 3  # banner + 3 shared chunks
+
+    stripped = {r["doc_id"]: r["spans"] for r in strip_boilerplate(df, 2).collect()}
+    # docs 0/4 lose banner + all 3 chunks, keep only the media span
+    assert [s["kind"] for s in stripped[0]] == ["image"]
+    assert [s["kind"] for s in stripped[4]] == ["image"]
+    # untouched docs keep every span
+    for d in (1, 2, 3):
+        assert len(stripped[d]) == len(_py_spans(d, dict(DOCS)[d])), d
+
+
+def test_span_ops_zero_shuffle(spark):
+    df = synth_spans(_df(spark))
+    for op in (span_stats, render_interleaved):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, op.__name__
