@@ -209,9 +209,65 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.6,
     n: int = 3,
+    impl: str = "array",
 ) -> DataFrame:
     """Verify candidate pairs (from MinHash-LSH or SimHash banding) with
-    exact n-gram Jaccard. candidate_pairs: (doc_a, doc_b)."""
+    exact n-gram Jaccard. candidate_pairs: (doc_a, doc_b).
+
+    impl='array' (default): join each side's gram-set ARRAY onto the
+    pair and intersect/union per row. Right when candidate degree is
+    modest — two narrow joins, one pass per pair.
+
+    impl='exploded': never materializes a gram array on a pair row —
+    |A∩B| comes from joining (pair × grams-of-a) against (doc_b, gram)
+    on fixed-width md5 keys, |A∪B| from per-doc counts. The scale
+    shape for skewed candidate graphs: a doc appearing in 10^4 pairs
+    would copy its whole gram array 10^4 times under 'array', while
+    here the work is narrow rows hash-partitioned on (doc, gram) —
+    no fat rows, spreads across the cluster. Both impls are
+    bit-identical (test_dedup_similarity.py)."""
+    if impl == "exploded":
+        gramrows = df.select(
+            F.col(id_col),
+            F.explode(ngram_set(F.col(text_col), n)).alias("_g"),
+        ).select(id_col, F.md5("_g").alias("_g"))
+        sizes = gramrows.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+        inter = (
+            candidate_pairs.join(
+                gramrows.select(F.col(id_col).alias("doc_a"), "_g"), "doc_a"
+            )
+            .join(
+                gramrows.select(F.col(id_col).alias("doc_b"), "_g"),
+                ["doc_b", "_g"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("_i"))
+        )
+        out = (
+            candidate_pairs.join(inter, ["doc_a", "doc_b"], "left")
+            .join(sizes.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("_na")), "doc_a", "left")
+            .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("_nb")), "doc_b", "left")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.when(
+                    F.coalesce("_na", F.lit(0)) + F.coalesce("_nb", F.lit(0))
+                    - F.coalesce("_i", F.lit(0))
+                    == 0,
+                    F.lit(0.0),
+                )
+                .otherwise(
+                    F.coalesce("_i", F.lit(0)).cast("double")
+                    / (
+                        F.coalesce("_na", F.lit(0))
+                        + F.coalesce("_nb", F.lit(0))
+                        - F.coalesce("_i", F.lit(0))
+                    )
+                )
+                .alias("jaccard"),
+            )
+        )
+        return out.filter(F.col("jaccard") >= threshold)
     grams = df.select(F.col(id_col), ngram_set(F.col(text_col), n).alias("_g"))
     out = (
         candidate_pairs.join(

@@ -127,3 +127,27 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         decode_and_featurize(media, strict=True).collect()
+
+
+def test_ngram_jaccard_impls_bit_identical(spark, docs):
+    """'exploded' (scale shape: no gram array copied onto pair rows)
+    must equal 'array' exactly, including threshold=0 pairs with a
+    gramless side and identical-doc pairs at 1.0."""
+    from pyspark.sql import functions as F
+
+    short = spark.createDataFrame([(9, "just two")], "doc_id bigint, text string")
+    d = docs.unionByName(short)
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (2, 4), (0, 9)],
+        "doc_a bigint, doc_b bigint",
+    )
+
+    def snap(impl):
+        out = ngram_jaccard_pairs(d, cand, threshold=0.0, impl=impl)
+        return sorted(
+            (r.doc_a, r.doc_b, round(r.jaccard, 12)) for r in out.collect()
+        )
+
+    a, e = snap("array"), snap("exploded")
+    assert a == e
+    assert any(p[:2] == (0, 9) and p[2] == 0.0 for p in a)  # gramless side
