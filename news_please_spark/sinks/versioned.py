@@ -91,9 +91,15 @@ class VersionedArticleStore:
         w = Window.partitionBy("url").orderBy(
             F.col(order_col).asc_nulls_first(), content_key
         )
-        b = batch.withColumn("_rk", F.row_number().over(w))
-        b_count = b.groupBy("url").agg(F.max("_rk").alias("_n"))
-        b = b.join(b_count, "url")
+        # The batch's lineage can be arbitrarily expensive (the CC
+        # pipeline feeds WARC-parse + full extraction straight in), and
+        # this plan consumes it from several branches (_n aggregate,
+        # the current write, the archive write) — without a cut each
+        # branch re-executes the whole extraction. One persist, released
+        # deterministically after the commit.
+        ranked = batch.withColumn("_rk", F.row_number().over(w)).persist()
+        b_count = ranked.groupBy("url").agg(F.max("_rk").alias("_n"))
+        b = ranked.join(b_count, "url")
 
         if cur is None:
             base = b.withColumn("_base_version", F.lit(0))
@@ -149,7 +155,10 @@ class VersionedArticleStore:
             else old_archive.unionByName(archive_add)
         )
         new_snap = snap + 1
-        self._commit(current_out, archive_out, new_snap)
+        try:
+            self._commit(current_out, archive_out, new_snap)
+        finally:
+            ranked.unpersist()
         return new_snap
 
 
