@@ -462,26 +462,27 @@ def _tree_cpu_sampler(root_pid: int, stop_evt, acc: dict) -> None:
             return
 
 
-def run_scaling_trial(cpus: int, ballast: int = 0) -> dict:
-    """One child run with DURING-RUN interference accounting: host busy
-    CPU-seconds (/proc/stat) minus our child process-tree's CPU-seconds
-    (1 s cumulative sampling) = external cores consumed while we ran.
+def _instrumented_child(argv_tail: list[str], env: dict | None = None) -> dict:
+    """Run `python bench.py <argv_tail>` in a fresh subprocess with
+    DURING-RUN interference accounting: host busy CPU-seconds
+    (/proc/stat) minus our child process-tree's CPU-seconds (1 s
+    cumulative sampling) = external cores consumed while we ran.
     Trials where co-tenants averaged > EXT_CONTENTION_CORES are flagged
-    contended and excluded from the min (loadavg gates can't see
-    co-tenants that arrive MID-run; this measures them)."""
+    contended (loadavg gates can't see co-tenants that arrive MID-run;
+    this measures them). Returns the child's last JSON line augmented
+    with wall/tree_cpu/ext_cores/contended."""
     import threading
 
     hz = os.sysconf("SC_CLK_TCK")
     busy0, iow0 = _host_busy_jiffies()
     t0 = time.time()
-    env = dict(os.environ, SPARK_GRAFT_BALLAST=str(ballast))
     p = subprocess.Popen(
-        [sys.executable, __file__, "--scaling-child", str(cpus)],
+        [sys.executable, __file__, *argv_tail],
         stdout=subprocess.PIPE,
         stderr=subprocess.PIPE,
         text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
-        env=env,
+        env=env or dict(os.environ),
     )
     acc: dict[int, int] = {}
     stop = threading.Event()
@@ -513,6 +514,13 @@ def run_scaling_trial(cpus: int, ballast: int = 0) -> dict:
         }
     )
     return r
+
+
+def run_scaling_trial(cpus: int, ballast: int = 0) -> dict:
+    """One scaling child with interference accounting (see
+    _instrumented_child)."""
+    env = dict(os.environ, SPARK_GRAFT_BALLAST=str(ballast))
+    return _instrumented_child(["--scaling-child", str(cpus)], env=env)
 
 
 def scaling(pair: tuple[int, int] = (2, 8), trials: int = 2) -> None:
@@ -591,6 +599,70 @@ def scaling(pair: tuple[int, int] = (2, 8), trials: int = 2) -> None:
             for a in attempts
         ],
     }
+    print(json.dumps(out))
+
+
+SEEN_CONFIGS = [
+    ("bloom_off", dict(use_bloom=False)),
+    ("bloom_on", dict(use_bloom=True, seen_filter="bloom", bloom_distribute="broadcast")),
+    ("bloom_on_copart", dict(use_bloom=True, seen_filter="bloom", bloom_distribute="copartition")),
+    ("cuckoo_on", dict(use_bloom=True, seen_filter="cuckoo", bloom_distribute="broadcast")),
+    ("cuckoo_on_copart", dict(use_bloom=True, seen_filter="cuckoo", bloom_distribute="copartition")),
+]
+
+
+def _wait_quiet(threshold: float = 3.0, max_wait: int = 900) -> float:
+    """Pre-gate on 1-min load; the in-run ext_cores_avg measurement is
+    the authoritative discard signal."""
+    waited = 0
+    load1 = float(open("/proc/loadavg").read().split()[0])
+    while waited < max_wait and load1 >= threshold:
+        time.sleep(20)
+        waited += 20
+        load1 = float(open("/proc/loadavg").read().split()[0])
+    return load1
+
+
+def seen_child(label: str) -> None:
+    """One seen-filter config on the headline crawl, fresh JVM."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from news_please_spark.session import get_spark
+
+    kwargs = dict(SEEN_CONFIGS)[label]
+    spark = get_spark(f"seen_{label}", cpus=CPUS, shuffle_partitions=CPUS)
+    sec, urls = run_crawl(spark, CRAWL_PAGES, CRAWL_WAVES, **kwargs)
+    print(json.dumps({"sec": round(sec, 2), "urls": urls}))
+
+
+def seen_ab_gated(max_attempts: int = 4) -> None:
+    """The URL-seen five-way A/B with the scaling harness's rigor: one
+    fresh-JVM child per config, pre-gated on 1-min load AND accepted
+    only when in-run external interference stays under
+    EXT_CONTENTION_CORES (a start-of-run loadavg gate cannot see
+    co-tenants that arrive mid-run — measured 2x swings from exactly
+    that). Contended trials retry up to max_attempts; every attempt is
+    printed so discards are auditable."""
+    out: dict[str, dict] = {}
+    for label, _ in SEEN_CONFIGS:
+        best = None
+        for attempt in range(max_attempts):
+            load = _wait_quiet()
+            r = _instrumented_child(["--seen-child", label])
+            r["label"] = label
+            r["attempt"] = attempt
+            r["load_before"] = load
+            print(json.dumps(r), flush=True)
+            if not r["contended"]:
+                best = r
+                break
+            if best is None or r["sec"] < best["sec"]:
+                best = r  # least-bad fallback, still marked contended
+        out[label] = {
+            "sec": best["sec"],
+            "urls_per_sec": round(best["urls"] / best["sec"], 1),
+            "ext_cores_avg": best["ext_cores_avg"],
+            "contended": best["contended"],
+        }
     print(json.dumps(out))
 
 
@@ -701,6 +773,10 @@ def politeness_ab() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--scaling-child":
         scaling_child(int(sys.argv[2]))
+    elif len(sys.argv) > 2 and sys.argv[1] == "--seen-child":
+        seen_child(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--seen-ab":
+        seen_ab_gated()
     elif len(sys.argv) > 1 and sys.argv[1] == "--bloom-ab":
         bloom_ab()
     elif len(sys.argv) > 1 and sys.argv[1] == "--politeness-ab":

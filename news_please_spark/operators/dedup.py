@@ -196,6 +196,53 @@ def ngram_set(text: Column, n: int = 3) -> Column:
     return F.array_distinct(ngrams(F.lower(text), n))
 
 
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b) near-dup candidate pairs via banded MinHash over
+    lowercased n-token shingles; hash = md5(band || shingle) so the
+    identical candidate set derives in any engine. Scale path: the
+    (band, sig) table is the LSH index — candidates are same-bucket
+    equi-joins, the corpus is never crossed. Docs with < n tokens have
+    no shingles and never become candidates."""
+    shingled = df.select(
+        F.col(id_col), ngram_set(F.col(text_col), n).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    sig = shingled.select(
+        id_col,
+        F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("_band"),
+        F.col("_sh"),
+    ).select(
+        id_col,
+        "_band",
+        F.array_min(
+            F.transform(
+                "_sh",
+                lambda sh: F.md5(
+                    F.concat(F.col("_band").cast("string"), F.lit("|"), sh)
+                ),
+            )
+        ).alias("_sig"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._sig") == F.col("b._sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))

@@ -1,0 +1,98 @@
+"""clean_corpus — the end-to-end corpus-hygiene pipeline.
+
+The reference stops at extraction (NewsArticle rows); a training-data
+corpus builder then runs hygiene over that table. This module chains
+the engine's operators into the standard sequence, entirely as
+DataFrame composition (one lazy plan per stage, no driver-side loops):
+
+  1. exact dedup        — one survivor per byte-identical text
+                          (min-id representative, deterministic);
+  2. near-dup removal   — MinHash-LSH candidates verified with exact
+                          n-gram Jaccard; for every verified pair the
+                          HIGHER id drops (greedy min-id keep; chains
+                          collapse toward their smallest member but a
+                          doc similar only to a dropped doc survives —
+                          the standard one-pass tradeoff, documented);
+  3. decontamination    — drop docs sharing any 8-gram with the
+                          benchmark set (GPT-3/PaLM-style; if the
+                          benchmark texts themselves are in the corpus
+                          they self-hit and drop, which is the correct
+                          outcome for eval leakage);
+  4. quality gate       — Gopher-style repetition rule: drop docs
+                          whose top bigram fills >= top_bigram_q_max
+                          of bigram slots (boilerplate/spam shape).
+
+Every stage's drop set is small relative to the corpus by
+construction, so each removal is a broadcast-friendly left_anti on
+ids — the corpus is never shuffled by content in the removal steps;
+only the candidate/verify machinery shuffles, and only on fixed-width
+keys (see operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from news_please_spark.operators.decontam import contamination
+from news_please_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+)
+from news_please_spark.operators.repetition import ngrams, run_stats
+
+
+def clean_corpus(
+    df: DataFrame,
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    top_bigram_q_max: int = 2000,
+    decontam_n: int = 8,
+    materialize_stages: bool = False,
+) -> DataFrame:
+    """Returns the surviving rows of `df` (same schema). See module
+    docstring for stage semantics and ordering.
+
+    materialize_stages=True cuts the plan after the near-dup and
+    decontamination stages (localCheckpoint): each stage's survivor set
+    is consumed by SEVERAL downstream branches (the LSH index build,
+    the Jaccard verify's two sides, the contamination explode), and
+    without a cut every branch re-derives the whole upstream pipeline.
+    That is what a production hygiene run does between stages anyway
+    (materialize to a table); the default stays pure-lazy for
+    composability into a larger plan."""
+
+    def _cut(d: DataFrame) -> DataFrame:
+        return d.localCheckpoint(eager=True) if materialize_stages else d
+
+    # 1. exact dedup (min id per content hash); cut BEFORE the LSH
+    # index + verify consume it from three branches
+    kept = _cut(exact_dedup(df, text_col, id_col))
+
+    # 2. near-dup: LSH candidates -> exact Jaccard -> drop doc_b
+    cand = minhash_lsh_candidates(kept, text_col, id_col)
+    dups = (
+        ngram_jaccard_pairs(kept, cand, text_col, id_col, threshold=jaccard_threshold)
+        .select(F.col("doc_b").alias(id_col))
+        .distinct()
+    )
+    kept = _cut(kept.join(F.broadcast(dups), id_col, "left_anti"))
+
+    # 3. decontamination vs the benchmark set
+    if benchmark is not None:
+        hits = contamination(kept, benchmark, text_col, id_col, n=decontam_n)
+        kept = kept.join(F.broadcast(hits.select(id_col)), id_col, "left_anti")
+
+    # 4. Gopher-style repetition gate (staged so the gram array builds
+    # once per row; run_stats' lambda touches only (acc, x))
+    g2 = ngrams(F.col(text_col), 2)
+    scored = kept.withColumn("_g2", g2).withColumn(
+        "_top_q",
+        F.when(F.size("_g2") == 0, F.lit(0)).otherwise(
+            F.floor(10000.0 * run_stats(F.col("_g2"))["best"] / F.size("_g2"))
+        ),
+    )
+    return scored.filter(F.col("_top_q") < top_bigram_q_max).drop("_g2", "_top_q")

@@ -1314,3 +1314,129 @@ def span_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_please_spark.operators.spans import boilerplate_spans
 
     return boilerplate_spans(_synth_spans_df(spark, sf_dir), min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# 14. the end-to-end corpus-hygiene pipeline (clean_corpus), oracle-checked
+#     as ONE entry: exact dedup -> LSH near-dup -> decontam -> quality gate,
+#     over a corpus with planted exact copies, near copies and junk docs
+_G8T = (
+    "list_transform(range(1, greatest(len(toks) - 7, 0) + 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]"
+    " || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])"
+)
+
+
+@register(
+    "corpus_clean",
+    rf"""
+    WITH nn AS (SELECT count(*) AS c FROM documents),
+    base AS (SELECT doc_id, text FROM documents),
+    corpus AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + (SELECT c FROM nn), text FROM base WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 2*(SELECT c FROM nn), text || ' zz extra tail'
+      FROM base WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 3*(SELECT c FROM nn),
+             array_to_string(list_transform(range(0, 40),
+               x -> string_split_regex(trim(text), '\s+')[1]), ' ')
+      FROM base WHERE doc_id % 9 = 0
+    ),
+    s1 AS (
+      SELECT c.doc_id, c.text FROM corpus c
+      JOIN (SELECT md5(text) AS h, min(doc_id) AS mid FROM corpus GROUP BY 1) k
+        ON md5(c.text) = k.h AND c.doc_id = k.mid
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-2,0)+1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM s1)
+    ),
+    sig AS (
+      SELECT doc_id, band,
+             list_aggregate(list_transform(shingles,
+               s -> md5(CAST(band AS VARCHAR) || '|' || s)), 'min') AS sig
+      FROM (SELECT * FROM sh WHERE len(shingles) > 0), (SELECT unnest([0,1,2,3]) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    jac AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS j
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.doc_a
+      JOIN sh sb ON sb.doc_id = cand.doc_b
+    ),
+    s2 AS (
+      SELECT * FROM s1 WHERE doc_id NOT IN
+        (SELECT DISTINCT doc_b FROM jac WHERE j >= 0.5)
+    ),
+    bg AS (
+      SELECT DISTINCT unnest(list_distinct({_G8T})) AS gram
+      FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM base WHERE doc_id % 13 = 0)
+    ),
+    cg AS (
+      SELECT doc_id, unnest(list_distinct({_G8T})) AS gram
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM s2)
+    ),
+    s3 AS (
+      SELECT * FROM s2 WHERE doc_id NOT IN
+        (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram))
+    ),
+    qg AS (
+      SELECT doc_id, list_transform(range(1, greatest(len(toks)-1,0)+1),
+             i -> toks[i] || ' ' || toks[i+1]) AS g2
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM s3)
+    ),
+    topb AS (
+      SELECT doc_id, max(cnt) AS mx, sum(cnt) AS n FROM (
+        SELECT doc_id, gram, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(g2) AS gram FROM qg) GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    s4 AS (
+      SELECT s3.doc_id, s3.text FROM s3 LEFT JOIN topb USING (doc_id)
+      WHERE CASE WHEN coalesce(topb.n, 0) = 0 THEN 0
+                 ELSE floor(10000.0 * topb.mx / topb.n) END < 2000
+    )
+    SELECT doc_id, md5(text) AS content_md5 FROM s4
+    """,
+)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-hygiene pipeline (pipeline.clean_corpus) as one
+    oracle-checked entry. The corpus is documents plus three planted
+    classes so every stage demonstrably fires: byte-exact copies (die
+    at exact dedup), appended-tail near copies (die at LSH+Jaccard),
+    and one-token-repeated junk docs (die at the Gopher top-bigram
+    gate); every 13th base doc doubles as the benchmark set and
+    self-hits at decontamination."""
+    from news_please_spark.pipeline import clean_corpus
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    c = docs.count()
+    tok1 = F.element_at(F.split(F.trim(F.col("text")), r"\s+"), 1)
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + c).alias("doc_id"), F.col("text")
+    )
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2 * c).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz extra tail")).alias("text"),
+    )
+    junk = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 3 * c).alias("doc_id"),
+        F.array_join(F.array_repeat(tok1, 40), " ").alias("text"),
+    )
+    corpus = docs.unionByName(exact).unionByName(near).unionByName(junk)
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    out = clean_corpus(
+        corpus, bench, jaccard_threshold=0.5, top_bigram_q_max=2000,
+        materialize_stages=True,
+    )
+    return out.select("doc_id", F.md5("text").alias("content_md5"))

@@ -1,0 +1,51 @@
+"""clean_corpus end-to-end: every stage fires on its planted class and
+nothing else is touched."""
+
+from news_please_spark.pipeline import clean_corpus
+
+BASE = [
+    (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"),
+    (1, "one two three four five six seven eight nine ten eleven twelve"),
+    (2, "red orange yellow green blue indigo violet cyan magenta white gray black"),
+    (3, "north south east west up down left right front back inner outer"),
+]
+N = 10  # id offset stride
+
+
+def _rows():
+    rows = list(BASE)
+    rows.append((0 + N, BASE[0][1]))                        # exact copy of 0
+    rows.append((1 + 2 * N, BASE[1][1] + " zz extra tail"))  # near copy of 1
+    rows.append((3 + 3 * N, " ".join(["spam"] * 40)))        # junk
+    return rows
+
+
+def _df(spark):
+    return spark.createDataFrame(_rows(), "doc_id long, text string")
+
+
+def test_clean_corpus_stages(spark):
+    bench = spark.createDataFrame([(100, BASE[2][1])], "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in clean_corpus(_df(spark), bench).collect())
+    # 0+N exact-dup gone; 1+2N near-dup gone; 2 contaminated (its text IS
+    # the benchmark) gone; junk gone; 0, 1, 3 survive
+    assert kept == [0, 1, 3]
+    # materialized stages (the 3x-faster plan-cut mode) are bit-identical
+    kept_mat = sorted(
+        r["doc_id"]
+        for r in clean_corpus(_df(spark), bench, materialize_stages=True).collect()
+    )
+    assert kept_mat == kept
+
+
+def test_clean_corpus_no_benchmark_skips_decontam(spark):
+    kept = sorted(r["doc_id"] for r in clean_corpus(_df(spark), None).collect())
+    assert kept == [0, 1, 2, 3]
+
+
+def test_clean_corpus_preserves_schema_and_content(spark):
+    df = _df(spark)
+    out = clean_corpus(df, None)
+    assert out.columns == df.columns
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert texts[0] == BASE[0][1]  # rows pass through unmodified
