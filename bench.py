@@ -624,12 +624,24 @@ def _wait_quiet(threshold: float = 3.0, max_wait: int = 900) -> float:
 
 
 def seen_child(label: str) -> None:
-    """One seen-filter config on the headline crawl, fresh JVM."""
+    """One seen-filter config on the headline crawl, fresh JVM. Same
+    pretouched heap as scaling_child: without -Xms=-Xmx+AlwaysPreTouch
+    a fat wave pays a one-time first-touch/THP kernel storm (measured
+    here too: a "clean" trial burning 3,575 self-CPU-seconds vs 773 on
+    the identical config) — a long-lived executor faults its heap once
+    at startup, so the touch belongs in the untimed prologue."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from news_please_spark.session import get_spark
 
     kwargs = dict(SEEN_CONFIGS)[label]
-    spark = get_spark(f"seen_{label}", cpus=CPUS, shuffle_partitions=CPUS)
+    mem = os.environ.get("SPARK_DRIVER_MEM", "48g")
+    pretouch = {
+        "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch"
+    }
+    spark = get_spark(
+        f"seen_{label}", cpus=CPUS, shuffle_partitions=CPUS,
+        extra_conf=pretouch,
+    )
     sec, urls = run_crawl(spark, CRAWL_PAGES, CRAWL_WAVES, **kwargs)
     print(json.dumps({"sec": round(sec, 2), "urls": urls}))
 
@@ -664,6 +676,30 @@ def seen_ab_gated(max_attempts: int = 4) -> None:
             "contended": best["contended"],
         }
     print(json.dumps(out))
+
+
+def hygiene() -> None:
+    """End-to-end corpus-hygiene pipeline (pipeline.clean_corpus) at
+    $SPARK_GRAFT_SF_DIR: the corpus_clean entry (documents + planted
+    exact/near/junk classes, every 13th doc as benchmark), timed as one
+    noop-forced pass with materialized stages."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from news_please_spark.plans.queries import QUERIES
+    from news_please_spark.session import get_spark
+
+    spark = get_spark("hygiene", cpus=CPUS, shuffle_partitions=CPUS)
+    df = QUERIES["corpus_clean"](spark, SF_DIR)
+    t0 = time.time()
+    df.write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    kept = df.count()
+    print(json.dumps({
+        "metric": "corpus_clean",
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "sec": round(dt, 2),
+        "kept_docs": kept,
+        "cpus": CPUS,
+    }))
 
 
 def bloom_ab() -> None:
@@ -775,6 +811,8 @@ if __name__ == "__main__":
         scaling_child(int(sys.argv[2]))
     elif len(sys.argv) > 2 and sys.argv[1] == "--seen-child":
         seen_child(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--hygiene":
+        hygiene()
     elif len(sys.argv) > 1 and sys.argv[1] == "--seen-ab":
         seen_ab_gated()
     elif len(sys.argv) > 1 and sys.argv[1] == "--bloom-ab":
