@@ -29,6 +29,23 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+
+def pretouch_conf() -> dict[str, str]:
+    """Commit + touch the whole heap at JVM startup (-Xms=Xmx
+    -XX:+AlwaysPreTouch). Without it the first fat expand wave pays a
+    one-time multi-minute KERNEL-time storm (first-touch page faults +
+    THP compaction on a 48 GB heap under 16 allocating threads —
+    measured 250-290 s of sys-CPU on wave 0; see BENCH.md). A real
+    cluster's long-lived executors fault their heaps once at startup,
+    never per-wave, so the touch belongs in the untimed prologue. Used
+    by EVERY bench entry point that times a crawl (main, --seen-child,
+    --scaling-child) so the driver-recorded artifact measures the
+    engine, not the kernel."""
+    mem = os.environ.get("SPARK_DRIVER_MEM", "48g")
+    return {
+        "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch"
+    }
+
 HEADLINE = [
     "frontier_bfs3",
     "url_canonicalize",
@@ -130,7 +147,10 @@ def main() -> None:
     from news_please_spark.plans.queries import QUERIES
     from news_please_spark.session import get_spark
 
-    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
+    spark = get_spark(
+        "bench", cpus=CPUS, shuffle_partitions=CPUS,
+        extra_conf=pretouch_conf(),
+    )
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
     timings: dict[str, float] = {}
@@ -373,21 +393,10 @@ def scaling_child(cpus: int) -> None:
         subprocess.Popen([sys.executable, "-c", _SPIN_SRC])
         for _ in range(ballast)
     ]
-    # Commit + touch the whole heap at startup (-Xms=Xmx AlwaysPreTouch):
-    # the first fat expand wave otherwise pays a one-time multi-minute
-    # KERNEL-time storm (first-touch page faults + THP compaction on a
-    # 48 GB heap under 16 allocating threads — measured 250-290 s of
-    # sys-CPU on wave 0, the "88-395 s variance" of rounds 2-3). A real
-    # cluster's long-lived executors fault their heaps once at startup,
-    # never per-wave — so the touch belongs in the untimed prologue.
-    mem = os.environ.get("SPARK_DRIVER_MEM", "48g")
-    pretouch = {
-        "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch"
-    }
     try:
         spark = get_spark(
             f"scaling{cpus}", cpus=cpus, shuffle_partitions=cpus,
-            extra_conf=pretouch,
+            extra_conf=pretouch_conf(),
         )
         sec, urls, crawl_sec, extract_sec, phases = run_pipeline(
             spark, PIPE_PAGES, PIPE_WAVES
@@ -634,13 +643,9 @@ def seen_child(label: str) -> None:
     from news_please_spark.session import get_spark
 
     kwargs = dict(SEEN_CONFIGS)[label]
-    mem = os.environ.get("SPARK_DRIVER_MEM", "48g")
-    pretouch = {
-        "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch"
-    }
     spark = get_spark(
         f"seen_{label}", cpus=CPUS, shuffle_partitions=CPUS,
-        extra_conf=pretouch,
+        extra_conf=pretouch_conf(),
     )
     sec, urls = run_crawl(spark, CRAWL_PAGES, CRAWL_WAVES, **kwargs)
     print(json.dumps({"sec": round(sec, 2), "urls": urls}))

@@ -99,6 +99,11 @@ def extract_commoncrawl(
         "date_download", F.current_timestamp()
     )
     snap = store.merge(articles)
-    log.append(todo)
+    # log exactly what was processed: the collected `paths` list, NOT a
+    # re-execution of the lazy `todo` plan — a refreshed file listing on
+    # the mutable WARC directory (or a racing writer) could otherwise
+    # mark files complete that this run never extracted, and the
+    # anti-join would skip them forever
+    log.append(spark.createDataFrame([(p,) for p in paths], "path string"))
     n_articles = store.current(snap).count()
     return {"files": len(paths), "articles": n_articles, "snapshot": snap}

@@ -751,9 +751,16 @@ class FrontierEngine:
                 delta = build_blobs(
                     new.select("url"), cfg.seen_buckets, capacity=cfg.bloom_capacity
                 )
+                prev_blobs = blob_state
                 blob_state = merge_blobs(blob_state, delta).localCheckpoint(
                     eager=True
                 )
+                # the superseded blob checkpoint has no consumers once
+                # the merged state is eagerly materialized (this wave's
+                # prefilter already ran inside the `new` checkpoint) —
+                # release it like every other superseded wave cache
+                # instead of accreting one blob checkpoint per wave
+                release_df(prev_blobs)
             frontier = deferred.unionByName(new)
 
             if cfg.state_dir:
@@ -816,6 +823,9 @@ class FrontierEngine:
         result_caches = [
             (c if b is None else b) for c, b in zip(seen_chunks, chunk_backing)
         ] + order_leaves + order_parts
+        if blob_state is not None:
+            # the final filter-blob checkpoint retires with the result
+            result_caches.append(blob_state)
         return CrawlResult(
             order=order,
             seen=seen_df(),

@@ -155,12 +155,45 @@ def lsh_topk(
     )
 
 
+def ivf_centroid_rows(
+    corpus: DataFrame,
+    n_lists: int | None = None,
+    centroid_stride: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF coarse-quantizer codebook as (cid, cv) rows.
+
+    Default selection (`n_lists`): the `n_lists` corpus vectors with the
+    smallest md5(id) — a deterministic pseudo-random sample whose SIZE
+    IS FIXED regardless of corpus size, so at 10^10 docs the broadcast
+    stays n_lists·dim doubles and per-row assignment work stays
+    O(n_lists), not O(n). Spark computes it as a TakeOrdered (map-side
+    partial top-n, no full sort); any engine with md5 re-derives the
+    identical set (`ORDER BY md5(CAST(id AS VARCHAR)) LIMIT n_lists`).
+
+    Legacy selection (`centroid_stride`): every stride-th id — kept for
+    the exhaustive-equivalence unit tests, NOT a scale path (n_lists
+    grows as n/stride, making total assignment work O(n²/stride))."""
+    c = corpus.select(
+        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+    )
+    if centroid_stride is not None:
+        return c.filter(F.col("cid") % centroid_stride == 0)
+    if n_lists is None:
+        n_lists = 256
+    return (
+        c.orderBy(F.md5(F.col("cid").cast("string"))).limit(n_lists)
+    ).select("cid", "cv")
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 10,
     nprobe: int = 2,
-    centroid_stride: int = 37,
+    n_lists: int | None = None,
+    centroid_stride: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -169,14 +202,19 @@ def ivf_topk(
     Nearest Neighbor Search", IEEE TPAMI 2011, the IVF part without PQ
     refinement):
 
-      1. a small deterministic centroid set (every `centroid_stride`-th
-         corpus vector — no RNG, reproducible in any engine);
+      1. a FIXED-SIZE deterministic centroid set (`n_lists` vectors by
+         md5-rank — see ivf_centroid_rows; no RNG, reproducible in any
+         engine, bounded broadcast no matter the corpus size);
       2. every corpus vector is assigned to its nearest centroid (its
          IVF "list") by a per-row fold over the broadcast centroid
-         array — zero shuffle, whole-stage codegen;
-      3. queries probe their `nprobe` nearest lists; candidates come
-         from an equi-join on the list id, so the corpus is never
-         crossed — per-query work is |corpus|/n_lists · nprobe.
+         array — zero shuffle, whole-stage codegen, O(n_lists·dim) per
+         row ⇒ O(n·n_lists·dim) total, linear in the corpus;
+      3. query vectors are assigned to their `nprobe` nearest lists the
+         same way FROM THE QUERIES TABLE ITSELF (external queries that
+         don't appear in the corpus are first-class, not dropped);
+         candidates come from an equi-join on the list id, so the
+         corpus is never crossed — per-query work is
+         |corpus|/n_lists · nprobe.
 
     Ties on equal cosine break toward the smaller centroid id (the
     centroid array is sorted, the fold keeps the first winner), which
@@ -186,13 +224,13 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
     )
-    cents = (
-        c.filter(F.col("_id") % centroid_stride == 0)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("_id").alias("cid"), F.col("_v").alias("cv")))
-            ).alias("cents")
-        )
+    cents = ivf_centroid_rows(
+        corpus, n_lists=n_lists, centroid_stride=centroid_stride,
+        id_col=id_col, vec_col=vec_col,
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cid"), F.col("cv")))
+        ).alias("cents")
     )
 
     def _top2(vec: Column, cents: Column) -> Column:
@@ -229,19 +267,27 @@ def ivf_topk(
 
         return F.aggregate(scored, init, step)
 
-    assigned = c.crossJoin(F.broadcast(cents)).select(
-        "_id", "_v", _top2(F.col("_v"), F.col("cents")).alias("_a")
-    )
-    corpus_cells = assigned.select(
+    corpus_cells = c.crossJoin(F.broadcast(cents)).select(
         F.col("_id").alias("neighbor_id"),
         F.col("_v").alias("_cv"),
-        F.col("_a.b1").alias("cell"),
+        _top2(F.col("_v"), F.col("cents"))["b1"].alias("cell"),
+    )
+    # queries are assigned from THEIR OWN vectors (identical fold, same
+    # broadcast codebook) — a query id absent from the corpus still
+    # probes its nprobe nearest lists instead of being silently dropped
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
     )
     query_cells = (
-        assigned.join(queries.select(F.col(id_col).alias("_id")), "_id", "left_semi")
+        q.crossJoin(F.broadcast(cents))
         .select(
-            F.col("_id").alias("query_id"),
-            F.col("_v").alias("_qv"),
+            "query_id",
+            "_qv",
+            _top2(F.col("_qv"), F.col("cents")).alias("_a"),
+        )
+        .select(
+            "query_id",
+            "_qv",
             F.explode(
                 F.slice(F.array(F.col("_a.b1"), F.col("_a.b2")), 1, nprobe)
             ).alias("cell"),

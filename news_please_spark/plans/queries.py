@@ -241,7 +241,7 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # 5. MinHash signatures + LSH candidate pairs (near-dup detection)
 _SHINGLES_SQL = r"""
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
       FROM documents
 """
 
@@ -262,11 +262,14 @@ _SHINGLES_SQL = r"""
     """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-band MinHash over 3-token shingles; hash = md5(band || shingle)
-    so the signature is engine-portable. Scale path: the band/sig table
-    is the LSH index — near-dup candidates are same-bucket joins."""
+    """4-band MinHash over LOWERCASED 3-token shingles (one casing
+    convention end-to-end with ngram_set/ngram_jaccard_pairs — the
+    verify stage must score the same shingle space the candidate
+    generator bucketed); hash = md5(band || shingle) so the signature
+    is engine-portable. Scale path: the band/sig table is the LSH
+    index — near-dup candidates are same-bucket joins."""
     t = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark).select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks")
     )
     s = t.filter(F.size("toks") >= 3).select(
         "doc_id",
@@ -1055,7 +1058,10 @@ def jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ivf_ann_topk",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 37 = 0),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 64
+    ),
     scored AS (
       SELECT e.vec_id, c.cid,
              list_dot_product(e.v, c.cv)
@@ -1091,14 +1097,16 @@ def jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 (coarse-quantizer inverted lists, nprobe=2) — the
-    second approximate scale path next to multi-table LSH. Corpus is
-    assigned to lists with a zero-shuffle fold over broadcast
-    centroids; candidates come from the list equi-join only."""
+    second approximate scale path next to multi-table LSH. Codebook is
+    a FIXED 64-centroid md5-rank sample (bounded broadcast + O(n_lists)
+    per-row assignment at any corpus size); corpus is assigned to lists
+    with a zero-shuffle fold over the broadcast codebook; candidates
+    come from the list equi-join only."""
     from news_please_spark.operators.similarity import ivf_topk
 
     e = spread(load(spark, sf_dir, "embeddings"), spark)
     q = e.filter(F.col("vec_id") % 31 == 0)
-    return ivf_topk(q, e, k=5, nprobe=2, centroid_stride=37)
+    return ivf_topk(q, e, k=5, nprobe=2, n_lists=64)
 
 
 # ---------------------------------------------------------------------------

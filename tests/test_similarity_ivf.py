@@ -4,7 +4,11 @@ centroids ⇒ the approximation is exhaustive and must agree)."""
 
 from pyspark.sql import functions as F
 
-from news_please_spark.operators.similarity import brute_force_topk, ivf_topk
+from news_please_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_centroid_rows,
+    ivf_topk,
+)
 
 
 def _vecs(spark, n=40, dim=8):
@@ -57,6 +61,33 @@ def test_ivf_equals_brute_force_when_all_lists_probed(spark):
         for negq, nid in sorted(sims)[:4]
     }
     assert ivf == bf
+
+
+def test_ivf_codebook_size_is_bounded(spark):
+    # the scale contract: n_lists decouples from corpus size — a 10×
+    # larger corpus yields the SAME number of centroids (the broadcast
+    # and the per-row assignment fold stay O(n_lists) at any n)
+    small, big = _vecs(spark, n=200), _vecs(spark, n=2000)
+    assert ivf_centroid_rows(small, n_lists=16).count() == 16
+    assert ivf_centroid_rows(big, n_lists=16).count() == 16
+    # and the md5-rank sample is deterministic: same corpus, same set
+    a = sorted(r["cid"] for r in ivf_centroid_rows(big, n_lists=16).collect())
+    b = sorted(r["cid"] for r in ivf_centroid_rows(big, n_lists=16).collect())
+    assert a == b
+
+
+def test_ivf_external_queries_not_dropped(spark):
+    # queries whose ids are ABSENT from the corpus must still probe
+    # (query cells derive from the queries table, not a corpus semi-join)
+    e = _vecs(spark, n=40)
+    q = _vecs(spark, n=40).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    ).filter(F.col("vec_id") < 10_004)
+    out = ivf_topk(q, e, k=3, nprobe=2, n_lists=4).collect()
+    got = {r["query_id"] for r in out}
+    assert got == {10_000, 10_001, 10_002, 10_003}
+    for r in out:
+        assert r["neighbor_id"] < 40  # neighbors come from the corpus
 
 
 def test_ivf_single_centroid_drops_second_probe(spark):
