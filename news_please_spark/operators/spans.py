@@ -201,20 +201,78 @@ def boilerplate_spans(
     )
 
 
+# above this many flagged hashes the broadcast-array path stops being
+# safe: a single array cell approaches the 2 GB column-value limit at
+# ~60M md5 strings and the per-span linear array_contains scan becomes
+# the hot loop — route to the exploded anti-join instead
+BROADCAST_MAX_FLAGS = 65_536
+
+
 def strip_boilerplate(
-    df: DataFrame, min_docs: int = 2, id_col: str = "doc_id"
+    df: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    impl: str = "auto",
+    broadcast_max_flags: int = BROADCAST_MAX_FLAGS,
 ) -> DataFrame:
-    """Remove flagged boilerplate text spans from every doc WITHOUT
-    exploding the corpus: the flagged-hash set is tiny by construction
-    (it needs cross-doc repetition), so it broadcasts as an array and
-    the filter runs inside each row's spans column."""
+    """Remove flagged boilerplate text spans from every doc. Two
+    bit-identical plans, routed by MEASURED flag count (impl='auto'):
+
+    impl='broadcast' — collect the flagged hashes into one sorted array
+    and filter INSIDE each row's spans column. Right when the flagged
+    set is genuinely small (no corpus explode, zero shuffle on the
+    corpus side); wrong at design scale, where min_docs=2 over 10^10
+    web docs flags a set no driver cell can hold.
+
+    impl='exploded' — the scale shape: posexplode spans to
+    (doc, pos, span) rows, left_anti the text spans against the flagged
+    hash table on span_md5 (nulls — media spans — never match, so they
+    survive), re-aggregate by doc sorting on pos, and left-join back to
+    the doc-id spine so empty and fully-stripped docs keep their empty
+    arrays. Everything is hash-partitioned narrow rows; no fat
+    array cells, no driver collect.
+
+    'auto' measures the flag count with a LIMIT-bounded job (scans stop
+    at broadcast_max_flags+1 rows) — the same engine-held-statistics
+    routing the frontier uses for its seen-set joins."""
     flagged = boilerplate_spans(df, min_docs, id_col).select("span_md5")
-    flags = flagged.agg(F.sort_array(F.collect_list("span_md5")).alias("f"))
-    return df.crossJoin(F.broadcast(flags)).select(
-        F.col(id_col),
-        F.filter(
-            "spans",
-            lambda s: (s["kind"] != "text")
-            | ~F.array_contains(F.col("f"), F.md5(F.lower(F.trim(s["text"])))),
-        ).alias("spans"),
+    if impl == "auto":
+        n = flagged.limit(broadcast_max_flags + 1).count()
+        impl = "broadcast" if n <= broadcast_max_flags else "exploded"
+    if impl == "broadcast":
+        flags = flagged.agg(F.sort_array(F.collect_list("span_md5")).alias("f"))
+        return df.crossJoin(F.broadcast(flags)).select(
+            F.col(id_col),
+            F.filter(
+                "spans",
+                lambda s: (s["kind"] != "text")
+                | ~F.array_contains(F.col("f"), F.md5(F.lower(F.trim(s["text"])))),
+            ).alias("spans"),
+        )
+    ex = df.select(
+        F.col(id_col), F.posexplode("spans").alias("pos", "s")
+    ).withColumn(
+        "_h",
+        F.when(
+            F.col("s.kind") == "text", F.md5(F.lower(F.trim(F.col("s.text"))))
+        ),
+    )
+    kept = ex.join(flagged, ex["_h"] == flagged["span_md5"], "left_anti")
+    agged = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("s")))
+            ).alias("_ps")
+        )
+        .select(
+            id_col,
+            F.transform("_ps", lambda x: x["s"]).alias("spans"),
+        )
+    )
+    # docs whose spans were empty (posexplode drops them) or entirely
+    # stripped (every row anti-joined away) must survive with []
+    return df.select(id_col).join(agged, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("spans"), F.array().cast(SPAN_SCHEMA)).alias("spans"),
     )

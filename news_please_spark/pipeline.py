@@ -22,11 +22,17 @@ DataFrame composition (one lazy plan per stage, no driver-side loops):
                           whose top bigram fills >= top_bigram_q_max
                           of bigram slots (boilerplate/spam shape).
 
-Every stage's drop set is small relative to the corpus by
-construction, so each removal is a broadcast-friendly left_anti on
-ids — the corpus is never shuffled by content in the removal steps;
-only the candidate/verify machinery shuffles, and only on fixed-width
-keys (see operators/dedup.py).
+Removal joins are STATISTICS-ROUTED, not force-broadcast: web corpora
+commonly carry 30-50% near-duplicates, so at design scale the near-dup
+drop set is billions of ids — a forced broadcast is a driver OOM. With
+materialize_stages=True (the production shape) the drop set is
+checkpointed and its measured row count routes the anti-join
+(broadcast under the threshold, shuffle_hash above — the same
+engine-held-statistics routing the frontier uses for its seen set);
+in the pure-lazy mode the join is left unhinted so AQE routes it from
+the measured shuffle size at runtime. The corpus is never shuffled by
+content in the removal steps; only the candidate/verify machinery
+shuffles, and only on fixed-width keys (see operators/dedup.py).
 """
 
 from __future__ import annotations
@@ -41,6 +47,29 @@ from news_please_spark.operators.dedup import (
     ngram_jaccard_pairs,
 )
 from news_please_spark.operators.repetition import ngrams, run_stats
+
+# drop sets under this many id rows broadcast (cheap local hash
+# relation); above it the anti-join takes the scale-safe shuffle_hash
+# path where each task builds only its own drop partition
+BROADCAST_DROP_ROWS = 1_000_000
+
+
+def _anti_drop(
+    kept: DataFrame, drops: DataFrame, id_col: str, materialized: bool
+) -> DataFrame:
+    """left_anti removal with statistics-routed join strategy (see
+    module docstring)."""
+    if materialized:
+        drops = drops.localCheckpoint(eager=True)
+        side = (
+            F.broadcast(drops)
+            if drops.count() <= BROADCAST_DROP_ROWS
+            else drops.hint("shuffle_hash")
+        )
+        return kept.join(side, id_col, "left_anti")
+    # lazy mode: no engine-held statistic exists yet — leave the join
+    # unhinted and let AQE pick from the measured shuffle size
+    return kept.join(drops, id_col, "left_anti")
 
 
 def clean_corpus(
@@ -79,12 +108,17 @@ def clean_corpus(
         .select(F.col("doc_b").alias(id_col))
         .distinct()
     )
-    kept = _cut(kept.join(F.broadcast(dups), id_col, "left_anti"))
+    kept = _cut(_anti_drop(kept, dups, id_col, materialize_stages))
 
-    # 3. decontamination vs the benchmark set
+    # 3. decontamination vs the benchmark set — routed the same way for
+    # uniformity (hits are usually a sliver, so this routes to the
+    # broadcast branch, but an eval-set leak of a popular template can
+    # blow the hit set up too)
     if benchmark is not None:
         hits = contamination(kept, benchmark, text_col, id_col, n=decontam_n)
-        kept = kept.join(F.broadcast(hits.select(id_col)), id_col, "left_anti")
+        kept = _anti_drop(
+            kept, hits.select(id_col), id_col, materialize_stages
+        )
 
     # 4. Gopher-style repetition gate (staged so the gram array builds
     # once per row; run_stats' lambda touches only (acc, x))

@@ -38,6 +38,21 @@ def test_clean_corpus_stages(spark):
     assert kept_mat == kept
 
 
+def test_clean_corpus_shuffle_hash_route_bit_identical(spark, monkeypatch):
+    # force every measured drop set over the broadcast threshold so the
+    # removal anti-joins take the scale-safe shuffle_hash branch — the
+    # survivor set must not change (routing is a physical-plan choice)
+    import news_please_spark.pipeline as pl
+
+    bench = spark.createDataFrame([(100, BASE[2][1])], "doc_id long, text string")
+    monkeypatch.setattr(pl, "BROADCAST_DROP_ROWS", 0)
+    kept = sorted(
+        r["doc_id"]
+        for r in clean_corpus(_df(spark), bench, materialize_stages=True).collect()
+    )
+    assert kept == [0, 1, 3]
+
+
 def test_clean_corpus_no_benchmark_skips_decontam(spark):
     kept = sorted(r["doc_id"] for r in clean_corpus(_df(spark), None).collect())
     assert kept == [0, 1, 2, 3]

@@ -89,6 +89,40 @@ def test_boilerplate_and_strip(spark):
         assert len(stripped[d]) == len(_py_spans(d, dict(DOCS)[d])), d
 
 
+def test_strip_boilerplate_impls_bit_identical(spark):
+    # the broadcast-array path and the exploded anti-join scale path
+    # must agree exactly — including the edge docs the exploded path
+    # has to rebuild: fully-stripped docs and empty-span docs
+    extra = [
+        (8, BANNER),                 # banner-only text -> fully stripped
+        (12, BANNER),                # its duplicate (doc_id % 4 == 0 too)
+    ]
+    df = synth_spans(
+        spark.createDataFrame(DOCS + extra, "doc_id long, text string")
+    )
+    by_impl = {}
+    for impl in ("broadcast", "exploded"):
+        rows = strip_boilerplate(df, 2, impl=impl).collect()
+        by_impl[impl] = {
+            r["doc_id"]: [tuple(s) for s in r["spans"]] for r in rows
+        }
+    assert by_impl["broadcast"] == by_impl["exploded"]
+    # same doc spine on both sides; fully-stripped docs survive with []
+    assert set(by_impl["exploded"]) == {0, 1, 2, 3, 4, 8, 12}
+    assert by_impl["exploded"][8] == []
+
+
+def test_strip_boilerplate_auto_routes_by_flag_count(spark):
+    df = synth_spans(_df(spark))
+    # 4 flagged hashes: auto with a generous cap -> broadcast result,
+    # auto with cap 0 -> forced onto the exploded path; both identical
+    hi = strip_boilerplate(df, 2, impl="auto", broadcast_max_flags=100)
+    lo = strip_boilerplate(df, 2, impl="auto", broadcast_max_flags=0)
+    a = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in hi.collect()}
+    b = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in lo.collect()}
+    assert a == b
+
+
 def test_span_ops_zero_shuffle(spark):
     df = synth_spans(_df(spark))
     for op in (span_stats, render_interleaved):
