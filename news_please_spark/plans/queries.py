@@ -123,6 +123,168 @@ def frontier_bfs3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 1b. the FULL iterative politeness crawl engine vs a DuckDB recursive-CTE
+#     simulation of the same budgeted waves. The synthetic world is pure
+#     arithmetic on page ids (world.py), so the whole crawl — per-host
+#     budget marking, global (depth, disc_key, url) fetch order, link
+#     expansion with filters F2/F3/F4/F11, enqueue-time URL-seen dedup,
+#     min-disc_key child merge — is SQL-expressible. The recursion
+#     carries tagged state rows per wave ('f' frontier, 's' seen,
+#     'c' seq counter) and emits 'o' order rows + 'm' per-wave metrics;
+#     per-host rank and global seq are window functions, which DuckDB
+#     permits in the recursive term.
+def _mix_sql(a: str, b: str) -> str:
+    """world._mix as SQL: the LCG every world quantity derives from."""
+    return (
+        f"(((({a})*1103515245 + ({b})*12345 + 31337) % 2147483648)"
+        f" * 69069 + 1) % 2147483648"
+    )
+
+
+_CRAWL_BUDGET, _CRAWL_DEPTH = 16, 3
+_CRAWL_POLITENESS_ORACLE = f"""
+WITH RECURSIVE
+par AS (
+  SELECT greatest(300, 2 * (SELECT count(*) FROM documents))::BIGINT AS n
+),
+par2 AS (
+  SELECT n, greatest(4, n // 50)::BIGINT AS nh,
+         greatest(1, n // 8)::BIGINT AS stride FROM par
+),
+seedp AS (
+  SELECT unnest(range(0, (SELECT n FROM par2), (SELECT stride FROM par2))) AS p
+),
+seedu AS (
+  SELECT p,
+         CASE WHEN ({_mix_sql('p', '1')}) % 10 < 4 THEN 0
+              ELSE ({_mix_sql('p', '2')}) % (SELECT nh FROM par2) END AS h
+  FROM seedp
+  WHERE ({_mix_sql('p', '3')}) % 100 >= 18
+),
+seeds AS (
+  SELECT p,
+         'https://h' || h || '.example.com/p/' || p AS url,
+         'h' || h || '.example.com' AS host
+  FROM seedu
+),
+st(wave, typ, p, url, host, depth, key, seq) AS (
+  SELECT 0::INT, 'f', p, url, host, 0::INT,
+         (row_number() OVER (ORDER BY url)) - 1::BIGINT, NULL::BIGINT
+  FROM seeds
+  UNION ALL SELECT 0::INT, 's', p, NULL, NULL, NULL::INT, NULL::BIGINT, NULL::BIGINT FROM seeds
+  UNION ALL SELECT 0::INT, 'c', NULL::BIGINT, NULL, NULL, NULL::INT, NULL::BIGINT, 0::BIGINT
+  UNION ALL
+  (
+    WITH w AS (SELECT * FROM st),
+    fr AS (SELECT p, url, host, depth, key FROM w WHERE typ = 'f'),
+    sn AS (SELECT p FROM w WHERE typ = 's'),
+    cn AS (SELECT wave, seq AS sb FROM w WHERE typ = 'c'),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY host ORDER BY key, url) AS r
+      FROM fr
+    ),
+    ftch AS (
+      SELECT p, url, host, depth, key,
+             (SELECT sb FROM cn)
+               + row_number() OVER (ORDER BY depth, key, url) - 1 AS seq
+      FROM rk WHERE r <= {_CRAWL_BUDGET}
+    ),
+    defer AS (SELECT p, url, host, depth, key FROM rk WHERE r > {_CRAWL_BUDGET}),
+    kid0 AS (
+      SELECT f.depth + 1 AS depth,
+             (f.seq + 1) * 4194304 + e.k AS key,
+             CASE WHEN (2 + ({_mix_sql('f.p', '5')}) % 6) >= 4
+                       AND e.k = (2 + ({_mix_sql('f.p', '5')}) % 6) - 1
+                  THEN ({_mix_sql('f.p', '10')}) % (SELECT n FROM par2)
+                  ELSE ({_mix_sql('f.p', '10 + e.k')}) % (SELECT n FROM par2) END AS q
+      FROM ftch f
+      CROSS JOIN LATERAL (
+        SELECT unnest(range(0, 2 + ({_mix_sql('f.p', '5')}) % 6)) AS k
+      ) e
+      WHERE f.depth < {_CRAWL_DEPTH}
+    ),
+    kid1 AS (
+      SELECT depth, key, q,
+             ({_mix_sql('q', '3')}) % 100 AS t,
+             CASE WHEN ({_mix_sql('q', '1')}) % 10 < 4 THEN 0
+                  ELSE ({_mix_sql('q', '2')}) % (SELECT nh FROM par2) END AS h
+      FROM kid0
+    ),
+    kidok AS (
+      SELECT depth, key, q, h, t FROM kid1
+      WHERE (t >= 18 OR (t >= 14 AND t < 18 AND h % 3 <> 0))
+        AND q NOT IN (SELECT p FROM sn)
+    ),
+    kids AS (
+      SELECT q AS p, min(key) AS key, arg_min(depth, key) AS depth,
+             arg_min(h, key) AS h, arg_min(t, key) AS t
+      FROM kidok GROUP BY q
+    ),
+    kidu AS (
+      SELECT p, key, depth::INT AS depth,
+             CASE WHEN t < 18
+                  THEN 'https://h' || h || '.example.com/private/' || p
+                  ELSE 'https://h' || h || '.example.com/p/' || p END AS url,
+             'h' || h || '.example.com' AS host
+      FROM kids
+    )
+    SELECT (SELECT wave FROM cn) + 1, 'f', p, url, host, depth, key, NULL::BIGINT
+    FROM defer WHERE EXISTS (SELECT 1 FROM ftch)
+    UNION ALL
+    SELECT (SELECT wave FROM cn) + 1, 'f', p, url, host, depth, key, NULL::BIGINT FROM kidu
+    UNION ALL
+    SELECT (SELECT wave FROM cn) + 1, 's', p, NULL, NULL, NULL::INT, NULL::BIGINT, NULL::BIGINT
+    FROM sn WHERE EXISTS (SELECT 1 FROM ftch)
+    UNION ALL
+    SELECT (SELECT wave FROM cn) + 1, 's', p, NULL, NULL, NULL::INT, NULL::BIGINT, NULL::BIGINT FROM kidu
+    UNION ALL
+    SELECT (SELECT wave FROM cn) + 1, 'c', NULL::BIGINT, NULL, NULL, NULL::INT, NULL::BIGINT,
+           (SELECT sb FROM cn) + (SELECT count(*) FROM ftch)
+    WHERE EXISTS (SELECT 1 FROM ftch) AND (SELECT wave FROM cn) < 10000
+    UNION ALL
+    SELECT (SELECT wave FROM cn), 'o', p, url, host, depth, key, seq FROM ftch
+    UNION ALL
+    SELECT (SELECT wave FROM cn), 'm', (SELECT count(*) FROM ftch), NULL, NULL,
+           NULL::INT, (SELECT count(*) FROM kidu), NULL::BIGINT
+    WHERE EXISTS (SELECT 1 FROM ftch)
+  )
+)
+SELECT o.url AS url, o.host AS host, o.depth::INT AS depth, o.seq AS seq,
+       o.wave::INT AS wave, m.p AS fetched, m.key AS new_urls
+FROM st o JOIN st m ON m.typ = 'm' AND m.wave = o.wave
+WHERE o.typ = 'o'
+"""
+
+
+@register("crawl_politeness", _CRAWL_POLITENESS_ORACLE)
+def crawl_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full frontier engine (politeness budgets, robots gate, URL-seen,
+    deterministic global order) on the synthetic world sized from the
+    documents table, joined with the per-wave metrics contract
+    (fetched, new_urls) — the whole iterative stateful crawl, now
+    hash-exact against the DuckDB recursive-CTE simulation above (and
+    bit-exact against the pure-Python oracle in tests/test_frontier.py)."""
+    from news_please_spark.operators.frontier import FrontierConfig, FrontierEngine
+    from news_please_spark.world import World
+
+    n_docs = load(spark, sf_dir, "documents").count()
+    world = World(n_pages=max(300, 2 * n_docs))
+    engine = FrontierEngine(
+        spark,
+        world.webgraph_df(spark),
+        robots=world.robots_df(spark),
+        cfg=FrontierConfig(
+            budget_per_host=_CRAWL_BUDGET, max_depth=_CRAWL_DEPTH
+        ),
+    )
+    res = engine.run(world.seed_urls())
+    metrics = res.metrics_df(spark).select("wave", "fetched", "new_urls")
+    return res.order.join(F.broadcast(metrics), "wave").select(
+        "url", "host", "depth", "seq", "wave", "fetched", "new_urls"
+    )
+
+
+# ---------------------------------------------------------------------------
 # 2. URL canonicalization + ignore filters (F2/F3, url_extractor.py:39-51)
 _URL_SQL = (
     "'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END || "
