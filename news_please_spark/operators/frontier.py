@@ -128,6 +128,14 @@ class FrontierConfig:
     # window ~5-6k URLs/s, threshold ~2-5k (the self-join shuffle costs
     # more than the sort it avoids at this scale).
     politeness_impl: str = "window"
+    # fold the global seq numbering INTO the politeness-mark checkpoint
+    # job when the wave's fetch set is predicted small enough for the
+    # one-task window (see the fused branch in _run_waves): saves one
+    # full driver job barrier + one checkpoint round-trip per wave —
+    # the wave-count-proportional control-plane floor that dominates
+    # small-wave runs at high parallelism. Predicted-large waves keep
+    # the separate two-phase numbering (the 10^10-URL path).
+    fuse_seq: bool = True
     verbose: bool = False
 
 
@@ -527,8 +535,33 @@ class FrontierEngine:
         # politeness checkpoint has consumed that frontier.
         chunk_backing: list[DataFrame | None] = [None] * len(seen_chunks)
         retire_next: list[DataFrame] = []
+        # a fused ann checkpoint (politeness mark + seq in ONE job)
+        # backs its wave's order part, so it retires at order compaction
+        # like a fetch checkpoint — not at the next wave like a
+        # mark-only checkpoint
+        prev_ann_fused = False
+        # fused-seq routing state: the seq plan must be chosen BEFORE
+        # the mark job runs, so the router works from engine-held
+        # statistics — an EXACT frontier-size bound (fetch ⊆ frontier;
+        # maintained from the same Observations that feed the seen-join
+        # routing) as the catastrophe cap, and last wave's measured
+        # fetch size ×2 as the predictor. A misprediction only makes
+        # one wave's one-task sort bigger (bounded by the frontier cap,
+        # self-corrects next wave); it can never change results.
+        frontier_rows = sum(chunk_sizes)
+        frontier_url_bytes = seen_url_bytes
+        fuse_rows_pred = frontier_rows
+        fuse_bytes_pred = frontier_url_bytes
         while wave < cfg.max_waves:
             _t0 = _time.time()
+            fuse = (
+                cfg.fuse_seq
+                and use_single_partition_seq(
+                    fuse_rows_pred,
+                    estimated_fetch_bytes(fuse_rows_pred, fuse_bytes_pred),
+                )
+                and frontier_rows <= 16 * SMALL_SEQ_LIMIT
+            )
             # politeness: each host fetches at most B URLs per wave (O2).
             # disc_key is globally unique, so the threshold variant
             # (aggregate + join, no frontier-wide sort) is exact.
@@ -554,6 +587,40 @@ class FrontierEngine:
                     salt_on="url",
                     flag="_fetch",
                 )
+            # fused seq: number the fetch rows INSIDE the mark job — a
+            # one-task window over ONLY the _fetch branch (the deferred
+            # branch bypasses it; the politeness shuffle is shared by
+            # both branches via ReuseExchange). One checkpoint job
+            # instead of two removes a full driver job barrier + a
+            # checkpoint round-trip per wave — the control-plane floor
+            # that dominates small-wave runs at high parallelism.
+            if fuse:
+                from pyspark.sql import Window
+
+                # LINEAR plan, no branch: fetch rows land in ONE window
+                # bucket (the one-task global numbering), deferred rows
+                # spread across parallel buckets whose row_numbers are
+                # discarded (their per-task sorts are tiny). A branched
+                # filter-union would recompute the politeness windows
+                # once per branch (ReuseExchange shares only the
+                # shuffle, not the window stages) — measured SLOWER
+                # than the job it saves.
+                _wkey = F.when(F.col("_fetch"), F.lit(-1)).otherwise(
+                    F.pmod(
+                        F.xxhash64("url"),
+                        F.lit(spark.sparkContext.defaultParallelism * 4),
+                    )
+                )
+                wseq = Window.partitionBy(_wkey).orderBy(
+                    "depth", "disc_key", "url"
+                )
+                marked = marked.withColumn(
+                    "seq",
+                    F.when(
+                        F.col("_fetch"),
+                        F.row_number().over(wseq) - 1 + F.lit(seq_base),
+                    ).cast("long"),
+                )
             # the row count AND byte estimate the sequencing guard needs
             # ride the checkpoint job itself as an Observation — zero
             # extra jobs, zero extra scans (a separate .first() job per
@@ -566,37 +633,56 @@ class FrontierEngine:
                     F.sum(F.when(F.col("_fetch"), F.length("url"))), F.lit(0)
                 ).alias("b"),
             ).localCheckpoint(eager=True)
-            release_df(prev_ann)
-            prev_ann = ann
+            if prev_ann_fused:
+                # a fused checkpoint still backs its order part — retire
+                # at the next order compaction, not now
+                order_leaves.append(prev_ann)
+            else:
+                release_df(prev_ann)
+            prev_ann, prev_ann_fused = ann, fuse
             for df in retire_next:
                 release_df(df)
             retire_next.clear()
             _t_mark = _time.time()
-            fetch_raw = ann.filter(F.col("_fetch")).drop("_fetch")
-            deferred = ann.filter(~F.col("_fetch")).drop("_fetch")
+            if fuse:
+                deferred = ann.filter(~F.col("_fetch")).drop("_fetch", "seq")
+            else:
+                deferred = ann.filter(~F.col("_fetch")).drop("_fetch")
             _stats = _obs.get
             n_fetched = int(_stats["n"])
-            fetch_bytes = estimated_fetch_bytes(n_fetched, int(_stats["b"]))
+            fetch_url_bytes = int(_stats["b"])
+            fetch_bytes = estimated_fetch_bytes(n_fetched, fetch_url_bytes)
             if n_fetched == 0:
                 break
-            # deterministic global fetch order (O1): a single-partition
+            # deterministic global fetch order (O1): fused = already
+            # numbered in the mark job; otherwise a single-partition
             # window is cheapest for the usual budget×hosts-sized fetch
-            # set; fall back to the scalable two-phase numbering when the
-            # wave is genuinely large.
-            if use_single_partition_seq(n_fetched, fetch_bytes):
+            # set, falling back to the scalable two-phase numbering when
+            # the wave is genuinely large.
+            if fuse:
+                seq_path = "fused_window"
+                fetch = ann.filter(F.col("_fetch")).drop("_fetch")
+                seq_next = seq_base + n_fetched
+            elif use_single_partition_seq(n_fetched, fetch_bytes):
                 from pyspark.sql import Window
 
                 seq_path = "window"
                 w = Window.orderBy("depth", "disc_key", "url")
-                fetch = fetch_raw.coalesce(1).withColumn(
-                    "seq", (F.row_number().over(w) - 1 + F.lit(seq_base)).cast("long")
+                fetch = (
+                    ann.filter(F.col("_fetch"))
+                    .drop("_fetch")
+                    .coalesce(1)
+                    .withColumn(
+                        "seq",
+                        (F.row_number().over(w) - 1 + F.lit(seq_base)).cast("long"),
+                    )
                 )
                 seq_next = seq_base + n_fetched
                 fetch = fetch.localCheckpoint(eager=True)
             else:
                 seq_path = "two_phase"
                 fetch, seq_next = with_global_seq(
-                    fetch_raw,
+                    ann.filter(F.col("_fetch")).drop("_fetch"),
                     ["depth", "disc_key", "url"],
                     seq_base,
                     materialize=True,
@@ -606,7 +692,13 @@ class FrontierEngine:
                 "url", "host", "depth", "seq", F.lit(wave).alias("wave")
             )
             order_parts.append(order_wave)
-            order_leaves.append(fetch)
+            if not fuse:
+                order_leaves.append(fetch)
+            # engine-held stats for next wave's routing (exact deltas)
+            frontier_rows = frontier_rows - n_fetched
+            frontier_url_bytes = max(0, frontier_url_bytes - fetch_url_bytes)
+            fuse_rows_pred = 2 * n_fetched
+            fuse_bytes_pred = 2 * fetch_url_bytes
 
             # expansion: fetch-set × edges (S9); broadcast the small side
             expandable = fetch.filter(F.col("depth") < cfg.max_depth).select(
@@ -711,6 +803,8 @@ class FrontierEngine:
             )
             n_new = int(_obs_new.get["n"])
             seen_url_bytes += int(_obs_new.get["b"])
+            frontier_rows += n_new
+            frontier_url_bytes += int(_obs_new.get["b"])
             if n_new > 0:
                 seen_chunks.append(new.select("url"))
                 chunk_sizes.append(n_new)
@@ -811,8 +905,13 @@ class FrontierEngine:
 
         # the last politeness checkpoint (and any still-pending retired
         # wave checkpoint) has no consumers after the loop — every
-        # wave's fetch/deferred/save actions already ran
-        release_df(prev_ann)
+        # wave's fetch/deferred/save actions already ran. A FUSED last
+        # checkpoint still backs its order part, so it retires with the
+        # result instead.
+        if prev_ann_fused:
+            order_leaves.append(prev_ann)
+        else:
+            release_df(prev_ann)
         for df in retire_next:
             release_df(df)
         order = order_parts[0] if order_parts else self.spark.createDataFrame(

@@ -12,7 +12,7 @@ from news_please_spark.world import World
 
 def run_both(spark, n_pages, budget, max_depth, use_bloom=False, n_seeds=8,
              salt_buckets=1, politeness_impl="window",
-             bloom_distribute="broadcast"):
+             bloom_distribute="broadcast", fuse_seq=True):
     world = World(n_pages=n_pages, n_seeds=n_seeds)
     oracle = CrawlOracle(world, CrawlConfig(budget_per_host=budget, max_depth=max_depth))
     o_order, o_seen = oracle.run()
@@ -28,6 +28,7 @@ def run_both(spark, n_pages, budget, max_depth, use_bloom=False, n_seeds=8,
             salt_buckets=salt_buckets,
             politeness_impl=politeness_impl,
             bloom_distribute=bloom_distribute,
+            fuse_seq=fuse_seq,
         ),
     )
     res = engine.run(world.seed_urls())
@@ -95,8 +96,23 @@ def test_seq_guard_is_byte_keyed(spark):
     res2 = FrontierEngine(
         spark, edges, cfg=FrontierConfig(budget_per_host=100, max_depth=1)
     ).run(thin_seeds)
-    assert res2.metrics[0]["seq_path"] == "window"
+    # ...and with the predictor satisfied, mark+seq fuse into one job
+    assert res2.metrics[0]["seq_path"] == "fused_window"
     assert res2.fetched == 400
+
+
+def test_fused_seq_matches_unfused(spark):
+    """The fused mark+seq checkpoint (one job per wave) must be
+    bit-exact vs the oracle AND vs the unfused two-job path; the
+    default config actually takes the fused path on small waves."""
+    o_order, o_seen, e_order, e_seen, res = run_both(spark, 300, 8, 4)
+    assert {m["seq_path"] for m in res.metrics} == {"fused_window"}
+    assert e_order == o_order and e_seen == o_seen
+    o_order2, o_seen2, u_order, u_seen, res2 = run_both(
+        spark, 300, 8, 4, fuse_seq=False
+    )
+    assert {m["seq_path"] for m in res2.metrics} == {"window"}
+    assert u_order == e_order and u_seen == e_seen
 
 
 def test_bloom_copartition_probe_is_exact(spark):
