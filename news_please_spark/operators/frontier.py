@@ -118,6 +118,13 @@ class FrontierConfig:
     bloom_distribute: str = "broadcast"
     salt_buckets: int = 1             # >1 enables skew-safe two-phase top-k
     state_dir: str | None = None      # enables checkpoint/resume
+    # wave-history retention: keep only the newest N wave snapshots
+    # (None = keep all). Long crawls otherwise accrete one frontier
+    # copy per wave forever; expiry folds each expired wave's seen
+    # DELTA into the state dir's base area first (resume needs the
+    # full layered seen set), then expires the snapshot — see
+    # expire_waves.
+    retain_waves: int | None = None
     seen_buckets: int = 32            # hash-bucket layout of the seen table
     checkpoint_every: int = 8         # waves between lineage truncations
     # politeness marking: "window" = salted two-phase row_number (default;
@@ -363,6 +370,32 @@ class FrontierEngine:
         ).parquet(tx.path("seen"))
         order_wave.write.mode("overwrite").parquet(tx.path("order"))
         tx.commit(meta)  # raises state.CommitConflict on a racing writer
+        if self.cfg.retain_waves is not None:
+            self.expire_waves(self.cfg.retain_waves)
+
+    def expire_waves(self, keep_last: int) -> list[int]:
+        """Retention for the wave history: keep the newest `keep_last`
+        wave snapshots, folding each expired wave's seen DELTA into the
+        state dir's `base/` area first (a directory rename, no data
+        rewrite — the append-only seen layout survives expiry intact;
+        resume reads init ∪ base/* ∪ surviving wave deltas), then
+        expire the snapshot dirs via the catalog. A crash between the
+        fold and the expiry leaves a wave dir without its seen table —
+        resume's per-wave existence check is on the seen SUBDIR, so
+        nothing is double-counted or lost. Returns the expired ids."""
+        cat = self._wave_catalog()
+        snaps = cat.snapshots()
+        expired = snaps[:-keep_last] if len(snaps) > keep_last else []
+        if not expired:
+            return []
+        base = os.path.join(self.cfg.state_dir, "base")
+        os.makedirs(base, exist_ok=True)
+        for w in expired:
+            src = os.path.join(cat.snapshot_dir(w), "seen")
+            dst = os.path.join(base, f"seen-w{w:05d}")
+            if os.path.isdir(src) and not os.path.isdir(dst):
+                os.rename(src, dst)
+        return cat.expire_snapshots(keep_last=keep_last)
 
     @staticmethod
     def latest_wave(state_dir: str) -> int | None:
@@ -396,13 +429,31 @@ class FrontierEngine:
                 with open(os.path.join(d, "meta.json")) as f:
                     meta = json.load(f)
                 frontier = spark.read.parquet(os.path.join(d, "frontier"))
-                # seen = initial seeds ∪ per-wave deltas of COMPLETE waves
-                # (append-only layout: what Iceberg appends would be at scale)
-                seen_paths = [os.path.join(cfg.state_dir, "init", "seen")] + [
-                    os.path.join(self._wave_dir(w), "seen")
-                    for w in range(last + 1)
-                    if os.path.isdir(self._wave_dir(w))
-                ]
+                # seen = initial seeds ∪ deltas folded to base/ by wave
+                # expiry ∪ per-wave deltas of surviving COMPLETE waves
+                # (append-only layout: what Iceberg appends would be at
+                # scale). Existence is checked on the seen SUBDIR —
+                # a wave mid-expiry may have lost its delta to base/
+                # while the snapshot dir still exists.
+                base_dir = os.path.join(cfg.state_dir, "base")
+                base_paths = (
+                    sorted(
+                        os.path.join(base_dir, n)
+                        for n in os.listdir(base_dir)
+                        if n.startswith("seen-w")
+                    )
+                    if os.path.isdir(base_dir)
+                    else []
+                )
+                seen_paths = (
+                    [os.path.join(cfg.state_dir, "init", "seen")]
+                    + base_paths
+                    + [
+                        os.path.join(self._wave_dir(w), "seen")
+                        for w in range(last + 1)
+                        if os.path.isdir(os.path.join(self._wave_dir(w), "seen"))
+                    ]
+                )
                 seen = spark.read.parquet(*seen_paths)
                 start_wave = last + 1
                 seq_base = meta["seq_next"]

@@ -88,6 +88,48 @@ class SnapshotCatalog:
         with open(os.path.join(self.snapshot_dir(snap), "meta.json")) as f:
             return json.load(f)
 
+    def read_table(self, spark, name: str, snap: int | None = None):
+        """Time-travel read: the parquet table `name` as of snapshot
+        `snap` (default: latest). Snapshots are immutable, so the
+        returned DataFrame is a stable view of that version — the
+        catalog-level analogue of Iceberg's `VERSION AS OF`."""
+        if snap is None:
+            snap = self.latest()
+            if snap is None:
+                raise FileNotFoundError(f"no committed snapshot in {self.path}")
+        d = os.path.join(self.snapshot_dir(snap), name)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"table {name!r} not in snapshot {snap} of {self.path}"
+            )
+        return spark.read.parquet(d)
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Retention: delete all but the newest `keep_last` committed
+        snapshots (Iceberg's expire_snapshots). Returns the expired ids.
+
+        Deletion is oldest-first and each dir is renamed to a staging
+        name BEFORE its recursive delete, so a reader that raced the
+        expiry either sees the full snapshot or none of it — never a
+        half-deleted one — and a crash mid-delete leaves only a .tmp
+        dir that the next sweep_staging() removes. The catalog deletes
+        whole snapshots only; state layered ACROSS snapshots (like the
+        frontier's per-wave seen deltas) must be folded forward by the
+        owner first — see FrontierEngine.expire_waves."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        snaps = self.snapshots()
+        expired = snaps[:-keep_last] if len(snaps) > keep_last else []
+        for s in expired:
+            d = self.snapshot_dir(s)
+            doomed = f"{d}.tmp-expire-{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(d, doomed)
+            except OSError:
+                continue  # concurrent expiry got it first
+            shutil.rmtree(doomed, ignore_errors=True)
+        return expired
+
     def sweep_staging(self) -> int:
         """Remove crash-orphaned staging dirs; returns how many."""
         n = 0

@@ -92,3 +92,45 @@ def test_resume_ignores_partial_tmp_wave(spark, tmp_path):
     stitched = collect_order(pre.unionByName(resumed.order))
     assert stitched == full_order
     assert {r.url for r in resumed.seen.collect()} == full_seen
+
+
+def test_retention_expires_waves_and_resume_still_exact(spark, tmp_path):
+    """retain_waves=2: a long crawl keeps only the newest 2 wave
+    snapshots (frontier copies don't accrete), the expired waves' seen
+    DELTAS fold into base/ (no data rewrite), and a resume from the
+    pruned state dir still reproduces the uninterrupted run exactly."""
+    import os
+
+    world = World(n_pages=300)
+    edges = world.webgraph_df(spark)
+    robots = world.robots_df(spark)
+    seeds = world.seed_urls()
+
+    full = FrontierEngine(
+        spark, edges, robots,
+        cfg=FrontierConfig(budget_per_host=8, max_depth=3),
+    ).run(seeds)
+    full_order = collect_order(full.order)
+    full_seen = {r.url for r in full.seen.collect()}
+
+    state = str(tmp_path / "prunedstate")
+    FrontierEngine(
+        spark, edges, robots,
+        cfg=FrontierConfig(budget_per_host=8, max_depth=3, max_waves=5,
+                           state_dir=state, retain_waves=2),
+    ).run(seeds)
+    waves = sorted(n for n in os.listdir(state) if n.startswith("wave="))
+    assert waves == ["wave=00003", "wave=00004"]
+    folded = sorted(os.listdir(os.path.join(state, "base")))
+    assert folded == [f"seen-w{w:05d}" for w in range(3)]
+
+    resumed = FrontierEngine(
+        spark, edges, robots,
+        cfg=FrontierConfig(budget_per_host=8, max_depth=3, state_dir=state,
+                           retain_waves=2),
+    ).run(seeds, resume=True)
+    # waves 0-4 ran pre-kill; their order is in the full run's prefix
+    pre = [t for t in full_order if t[3] <= 4]
+    stitched = sorted(pre + collect_order(resumed.order), key=lambda t: t[2])
+    assert stitched == full_order
+    assert {r.url for r in resumed.seen.collect()} == full_seen

@@ -145,3 +145,35 @@ def test_frontier_save_wave_conflict(spark, tmp_path):
         eng._save_wave(0, df, df, df.selectExpr("url", "1 seq"), {"wave": 0})
     res.release()
     eng.close()
+
+
+def test_time_travel_read_table(spark, tmp_path):
+    """read_table(name, snap) returns the table exactly as of that
+    snapshot — snapshots are immutable versions (VERSION AS OF)."""
+    cat = SnapshotCatalog(str(tmp_path / "t"))
+    for v in (10, 20):
+        tx = cat.begin()
+        tx.write_table("rows", spark.range(v))
+        tx.commit({"n": v})
+    assert cat.read_table(spark, "rows", snap=0).count() == 10
+    assert cat.read_table(spark, "rows", snap=1).count() == 20
+    assert cat.read_table(spark, "rows").count() == 20  # default: latest
+    with pytest.raises(FileNotFoundError):
+        cat.read_table(spark, "nope", snap=1)
+
+
+def test_expire_snapshots_retention(tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "t"))
+    for v in range(5):
+        tx = cat.begin()
+        with open(tx.path("d"), "w") as f:
+            f.write(str(v))
+        tx.commit({"v": v})
+    assert cat.expire_snapshots(keep_last=2) == [0, 1, 2]
+    assert cat.snapshots() == [3, 4]
+    assert cat.read_meta(4) == {"v": 4}
+    # idempotent; never deletes below keep_last; no staging residue
+    assert cat.expire_snapshots(keep_last=2) == []
+    assert not any(".tmp" in n for n in os.listdir(cat.path))
+    with pytest.raises(ValueError):
+        cat.expire_snapshots(keep_last=0)
