@@ -741,15 +741,24 @@ def extract_article_core_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
 # pipeline assembly
 
 def extract_articles(
-    fetched: DataFrame, download_ts: Column | None = None, fused: bool = True
+    fetched: DataFrame,
+    download_ts: Column | None = None,
+    fused: bool = True,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """fetched(url, html [, doc_id]) → article rows (P1 projection).
 
     fused=True (default): one Arrow pass per batch. fused=False: the
     modular candidates-array pipeline (native cleaner between UDFs) —
-    same results, kept for introspection and parity tests.
+    same results, kept for introspection and parity tests. `keep_cols`
+    names extra input columns to carry through to the article rows
+    (the streaming admission tier's host/admitted_seq ride here).
     """
-    keep = [c for c in ("doc_id", "fetched_at") if c in fetched.columns]
+    keep = [
+        c
+        for c in ("doc_id", "fetched_at", *(keep_cols or []))
+        if c in fetched.columns
+    ]
     if fused:
         art = fetched.select(
             *keep,

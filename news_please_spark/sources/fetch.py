@@ -95,6 +95,7 @@ def fetch_from_responses(
     responses: DataFrame,
     min_bytes: int = MIN_BYTES,
     max_bytes: int = MAX_BYTES,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """urls(url) × responses table → fetched(url, html, fetched_at).
 
@@ -102,7 +103,10 @@ def fetch_from_responses(
     runs BEFORE the decode UDF (cheap predicates first, SURVEY.md §4).
     Rows that fail F1/F5/F6 disappear exactly as failed fetches would.
     Redirected responses are re-keyed to the redirect source (D4).
+    `keep` names extra url-side columns to carry through (the streaming
+    admission tier rides its host/priority/admitted_seq along this way).
     """
+    keep = [c for c in (keep or []) if c != "url"]
     r = responses.select(
         F.col("url").alias("r_url"),
         "status",
@@ -111,7 +115,7 @@ def fetch_from_responses(
         "redirect_to",
         "fetched_at",
     )
-    hit = urls.select("url").join(r, urls.url == r.r_url).drop("r_url")
+    hit = urls.select("url", *keep).join(r, urls.url == r.r_url).drop("r_url")
     ok = (
         hit.filter(F.col("status") == 200)                            # F5
         .filter(F.col("content_type").rlike("^text/html"))            # F1
@@ -121,6 +125,7 @@ def fetch_from_responses(
     # D4: the row is stored under the *requested* url even when the
     # server redirected; the final location is kept alongside
     return decoded.select(
+        *keep,
         "url",
         F.coalesce(F.col("redirect_to"), F.col("url")).alias("final_url"),
         "html",

@@ -91,3 +91,65 @@ def test_static_twin_without_batches_is_plain_topk(spark):
     out = budget_admit_batch(df, 2)
     rows = {(r.host, r.url) for r in out.collect()}
     assert rows == {("a.com", "a/5"), ("a.com", "a/3"), ("b.com", "b/1"), ("b.com", "b/3")}
+
+
+def test_streaming_crawl_restart_matches_batch_admission(spark, tmp_path):
+    """End-to-end streaming crawl (candidates -> stateful per-host
+    budget -> resolver fetch -> extraction chain) with a RESTART
+    mid-stream: the admitted set must equal the batch twin's admission
+    on the same arrival order, and the extracted articles must be the
+    batch extraction of exactly those urls."""
+    from news_please_spark.schemas import RESPONSES
+    from news_please_spark.streaming.stream import run_crawl_available_now
+    from news_please_spark.synth import DocWorld
+
+    n, budget = 40, 1
+    world = DocWorld(n)
+    responses = spark.createDataFrame(
+        [
+            (world.spec(d).url, 200, "text/html; charset=utf-8",
+             bytearray(world.html(d).encode("utf-8")), None, None)
+            for d in range(n)
+        ],
+        RESPONSES,
+    )
+
+    def cand_rows(docs):
+        return [
+            (world.spec(d).url.split("/")[2], world.spec(d).url, d)
+            for d in docs
+        ]
+
+    cand_dir = str(tmp_path / "cand")
+    out = str(tmp_path / "articles")
+    ckpt = str(tmp_path / "ckpt")
+    batches = [list(range(0, 20)), list(range(20, 40))]
+    for rows in (cand_rows(batches[0]), cand_rows(batches[1])):
+        # each pass is a fresh availableNow query on the same
+        # checkpoint — a restart between micro-batches; the per-host
+        # budget state must survive it
+        spark.createDataFrame(rows, CAND_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(cand_dir)
+        run_crawl_available_now(spark, cand_dir, responses, out, ckpt, budget)
+
+    got = {r.url: r for r in spark.read.parquet(out).collect()}
+
+    batched = spark.createDataFrame(
+        [(i + 1, *r) for i, b in enumerate(batches) for r in cand_rows(b)],
+        "batch int, " + CAND_SCHEMA,
+    )
+    expected = {
+        r.url: r
+        for r in budget_admit_batch(batched, budget, batch_col="batch").collect()
+    }
+    assert set(got) == set(expected)
+    for url, r in got.items():
+        assert r.admitted_seq == expected[url].admitted_seq, url
+        assert r.host == expected[url].host, url
+    # and the articles are the same extraction the batch engine produces
+    by_url = {world.spec(d).url: d for d in range(n)}
+    for url, r in got.items():
+        exp = world.expected_article(by_url[url])
+        assert r.title == exp["title"], url
+        assert r.maintext == exp["maintext"], url
