@@ -227,13 +227,14 @@ def run_pipeline(spark, n_pages: int, max_waves: int) -> tuple[float, int]:
             _clean_candidate,
             _compare_row,
             _EXTRACTORS,
+            sanitize_html,
         )
 
         for pdf in batches:
             rows = []
             for d in pdf["pid"].tolist():
                 spec_url = doc_world.spec(d).url
-                html = doc_world.html(d)
+                html = sanitize_html(doc_world.html(d))
                 cands = [_clean_candidate(ex(spec_url, html)) for ex in _EXTRACTORS]
                 r = _compare_row(spec_url, cands)
                 r["doc_id"] = f"doc{d}"

@@ -41,30 +41,57 @@ from news_please_spark.schemas import CANDIDATE
 # parses with bs4/lxml, which lowercases tag and attribute names, so
 # <TITLE>/<P>/<ARTICLE> work on real pages. Attribute VALUES keep their
 # case (the attr-dict lowercases keys only).
+#
+# Tag interiors are scanned QUOTE-AWARE (_A below), not with [^>]*: a
+# '>' inside a quoted attribute value (<article data-note="x > y">) is
+# attribute DATA to a real parser, and the naive class would end the
+# tag there — leaking `y">` residue into extracted text. _A consumes
+# quoted runs atomically, so the tag ends at the first '>' OUTSIDE
+# quotes, exactly where lxml ends it.
+_A = r"""(?:[^>"']|"[^"]*"|'[^']*')*"""
+
 _RE = {
-    "title_tag": re.compile(r"<title[^>]*>(.*?)</title>", re.S | re.I),
-    "h1": re.compile(r"<h1[^>]*>(.*?)</h1>", re.S | re.I),
-    "img_tag": re.compile(r"<img\b[^>]*>", re.I),
-    "article": re.compile(r"<article[^>]*>(.*?)</article>", re.S | re.I),
-    "p": re.compile(r"<p[^>]*>(.*?)</p>", re.S | re.I),
+    "title_tag": re.compile(rf"<title{_A}>(.*?)</title>", re.S | re.I),
+    "h1": re.compile(rf"<h1{_A}>(.*?)</h1>", re.S | re.I),
+    "img_tag": re.compile(rf"<img\b{_A}>", re.I),
+    "article": re.compile(rf"<article{_A}>(.*?)</article>", re.S | re.I),
+    "p": re.compile(rf"<p{_A}>(.*?)</p>", re.S | re.I),
     # E2 block scoring (readability-style; reference readability_extractor.py:18-38)
-    "block": re.compile(r"<(article|main|section|div)\b[^>]*>(.*?)</\1>", re.S | re.I),
-    "a_inner": re.compile(r"<a\b[^>]*>(.*?)</a>", re.S | re.I),
+    "block": re.compile(rf"<(article|main|section|div)\b{_A}>(.*?)</\1>", re.S | re.I),
+    "a_inner": re.compile(rf"<a\b{_A}>(.*?)</a>", re.S | re.I),
     # E3 date cascade (reference date_extractor.py:30-58); the ld+json
     # mime value is case-insensitive per RFC 2045
     "jsonld_block": re.compile(
-        r'<script[^>]*type=["\']?application/ld\+json["\']?[^>]*>(.*?)</script>',
+        rf'<script{_A}type=["\']?application/ld\+json["\']?{_A}>(.*?)</script>',
         re.S | re.I,
     ),
     "jsonld_pub": re.compile(r'"datePublished"\s*:\s*"([^"]+)"'),
     "jsonld_created": re.compile(r'"dateCreated"\s*:\s*"([^"]+)"'),
-    "meta_tag": re.compile(r"<meta\b[^>]*>", re.I),
-    "html_tag": re.compile(r"<html\b[^>]*>", re.I),
-    "time_el": re.compile(r"<time\b([^>]*)>(.*?)</time>", re.S | re.I),
+    "meta_tag": re.compile(rf"<meta\b{_A}>", re.I),
+    "html_tag": re.compile(rf"<html\b{_A}>", re.I),
+    "time_el": re.compile(rf"<time\b({_A})>(.*?)</time>", re.S | re.I),
     # generic inline element with attrs + inner (itemprop / date-class scan)
-    "el_generic": re.compile(r"<(span|p|div)\b([^>]*)>(.*?)</\1>", re.S | re.I),
+    "el_generic": re.compile(rf"<(span|p|div)\b({_A})>(.*?)</\1>", re.S | re.I),
     "url_date": re.compile(r"/(\d{4})/(\d{2})/(\d{2})/"),
 }
+
+# Comments and CDATA are NOT element markup: lxml/bs4 never surface a
+# commented-out <meta>/<p> to the extractors, so a regex pipeline must
+# strip them FIRST or a `<!-- <meta name="date" content="1999..."> -->`
+# decoy poisons the date cascade and commented/CDATA'd paragraphs leak
+# into maintext. HTML5 semantics: a comment ends at the FIRST `-->`
+# (a nested `<!--` inside is inert text) and an unterminated comment
+# runs to EOF; in HTML parsing, `<![CDATA[...]]>` is bogus-comment-like
+# and is dropped through its `]]>`.
+_COMMENT_RE = re.compile(r"<!--.*?(?:-->|$)", re.S)
+_CDATA_RE = re.compile(r"<!\[CDATA\[.*?(?:\]\]>|$)", re.S)
+
+
+def sanitize_html(html: str) -> str:
+    """Strip comments + CDATA sections (see note above). Run ONCE per
+    document before any extractor scan — the parser-visibility model
+    every tag regex in this module assumes."""
+    return _CDATA_RE.sub(" ", _COMMENT_RE.sub(" ", html))
 
 # Attribute parser shared by every tag scan. The reference parses HTML
 # with bs4/lxml (newspaper_extractor.py:21-50, lang_detect_extractor.py:
@@ -529,7 +556,11 @@ _EXTRACTORS = [_meta_extractor, _dom_extractor, _date_extractor, _lang_extractor
 def extract_candidates_udf(url: pd.Series, html: pd.Series) -> pd.Series:
     out = []
     for u, h in zip(url, html):
-        out.append([ex(u, h) for ex in _EXTRACTORS] if h else [])
+        if h:
+            h = sanitize_html(h)
+            out.append([ex(u, h) for ex in _EXTRACTORS])
+        else:
+            out.append([])
     return pd.Series(out)
 
 
@@ -732,6 +763,7 @@ def extract_article_core_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
         if not h:
             rows.append(_compare_row(u, []))
             continue
+        h = sanitize_html(h)
         cands = [_clean_candidate(ex(u, h)) for ex in _EXTRACTORS]
         rows.append(_compare_row(u, cands))
     return pd.DataFrame(rows)

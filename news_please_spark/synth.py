@@ -385,7 +385,25 @@ class DocWorld:
         elif s.v_date == 16:
             # slash textual YYYY/MM/DD, date-only → expected midnight
             head.append(meta(11, ("name", "date"), ("content", _slash_date(s.date_publish))))
+        # malformed-markup axis (every third doc): the real-web breakage
+        # classes a regex pipeline must survive like lxml does —
+        # commented-out markup (with a NESTED comment opener: HTML5 ends
+        # the comment at the FIRST -->), CDATA sections, an unclosed
+        # <div>, and a '>' inside a quoted attribute value. EXPECTED
+        # values never change: a real parser surfaces none of these to
+        # the extractors, so neither may the extraction chain.
+        malformed = mix(d, 63) % 3 == 0
+        if malformed:
+            # decoy date FIRST in head: a first-wins meta scan that fails
+            # to strip comments picks 1999 over the real date
+            head.insert(
+                0,
+                '<!-- <meta name="date" content="1999-09-09T09:09:09">'
+                "<!-- nested opener -->",
+            )
         body: list[str] = [f"<h1>{_enc(s.title, d, 3)}</h1>", time_tag, date_span]
+        if malformed:
+            body.insert(0, '<div class="promo-banner">')  # never closed
         for i in range(s.n_headlines):
             h = f"section {WORDS[mix(d, 40 + i) % 20]}"
             if i < s.n_linked:
@@ -393,11 +411,24 @@ class DocWorld:
                 body.append(f"<h2>{a}</h2>")
             else:
                 body.append(f"<h2>{h}</h2>")
-        body.append("<article>")
+        if malformed:
+            # '>' inside a quoted attribute value: a naive <article[^>]*>
+            # scan ends the tag mid-attribute and leaks `y">` residue
+            # into maintext
+            body.append(
+                _render_tag(d, 16, "article", [("data-note", "x > y")])
+            )
+        else:
+            body.append("<article>")
         if s.image_path:
             body.append(_render_tag(d, 14, "img", [("src", s.image_path), ("alt", "")]))
         for p in s.paragraphs:
             body.append(f"<p>{p}</p>")
+        if malformed:
+            # commented-out and CDATA'd paragraphs INSIDE the article
+            # block: unless stripped, both leak into maintext
+            body.append("<!-- <p>subscribe decoy paragraph</p> -->")
+            body.append("<![CDATA[ <p>cdata decoy paragraph</p> ]]>")
         body.append("</article>")
         doc = (
             f"{_render_tag(d, 1, 'html', html_attrs)}<head>{''.join(head)}</head>"

@@ -190,3 +190,67 @@ def test_dom_extractor_prefers_content_block():
     assert "first real paragraph" in got
     assert "second paragraph" in got
     assert "Imprint" not in got  # footer junk must not leak into maintext
+
+
+class TestMalformedMarkup:
+    """The real-web breakage classes a regex pipeline must survive like
+    lxml does (DocWorld's malformed axis renders these on every third
+    doc; here each shape is pinned in isolation)."""
+
+    def _article(self, html, url="https://h1.news-example.org/a.html"):
+        from news_please_spark.extraction.extract import (
+            _clean_candidate,
+            _compare_row,
+            _EXTRACTORS,
+            sanitize_html,
+        )
+
+        h = sanitize_html(html)
+        return _compare_row(url, [_clean_candidate(ex(url, h)) for ex in _EXTRACTORS])
+
+    BODY = (
+        "<p>" + " ".join(["the alpha beta"] * 8) + "</p>"
+        "<p>" + " ".join(["the gamma delta"] * 8) + "</p>"
+    )
+
+    def test_commented_out_meta_does_not_poison_date(self):
+        html = (
+            '<html><head><!-- <meta name="date" content="1999-09-09T09:09:09">'
+            '<!-- nested --><meta name="date" content="2021-03-04T05:06:07">'
+            f"<title>Real Title</title></head><body><article>{self.BODY}"
+            "</article></body></html>"
+        )
+        # HTML5: the comment ends at the FIRST -->, so the REAL meta
+        # (after it) is live markup and must win
+        a = self._article(html)
+        assert a["date_publish_str"] == "2021-03-04 05:06:07"
+
+    def test_commented_and_cdata_paragraphs_not_in_maintext(self):
+        html = (
+            "<html><head><title>T</title></head><body><article>"
+            f"{self.BODY}<!-- <p>subscribe decoy</p> -->"
+            "<![CDATA[ <p>cdata decoy</p> ]]></article></body></html>"
+        )
+        a = self._article(html)
+        assert "decoy" not in (a["maintext"] or "")
+
+    def test_gt_inside_quoted_attr_value_no_residue(self):
+        html = (
+            "<html><head><title>T</title></head><body>"
+            f'<article data-note="x > y">{self.BODY}</article></body></html>'
+        )
+        a = self._article(html)
+        assert 'y">' not in (a["maintext"] or "")
+        assert a["maintext"].startswith("the alpha")
+
+    def test_unclosed_div_and_unterminated_comment(self):
+        # unterminated comment swallows to EOF (HTML5); the unclosed div
+        # must not derail block selection for the article before it
+        html = (
+            "<html><head><title>T</title></head><body>"
+            f'<div class="promo"><article>{self.BODY}</article>'
+            "<!-- trailing junk that never closes</body></html>"
+        )
+        a = self._article(html)
+        assert a["maintext"].startswith("the alpha")
+        assert "junk" not in a["maintext"]
