@@ -36,32 +36,49 @@ from news_please_spark.state import SnapshotCatalog
 
 
 class CompletedWarcLog:
-    """The fully-extracted WARC log (D3) as a snapshot table: each run
-    commits the union of prior + new paths. Reference
+    """The fully-extracted WARC log (D3) as an APPEND-ONLY snapshot
+    table: each run commits only its DELTA of newly-done paths, and
+    paths() unions the deltas of every committed snapshot. Reference
     commoncrawl_crawler.py keeps this as a flat file appended under a
-    lock; a snapshot commit gives the same append semantics plus
-    concurrent-writer safety for free."""
+    lock; snapshot commits give the same append semantics plus
+    concurrent-writer safety — and O(delta) per commit instead of
+    rewriting the whole history every run (at a full CC-NEWS inventory
+    the history is O(10^5) paths and growing; the rewrite was the one
+    O(history)-per-run step in the pipeline)."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.catalog = SnapshotCatalog(path, prefix="log=")
 
     def paths(self) -> DataFrame | None:
-        snap = self.catalog.latest()
-        if snap is None:
+        snaps = self.catalog.snapshots()
+        dirs = [
+            os.path.join(self.catalog.snapshot_dir(s), "paths")
+            for s in snaps
+        ]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
             return None
-        return self.spark.read.parquet(
-            os.path.join(self.catalog.snapshot_dir(snap), "paths")
-        )
+        # distinct: racing writers may both have logged a path; the
+        # consumer semantics are set-membership
+        return self.spark.read.parquet(*dirs).distinct()
 
     def append(self, new_paths: DataFrame) -> int:
-        prior = self.paths()
-        union = (
-            new_paths if prior is None else prior.unionByName(new_paths)
-        ).distinct()
+        delta = new_paths.distinct()
         tx = self.catalog.begin()
-        union.coalesce(1).write.mode("overwrite").parquet(tx.path("paths"))
-        return tx.commit({"n": union.count()})
+        delta.coalesce(1).write.mode("overwrite").parquet(tx.path("paths"))
+        return tx.commit({"n_delta": delta.count()})
+
+    def compact(self) -> int:
+        """Fold every delta into one snapshot and expire the rest —
+        run occasionally so a years-long log doesn't accrete thousands
+        of tiny delta files."""
+        merged = self.paths()
+        tx = self.catalog.begin()
+        merged.coalesce(1).write.mode("overwrite").parquet(tx.path("paths"))
+        snap = tx.commit({"n": merged.count(), "compacted": True})
+        self.catalog.expire_snapshots(keep_last=1)
+        return snap
 
 
 def extract_commoncrawl(

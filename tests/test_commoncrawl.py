@@ -69,3 +69,27 @@ def test_date_window_filters_inventory(spark, tmp_path):
     )
     assert r["files"] == 2
     assert store.current().count() == 2 * N
+
+
+def test_completed_log_is_append_only_and_compactable(spark, tmp_path):
+    """Each commit writes only its DELTA (O(delta), not O(history));
+    compact() folds the deltas into one snapshot and expires the rest."""
+    import os
+
+    log = CompletedWarcLog(spark, str(tmp_path / "done"))
+    log.append(spark.createDataFrame([("a",), ("b",)], "path string"))
+    log.append(spark.createDataFrame([("c",)], "path string"))
+    log.append(spark.createDataFrame([("b",), ("d",)], "path string"))  # dup b
+    assert {r.path for r in log.paths().collect()} == {"a", "b", "c", "d"}
+    # delta layout: snapshot 1 holds ONLY its own path
+    d1 = os.path.join(log.catalog.snapshot_dir(1), "paths")
+    assert {r.path for r in spark.read.parquet(d1).collect()} == {"c"}
+    assert log.catalog.read_meta(2)["n_delta"] == 2
+
+    log.compact()
+    assert log.catalog.snapshots() == [3]
+    assert log.catalog.read_meta(3) == {"n": 4, "compacted": True}
+    assert {r.path for r in log.paths().collect()} == {"a", "b", "c", "d"}
+    # appends keep working after compaction
+    log.append(spark.createDataFrame([("e",)], "path string"))
+    assert log.paths().count() == 5
