@@ -533,7 +533,7 @@ def run_scaling_trial(cpus: int, ballast: int = 0) -> dict:
     return _instrumented_child(["--scaling-child", str(cpus)], env=env)
 
 
-def scaling(pair: tuple[int, int] = (2, 8), trials: int = 2) -> None:
+def scaling(pair: tuple[int, int] = (2, 8), trials: int | None = None) -> None:
     """N vs 4N parallelism on the same input. Levels interleave (so a
     load regime covers both levels symmetrically), every trial records
     measured external interference, contended trials auto-retry (up to
@@ -547,6 +547,10 @@ def scaling(pair: tuple[int, int] = (2, 8), trials: int = 2) -> None:
     N-vs-4N *executor* comparison never pays. See the iso-clock note
     above scaling_child."""
     n, n4 = pair
+    if trials is None:
+        # big-world runs (SPARK_GRAFT_PIPE_SCALE >= 6) take tens of
+        # minutes per trial — allow a single gated trial per level
+        trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
     iso_clock = os.environ.get("SPARK_GRAFT_ISO_CLOCK", "1") != "0"
     ballast_for = {n: (n4 - n) if iso_clock else 0, n4: 0}
     probe = clock_probe(n, n4)
