@@ -9,7 +9,7 @@ banded self-join on 16-bit chunks.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -360,3 +360,136 @@ def embedding_near_dups(
         F.col(f"b.{id_col}").alias("id_b"),
         cosine(F.col("a._v"), F.col("b._v")).alias("cos"),
     ).filter(F.col("cos") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the ExactSubstr modality). The paper
+# builds one suffix array over the whole corpus; that is a single-machine
+# layout. The distributed re-expression: a length-k token window is
+# duplicated iff its k-gram fingerprint occurs >= min_count times in the
+# corpus, and maximal duplicated substrings are exactly the unions of
+# overlapping flagged windows — so the corpus-wide state is ONE
+# map-side-combinable count per fixed-width md5 key, and span assembly is
+# a per-document gaps-and-islands window (bounded by document length).
+# No suffix array, no posting lists, nothing driver-resident.
+def dup_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans per document.
+
+    Returns (id_col, span_start, span_end, span_len): 0-based inclusive
+    token positions such that every length-k window inside the span has
+    corpus frequency >= min_count (counting ALL occurrences, so a
+    within-document repeat of itself also flags — same as ExactSubstr).
+    Overlapping and adjacent windows merge into one maximal span.
+
+    Scale plan:
+      1. (doc, pos, md5(gram)) occurrence rows — fixed-width keys, raw
+         text never crosses a shuffle;
+      2. corpus frequency via groupBy(key) count, map-side combined;
+         the >= min_count survivor set is joined back LEFT SEMI on the
+         key both sides were just hash-partitioned by;
+      3. interval merge per doc: one window over (doc, pos) whose state
+         is a running max of span ends — per-partition work is bounded
+         by tokens-per-document, never corpus size.
+    """
+    toks = dedup_tokens(F.col(text_col))
+    occ = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .select(
+            "_id",
+            F.posexplode(_pos_ngrams(F.col("_t"), k)).alias("_pos", "_g"),
+        )
+        .select("_id", "_pos", F.md5("_g").alias("_g"))
+    )
+    dup_keys = (
+        occ.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_g")
+    )
+    flagged = occ.join(dup_keys, "_g", "left_semi").select("_id", "_pos")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    prev_end = F.max(F.col("_pos") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_end.isNull() | (F.col("_pos") > prev_end + 1), 1
+    ).otherwise(0)
+    isl = F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        flagged.withColumn("_isl", isl)
+        .groupBy("_id", "_isl")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + (k - 1)).alias("span_end"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_len"),
+        )
+    )
+
+
+def strip_dup_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Rebuild each document with every duplicated span removed (the
+    ExactSubstr cut step). Token positions covered by a span from
+    dup_substring_spans are dropped; survivors re-join with single
+    spaces (whitespace is normalized — the span grammar is token-level).
+
+    The per-document span list rides a groupBy(id) collect_list whose
+    size is bounded by tokens/k per document, then a single indexed
+    array filter — no position-grain shuffle, no second pass over the
+    corpus text."""
+    spans = (
+        dup_substring_spans(df, text_col, id_col, k, min_count)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+        )
+    )
+    toks = dedup_tokens(F.col(text_col))
+    joined = df.join(spans, id_col, "left")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.coalesce(F.col("_spans"), F.array()),
+        lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+    )
+    kept = F.filter(toks, lambda x, i: ~covered(i))
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        F.size(toks).cast("long").alias("total_tokens"),
+    )
+
+
+def dedup_tokens(text: Column) -> Column:
+    """The one tokenizer every substring operator shares (must stay
+    identical to functions.text.tokens for cross-operator consistency)."""
+    from news_please_spark.functions.text import tokens
+
+    return tokens(text)
+
+
+def _pos_ngrams(text: Column, n: int) -> Column:
+    """Overlapping word n-grams in document order (position = slot
+    index); reuses the zip_with-over-shifted-slices shape that keeps
+    interpreted HOF evaluation O(L) per row (see repetition.ngrams)."""
+    from news_please_spark.operators.repetition import ngrams
+
+    return ngrams(text, n)

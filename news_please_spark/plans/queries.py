@@ -1610,3 +1610,106 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         materialize_stages=True,
     )
     return out.select("doc_id", F.md5("text").alias("content_md5"))
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (Lee et al. 2022 ExactSubstr, distributed
+# re-expression — see operators/dedup.py): maximal duplicated token
+# spans, and documents rebuilt with those spans cut out.
+_DUP_SPANS_SQL = r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(toks) - 7, 0))) AS pos,
+             unnest(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+                    i -> md5(array_to_string(toks[i : i + 7], ' ')))) AS g
+      FROM t
+    ),
+    dupk AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+    fl AS (SELECT occ.doc_id, occ.pos FROM occ JOIN dupk USING (g)),
+    m AS (SELECT doc_id, pos,
+            max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_end
+          FROM fl),
+    isl AS (SELECT doc_id, pos,
+            sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM m),
+    spans AS (
+      SELECT doc_id,
+             CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + 7 AS BIGINT) AS span_end,
+             CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, island
+    )
+"""
+
+
+@register(
+    "dup_substring_spans",
+    _DUP_SPANS_SQL
+    + """
+    SELECT doc_id, span_start, span_end, span_len FROM spans
+    """,
+)
+def dup_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated substrings (8-token windows, corpus frequency
+    >= 2) as 0-based inclusive token spans — the ExactSubstr dedup
+    signal. Only fixed-width md5 keys shuffle; span assembly is a
+    per-document window."""
+    from news_please_spark.operators.dedup import dup_substring_spans
+
+    return dup_substring_spans(
+        spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark),
+        k=8,
+        min_count=2,
+    )
+
+
+@register(
+    "strip_dup_substrings",
+    _DUP_SPANS_SQL
+    + """
+    ,
+    posn AS (
+      SELECT doc_id,
+             unnest(range(0, len(toks))) AS i,
+             unnest(toks) AS w
+      FROM t
+    ),
+    kept AS (
+      SELECT p.doc_id, p.i, p.w
+      FROM posn p
+      LEFT JOIN spans s
+        ON p.doc_id = s.doc_id AND p.i BETWEEN s.span_start AND s.span_end
+      WHERE s.doc_id IS NULL
+    ),
+    agg AS (
+      SELECT doc_id,
+             string_agg(w, ' ' ORDER BY i) AS clean_text,
+             count(*) AS kept_tokens
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(agg.clean_text, '') AS clean_text,
+           CAST(coalesce(agg.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(len(t.toks) AS BIGINT) AS total_tokens
+    FROM t LEFT JOIN agg USING (doc_id)
+    """,
+)
+def strip_dup_substrings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents rebuilt with every duplicated span removed (the
+    ExactSubstr cut). Span lists ride a bounded per-doc collect_list;
+    the cut itself is one indexed array filter per row."""
+    from news_please_spark.operators.dedup import strip_dup_substrings
+
+    return strip_dup_substrings(
+        spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark),
+        k=8,
+        min_count=2,
+    )

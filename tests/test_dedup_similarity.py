@@ -151,3 +151,80 @@ def test_ngram_jaccard_impls_bit_identical(spark, docs):
     a, e = snap("array"), snap("exploded")
     assert a == e
     assert any(p[:2] == (0, 9) and p[2] == 0.0 for p in a)  # gramless side
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (ExactSubstr)
+def test_dup_substring_spans_basic(spark):
+    """A 10-token run shared by two docs yields one maximal span per doc
+    covering exactly the shared run; a doc with no duplicated window
+    yields nothing; a within-doc repeat also flags (ExactSubstr counts
+    all occurrences)."""
+    from news_please_spark.operators.dedup import dup_substring_spans
+
+    shared = "a b c d e f g h i j"  # 10 tokens -> 3 flagged 8-windows
+    docs = spark.createDataFrame(
+        [
+            (1, f"x1 x2 {shared} y1 y2"),
+            (2, f"z1 {shared} z2 z3 z4"),
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),
+            # one doc repeating its own 8-token block back-to-back
+            (4, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.span_len)
+        for r in dup_substring_spans(docs, k=8).collect()
+    }
+    # doc 1: shared run at token positions 2..11
+    assert spans[1] == (2, 11, 10)
+    # doc 2: shared run at positions 1..10
+    assert spans[2] == (1, 10, 10)
+    assert 3 not in spans
+    # doc 4: every window whose content repeats flags; the self-repeat
+    # makes windows at pos 0 and 8 identical -> islands merge across
+    # the whole 16-token doc
+    assert spans[4] == (0, 15, 16)
+
+
+def test_dup_substring_spans_island_split(spark):
+    """Two duplicated runs separated by a unique gap stay TWO spans."""
+    from news_please_spark.operators.dedup import dup_substring_spans
+
+    run1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    run2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{run1} gap1 gap2 gap3 {run2}"),
+            (2, f"{run1} other tokens here {run2}"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dup_substring_spans(docs, k=8).collect()
+    )
+    assert got == [(1, 0, 7), (1, 11, 18), (2, 0, 7), (2, 11, 18)]
+
+
+def test_strip_dup_substrings_cuts_exactly_the_spans(spark):
+    """The cut step removes precisely the span-covered token positions
+    and renormalizes whitespace; an untouched doc round-trips."""
+    from news_please_spark.operators.dedup import strip_dup_substrings
+
+    shared = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [
+            (1, f"x1 x2 {shared} y1 y2"),
+            (2, f"z1 {shared} z2"),
+            (3, "unique tokens only here nothing repeats at all twice"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in strip_dup_substrings(docs, k=8).collect()}
+    assert out[1].clean_text == "x1 x2 y1 y2"
+    assert (out[1].kept_tokens, out[1].total_tokens) == (4, 14)
+    assert out[2].clean_text == "z1 z2"
+    assert out[3].clean_text == docs.filter("doc_id = 3").first().text
+    assert out[3].kept_tokens == out[3].total_tokens
