@@ -60,6 +60,7 @@ HEADLINE = [
     "lang_id",
     "mixture_sample",
     "quality_topfrac",
+    "pack_sequences",
     "repetition_scores",
     "corpus_dup_ngrams",
     "jaccard_verify",

@@ -158,3 +158,93 @@ def topfrac_per_group(
     return full_cells.select(*df.columns).unionByName(
         boundary_adm.select(*df.columns)
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk)
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    packer_hex: int = 2,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end-to-end in a
+    deterministic order and cut the token stream every ``seq_len``
+    tokens — the standard pretraining packing step (Brown et al. 2020
+    §2.1 pack documents into 2048-token contexts; T5's "pack" preprocessor).
+    Beyond the reference crawler's scope; a training-data pipeline needs
+    it between corpus hygiene and the trainer.
+
+    Output: one row per (document × chunk it lands in) —
+    ``(packer, chunk, id, n_tok, tok_start, tok_end, doc_off)`` where
+    ``[tok_start, tok_end)`` is the span of the chunk the document
+    fills and ``doc_off`` is the first packed token's offset inside the
+    document.  A document longer than ``seq_len`` spans several chunks;
+    chunk identity is the pair (packer, chunk).
+
+    Determinism + scale:
+
+    * Order is ``md5(id)`` ascending inside a *packer* — the first
+      ``packer_hex`` hex chars of the same md5.  No RNG, no
+      partitioning dependence: the same corpus packs identically on
+      every run and engine (auditable mixtures, resumable jobs).
+    * A single global cumulative sum would be one sort task.  Packers
+      shard it: 16^packer_hex independent windows (256 at the default;
+      use 4 → 65,536 at the 10^10-doc design point so one packer holds
+      ~10^5 docs).  md5 uniformity bounds skew; packing quality is
+      unchanged since chunk boundaries never cross packers.
+    * Token count is the whitespace convention shared with
+      ``token_totals`` (trim + split on ``\\s+``; empty text counts 1),
+      so packed-token totals reconcile with corpus audits bit-exactly.
+    * Pure Column algebra: window prefix-sum, integer DIV, one
+      ``sequence``+``explode`` for the (rare) multi-chunk docs.  No
+      Python, no shuffle beyond the packer hash partition + sort.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    key = F.md5(F.col(id_col).cast("string"))
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    base = df.select(
+        F.col(id_col),
+        key.alias("_key"),
+        F.substring(key, 1, packer_hex).alias("packer"),
+        n_tok.alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("packer")
+        .orderBy("_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    started = base.select(
+        "packer",
+        F.col(id_col),
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("_start"),
+    )
+    L = F.lit(int(seq_len)).cast("long")
+    spans = started.select(
+        "packer",
+        F.explode(
+            F.sequence(
+                F.expr(f"_start DIV {int(seq_len)}"),
+                F.expr(f"(_start + n_tok - 1) DIV {int(seq_len)}"),
+            )
+        ).alias("chunk"),
+        F.col(id_col),
+        "n_tok",
+        "_start",
+    )
+    lo = F.greatest(F.col("_start"), F.col("chunk") * L)
+    hi = F.least(F.col("_start") + F.col("n_tok"), (F.col("chunk") + 1) * L)
+    return spans.select(
+        "packer",
+        F.col("chunk").cast("long").alias("chunk"),
+        F.col(id_col),
+        "n_tok",
+        (lo - F.col("chunk") * L).alias("tok_start"),
+        (hi - F.col("chunk") * L).alias("tok_end"),
+        (lo - F.col("_start")).alias("doc_off"),
+    )

@@ -644,6 +644,47 @@ ORACLES["mixture_sample"] = ORACLES["mixture_sample"].replace(
 
 
 @register(
+    "pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS key,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS packer,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT packer, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (
+               PARTITION BY packer ORDER BY key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM t
+    )
+    SELECT packer,
+           CAST(g.chunk AS BIGINT) AS chunk,
+           doc_id,
+           n_tok,
+           CAST(GREATEST(start, g.chunk * 64) - g.chunk * 64 AS BIGINT) AS tok_start,
+           CAST(LEAST(start + n_tok, (g.chunk + 1) * 64) - g.chunk * 64 AS BIGINT) AS tok_end,
+           CAST(GREATEST(start, g.chunk * 64) - start AS BIGINT) AS doc_off
+    FROM c, LATERAL (
+      SELECT unnest(generate_series(CAST(start // 64 AS BIGINT),
+                                    CAST((start + n_tok - 1) // 64 AS BIGINT))) AS chunk
+    ) g
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing at seq_len=64 / 16 packer
+    shards (small so the gate exercises multi-chunk document splits;
+    production grain is 512-8192 tokens x 65k packers) — documents laid
+    end-to-end in md5 order, the token stream cut every seq_len tokens
+    (operators/sampling.py:pack_sequences)."""
+    from news_please_spark.operators.sampling import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, seq_len=64, packer_hex=1)
+
+
+@register(
     "quality_topfrac",
     r"""
     WITH t AS (

@@ -137,3 +137,99 @@ def test_topfrac_continuous_scores_match_and_bound_ranking(spark):
     got = _rows(topfrac_per_group(df, "grp", "score", 30, "doc_id"))
     want = _rows(_naive_topfrac(df, "grp", "score", 30, "doc_id"))
     assert got == want and len(got) == 60 + 12  # ceil(.3*200), ceil(.3*37)
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+
+
+def _py_pack(rows, seq_len, packer_hex):
+    """Pure-python oracle: md5-ordered concat-and-chunk per packer."""
+    import hashlib
+    import re
+
+    toks = {d: len(re.split(r"\s+", t.strip())) for d, t in rows}
+    keyed = sorted(
+        ((hashlib.md5(str(d).encode()).hexdigest(), d) for d, _ in rows)
+    )
+    out = []
+    starts = {}
+    for key, d in keyed:
+        p = key[:packer_hex]
+        s = starts.get(p, 0)
+        n = toks[d]
+        starts[p] = s + n
+        for chunk in range(s // seq_len, (s + n - 1) // seq_len + 1):
+            lo = max(s, chunk * seq_len)
+            hi = min(s + n, (chunk + 1) * seq_len)
+            out.append((p, chunk, d, n, lo - chunk * seq_len, hi - chunk * seq_len, lo - s))
+    return sorted(out, key=repr)
+
+
+def test_pack_sequences_matches_python_oracle(spark):
+    from news_please_spark.operators.sampling import pack_sequences
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(1 + (i * 37) % 90))) for i in range(80)
+    ]
+    rows.append((900, ""))          # empty text: 1 token by convention
+    rows.append((901, "   "))       # whitespace-only: trim -> 1 token
+    rows.append((902, " ".join("x" for _ in range(75))))  # spans >2 chunks at L=16
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _rows(pack_sequences(df, seq_len=16, packer_hex=1))
+    want = _py_pack(rows, 16, 1)
+    assert got == want
+    # every chunk's spans tile [0, 64) contiguously except the tail chunk
+    by_chunk = {}
+    for p, c, d, n, lo, hi, off in got:
+        by_chunk.setdefault((p, c), []).append((lo, hi))
+    for (p, c), spans in by_chunk.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        for (a, b), (a2, b2) in zip(spans, spans[1:]):
+            assert b == a2  # no gap, no overlap
+
+
+def test_pack_sequences_repartition_invariant(spark):
+    from news_please_spark.operators.sampling import pack_sequences
+
+    rows = [(i, " ".join(f"t{j}" for j in range((i * 13) % 40 + 1))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = _rows(pack_sequences(df, seq_len=32, packer_hex=1))
+    b = _rows(pack_sequences(df.repartition(7), seq_len=32, packer_hex=1))
+    assert a == b
+
+
+def test_pack_sequences_conserves_tokens(spark):
+    from news_please_spark.operators.sampling import pack_sequences
+
+    rows = [(i, " ".join("z" * 3 for _ in range((i * 7) % 50 + 1))) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = pack_sequences(df, seq_len=16, packer_hex=1)
+    total = packed.select(F.sum(F.col("tok_end") - F.col("tok_start"))).first()[0]
+    want = sum((i * 7) % 50 + 1 for i in range(50))
+    assert total == want
+    # per-doc: span lengths sum to n_tok and doc_off is a prefix walk
+    import collections
+
+    per_doc = collections.defaultdict(list)
+    for r in packed.collect():
+        per_doc[r.doc_id].append(r)
+    for d, rs in per_doc.items():
+        rs.sort(key=lambda r: r.doc_off)
+        assert rs[0].doc_off == 0
+        walked = 0
+        for r in rs:
+            assert r.doc_off == walked
+            walked += r.tok_end - r.tok_start
+        assert walked == rs[0].n_tok
+
+
+def test_pack_sequences_rejects_bad_seq_len(spark):
+    import pytest
+
+    from news_please_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pack_sequences(df, seq_len=0)
