@@ -74,6 +74,8 @@ HEADLINE = [
     "sitemap_expand",
     "events_hourly",
     "events_sessionize",
+    "asof_last_purchase",
+    "purchase_click_attribution",
     "recency_filter",
     "versioning_chain",
     "lineitem_agg",

@@ -1,0 +1,142 @@
+"""As-of and range (interval) joins — the two time-series joins Spark's
+built-in operator set lacks, expressed so Catalyst still sees plain
+equi-joins / windows and never falls back to a nested-loop plan.
+
+Neither exists in the reference (a crawler), but both are table stakes
+for the analytics a crawl corpus feeds (attribute an event to the most
+recent crawl snapshot; find every fetch inside a site's maintenance
+window).  Both are pure DataFrame compositions — no UDFs, no driver
+loops.
+
+* ``asof_join`` — for every left row, the single right row with the
+  greatest ``right_ts <= left_ts`` for the same key (LEFT semantics:
+  unmatched left rows survive with nulls).  The classic distributed
+  plan: union both sides tagged, one shuffle+sort on (key, ts, side),
+  then ``last(right_struct, ignorenulls)`` over an unbounded-preceding
+  window carries the latest right payload forward onto each left row.
+  One Exchange, one Sort — same cost as a single window aggregate,
+  independent of how many right rows precede each left row.  (Contrast:
+  the naive ``left join ... on ts <= ts`` + row_number plan is a
+  BroadcastNestedLoop that materializes every (left, preceding-right)
+  pair.)
+
+* ``range_join`` — match interval rows [start, end) to point rows with
+  the same key where start <= ts < end.  Naively an inequality join =
+  nested loop.  Here time is cut into fixed-width bands; every interval
+  is exploded onto each band it overlaps (``sequence`` + ``explode``,
+  ~(len/band + 1) copies), points map to exactly one band, and the join
+  runs as a hash equi-join on (key, band) with the exact containment
+  predicate applied as a post-filter.  Band width should be >= the
+  typical interval length so the explosion factor stays ~2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """ASOF LEFT join: attach to each left row the payload of the right
+    row with the greatest ``right_ts`` <= ``left_ts`` for the same key
+    (ties at equal ts match, like DuckDB/QuestDB ASOF semantics).
+
+    Requires the right side to hold at most one row per (key, ts) —
+    pre-aggregate with ``max_by`` if it doesn't; ambiguity there is a
+    data-model bug, not a join concern.  Payload columns must be
+    non-null on the right side (``last(ignorenulls)`` is what carries
+    them; a null payload cell would fall through to an older row).
+
+    Output: all left columns + the payload columns (null when no right
+    row precedes).
+    """
+    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("_p")
+    r = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        payload,
+    )
+    l = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
+        *left.columns,
+    )
+    # right rows sort before left rows at equal ts, so ts-equal matches
+    # are visible to the window (<= semantics).
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = l.unionByName(r, allowMissingColumns=True).withColumn(
+        "_last", F.last("_p", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *left.columns,
+        *[F.col("_last")[c].alias(c) for c in payload_cols],
+    )
+
+
+def range_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    interval_key: str,
+    point_key: str,
+    start_col: str,
+    end_col: str,
+    ts_col: str,
+    band: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-containment join: pair every interval row with every
+    point row of the same key whose ``ts_col`` lies in
+    [``start_col``, ``end_col``).  ``band`` is the band width as a
+    Column in the units the time columns band on — epoch MICROSECONDS
+    for timestamp columns, the raw value for numerics — pick it >= the
+    typical interval length.
+
+    Plan shape: explode intervals onto overlapped bands, hash equi-join
+    on (key, band), post-filter exact containment.  No inequality join
+    condition ever reaches the optimizer, so no BroadcastNestedLoop.
+    """
+    if how != "inner":
+        raise ValueError(f"only inner range_join is implemented, got {how!r}")
+
+    def _as_long(df: DataFrame, col: str) -> Column:
+        # timestamps band on exact epoch micros (TIMESTAMP_NTZ has no
+        # direct long cast in Spark 4); numerics band on their value.
+        # Band units follow: micros for timestamps.
+        if df.schema[col].dataType.typeName().startswith("timestamp"):
+            return F.unix_micros(F.col(col).cast("timestamp"))
+        return F.col(col).cast("long")
+
+    s = _as_long(intervals, start_col)
+    e = _as_long(intervals, end_col)
+    # end is exclusive, but the band range is conservative (up to end's
+    # own band): one spare interval copy when end sits exactly on a band
+    # edge, removed by the exact post-filter below.
+    iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
+        "_band", F.explode(F.sequence(F.floor(s / band), F.floor(e / band)))
+    )
+    pt = points.withColumn("_band", F.floor(_as_long(points, ts_col) / band))
+    cond = (
+        (iv[interval_key] == pt[point_key])
+        & (iv["_band"] == pt["_band"])
+        & (pt[ts_col] >= iv[start_col])
+        & (pt[ts_col] < iv[end_col])
+    )
+    return iv.join(pt, cond, "inner").select(
+        *[iv[c] for c in intervals.columns],
+        *[pt[c] for c in points.columns],
+    )

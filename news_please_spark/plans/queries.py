@@ -869,6 +869,91 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_last_purchase",
+    """
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS us,
+           r.event_id AS purchase_id, r.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF LEFT join: every click event carries the same user's most
+    recent purchase at or before it (operators/joins.py:asof_join —
+    union-tag + window-carry plan, one Exchange, no nested loop).  The
+    oracle is DuckDB's native ASOF JOIN."""
+    from news_please_spark.operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = asof_join(
+        clicks, purchases, "user_id", "user_id", "ts", "ts",
+        ["purchase_id", "purchase_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "purchase_id",
+        "purchase_value",
+    )
+
+
+@register(
+    "purchase_click_attribution",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT) AS dt_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+    """,
+)
+def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: clicks landing inside the hour after each
+    purchase by the same user (operators/joins.py:range_join — banded
+    explode + hash equi-join on (key, band); the inequality predicate
+    never reaches the optimizer, so no BroadcastNestedLoop).  Oracle is
+    the plain inequality join, fine at gate scale."""
+    from news_please_spark.operators.joins import range_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = range_join(
+        purchases, clicks, "user_id", "c_user",
+        "w_start", "w_end", "c_ts", band=F.lit(3600 * 1_000_000),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        (
+            F.unix_micros(F.col("c_ts").cast("timestamp"))
+            - F.unix_micros(F.col("w_start").cast("timestamp"))
+        ).alias("dt_us"),
+    )
+
+
+@register(
     "recency_filter",
     """
     WITH x AS (
