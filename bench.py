@@ -70,6 +70,7 @@ HEADLINE = [
     "interleaved_render",
     "span_boilerplate",
     "ann_cosine_topk",
+    "semantic_dedup",
     "extract_articles",
     "sitemap_expand",
     "events_hourly",

@@ -493,3 +493,63 @@ def _pos_ngrams(text: Column, n: int) -> Column:
     from news_please_spark.operators.repetition import ngrams
 
     return ngrams(text, n)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_lists: int = 64,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster embeddings into cells with a coarse
+    quantizer, compare pairs ONLY within a cell, and drop every doc
+    that has a semantically near-identical neighbor with a smaller id
+    (the paper keeps one exemplar per dup group; smallest-id is the
+    deterministic, engine-portable exemplar rule).
+
+    Differences from ``embedding_near_dups`` (the LSH variant): cells
+    come from nearest-centroid assignment (ivf_assign_cells — md5-rank
+    codebook, zero-shuffle fold), which catches near-dups whose sign
+    signatures differ, and the output is a per-doc verdict rather than
+    a pair list.
+
+    Scale: within-cell comparison is |cell|² — the SemDeDup design
+    point; size ``n_lists`` so cells hold ~10^3-10^4 vectors (n_lists ~
+    n/5000).  The pair join is an equi-join on cell, so the corpus is
+    never crossed.  Output: (id, cell, is_dup).
+    """
+    from news_please_spark.operators.similarity import (
+        as_double,
+        cosine,
+        ivf_assign_cells,
+    )
+
+    cells = ivf_assign_cells(
+        emb, n_lists=n_lists, id_col=id_col, vec_col=vec_col
+    )
+    v = emb.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    ).join(cells, id_col)
+    a, b = v.alias("a"), v.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(cosine(F.col("a._v"), F.col("b._v")) >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        cells.join(dups, id_col, "left")
+        .select(
+            F.col(id_col),
+            "cell",
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

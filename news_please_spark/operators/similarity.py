@@ -311,3 +311,45 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+def ivf_assign_cells(
+    corpus: DataFrame,
+    n_lists: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid (IVF top-1) cell assignment over the same
+    md5-rank codebook ivf_topk uses: (id, cell) rows.  Zero shuffle —
+    the codebook is one broadcast array and each row folds over it in
+    whole-stage codegen, O(n_lists·dim) per row at any corpus size.
+    Ties on equal cosine keep the smallest cid (sorted array + strict
+    >), i.e. ORDER BY cos DESC, cid — engine-portable."""
+    cents = ivf_centroid_rows(
+        corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col
+    ).agg(
+        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("cv")))).alias(
+            "cents"
+        )
+    )
+
+    def _top1(vec: Column, cents_arr: Column) -> Column:
+        scored = F.transform(
+            cents_arr,
+            lambda cent: F.struct(
+                cent["cid"].alias("cid"), cosine(vec, cent["cv"]).alias("cos")
+            ),
+        )
+        init = F.struct(
+            F.lit(-1).cast("long").alias("cid"), F.lit(-2.0).alias("cos")
+        )
+        return F.aggregate(
+            scored,
+            init,
+            lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
+        )["cid"]
+
+    return corpus.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        _top1(as_double(F.col(vec_col)), F.col("cents")).alias("cell"),
+    )

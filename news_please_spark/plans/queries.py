@@ -1397,6 +1397,54 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(q, e, k=5, nprobe=2, n_lists=64)
 
 
+@register(
+    "semantic_dedup",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 64
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             list_dot_product(e.v, c.cv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+      FROM e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+      FROM scored
+    ),
+    cell AS (SELECT vec_id, cid AS cell FROM assign WHERE rk = 1),
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE list_dot_product(ea.v, eb.v)
+            / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+            >= 0.42
+    )
+    SELECT c.vec_id, c.cell,
+           (c.vec_id IN (SELECT vec_id FROM dup)) AS is_dup
+    FROM cell c
+    """,
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): IVF cells from
+    the md5-rank codebook, pairwise cosine >= .95 within a cell only,
+    smallest-id doc is the kept exemplar
+    (operators/dedup.py:semantic_dedup). The synthetic embeddings carry
+    no planted near-dups (max pairwise cos ~0.51), so the gate runs at
+    threshold 0.42 — nonzero dups, 1.7e-3 margin to the nearest pair —
+    to exercise the dup path; production default stays 0.95."""
+    from news_please_spark.operators.dedup import semantic_dedup
+
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    return semantic_dedup(e, n_lists=64, threshold=0.42)
+
+
 # ---------------------------------------------------------------------------
 # 12. benchmark decontamination + PII redaction (corpus-hygiene family)
 _G8 = (

@@ -99,3 +99,78 @@ def test_ivf_single_centroid_drops_second_probe(spark):
     out = ivf_topk(q, e, k=100, nprobe=2, centroid_stride=10_000)
     rows = out.groupBy("query_id").count().collect()
     assert {r["query_id"]: r["count"] for r in rows} == {0: 11, 1: 11}
+
+
+# ---------------------------------------------------------------------------
+# ivf_assign_cells + semantic_dedup (SemDeDup)
+
+
+def _py_cells(rows, n_lists):
+    """Python oracle for ivf_assign_cells: md5-rank codebook, argmax
+    cosine with smallest-cid tiebreak."""
+    import hashlib
+    import math
+
+    cents = sorted(rows, key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())[
+        :n_lists
+    ]
+    cents = sorted((cid, cv) for cid, cv in cents)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    out = {}
+    for vid, v in rows:
+        best = (-1, -2.0)
+        for cid, cv in cents:
+            c = cos(v, cv)
+            if c > best[1]:
+                best = (cid, c)
+        out[vid] = best[0]
+    return out
+
+
+def test_ivf_assign_cells_matches_python_oracle(spark):
+    from news_please_spark.operators.similarity import ivf_assign_cells
+
+    e = _vecs(spark, n=30)
+    rows = [(r.vec_id, list(r.embedding)) for r in e.collect()]
+    got = {r.vec_id: r.cell for r in ivf_assign_cells(e, n_lists=4).collect()}
+    assert got == _py_cells(rows, 4)
+
+
+def test_semantic_dedup_flags_planted_near_dups(spark):
+    from news_please_spark.operators.dedup import semantic_dedup
+
+    # two clusters; ids 100/101 duplicate id 0's vector (tiny jitter),
+    # id 200 duplicates id 1's
+    base = [(i, r) for i, r in enumerate(
+        [[10.0, 0.0, 0.1, 0.0], [0.0, 10.0, 0.0, 0.1]] * 5
+    )]
+    dups = [
+        (100, [10.0, 0.001, 0.1, 0.0]),
+        (101, [10.0, 0.0, 0.101, 0.0]),
+        (200, [0.001, 10.0, 0.0, 0.1]),
+    ]
+    e = spark.createDataFrame(base + dups, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.is_dup for r in semantic_dedup(e, n_lists=2, threshold=0.999).collect()}
+    assert len(out) == 13
+    # every doc nearly-identical to a smaller-id doc is flagged
+    assert out[100] and out[101] and out[200]
+    # the smallest id of each identical group survives
+    assert not out[0] and not out[1]
+    # identical copies of 0/1 at larger ids are dups of them
+    for i in range(2, 10):
+        assert out[i]
+
+
+def test_semantic_dedup_repartition_invariant(spark):
+    from news_please_spark.operators.dedup import semantic_dedup
+
+    e = _vecs(spark, n=24)
+    a = sorted(map(tuple, semantic_dedup(e, n_lists=3, threshold=0.9).collect()))
+    b = sorted(
+        map(tuple, semantic_dedup(e.repartition(5), n_lists=3, threshold=0.9).collect())
+    )
+    assert a == b
