@@ -79,6 +79,7 @@ HEADLINE = [
     "purchase_click_attribution",
     "recency_filter",
     "versioning_chain",
+    "merge_upsert",
     "lineitem_agg",
     "segment_revenue",
     "events_props_agg",

@@ -1013,6 +1013,52 @@ def versioning_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "merge_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    src AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 110) AS BIGINT) AS price_c
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT * FROM src
+    UNION ALL
+    SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO through the real snapshot catalog (state.py:
+    SnapshotCatalog.merge_into): an initial insert commit then an
+    upsert commit against a scratch catalog, returning the final
+    committed table — so the gate exercises the CAS commit protocol
+    end-to-end, not a functional imitation of it.  Oracle is the
+    set-algebra definition of the same two merges."""
+    import tempfile
+
+    from news_please_spark.state import SnapshotCatalog
+
+    orders = load(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    src = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 110).cast("long").alias("price_c"),
+    )
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="merge_upsert_"))
+    cat.merge_into(spark, "t", base, ["o_orderkey"])
+    cat.merge_into(spark, "t", src, ["o_orderkey"])
+    return cat.read_table(spark, "t")
+
+
 # ---------------------------------------------------------------------------
 # 9. classic relational coverage (agg + multi-join), per-row-quantized sums
 @register(

@@ -149,6 +149,84 @@ class SnapshotCatalog:
             expected = -1 if latest is None else latest
         return Transaction(self, expected)
 
+    def merge_into(
+        self,
+        spark,
+        name: str,
+        source,
+        on: list[str],
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+        max_retries: int = 5,
+        repartition=None,
+    ) -> int:
+        """MERGE INTO at copy-on-write granularity — the Iceberg verb the
+        snapshot layer was still missing on paper.  Key-matched target
+        rows are replaced by their source row (``when_matched="update"``)
+        or removed (``"delete"``); unmatched source rows are appended
+        (``when_not_matched="insert"``) or dropped (``"ignore"``);
+        unmatched target rows always survive.  Each apply is one CAS
+        commit: on CommitConflict the target is RE-READ at the winner's
+        snapshot and the merge re-derived, so a lost race never applies
+        the source to a stale base (the optimistic loop Iceberg runs on
+        its metadata pointer).  Returns the committed snapshot id.
+
+        Plan shape: the source's key set drives two anti/semi joins
+        against the target — both plain equi-joins on ``on``, shuffle-
+        or broadcast-routed by Catalyst/AQE from actual sizes; rewrite
+        volume is O(|target| + |source|) parquet, the copy-on-write
+        cost model (a real Iceberg table would narrow this to touched
+        files via partition pruning on the same logical plan).
+
+        The source must hold at most one row per key (enforce upstream
+        with max_by — same contract as Iceberg's MERGE, which throws on
+        multiple matches).
+        """
+        if when_matched not in ("update", "delete"):
+            raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(
+                f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
+            )
+        last_err: Exception | None = None
+        for _ in range(max_retries):
+            snap = self.latest()
+            try:
+                target = None if snap is None else self.read_table(spark, name, snap)
+            except FileNotFoundError:
+                target = None  # snapshot exists but table doesn't yet
+            if target is None:
+                result = source if when_not_matched == "insert" else source.limit(0)
+            else:
+                keys = source.select(*on).distinct()
+                parts = [target.join(keys, on, "left_anti")]
+                if when_matched == "update":
+                    parts.append(
+                        source.join(target.select(*on).distinct(), on, "left_semi")
+                    )
+                if when_not_matched == "insert":
+                    parts.append(
+                        source.join(target.select(*on).distinct(), on, "left_anti")
+                    )
+                result = parts[0]
+                for p in parts[1:]:
+                    result = result.unionByName(p)
+            tx = self.begin(expected=-1 if snap is None else snap)
+            try:
+                tx.write_table(name, result, repartition=repartition)
+                return tx.commit(
+                    meta={
+                        "op": "merge_into",
+                        "table": name,
+                        "on": on,
+                        "when_matched": when_matched,
+                        "when_not_matched": when_not_matched,
+                    }
+                )
+            except CommitConflict as e:
+                last_err = e  # re-read on the winner's snapshot and retry
+        raise last_err  # type: ignore[misc]
+
 
 class Transaction:
     def __init__(self, catalog: SnapshotCatalog, expected: int):

@@ -177,3 +177,87 @@ def test_expire_snapshots_retention(tmp_path):
     assert not any(".tmp" in n for n in os.listdir(cat.path))
     with pytest.raises(ValueError):
         cat.expire_snapshots(keep_last=0)
+
+
+# ---------------------------------------------------------------------------
+# merge_into (Iceberg MERGE at copy-on-write granularity)
+
+
+def _t(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def _read(spark, cat, snap=None):
+    return sorted(
+        (r.k, r.v) for r in cat.read_table(spark, "t", snap=snap).collect()
+    )
+
+
+def test_merge_into_insert_update_delete_ignore(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "m"))
+    # empty target: insert
+    assert cat.merge_into(spark, "t", _t(spark, [(1, "a"), (2, "b")]), ["k"]) == 0
+    assert _read(spark, cat) == [(1, "a"), (2, "b")]
+    # upsert: update 2, insert 3
+    cat.merge_into(spark, "t", _t(spark, [(2, "B"), (3, "c")]), ["k"])
+    assert _read(spark, cat) == [(1, "a"), (2, "B"), (3, "c")]
+    # matched delete + not-matched ignore: remove 1, don't add 9
+    cat.merge_into(
+        spark, "t", _t(spark, [(1, "x"), (9, "x")]), ["k"],
+        when_matched="delete", when_not_matched="ignore",
+    )
+    assert _read(spark, cat) == [(2, "B"), (3, "c")]
+    # update + ignore: touch only existing keys
+    cat.merge_into(
+        spark, "t", _t(spark, [(3, "C"), (9, "x")]), ["k"],
+        when_not_matched="ignore",
+    )
+    assert _read(spark, cat) == [(2, "B"), (3, "C")]
+    # every merge is a time-travel-readable snapshot
+    assert cat.snapshots() == [0, 1, 2, 3]
+    assert _read(spark, cat, snap=0) == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError):
+        cat.merge_into(spark, "t", _t(spark, []), ["k"], when_matched="upsert")
+
+
+def test_merge_into_conflict_rereads_winner_base(spark, tmp_path):
+    """A racing writer lands first; the merge must retry ON TOP of the
+    winner's rows, not its own stale base."""
+    cat = SnapshotCatalog(str(tmp_path / "m"))
+    cat.merge_into(spark, "t", _t(spark, [(1, "a")]), ["k"])
+
+    real_begin = cat.begin
+    fired = {"n": 0}
+
+    def racing_begin(expected=None):
+        tx = real_begin(expected)
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # competing writer commits (1, "WINNER") + (5, "w") first
+            rival = SnapshotCatalog(cat.path)
+            rival.merge_into(spark, "t", _t(spark, [(1, "WINNER"), (5, "w")]), ["k"])
+        return tx
+
+    cat.begin = racing_begin  # type: ignore[method-assign]
+    cat.merge_into(spark, "t", _t(spark, [(2, "mine")]), ["k"])
+    # the retried merge saw the rival's rows
+    assert _read(spark, cat) == [(1, "WINNER"), (2, "mine"), (5, "w")]
+    assert fired["n"] == 1  # exactly one conflict round
+
+
+def test_merge_into_gives_up_after_max_retries(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "m"))
+    cat.merge_into(spark, "t", _t(spark, [(1, "a")]), ["k"])
+
+    real_begin = cat.begin
+
+    def always_racing_begin(expected=None):
+        tx = real_begin(expected)
+        SnapshotCatalog(cat.path).merge_into(
+            spark, "t", _t(spark, [(1, "rival")]), ["k"]
+        )
+        return tx
+
+    cat.begin = always_racing_begin  # type: ignore[method-assign]
+    with pytest.raises(CommitConflict):
+        cat.merge_into(spark, "t", _t(spark, [(2, "mine")]), ["k"], max_retries=2)
