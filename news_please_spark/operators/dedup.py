@@ -523,16 +523,19 @@ def semantic_dedup(
     """
     from news_please_spark.operators.similarity import (
         as_double,
-        cosine,
+        dot,
         ivf_assign_cells,
+        norm_of,
     )
 
     cells = ivf_assign_cells(
         emb, n_lists=n_lists, id_col=id_col, vec_col=vec_col
     )
-    v = emb.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
-    ).join(cells, id_col)
+    v = (
+        emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("_n", norm_of(F.col("_v")))
+        .join(cells, id_col)
+    )
     a, b = v.alias("a"), v.alias("b")
     dups = (
         a.join(
@@ -540,7 +543,10 @@ def semantic_dedup(
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .filter(cosine(F.col("a._v"), F.col("b._v")) >= threshold)
+        .filter(
+            dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+            >= threshold
+        )
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
         .withColumn("_dup", F.lit(True))

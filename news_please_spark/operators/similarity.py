@@ -27,6 +27,15 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def norm_of(vec: Column) -> Column:
+    """sqrt(dot(v, v)) — precompute ONCE per row/centroid wherever many
+    cosines share a vector: cosine(a, b) == dot(a, b) / (na * nb) with
+    na/nb precomputed is the IDENTICAL arithmetic (same fold, same sqrt,
+    same product) at a third of the interpreted-HOF work, since the
+    naive form re-derives both self-dots inside every comparison."""
+    return F.sqrt(dot(vec, vec))
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -39,10 +48,10 @@ def brute_force_topk(
     |Q| is small (the usual 'find neighbors of these docs' shape)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_q")
-    )
+    ).withColumn("_qn", norm_of(F.col("_q")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_v")
-    )
+    ).withColumn("_vn", norm_of(F.col("_v")))
     sims = (
         F.broadcast(q)
         .crossJoin(c)
@@ -50,7 +59,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_q"), F.col("_v")).alias("cos"),
+            (dot(F.col("_q"), F.col("_v")) / (F.col("_qn") * F.col("_vn"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
@@ -223,25 +232,31 @@ def ivf_topk(
     BIGINT, ranked per query, top k."""
     c = corpus.select(
         F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
-    )
+    ).withColumn("_vn", norm_of(F.col("_v")))
     cents = ivf_centroid_rows(
         corpus, n_lists=n_lists, centroid_stride=centroid_stride,
         id_col=id_col, vec_col=vec_col,
     ).agg(
         F.array_sort(
-            F.collect_list(F.struct(F.col("cid"), F.col("cv")))
+            F.collect_list(
+                F.struct(F.col("cid"), F.col("cv"), norm_of(F.col("cv")).alias("cn"))
+            )
         ).alias("cents")
     )
 
-    def _top2(vec: Column, cents: Column) -> Column:
+    def _top2(vec: Column, vn: Column, cents: Column) -> Column:
         """Fold: (best cid/cos, second-best cid/cos) over the sorted
         centroid array; strict > keeps the smallest cid on ties. Each
         centroid is scored ONCE (transform), the fold then compares
-        scalars — not re-deriving the 64-dim dot in every branch."""
+        scalars — not re-deriving the 64-dim dot in every branch; the
+        row's own norm `vn` is precomputed once outside (norm_of), the
+        centroid's rides in the codebook struct — identical arithmetic
+        to cosine() at a third of the folds."""
         scored = F.transform(
             cents,
             lambda cent: F.struct(
-                cent["cid"].alias("cid"), cosine(vec, cent["cv"]).alias("cos")
+                cent["cid"].alias("cid"),
+                (dot(vec, cent["cv"]) / (vn * cent["cn"])).alias("cos"),
             ),
         )
         init = F.struct(
@@ -270,24 +285,27 @@ def ivf_topk(
     corpus_cells = c.crossJoin(F.broadcast(cents)).select(
         F.col("_id").alias("neighbor_id"),
         F.col("_v").alias("_cv"),
-        _top2(F.col("_v"), F.col("cents"))["b1"].alias("cell"),
+        F.col("_vn").alias("_cvn"),
+        _top2(F.col("_v"), F.col("_vn"), F.col("cents"))["b1"].alias("cell"),
     )
     # queries are assigned from THEIR OWN vectors (identical fold, same
     # broadcast codebook) — a query id absent from the corpus still
     # probes its nprobe nearest lists instead of being silently dropped
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
-    )
+    ).withColumn("_qn", norm_of(F.col("_qv")))
     query_cells = (
         q.crossJoin(F.broadcast(cents))
         .select(
             "query_id",
             "_qv",
-            _top2(F.col("_qv"), F.col("cents")).alias("_a"),
+            "_qn",
+            _top2(F.col("_qv"), F.col("_qn"), F.col("cents")).alias("_a"),
         )
         .select(
             "query_id",
             "_qv",
+            "_qn",
             F.explode(
                 F.slice(F.array(F.col("_a.b1"), F.col("_a.b2")), 1, nprobe)
             ).alias("cell"),
@@ -300,7 +318,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.floor(10000 * cosine(F.col("_qv"), F.col("_cv")))
+            F.floor(
+                10000 * (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cvn")))
+            )
             .cast("long")
             .alias("sim_q"),
         )
@@ -328,16 +348,19 @@ def ivf_assign_cells(
     cents = ivf_centroid_rows(
         corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col
     ).agg(
-        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("cv")))).alias(
-            "cents"
-        )
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("cid"), F.col("cv"), norm_of(F.col("cv")).alias("cn"))
+            )
+        ).alias("cents")
     )
 
-    def _top1(vec: Column, cents_arr: Column) -> Column:
+    def _top1(vec: Column, vn: Column, cents_arr: Column) -> Column:
         scored = F.transform(
             cents_arr,
             lambda cent: F.struct(
-                cent["cid"].alias("cid"), cosine(vec, cent["cv"]).alias("cos")
+                cent["cid"].alias("cid"),
+                (dot(vec, cent["cv"]) / (vn * cent["cn"])).alias("cos"),
             ),
         )
         init = F.struct(
@@ -349,7 +372,10 @@ def ivf_assign_cells(
             lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
         )["cid"]
 
-    return corpus.crossJoin(F.broadcast(cents)).select(
+    v = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_av")
+    ).withColumn("_an", norm_of(F.col("_av")))
+    return v.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
-        _top1(as_double(F.col(vec_col)), F.col("cents")).alias("cell"),
+        _top1(F.col("_av"), F.col("_an"), F.col("cents")).alias("cell"),
     )
