@@ -80,6 +80,7 @@ HEADLINE = [
     "recency_filter",
     "versioning_chain",
     "merge_upsert",
+    "bucketed_join",
     "lineitem_agg",
     "segment_revenue",
     "events_props_agg",

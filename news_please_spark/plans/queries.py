@@ -1059,6 +1059,53 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.read_table(spark, "t")
 
 
+@register(
+    "bucketed_join",
+    """
+    SELECT o.o_orderpriority,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orders⋈lineitem join through BUCKETED storage (sinks/
+    bucketed.py): both sides are written bucketBy(8, orderkey) sortBy
+    into scratch external tables, then joined — the write-once-shuffle-
+    never pattern the seen-table and document joins use at the 100-TB
+    point.  At gate scale AQE correctly broadcasts the small side
+    instead; tests/test_bucketed.py plan-asserts the exchange-free
+    sort-merge path with broadcast off.  The oracle is the plain join;
+    bucketing must change the plan, never the rows."""
+    import tempfile
+    import uuid
+
+    from news_please_spark.sinks.bucketed import read_bucketed, write_bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="bucketed_join_")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("rev_c"),
+    )
+    write_bucketed(orders, f"bj_o_{tag}", f"{d}/o", ["o_orderkey"], buckets=8)
+    write_bucketed(li, f"bj_l_{tag}", f"{d}/l", ["l_orderkey"], buckets=8)
+    o = read_bucketed(spark, f"bj_o_{tag}")
+    l = read_bucketed(spark, f"bj_l_{tag}")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("rev_c").cast("long").alias("revenue_c"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # 9. classic relational coverage (agg + multi-join), per-row-quantized sums
 @register(
