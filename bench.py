@@ -58,7 +58,9 @@ HEADLINE = [
     "doc_quality",
     "token_totals",
     "lang_id",
+    "tfidf_top_terms",
     "mixture_sample",
+    "dataset_split",
     "quality_topfrac",
     "pack_sequences",
     "repetition_scores",

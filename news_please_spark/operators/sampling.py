@@ -248,3 +248,39 @@ def pack_sequences(
         (hi - F.col("chunk") * L).alias("tok_end"),
         (lo - F.col("_start")).alias("doc_off"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic dataset split
+
+
+def dataset_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in
+    exactly one split decided by its id's md5 hash against cumulative
+    hex thresholds — the split analogue of mixture_sample (auditable,
+    partitioning-independent, reproducible in any engine with md5 and
+    string compare).  ``fractions`` maps split name → fraction; they
+    must sum to ~1 (the LAST split in insertion order absorbs rounding,
+    i.e. acts as the else-branch).  Adds a ``split`` column."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    names = list(fractions)
+    h = hash_frac_hex8(F.col(id_col))
+    cum = 0.0
+    bounds = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        bounds.append((name, rate_to_hex8(cum)))
+    # nest the whens innermost-out so the SMALLEST matching threshold
+    # wins: when(h < t1, s1).otherwise(when(h < t2, s2). ... .otherwise(last))
+    expr = F.lit(names[-1])
+    for name, thr in reversed(bounds):
+        expr = F.when(h < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

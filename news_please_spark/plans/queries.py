@@ -685,6 +685,73 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dataset_split",
+    """
+    SELECT doc_id, source,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '__T1__' THEN 'test'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '__T2__' THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10/10/80 test/val/train split by id hash
+    (operators/sampling.py:dataset_split) — the auditable,
+    partitioning-independent alternative to randomSplit."""
+    from news_please_spark.operators.sampling import dataset_split
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return dataset_split(docs, {"test": 0.1, "val": 0.1, "train": 0.8})
+
+
+def _split_thresholds() -> tuple[str, str]:
+    from news_please_spark.operators.sampling import rate_to_hex8
+
+    return rate_to_hex8(0.1), rate_to_hex8(0.2)
+
+
+ORACLES["dataset_split"] = (
+    ORACLES["dataset_split"]
+    .replace("__T1__", _split_thresholds()[0])
+    .replace("__T2__", _split_thresholds()[1])
+)
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST((tf.tf * n.n * 10000) // dfreq.df AS BIGINT) AS score_q
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, score_q, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document by the integer-exact rational
+    TF-IDF (operators/terms.py — tf*N*10000 DIV df; ln is deliberately
+    avoided because transcendental rounding differs across engines)."""
+    from news_please_spark.operators.terms import tfidf_top_terms
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, k=3)
+
+
+@register(
     "quality_topfrac",
     r"""
     WITH t AS (

@@ -233,3 +233,57 @@ def test_pack_sequences_rejects_bad_seq_len(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         pack_sequences(df, seq_len=0)
+
+
+# ---------------------------------------------------------------------------
+# dataset_split
+
+
+def test_dataset_split_deterministic_and_exhaustive(spark):
+    from news_please_spark.operators.sampling import dataset_split
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
+    fr = {"test": 0.1, "val": 0.1, "train": 0.8}
+    out = dataset_split(df, fr)
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert len(rows) == 3000 and set(rows.values()) == {"test", "val", "train"}
+    # same assignment regardless of partitioning
+    rows2 = {r.doc_id: r.split for r in dataset_split(df.repartition(13), fr).collect()}
+    assert rows == rows2
+    # proportions near the fractions (md5 uniformity)
+    import collections
+
+    c = collections.Counter(rows.values())
+    assert abs(c["test"] / 3000 - 0.1) < 0.03
+    assert abs(c["val"] / 3000 - 0.1) < 0.03
+    assert abs(c["train"] / 3000 - 0.8) < 0.03
+
+
+def test_dataset_split_matches_hash_thresholds(spark):
+    """A row is 'test' iff md5 prefix < thr(0.1), 'val' iff < thr(0.2):
+    split boundaries ARE mixture_sample thresholds, so split('test') ==
+    the rows a 0.1-rate mixture_sample keeps."""
+    import hashlib
+
+    from news_please_spark.operators.sampling import dataset_split, rate_to_hex8
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = {r.doc_id: r.split for r in
+           dataset_split(df, {"test": 0.1, "val": 0.1, "train": 0.8}).collect()}
+    t1, t2 = rate_to_hex8(0.1), rate_to_hex8(0.2)
+    for i in range(500):
+        h = hashlib.md5(str(i).encode()).hexdigest()[:8]
+        want = "test" if h < t1 else ("val" if h < t2 else "train")
+        assert out[i] == want
+
+
+def test_dataset_split_validates_fractions(spark):
+    import pytest as _pytest
+
+    from news_please_spark.operators.sampling import dataset_split
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError):
+        dataset_split(df, {})
+    with _pytest.raises(ValueError):
+        dataset_split(df, {"a": 0.5, "b": 0.3})
