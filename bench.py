@@ -83,6 +83,7 @@ HEADLINE = [
     "versioning_chain",
     "merge_upsert",
     "bucketed_join",
+    "training_corpus",
     "lineitem_agg",
     "segment_revenue",
     "events_props_agg",

@@ -170,6 +170,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     packer_hex: int = 2,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: lay documents end-to-end in a
     deterministic order and cut the token stream every ``seq_len``
@@ -205,20 +206,25 @@ def pack_sequences(
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
+    # group_cols split the token stream BEFORE packing (e.g. pack the
+    # train/val/test splits separately — chunks never cross a group)
+    gcols = list(group_cols or [])
     key = F.md5(F.col(id_col).cast("string"))
     n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
     base = df.select(
+        *gcols,
         F.col(id_col),
         key.alias("_key"),
         F.substring(key, 1, packer_hex).alias("packer"),
         n_tok.alias("n_tok"),
     )
     w = (
-        Window.partitionBy("packer")
+        Window.partitionBy(*gcols, "packer")
         .orderBy("_key")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     started = base.select(
+        *gcols,
         "packer",
         F.col(id_col),
         "n_tok",
@@ -226,6 +232,7 @@ def pack_sequences(
     )
     L = F.lit(int(seq_len)).cast("long")
     spans = started.select(
+        *gcols,
         "packer",
         F.explode(
             F.sequence(
@@ -240,6 +247,7 @@ def pack_sequences(
     lo = F.greatest(F.col("_start"), F.col("chunk") * L)
     hi = F.least(F.col("_start") + F.col("n_tok"), (F.col("chunk") + 1) * L)
     return spans.select(
+        *gcols,
         "packer",
         F.col("chunk").cast("long").alias("chunk"),
         F.col(id_col),

@@ -1921,6 +1921,15 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     and one-token-repeated junk docs (die at the Gopher top-bigram
     gate); every 13th base doc doubles as the benchmark set and
     self-hits at decontamination."""
+    out = _cleaned_planted_corpus(spark, sf_dir)
+    return out.select("doc_id", F.md5("text").alias("content_md5"))
+
+
+def _cleaned_planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + the three planted dup/junk classes, run through the
+    full clean_corpus pipeline — shared by corpus_clean and
+    training_corpus so both gates exercise the identical hygiene
+    stages."""
     from news_please_spark.pipeline import clean_corpus
 
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
@@ -1939,11 +1948,79 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(exact).unionByName(near).unionByName(junk)
     bench = docs.filter(F.col("doc_id") % 13 == 0)
-    out = clean_corpus(
+    return clean_corpus(
         corpus, bench, jaccard_threshold=0.5, top_bigram_q_max=2000,
         materialize_stages=True,
     )
-    return out.select("doc_id", F.md5("text").alias("content_md5"))
+
+
+_CLEAN_TAIL = "SELECT doc_id, md5(text) AS content_md5 FROM s4"
+
+_TRAIN_TAIL = """SELECT * FROM (
+    WITH sp AS (
+      SELECT doc_id, text,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '__T1__' THEN 'test'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '__T2__' THEN 'val'
+                  ELSE 'train' END AS split
+      FROM s4
+    ),
+    pk AS (
+      SELECT split, doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS key,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS packer,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM sp
+    ),
+    st AS (
+      SELECT split, packer, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (
+               PARTITION BY split, packer ORDER BY key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM pk
+    )
+    SELECT split, packer,
+           CAST(g.chunk AS BIGINT) AS chunk,
+           doc_id, n_tok,
+           CAST(GREATEST(start, g.chunk * 128) - g.chunk * 128 AS BIGINT) AS tok_start,
+           CAST(LEAST(start + n_tok, (g.chunk + 1) * 128) - g.chunk * 128 AS BIGINT) AS tok_end,
+           CAST(GREATEST(start, g.chunk * 128) - start AS BIGINT) AS doc_off
+    FROM st, LATERAL (
+      SELECT unnest(generate_series(CAST(start // 128 AS BIGINT),
+                                    CAST((start + n_tok - 1) // 128 AS BIGINT))) AS chunk
+    ) g
+    )"""
+
+
+@register("training_corpus", None)
+def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data preparation pipeline as one oracle
+    entry: corpus hygiene (the full clean_corpus chain over the planted
+    corpus, identical to corpus_clean) -> deterministic 10/10/80
+    test/val/train split (dataset_split) -> per-split concat-and-chunk
+    packing at seq_len=128 (pack_sequences, group_cols=["split"] so
+    chunks never cross a split).  What a user runs between the crawl
+    and the trainer, hash-exact against one DuckDB CTE chain."""
+    from news_please_spark.operators.sampling import dataset_split, pack_sequences
+
+    cleaned = _cleaned_planted_corpus(spark, sf_dir).select("doc_id", "text")
+    split = dataset_split(cleaned, {"test": 0.1, "val": 0.1, "train": 0.8})
+    return pack_sequences(
+        split, seq_len=128, packer_hex=1, group_cols=["split"]
+    )
+
+
+def _training_corpus_oracle() -> str:
+    from news_please_spark.operators.sampling import rate_to_hex8
+
+    base = ORACLES["corpus_clean"]
+    assert _CLEAN_TAIL in base
+    tail = _TRAIN_TAIL.replace("__T1__", rate_to_hex8(0.1)).replace(
+        "__T2__", rate_to_hex8(0.2)
+    )
+    return base.replace(_CLEAN_TAIL, tail)
+
+
+ORACLES["training_corpus"] = _training_corpus_oracle()
 
 
 # ---------------------------------------------------------------------------

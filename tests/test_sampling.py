@@ -287,3 +287,19 @@ def test_dataset_split_validates_fractions(spark):
         dataset_split(df, {})
     with _pytest.raises(ValueError):
         dataset_split(df, {"a": 0.5, "b": 0.3})
+
+
+def test_pack_sequences_group_cols_isolate_streams(spark):
+    """With group_cols, each group packs its own token stream: the
+    grouped result equals packing each group separately."""
+    from news_please_spark.operators.sampling import pack_sequences
+
+    rows = [(i, "train" if i % 3 else "val", " ".join("t" * 2 for _ in range((i * 11) % 30 + 1)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, split string, text string")
+    grouped = _rows(pack_sequences(df, seq_len=16, packer_hex=1, group_cols=["split"]))
+    per_group = []
+    for s in ("train", "val"):
+        part = pack_sequences(df.filter(F.col("split") == s), seq_len=16, packer_hex=1)
+        per_group += [(s, *t) for t in map(tuple, part.collect())]
+    assert grouped == sorted(per_group, key=repr)
