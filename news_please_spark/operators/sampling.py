@@ -64,19 +64,23 @@ def mixture_sample(
     """Keep each row iff md5-hash-fraction(id) < rates[source].
 
     Sources absent from `rates` are dropped (rate 0); rate 1.0 keeps
-    every row of its source (see rate_to_hex8).  The rates dim is tiny
-    → broadcast hash join; the fact table never shuffles, the filter is
-    map-side, and the decision depends only on (id, rate):
-    deterministic across runs, partitionings, and engines."""
-    spark = df.sparkSession
-    dim = spark.createDataFrame(
-        [(s, rate_to_hex8(r)) for s, r in sorted(rates.items())],
-        f"{source_col} string, _thr string",
+    every row of its source (see rate_to_hex8).  Mixture weights are a
+    config-sized dict, so the thresholds ride as a LITERAL map in the
+    filter expression — no dim table, no join, no Python-RDD
+    createDataFrame (whose cold worker launch costs seconds on a fresh
+    session): the fact table never shuffles, the filter is map-side,
+    and the decision depends only on (id, rate): deterministic across
+    runs, partitionings, and engines."""
+    thr_map = F.create_map(
+        *[
+            lit
+            for s, r in sorted(rates.items())
+            for lit in (F.lit(s), F.lit(rate_to_hex8(r)))
+        ]
     )
-    return (
-        df.join(F.broadcast(dim), [source_col])
-        .filter(hash_frac_hex8(F.col(id_col)) < F.col("_thr"))
-        .drop("_thr")
+    # absent source → null threshold → comparison null → row dropped
+    return df.filter(
+        hash_frac_hex8(F.col(id_col)) < thr_map[F.col(source_col)]
     )
 
 
