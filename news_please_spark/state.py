@@ -227,6 +227,59 @@ class SnapshotCatalog:
                 last_err = e  # re-read on the winner's snapshot and retry
         raise last_err  # type: ignore[misc]
 
+    def compact_table(
+        self,
+        spark,
+        name: str,
+        target_bytes: int = 128 * 1024 * 1024,
+        max_retries: int = 5,
+    ) -> int:
+        """Small-file compaction (Iceberg's rewrite_data_files): rewrite
+        the latest snapshot of `name` into ceil(size/target_bytes)
+        files and commit the rewrite as a new snapshot.  Row-identical
+        by construction (one coalesce, no shuffle: coalesce only merges
+        co-located partitions); readers keep the old snapshot until the
+        CAS rename lands, and a racing writer costs only a retry.
+
+        Why it matters at scale: every incremental merge/append writes
+        parallelism-many files, so a long-lived table accretes millions
+        of small files — scan planning and open() overhead then dwarf
+        the reads.  Run compaction when file count × target size
+        materially exceeds table size.  Returns the new snapshot id."""
+        if target_bytes <= 0:
+            raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+        last_err: Exception | None = None
+        for _ in range(max_retries):
+            snap = self.latest()
+            if snap is None:
+                raise FileNotFoundError(f"no committed snapshot in {self.path}")
+            d = os.path.join(self.snapshot_dir(snap), name)
+            if not os.path.isdir(d):
+                raise FileNotFoundError(
+                    f"table {name!r} not in snapshot {snap} of {self.path}"
+                )
+            size = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(d)
+                for f in files
+            )
+            n_files = max(1, -(-size // target_bytes))
+            df = spark.read.parquet(d).coalesce(int(n_files))
+            tx = self.begin(expected=snap)
+            try:
+                tx.write_table(name, df)
+                return tx.commit(
+                    meta={
+                        "op": "compact",
+                        "table": name,
+                        "source_snap": snap,
+                        "target_bytes": target_bytes,
+                    }
+                )
+            except CommitConflict as e:
+                last_err = e
+        raise last_err  # type: ignore[misc]
+
 
 class Transaction:
     def __init__(self, catalog: SnapshotCatalog, expected: int):

@@ -261,3 +261,28 @@ def test_merge_into_gives_up_after_max_retries(spark, tmp_path):
     cat.begin = always_racing_begin  # type: ignore[method-assign]
     with pytest.raises(CommitConflict):
         cat.merge_into(spark, "t", _t(spark, [(2, "mine")]), ["k"], max_retries=2)
+
+
+def test_compact_table_row_identical_fewer_files(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "c"))
+    df = spark.range(0, 5000).selectExpr("id AS k", "CAST(id * 2 AS STRING) AS v")
+    tx = cat.begin()
+    tx.write_table("t", df, repartition=(24,))  # 24 small files
+    tx.commit()
+
+    def files_of(snap):
+        d = os.path.join(cat.snapshot_dir(snap), "t")
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(files_of(0)) == 24
+    snap = cat.compact_table(spark, "t", target_bytes=10**12)  # everything -> 1 file
+    assert snap == 1 and len(files_of(1)) == 1
+    before = sorted(map(tuple, cat.read_table(spark, "t", snap=0).collect()))
+    after = sorted(map(tuple, cat.read_table(spark, "t", snap=1).collect()))
+    assert before == after and len(after) == 5000
+    assert cat.read_meta(1)["op"] == "compact"
+    # errors: unknown table / bad target
+    with pytest.raises(FileNotFoundError):
+        cat.compact_table(spark, "nope")
+    with pytest.raises(ValueError):
+        cat.compact_table(spark, "t", target_bytes=0)
