@@ -66,6 +66,7 @@ HEADLINE = [
     "repetition_scores",
     "corpus_dup_ngrams",
     "jaccard_verify",
+    "dup_clusters",
     "decontam_hits",
     "pii_redact",
     "span_stats",

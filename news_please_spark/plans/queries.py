@@ -1502,6 +1502,40 @@ def jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dup_clusters", None)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dup clusters: connected components over the verified
+    near-dup pair graph (jaccard_verify's edges) — a≈b≈c lands in one
+    cluster keyed by its min doc_id even when a≉c pairwise
+    (operators/graph.py, min-label propagation). Oracle: DuckDB
+    recursive-CTE reachability closure over the same pairs."""
+    from news_please_spark.operators.graph import connected_components
+
+    pairs = QUERIES["jaccard_verify"](spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "root"
+    )
+
+
+ORACLES["dup_clusters"] = f"""
+    WITH RECURSIVE pairs AS (
+{ORACLES["jaccard_verify"]}
+    ),
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM e)
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN e ON r.node = e.a
+    )
+    SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS root
+    FROM reach GROUP BY src
+"""
+
+
 @register(
     "ivf_ann_topk",
     """
