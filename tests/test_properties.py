@@ -1,0 +1,109 @@
+"""Property-based invariants (hypothesis, derandomized) for the
+operators whose correctness is an algebraic law rather than a fixture:
+packing conserves and tiles tokens, as-of equals the quadratic oracle,
+range join equals the quadratic oracle, dataset_split partitions."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SET = settings(derandomize=True, max_examples=10, deadline=None)
+
+
+docs_strategy = st.lists(
+    st.tuples(st.integers(0, 10**6), st.integers(1, 40)),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(docs=docs_strategy, seq_len=st.sampled_from([1, 5, 16]))
+@SET
+def test_pack_conserves_and_tiles(spark, docs, seq_len):
+    from news_please_spark.operators.sampling import pack_sequences
+
+    rows = [(d, " ".join("w" for _ in range(n))) for d, n in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, seq_len=seq_len, packer_hex=1).collect()
+    # conservation: every doc's spans sum to its token count, offsets walk
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == {d for d, _ in docs}
+    want_n = dict(docs)
+    for d, rs in per_doc.items():
+        rs.sort(key=lambda r: r.doc_off)
+        assert rs[0].doc_off == 0
+        walked = 0
+        for r in rs:
+            assert r.doc_off == walked and 0 <= r.tok_start < r.tok_end <= seq_len
+            walked += r.tok_end - r.tok_start
+        assert walked == want_n[d]
+    # tiling: spans in one (packer, chunk) abut starting at 0
+    by_chunk = {}
+    for r in out:
+        by_chunk.setdefault((r.packer, r.chunk), []).append((r.tok_start, r.tok_end))
+    for spans in by_chunk.values():
+        spans.sort()
+        assert spans[0][0] == 0
+        assert all(p[1] == q[0] for p, q in zip(spans, spans[1:]))
+
+
+pairs_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 30), st.integers(0, 10**4)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(left=pairs_strategy, right=pairs_strategy)
+@SET
+def test_asof_equals_quadratic_oracle(spark, left, right):
+    from news_please_spark.operators.joins import asof_join
+
+    # dedup right per (k, ts): operator contract
+    rmap = {}
+    for k, ts, rid in right:
+        rmap[(k, ts)] = max(rmap.get((k, ts), -1), rid)
+    rr = [(k, ts, rid) for (k, ts), rid in sorted(rmap.items())]
+    ll = [(k, ts, 10**6 + i) for i, (k, ts, _) in enumerate(left)]
+    if not ll:
+        return
+    l = spark.createDataFrame(ll, "k long, ts long, lid long")
+    if rr:
+        r = spark.createDataFrame(rr, "k long, ts long, rid long")
+    else:
+        r = spark.createDataFrame([], "k long, ts long, rid long")
+    got = sorted(
+        (x.lid, x.rid) for x in asof_join(l, r, "k", "k", "ts", "ts", ["rid"]).collect()
+    )
+    want = []
+    for k, ts, lid in ll:
+        best = None
+        for rk, rts, rid in rr:
+            if rk == k and rts <= ts and (best is None or rts > best[0]):
+                best = (rts, rid)
+        want.append((lid, best[1] if best else None))
+    assert got == sorted(want)
+
+
+@given(
+    ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=200, unique=True),
+    cut1=st.integers(1, 98),
+    cut2=st.integers(1, 98),
+)
+@SET
+def test_dataset_split_is_a_partition(spark, ids, cut1, cut2):
+    from news_please_spark.operators.sampling import dataset_split
+
+    lo, hi = sorted([cut1, cut2])
+    if lo == hi:
+        hi = lo + 1
+    fr = {"a": lo / 100, "b": (hi - lo) / 100, "c": 1 - hi / 100}
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = dataset_split(df, fr).collect()
+    assert len(out) == len(ids)                      # no row lost or duplicated
+    assert {r.doc_id for r in out} == set(ids)
+    assert all(r.split in ("a", "b", "c") for r in out)
