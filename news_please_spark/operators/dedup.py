@@ -501,6 +501,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pre_bucket_planes: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -517,9 +518,19 @@ def semantic_dedup(
     a pair list.
 
     Scale: within-cell comparison is |cell|² — the SemDeDup design
-    point; size ``n_lists`` so cells hold ~10^3-10^4 vectors (n_lists ~
-    n/5000).  The pair join is an equi-join on cell, so the corpus is
-    never crossed.  Output: (id, cell, is_dup).
+    point — so cells must stay ~10^3-10^4 vectors.  Growing ``n_lists``
+    with the corpus would do that but reintroduces the unbounded-
+    codebook trap (O(n·n_lists) assignment + an ever-fatter broadcast —
+    the defect class ivf_topk fixed): the codebook must stay FIXED.
+    Instead set ``pre_bucket_planes`` at design scale: the cell key
+    becomes (sign-LSH bucket, ivf cell), giving 2^planes · n_lists
+    cells from a bounded codebook and a free LSH hash — near-identical
+    vectors (cos ≥ .95) almost always share the full sign signature,
+    the same recall argument embedding_near_dups runs on.  At 10^10
+    docs: planes=18, n_lists=256 → ~150 docs/cell.  The pair join is an
+    equi-join on the cell key either way; the corpus is never crossed.
+    Output: (id, cell, is_dup) — cell is the ivf cell id; the LSH
+    bucket only sharpens the join key.
     """
     from news_please_spark.operators.similarity import (
         as_double,
@@ -527,6 +538,8 @@ def semantic_dedup(
         ivf_assign_cells,
         norm_of,
     )
+
+    from news_please_spark.operators.similarity import lsh_bucket
 
     cells = ivf_assign_cells(
         emb, n_lists=n_lists, id_col=id_col, vec_col=vec_col
@@ -536,11 +549,16 @@ def semantic_dedup(
         .withColumn("_n", norm_of(F.col("_v")))
         .join(cells, id_col)
     )
+    if pre_bucket_planes is not None:
+        v = v.withColumn("_bk", lsh_bucket(F.col("_v"), pre_bucket_planes))
+    else:
+        v = v.withColumn("_bk", F.lit(0))
     a, b = v.alias("a"), v.alias("b")
     dups = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a._bk") == F.col("b._bk"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .filter(

@@ -174,3 +174,24 @@ def test_semantic_dedup_repartition_invariant(spark):
         map(tuple, semantic_dedup(e.repartition(5), n_lists=3, threshold=0.9).collect())
     )
     assert a == b
+
+
+def test_semantic_dedup_pre_bucketed_still_flags_identicals(spark):
+    """The scale path (cell = LSH bucket x IVF cell): near-identical
+    vectors share the full sign signature, so planted dups are still
+    flagged; far vectors that merely share an ivf cell now need the
+    bucket too (a superset of the plain-cell constraint)."""
+    from news_please_spark.operators.dedup import semantic_dedup
+
+    base = [(i, r) for i, r in enumerate(
+        [[10.0, 0.0, 0.1, 0.0], [0.0, 10.0, 0.0, 0.1]] * 5
+    )]
+    dups = [(100, [10.0, 0.001, 0.1, 0.0]), (200, [0.001, 10.0, 0.0, 0.1])]
+    e = spark.createDataFrame(base + dups, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.is_dup for r in
+           semantic_dedup(e, n_lists=2, threshold=0.999, pre_bucket_planes=6).collect()}
+    assert out[100] and out[200] and not out[0] and not out[1]
+    # flagged set is a subset of the unbucketed run's
+    plain = {r.vec_id: r.is_dup for r in
+             semantic_dedup(e, n_lists=2, threshold=0.999).collect()}
+    assert all(plain[k] for k, v in out.items() if v)
