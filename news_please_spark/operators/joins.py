@@ -57,6 +57,14 @@ def asof_join(
 
     Output: all left columns + the payload columns (null when no right
     row precedes).
+
+    Skew: the window partitions by key, so one pathological key (a
+    single user holding 10^9 events) serializes into one task — the
+    inherent grain of as-of semantics (the running "latest right value"
+    is a sequential scan per key).  Mitigate upstream by splitting hot
+    keys on coarse time ranges and carrying each range's closing
+    payload into the next as a synthetic right row; below ~10^7 rows
+    per key the single sorted task is the right plan.
     """
     payload = F.struct(*[F.col(c) for c in payload_cols]).alias("_p")
     r = right.select(

@@ -296,12 +296,19 @@ class Transaction:
         """Staging path for one table/artifact inside the snapshot."""
         return os.path.join(self.staging_dir, name)
 
-    def write_table(self, name: str, df, repartition=None) -> None:
+    def write_table(self, name: str, df, repartition=None, partition_by=None) -> None:
         """Stage a DataFrame as parquet under `name` (optionally
-        repartitioned first — pass (num, *cols_or_exprs))."""
+        repartitioned first — pass (num, *cols_or_exprs)).
+        `partition_by` writes hive-style partition dirs (e.g. by date
+        or host bucket): later reads through read_table prune whole
+        partitions when filtered on those columns — the catalog-layer
+        image of Iceberg partition pruning."""
         if repartition is not None:
             df = df.repartition(*repartition)
-        df.write.mode("overwrite").parquet(self.path(name))
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
 
     def commit(self, meta: dict | None = None) -> int:
         """Atomically publish the staged snapshot. Returns its id.

@@ -286,3 +286,20 @@ def test_compact_table_row_identical_fewer_files(spark, tmp_path):
         cat.compact_table(spark, "nope")
     with pytest.raises(ValueError):
         cat.compact_table(spark, "t", target_bytes=0)
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "p"))
+    df = spark.range(0, 1000).selectExpr(
+        "id AS k", "CAST(id % 10 AS STRING) AS day", "id * 2 AS v"
+    )
+    tx = cat.begin()
+    tx.write_table("t", df, partition_by=["day"])
+    tx.commit()
+    t = cat.read_table(spark, "t")
+    assert t.count() == 1000
+    q = t.filter(t["day"] == "3")
+    assert q.count() == 100
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the day filter must reach the scan as a PARTITION filter
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:120]
