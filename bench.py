@@ -56,6 +56,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_near_dup",
     "doc_quality",
+    "length_quantiles",
     "token_totals",
     "lang_id",
     "tfidf_top_terms",

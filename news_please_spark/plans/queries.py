@@ -685,6 +685,45 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "length_quantiles",
+    r"""
+    WITH t AS (
+      SELECT source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    h AS (SELECT source, n_tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2),
+    c AS (
+      SELECT source, n_tok,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY n_tok
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY source) AS n
+      FROM h
+    )
+    SELECT source, CAST(max(n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN n_tok END) AS BIGINT) AS p50,
+           CAST(min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN n_tok END) AS BIGINT) AS p90,
+           CAST(min(CASE WHEN cum >= n THEN n_tok END) AS BIGINT) AS p100
+    FROM c GROUP BY source
+    """,
+)
+def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source token-length percentiles (p50/p90/p100) via the
+    histogram-rank plan (operators/stats.py:group_quantiles) — no
+    per-group data sort, integer-exact ranks, bit-reproducible in any
+    engine (unlike approxQuantile)."""
+    from news_please_spark.operators.stats import group_quantiles
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    return group_quantiles(docs, "source", "n_tok", [50, 90, 100]).select(
+        "source", "n", "p50", "p90", F.col("p100")
+    )
+
+
+@register(
     "dataset_split",
     """
     SELECT doc_id, source,
