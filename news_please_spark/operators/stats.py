@@ -47,13 +47,16 @@ def group_quantiles(
         F.sum("_cnt").over(wc).alias("_cum"),
         F.sum("_cnt").over(wg).alias("_n"),
     )
-    out = hist.groupBy(group_col).agg(F.max("_n").alias("n"))
-    for q in percents:
-        rank = F.expr(f"(_n * {int(q)} + 99) DIV 100")
-        pq = (
-            hist.filter(F.col("_cum") >= rank)
-            .groupBy(group_col)
-            .agg(F.min(value_col).alias(f"p{int(q)}"))
-        )
-        out = out.join(pq, group_col)
-    return out
+    # every percentile reads off the SAME cumulative histogram in one
+    # aggregation (min of value where cum reaches the rank) — one
+    # window, one final groupBy, however many percentiles are asked
+    aggs = [F.max("_n").alias("n")] + [
+        F.min(
+            F.when(
+                F.col("_cum") >= F.expr(f"(_n * {int(q)} + 99) DIV 100"),
+                F.col(value_col),
+            )
+        ).alias(f"p{int(q)}")
+        for q in percents
+    ]
+    return hist.groupBy(group_col).agg(*aggs)
