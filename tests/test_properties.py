@@ -107,3 +107,38 @@ def test_dataset_split_is_a_partition(spark, ids, cut1, cut2):
     assert len(out) == len(ids)                      # no row lost or duplicated
     assert {r.doc_id for r in out} == set(ids)
     assert all(r.split in ("a", "b", "c") for r in out)
+
+
+def test_all_new_operators_handle_empty_inputs(spark):
+    """Every round-5 operator must return a clean empty result on empty
+    input — the sf0.001 gate and real pipelines both hit empty stages."""
+    from news_please_spark.operators.dedup import semantic_dedup
+    from news_please_spark.operators.graph import connected_components
+    from news_please_spark.operators.joins import asof_join, range_join
+    from news_please_spark.operators.sampling import dataset_split, pack_sequences
+    from news_please_spark.operators.stats import group_quantiles
+    from news_please_spark.operators.terms import tfidf_top_terms
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_sequences(docs, 16).count() == 0
+    assert dataset_split(docs, {"a": 0.5, "b": 0.5}).count() == 0
+    assert tfidf_top_terms(docs).count() == 0
+    assert group_quantiles(
+        spark.createDataFrame([], "g string, v long"), "g", "v", [50]
+    ).count() == 0
+    assert connected_components(
+        spark.createDataFrame([], "doc_a long, doc_b long")
+    ).count() == 0
+    assert asof_join(
+        spark.createDataFrame([], "k long, ts long, lid long"),
+        spark.createDataFrame([], "k long, ts long, rid long"),
+        "k", "k", "ts", "ts", ["rid"],
+    ).count() == 0
+    assert range_join(
+        spark.createDataFrame([], "k long, iid long, s long, e long"),
+        spark.createDataFrame([], "pk long, pid long, t long"),
+        "k", "pk", "s", "e", "t", F.lit(10),
+    ).count() == 0
+    assert semantic_dedup(
+        spark.createDataFrame([], "vec_id long, embedding array<double>")
+    ).count() == 0
