@@ -81,6 +81,7 @@ def clean_corpus(
     top_bigram_q_max: int = 2000,
     decontam_n: int = 8,
     materialize_stages: bool = False,
+    transitive_near_dup: bool = False,
 ) -> DataFrame:
     """Returns the surviving rows of `df` (same schema). See module
     docstring for stage semantics and ordering.
@@ -92,7 +93,17 @@ def clean_corpus(
     without a cut every branch re-derives the whole upstream pipeline.
     That is what a production hygiene run does between stages anyway
     (materialize to a table); the default stays pure-lazy for
-    composability into a larger plan."""
+    composability into a larger plan.
+
+    transitive_near_dup=True replaces stage 2's greedy pairwise drop
+    (doc drops iff ANY verified smaller-id neighbor — a doc similar
+    only to a dropped doc survives) with true cluster semantics: the
+    verified-pair graph's connected components keep exactly their
+    min-id member (operators/graph.py).  The two rules differ on
+    chains like 2—5—1: greedy keeps 2 (its only neighbor 5 is larger),
+    transitive drops it (component min is 1).  Greedy stays the
+    default — it is one set-algebra pass (and the oracle-checked
+    shape); transitive costs O(cluster diameter) extra join rounds."""
 
     def _cut(d: DataFrame) -> DataFrame:
         return d.localCheckpoint(eager=True) if materialize_stages else d
@@ -103,11 +114,19 @@ def clean_corpus(
 
     # 2. near-dup: LSH candidates -> exact Jaccard -> drop doc_b
     cand = minhash_lsh_candidates(kept, text_col, id_col)
-    dups = (
-        ngram_jaccard_pairs(kept, cand, text_col, id_col, threshold=jaccard_threshold)
-        .select(F.col("doc_b").alias(id_col))
-        .distinct()
+    pairs = ngram_jaccard_pairs(
+        kept, cand, text_col, id_col, threshold=jaccard_threshold
     )
+    if transitive_near_dup:
+        # cluster semantics: every component keeps only its min id
+        from news_please_spark.operators.graph import connected_components
+
+        labels = connected_components(pairs.select("doc_a", "doc_b"))
+        dups = labels.filter(F.col("id") != F.col("root")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        dups = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     kept = _cut(_anti_drop(kept, dups, id_col, materialize_stages))
 
     # 3. decontamination vs the benchmark set — routed the same way for

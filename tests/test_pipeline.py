@@ -64,3 +64,30 @@ def test_clean_corpus_preserves_schema_and_content(spark):
     assert out.columns == df.columns
     texts = {r["doc_id"]: r["text"] for r in out.collect()}
     assert texts[0] == BASE[0][1]  # rows pass through unmodified
+
+
+def test_transitive_near_dup_differs_on_chains_exactly(spark):
+    """Planted chain 2—5—1 (1<2<5, no 1-2 edge): greedy keeps doc 2
+    (its only similar doc, 5, is larger); transitive drops it
+    (component min is 1). Everything else identical."""
+    from news_please_spark.pipeline import clean_corpus
+
+    # texts engineered so jaccard(1,5) and jaccard(2,5) >= 0.5 but
+    # jaccard(1,2) < 0.5: 5 shares half its shingles with each
+    base = ["w%d" % i for i in range(40)]
+    t1 = " ".join(base[:24])                      # shingles from first block
+    t2 = " ".join(base[16:40])                    # shingles from last block
+    t5 = " ".join(base[4:36])                     # overlaps both heavily
+    other = " ".join(f"u{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (5, t5), (9, other)], "doc_id long, text string"
+    )
+    greedy = {r.doc_id for r in clean_corpus(df, jaccard_threshold=0.4).collect()}
+    trans = {
+        r.doc_id
+        for r in clean_corpus(df, jaccard_threshold=0.4, transitive_near_dup=True).collect()
+    }
+    assert 9 in greedy and 9 in trans and 1 in greedy and 1 in trans
+    assert 5 not in greedy and 5 not in trans
+    # the chain member: greedy keeps, transitive drops
+    assert 2 in greedy and 2 not in trans
