@@ -64,6 +64,7 @@ HEADLINE = [
     "dataset_split",
     "quality_topfrac",
     "pack_sequences",
+    "packed_chunks",
     "repetition_scores",
     "corpus_dup_ngrams",
     "jaccard_verify",

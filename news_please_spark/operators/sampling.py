@@ -296,3 +296,47 @@ def dataset_split(
     for name, thr in reversed(bounds):
         expr = F.when(h < F.lit(thr), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def render_packed_chunks(
+    packed: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Materialize pack_sequences' span rows into the actual training
+    sequences: one row per chunk with its token text assembled from the
+    member documents' slices, in stream order.  The round-trip proof
+    that packing loses and reorders nothing — and the artifact a
+    trainer actually consumes.
+
+    Plan: join spans to their documents (equi-join on id), slice each
+    document's token array to the packed span, then one aggregation per
+    chunk that sorts the collected (tok_start, slice) structs and
+    flattens — per-chunk work is bounded by seq_len tokens.  Output:
+    (*group_cols, packer, chunk, n_docs, n_tok, chunk_text)."""
+    gcols = list(group_cols or [])
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    pieces = packed.join(docs.select(F.col(id_col), toks.alias("_toks")), id_col).select(
+        *gcols,
+        "packer",
+        "chunk",
+        "tok_start",
+        (F.col("tok_end") - F.col("tok_start")).alias("_len"),
+        F.slice(
+            F.col("_toks"),
+            (F.col("doc_off") + 1).cast("int"),
+            (F.col("tok_end") - F.col("tok_start")).cast("int"),
+        ).alias("_piece"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("tok_start"), F.col("_piece")))
+    )
+    return pieces.groupBy(*gcols, "packer", "chunk").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_len").alias("n_tok"),
+        F.array_join(
+            F.flatten(F.transform(ordered, lambda s: s["_piece"])), " "
+        ).alias("chunk_text"),
+    )

@@ -791,6 +791,58 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "packed_chunks",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS key,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS packer,
+             string_split_regex(trim(text), '\s+') AS toks,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT packer, doc_id, toks, n_tok,
+             COALESCE(SUM(n_tok) OVER (
+               PARTITION BY packer ORDER BY key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM t
+    ), spans AS (
+      SELECT packer, CAST(g.chunk AS BIGINT) AS chunk, doc_id, toks,
+             CAST(GREATEST(start, g.chunk * 64) - g.chunk * 64 AS BIGINT) AS tok_start,
+             CAST(LEAST(start + n_tok, (g.chunk + 1) * 64)
+                  - GREATEST(start, g.chunk * 64) AS BIGINT) AS len,
+             CAST(GREATEST(start, g.chunk * 64) - start AS BIGINT) AS doc_off
+      FROM c, LATERAL (
+        SELECT unnest(generate_series(CAST(start // 64 AS BIGINT),
+                                      CAST((start + n_tok - 1) // 64 AS BIGINT))) AS chunk
+      ) g
+    )
+    SELECT packer, chunk,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len) AS BIGINT) AS n_tok,
+           md5(string_agg(array_to_string(toks[doc_off + 1 : doc_off + len], ' '),
+                          ' ' ORDER BY tok_start)) AS chunk_md5
+    FROM spans GROUP BY packer, chunk
+    """,
+)
+def packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip of sequence packing: the packed chunks rendered back
+    to token text (operators/sampling.py:render_packed_chunks), hashed
+    per chunk — proves the spans reassemble the exact training
+    sequences in stream order."""
+    from news_please_spark.operators.sampling import (
+        pack_sequences,
+        render_packed_chunks,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = pack_sequences(docs, seq_len=64, packer_hex=1)
+    return render_packed_chunks(packed, docs).select(
+        "packer", "chunk", "n_docs", "n_tok", F.md5("chunk_text").alias("chunk_md5")
+    )
+
+
+@register(
     "quality_topfrac",
     r"""
     WITH t AS (

@@ -303,3 +303,30 @@ def test_pack_sequences_group_cols_isolate_streams(spark):
         part = pack_sequences(df.filter(F.col("split") == s), seq_len=16, packer_hex=1)
         per_group += [(s, *t) for t in map(tuple, part.collect())]
     assert grouped == sorted(per_group, key=repr)
+
+
+def test_render_packed_chunks_roundtrip(spark):
+    """Concatenating every chunk of a packer in chunk order must equal
+    concatenating its documents' tokens in md5 order — packing then
+    rendering loses and reorders nothing."""
+    import hashlib
+
+    from news_please_spark.operators.sampling import (
+        pack_sequences,
+        render_packed_chunks,
+    )
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range((i * 13) % 37 + 1))) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = pack_sequences(df, seq_len=16, packer_hex=1)
+    out = render_packed_chunks(packed, df).collect()
+    stream = {}
+    for r in sorted(out, key=lambda r: (r.packer, r.chunk)):
+        stream.setdefault(r.packer, []).append(r.chunk_text)
+        assert r.n_tok == len(r.chunk_text.split())
+    got = {p: " ".join(parts) for p, parts in stream.items()}
+    want = {}
+    for key, d in sorted((hashlib.md5(str(d).encode()).hexdigest(), d) for d, _ in rows):
+        want.setdefault(key[:1], []).append(dict(rows)[d])
+    want = {p: " ".join(texts) for p, texts in want.items()}
+    assert got == want
