@@ -29,12 +29,19 @@ def group_quantiles(
     """(group, n, p<q> for each q): exact q-th percentile per group,
     where p<q> = the value at ascending rank ceil(n*q/100) (the
     discrete/lower quantile — SQL's quantile_disc).  percents are
-    integers in (0, 100]."""
+    integers in (0, 100].  NULL values are excluded before ranking
+    (engines disagree on NULL sort position — Spark ASC puts them
+    first, DuckDB last — so including them would make the result
+    engine-dependent); n counts non-null values only."""
     if not percents:
         raise ValueError("percents must be non-empty")
     if any(not (0 < q <= 100) for q in percents):
         raise ValueError(f"percents must be in (0, 100], got {percents}")
-    hist = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
     wc = (
         Window.partitionBy(group_col)
         .orderBy(value_col)

@@ -181,6 +181,13 @@ class SnapshotCatalog:
         The source must hold at most one row per key (enforce upstream
         with max_by — same contract as Iceberg's MERGE, which throws on
         multiple matches).
+
+        Snapshot contract: a commit's snapshot dir holds ONLY the
+        tables that transaction wrote, and merge_into writes only
+        `name` — so run one catalog per logical table (the existing
+        usage), or carry sibling tables forward in a custom
+        transaction before relying on read_table(sibling, latest).
+        compact_table shares this contract.
         """
         if when_matched not in ("update", "delete"):
             raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")

@@ -40,3 +40,10 @@ def test_group_quantiles_validates(spark):
         group_quantiles(df, "g", "v", [0])
     with pytest.raises(ValueError):
         group_quantiles(df, "g", "v", [101])
+
+
+def test_group_quantiles_excludes_nulls(spark):
+    rows = [("a", 1), ("a", None), ("a", 3), ("a", None), ("a", 5)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = group_quantiles(df, "g", "v", [50, 100]).first()
+    assert (r.n, r.p50, r.p100) == (3, 3, 5)
