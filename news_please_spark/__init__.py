@@ -92,3 +92,42 @@ def load_sitelist(text_or_path: str):
         with open(text_or_path) as f:
             text_or_path = f.read()
     return SiteConfigs.from_sitelist(text_or_path)
+
+
+def prepare_training_data(
+    docs,
+    benchmark=None,
+    splits: dict[str, float] | None = None,
+    seq_len: int = 2048,
+    packer_hex: int = 2,
+    render: bool = False,
+    **clean_kwargs,
+):
+    """One-call training-data preparation: corpus hygiene
+    (pipeline.clean_corpus: exact dedup → near-dup removal →
+    decontamination → quality gate) → deterministic split
+    (operators/sampling.dataset_split) → per-split concat-and-chunk
+    packing (pack_sequences).  `docs` needs (doc_id, text).  Returns
+    the packed span table, or the rendered per-chunk text when
+    `render=True` (render_packed_chunks).  The same composition the
+    driver gate checks hash-exact end-to-end as `training_corpus`."""
+    from news_please_spark.operators.sampling import (
+        dataset_split,
+        pack_sequences,
+        render_packed_chunks,
+    )
+    from news_please_spark.pipeline import clean_corpus
+
+    cleaned = clean_corpus(docs, benchmark, **clean_kwargs)
+    split = dataset_split(
+        cleaned.select("doc_id", "text"),
+        splits or {"test": 0.01, "val": 0.01, "train": 0.98},
+    )
+    packed = pack_sequences(
+        split, seq_len=seq_len, packer_hex=packer_hex, group_cols=["split"]
+    )
+    if render:
+        return render_packed_chunks(
+            packed, split.select("doc_id", "text"), group_cols=["split"]
+        )
+    return packed

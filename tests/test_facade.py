@@ -79,3 +79,23 @@ def test_from_file_end_to_end(spark, tmp_path):
         assert a.title == exp["title"], d
         assert a.language == exp["language"], d
         assert list(a.authors) == exp["authors"], d
+
+
+def test_prepare_training_data_one_call(spark):
+    import news_please_spark as nps
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range((i * 11) % 60 + 5)))
+         for i in range(40)]
+        + [(100, " ".join(f"tok3_{j}" for j in range(38)))],  # exact dup of doc 3
+        "doc_id long, text string",
+    )
+    packed = nps.prepare_training_data(docs, seq_len=32, packer_hex=1)
+    rows = packed.collect()
+    assert rows and set(packed.columns) == {
+        "split", "packer", "chunk", "doc_id", "n_tok", "tok_start", "tok_end", "doc_off"
+    }
+    assert 100 not in {r.doc_id for r in rows}  # hygiene fired
+    rendered = nps.prepare_training_data(docs, seq_len=32, packer_hex=1, render=True)
+    r0 = rendered.first()
+    assert r0.chunk_text and r0.split in ("train", "val", "test")
