@@ -123,6 +123,53 @@ def frontier_bfs3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 1a-bis. fixed-iteration PageRank over the derived webgraph — the
+# link-authority score a production frontier uses to prioritize fetches
+# (OPIC/PageRank role; the reference's BFS order is authority-blind).
+# Integer-exact: ranks rescaled by N*(100*D)**k per step so the whole
+# computation is BIGINT arithmetic — bit-identical across engines (see
+# operators/graph.pagerank_scaled). D=3 because every derived-graph node
+# emits exactly len(EDGE_PARAMS)=3 edges.
+def _pagerank_sql(iters: int = 3, deg: int = 3, damping_pct: int = 85) -> str:
+    parts = ["r0 AS (SELECT doc_id AS id, CAST(1 AS BIGINT) AS r FROM documents)"]
+    for k in range(iters):
+        teleport = (100 - damping_pct) * deg * (100 * deg) ** k
+        parts.append(
+            f"c{k + 1} AS (SELECT e.dst AS id, SUM(r{k}.r) AS c FROM edges e"
+            f" JOIN r{k} ON r{k}.id = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{k + 1} AS (SELECT d.doc_id AS id,"
+            f" CAST({teleport} + {damping_pct} * COALESCE(c{k + 1}.c, 0) AS BIGINT) AS r"
+            f" FROM documents d LEFT JOIN c{k + 1} ON c{k + 1}.id = d.doc_id)"
+        )
+    return (
+        f"WITH edges AS ({_EDGES_SQL}), "
+        + ", ".join(parts)
+        + f" SELECT id AS doc_id, r AS rank_s{iters} FROM r{iters}"
+    )
+
+
+@register("pagerank3", _pagerank_sql())
+def pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration integer-exact PageRank on the derived webgraph
+    (damping 0.85, rank scaled by N*300**3). Frontier prioritization
+    by link authority — see operators/graph.pagerank_scaled for the
+    scale analysis (edges partitioned once on src, only the 1-long-per-
+    node rank table shuffles per iteration, map-side-combinable sums)."""
+    from news_please_spark.operators.graph import pagerank_scaled
+
+    edges = derived_edges(spark, sf_dir)
+    nodes = load(spark, sf_dir, "documents").select("doc_id")
+    ranks = pagerank_scaled(
+        edges, nodes, out_degree=len(EDGE_PARAMS), iters=3, id_col="doc_id"
+    )
+    return ranks.select(
+        F.col("id").alias("doc_id"), F.col("r").alias("rank_s3")
+    )
+
+
+# ---------------------------------------------------------------------------
 # 1b. the FULL iterative politeness crawl engine vs a DuckDB recursive-CTE
 #     simulation of the same budgeted waves. The synthetic world is pure
 #     arithmetic on page ids (world.py), so the whole crawl — per-host

@@ -73,3 +73,69 @@ def test_cc_raises_when_not_converged(spark):
     # but converges with enough rounds
     out = connected_components(df, max_iters=30)
     assert out.filter(F.col("root") != 0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+
+
+def _py_pagerank_scaled(edges, nodes, deg, iters=3, damping_pct=85):
+    """Exact-integer reference of pagerank_scaled's recurrence."""
+    ranks = {n: 1 for n in nodes}
+    for k in range(iters):
+        teleport = (100 - damping_pct) * deg * (100 * deg) ** k
+        contrib = {}
+        for s, d in edges:
+            contrib[d] = contrib.get(d, 0) + ranks[s]
+        ranks = {n: teleport + damping_pct * contrib.get(n, 0) for n in nodes}
+    return ranks
+
+
+def test_pagerank_scaled_matches_integer_oracle_and_conserves_mass(spark):
+    from news_please_spark.operators.graph import pagerank_scaled
+
+    n, deg = 40, 3
+    nodes = list(range(n))
+    edges = [(s, (s * m + a) % n) for s in nodes for m, a in [(3, 17), (5, 34), (7, 51)]]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    ndf = spark.createDataFrame([(x,) for x in nodes], "id long")
+    got = {r.id: r.r for r in pagerank_scaled(edf, ndf, out_degree=deg, iters=3).collect()}
+    want = _py_pagerank_scaled(edges, nodes, deg, iters=3)
+    assert got == want
+    # total mass conserved exactly: sum R_k = N * (100*D)^k
+    assert sum(got.values()) == n * (100 * deg) ** 3
+    # partition invariance (integer sums are order-free)
+    got2 = {
+        r.id: r.r
+        for r in pagerank_scaled(
+            edf.repartition(7), ndf.repartition(5), out_degree=deg, iters=3
+        ).collect()
+    }
+    assert got2 == want
+
+
+def test_pagerank_double_matches_numpy_power_iteration_with_dangling(spark):
+    import numpy as np
+
+    from news_please_spark.operators.graph import pagerank
+
+    # non-uniform degrees + node 5 dangling (no out-edges)
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 0), (4, 1), (4, 5), (3, 5)]
+    nodes = list(range(6))
+    n, d = len(nodes), 0.85
+    M = np.zeros((n, n))
+    outdeg = {}
+    for s, t in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    for s, t in edges:
+        M[t, s] += 1.0 / outdeg[s]
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        dangling = sum(r[i] for i in nodes if i not in outdeg)
+        r = (1 - d) / n + d * (M @ r + dangling / n)
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    ndf = spark.createDataFrame([(x,) for x in nodes], "id long")
+    got = {row.id: row.rank for row in pagerank(edf, ndf, iters=10).collect()}
+    for i in nodes:
+        assert abs(got[i] - r[i]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
