@@ -121,3 +121,51 @@ def rolling_fingerprints(text: Column, window_tokens: int = 32, stride: int = 16
     Convenience form for small texts; for per-row-heavy plans, project
     tokens(text) to a column first and use rolling_fingerprints_of."""
     return rolling_fingerprints_of(tokens(text), window_tokens, stride)
+
+
+# ---------------------------------------------------------------------------
+# Hashed-linear quality classifier (fastText-style inference as a scan)
+
+HASHED_LM_BUCKETS = 512
+_HASH_MULT = 2654435761  # Knuth's multiplicative constant
+_W_MOD = 2003  # prime > 2*buckets so bucket->weight is injective at 512
+
+
+def hashed_bucket(token: Column, buckets: int = HASHED_LM_BUCKETS) -> Column:
+    """Engine-portable feature hashing: first 8 hex chars of md5 as an
+    unsigned 32-bit int, mod the bucket count.  (DuckDB image:
+    ('0x' || substr(md5(t),1,8))::BIGINT % buckets.)"""
+    return (
+        F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long") % buckets
+    )
+
+
+def bucket_weight(bucket: Column) -> Column:
+    """Deterministic integer weight in [-1001, 1001] derived from the
+    bucket id — the stand-in for a trained weight vector.  A REAL model's
+    weights would ride as a broadcast `F.create_map` literal over the same
+    bucket expression (config-sized: `buckets` ints), keeping the exact
+    same zero-shuffle plan; deriving them arithmetically here keeps the
+    cross-engine oracle derivable with no side-channel weight file."""
+    return (bucket * _HASH_MULT) % _W_MOD - (_W_MOD - 1) // 2
+
+
+def hashed_linear_logit(
+    tok_array: Column, buckets: int = HASHED_LM_BUCKETS
+) -> Column:
+    """Linear-model inference as ONE zero-shuffle fold: the sum over
+    tokens of the hashed feature's weight (fastText-style bag-of-hashed-
+    words scoring, Joulin et al. 2016).  Integer arithmetic end-to-end,
+    so results are bit-identical across engines and partitionings.
+
+    Scale shape: no explode, no groupBy, no join — the classifier is a
+    map-side Column over the corpus scan, which is what lets quality
+    filtering run inside the same stage as the parquet read at 100 TB.
+    The fold's lambda touches only (acc, tok) — one md5 per token,
+    O(tokens) per row (the interpreted-HOF trap is re-deriving OUTER
+    expressions per element, which this avoids)."""
+    return F.aggregate(
+        tok_array,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + bucket_weight(hashed_bucket(t, buckets)),
+    )

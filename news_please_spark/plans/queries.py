@@ -649,6 +649,55 @@ def bpe_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_classifier",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    w AS (
+      SELECT doc_id,
+             ((('0x' || substr(md5(tok), 1, 8))::BIGINT % 512)
+              * 2654435761) % 2003 - 1001 AS wgt
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(wgt) AS BIGINT) AS logit_sum,
+           CAST(sum(wgt) >= 0 AS INT) AS keep
+    FROM w GROUP BY doc_id
+    """,
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-linear quality classifier inference
+    (functions/text.hashed_linear_logit): per-doc logit = sum of
+    deterministic integer weights over hashed token buckets, keep =
+    logit >= 0.  Spark side is ONE zero-shuffle fold per row (no
+    explode/groupBy/join — map-side over the corpus scan); the oracle
+    recomputes it the expensive way (unnest + group by) to check the
+    fold, not mirror it."""
+    from news_please_spark.functions.text import hashed_linear_logit, tokens
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    # project the token array once; the next select references it twice
+    # (count + fold), which keeps CollapseProject from re-inlining the
+    # split and tokenizing each row twice
+    toked = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("_toks")
+    )
+    out = toked.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        hashed_linear_logit(F.col("_toks")).alias("logit_sum"),
+    )
+    return out.withColumn(
+        "keep", (F.col("logit_sum") >= 0).cast("int")
+    )
+
+
 # data-mixture weights for the mixture_sample entry: src{i} keeps
 # (i % 10 + 1)/10 of its rows — every rate in (0, 1] exercised.  The
 # hex thresholds are computed ONCE here and embedded verbatim in both

@@ -68,3 +68,40 @@ def test_rolling_fingerprints_detect_containment(spark):
         ).collect()
     }
     assert rows["b"] & rows["a"], "aligned window fingerprint must match"
+
+
+def test_hashed_linear_logit_matches_python_and_is_zero_shuffle(spark):
+    import hashlib
+
+    from news_please_spark.functions.text import (
+        _HASH_MULT,
+        _W_MOD,
+        hashed_linear_logit,
+        tokens,
+    )
+
+    def py_logit(text, buckets=512):
+        s = 0
+        for tok in text.strip().lower().split():
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % buckets
+            s += (b * _HASH_MULT) % _W_MOD - (_W_MOD - 1) // 2
+        return s
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "aaa aaa aaa aaa"),
+        (2, "mixed CASE Tokens 123 !!"),
+        (3, "  padded   whitespace\ttabs\nnewlines  "),
+    ]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        hashed_linear_logit(tokens(F.lower(F.col("text")))).alias("logit"),
+    )
+    got = {r.doc_id: r.logit for r in out.collect()}
+    assert got == {i: py_logit(t) for i, t in rows}
+    # the classifier is a map-side Column: no Exchange anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
