@@ -184,3 +184,80 @@ def top_k_per_key(
         marked.filter(F.col("_topk")).drop("_topk"),
         marked.filter(~F.col("_topk")).drop("_topk"),
     )
+
+
+def allocate_budget(
+    scores: DataFrame,
+    total_budget: int,
+    key: str = "host",
+    score: str = "score",
+    out: str = "budget",
+) -> DataFrame:
+    """Apportion an integer crawl budget across hosts proportional to an
+    integer score — the scheduler step that turns per-host authority /
+    quality signals into per-host fetch quotas (reference analogue: the
+    static per-site url limits in config; this is the dynamic,
+    score-driven version a 10^10-URL frontier runs per cycle).
+
+    Largest-remainder method (Hamilton apportionment), exact integers:
+
+        base_h = floor(B * s_h / S),  rem_h = (B * s_h) mod S
+        leftover = B - sum(base_h)  extra +1s go to the `leftover`
+        hosts with the largest rem_h (key ASC tie-break).
+
+    Guarantees: sum(budget) == B exactly, each quota within 1 of the
+    real-valued proportion, deterministic. Hosts with score <= 0 get 0
+    and never receive a remainder seat.
+
+    Scale shape: the input is PER-HOST aggregates (one row per host,
+    ~10^8 rows worst case), not per-URL data. S and sum(base) are 1-row
+    aggregates broadcast back via crossJoin (never collected per-row);
+    the only ordering is a row_number over hosts BY remainder, which at
+    10^8 host rows still fits the two-phase global-seq pattern — wired
+    through `with_global_seq` here precisely so no single task ever
+    sorts all hosts.  Overflow: B * s_h must fit a signed long
+    (B ~ 10^9 x byte-scores ~ 10^9 overflows — pre-scale scores; the
+    operator asserts nothing and documents the contract instead because
+    a runtime max() pass would double the aggregate count).
+    """
+    pos = scores.select(
+        F.col(key).alias(key), F.col(score).cast("long").alias("_s")
+    ).withColumn("_s", F.when(F.col("_s") > 0, F.col("_s")).otherwise(F.lit(0)))
+    tot = pos.agg(F.sum("_s").alias("_tot"))
+    j = pos.crossJoin(F.broadcast(tot)).withColumn(
+        "_num", F.lit(total_budget).cast("long") * F.col("_s")
+    )
+    quo = j.select(
+        key,
+        # integer `div`, NOT `/`: double division rounds past 2^53 and
+        # the exact-sum guarantee dies with it
+        F.when(F.col("_tot") > 0, F.expr("_num div _tot"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_base"),
+        F.when(F.col("_tot") > 0, F.col("_num") % F.col("_tot"))
+        .otherwise(F.lit(0))
+        .alias("_rem"),
+        (F.col("_s") > 0).alias("_eligible"),
+    )
+    leftover = quo.agg(
+        (F.lit(total_budget) - F.coalesce(F.sum("_base"), F.lit(0))).alias("_left")
+    )
+    # rank eligible hosts by remainder DESC (key ASC tie-break) without a
+    # single-task global window: two-phase seq over (-rem, key)
+    elig = quo.filter(F.col("_eligible")).withColumn(
+        "_negrem", -F.col("_rem")
+    )
+    ranked, _ = with_global_seq(
+        elig, order_cols=["_negrem", key], out="_rk", materialize=True
+    )
+    ranked = ranked.crossJoin(F.broadcast(leftover)).select(
+        key,
+        (F.col("_base") + F.when(F.col("_rk") < F.col("_left"), 1).otherwise(0))
+        .cast("long")
+        .alias(out),
+    )
+    zeros = quo.filter(~F.col("_eligible")).select(
+        key, F.lit(0).cast("long").alias(out)
+    )
+    return ranked.unionByName(zeros)

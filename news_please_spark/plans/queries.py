@@ -411,6 +411,50 @@ def politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "budget_allocate",
+    """
+    WITH s AS (
+      SELECT source AS host, CAST(sum(n_chars) AS BIGINT) AS sc
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(CASE WHEN sc > 0 THEN sc ELSE 0 END) AS BIGINT) AS t FROM s),
+    q AS (
+      SELECT host,
+             CASE WHEN sc > 0 THEN sc ELSE 0 END AS scp,
+             CAST(CASE WHEN t > 0 THEN (1000 * CASE WHEN sc > 0 THEN sc ELSE 0 END) // t ELSE 0 END AS BIGINT) AS base,
+             CAST(CASE WHEN t > 0 THEN (1000 * CASE WHEN sc > 0 THEN sc ELSE 0 END) % t ELSE 0 END AS BIGINT) AS rem
+      FROM s, tot
+    ),
+    lo AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM q),
+    r AS (
+      SELECT host, base,
+             row_number() OVER (ORDER BY rem DESC, host) - 1 AS rk
+      FROM q WHERE scp > 0
+    )
+    SELECT host,
+           CAST(base + CASE WHEN rk < (SELECT leftover FROM lo) THEN 1 ELSE 0 END AS BIGINT) AS budget
+    FROM r
+    UNION ALL
+    SELECT host, CAST(0 AS BIGINT) AS budget FROM q WHERE scp <= 0
+    """,
+)
+def budget_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-proportional crawl-budget apportionment across hosts
+    (operators/ordering.allocate_budget): B=1000 fetch slots split over
+    sources by total corpus bytes, largest-remainder rounding, exact
+    sum(budget)==B. The host ranking rides the two-phase global-seq
+    pattern, never a single-task window."""
+    from news_please_spark.operators.ordering import allocate_budget
+
+    s = (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.col("source").alias("host"))
+        .agg(F.sum("n_chars").cast("long").alias("sc"))
+    )
+    return allocate_budget(s, total_budget=1000, key="host", score="sc")
+
+
 # ---------------------------------------------------------------------------
 # 4. exact dedup (D2 dropDuplicates semantics over content hash)
 @register(
