@@ -1113,6 +1113,58 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 7c. adaptive recrawl scheduling over a derived fetch history: events
+#     as fetch observations (url = event_id % 499, content proxy =
+#     event_type), change-frequency estimator from operators/recrawl.py.
+_RECRAWL_IVL = "least(greatest((l - f) // (n_changes + 1), 3600000000), 2592000000000)"
+
+
+@register(
+    "recrawl_schedule",
+    f"""
+    WITH h AS (
+      SELECT 'u' || CAST(event_id % 499 AS VARCHAR) AS url, ts, event_id,
+             event_type AS ch
+      FROM events
+    ),
+    x AS (
+      SELECT url, epoch_us(ts) AS us,
+             CASE WHEN lag(ch) OVER (PARTITION BY url ORDER BY ts, event_id) IS NOT NULL
+                   AND lag(ch) OVER (PARTITION BY url ORDER BY ts, event_id) <> ch
+                  THEN 1 ELSE 0 END AS chg
+      FROM h
+    ),
+    a AS (
+      SELECT url, CAST(count(*) AS BIGINT) AS n_visits,
+             CAST(sum(chg) AS BIGINT) AS n_changes,
+             min(us) AS f, max(us) AS l
+      FROM x GROUP BY url
+    )
+    SELECT url, n_visits, n_changes,
+           CAST({_RECRAWL_IVL} AS BIGINT) AS interval_us,
+           CAST(l + {_RECRAWL_IVL} AS BIGINT) AS next_due_us
+    FROM a
+    """,
+)
+def recrawl_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-frequency recrawl cadence (operators/recrawl.py): per-url
+    interval = clamp(span div (changes+1)), next_due = last + interval.
+    One shuffle total — the per-url aggregate reuses the lag window's
+    partitioning."""
+    from news_please_spark.operators.recrawl import recrawl_schedule
+
+    h = load(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), (F.col("event_id") % 499).cast("string")).alias(
+            "url"
+        ),
+        F.col("ts").alias("fetch_ts"),
+        "event_id",
+        F.col("event_type").alias("content_hash"),
+    )
+    return recrawl_schedule(h, tiebreak="event_id")
+
+
+# ---------------------------------------------------------------------------
 # 8. streaming analogues over events: sessionize, recency filter (F10),
 #    versioning chain (K3-K6 MERGE semantics)
 @register(

@@ -1,0 +1,83 @@
+"""operators/recrawl: change-frequency estimator vs a pure-Python
+oracle — clamping, single-visit urls, tie-broken equal timestamps,
+one-Exchange plan shape."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pyspark.sql.functions as F
+
+from news_please_spark.operators.recrawl import HOUR_US, recrawl_schedule
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _py_schedule(rows, min_i=HOUR_US, max_i=30 * 24 * HOUR_US):
+    from collections import defaultdict
+
+    by_url = defaultdict(list)
+    for url, ts, eid, h in rows:
+        us = int(ts.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+        by_url[url].append((us, eid, h))
+    out = {}
+    for url, vs in by_url.items():
+        vs.sort()
+        n = len(vs)
+        changes = sum(
+            1 for a, b in zip(vs, vs[1:]) if a[2] != b[2]
+        )
+        span = vs[-1][0] - vs[0][0]
+        ivl = min(max(span // (changes + 1), min_i), max_i)
+        out[url] = (n, changes, ivl, vs[-1][0] + ivl)
+    return out
+
+
+def test_recrawl_schedule_matches_python_oracle(spark):
+    rows = [
+        # hot page: changes every fetch, 4 fetches over 3 hours
+        ("hot", _ts("2026-01-01 00:00:00"), 1, "a"),
+        ("hot", _ts("2026-01-01 01:00:00"), 2, "b"),
+        ("hot", _ts("2026-01-01 02:00:00"), 3, "c"),
+        ("hot", _ts("2026-01-01 03:00:00"), 4, "d"),
+        # cold page: never changes over 90 days -> clamped to max
+        ("cold", _ts("2026-01-01 00:00:00"), 5, "x"),
+        ("cold", _ts("2026-04-01 00:00:00"), 6, "x"),
+        # single fetch -> span 0 -> clamped to min
+        ("once", _ts("2026-01-01 00:00:00"), 7, "y"),
+        # equal timestamps, tie-broken by event_id: change is counted
+        ("tie", _ts("2026-01-01 00:00:00"), 8, "p"),
+        ("tie", _ts("2026-01-01 00:00:00"), 9, "q"),
+        ("tie", _ts("2026-01-02 00:00:00"), 10, "q"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, fetch_ts timestamp, event_id long, content_hash string"
+    )
+    got = {
+        r.url: (r.n_visits, r.n_changes, r.interval_us, r.next_due_us)
+        for r in recrawl_schedule(df, tiebreak="event_id").collect()
+    }
+    assert got == _py_schedule(rows)
+    # hot page recrawls hourly (span 3h / 4 change-intervals = 1h exactly)
+    assert got["hot"][2] == HOUR_US
+    # cold page clamped to the 30-day max
+    assert got["cold"][2] == 30 * 24 * HOUR_US
+    assert got["once"][2] == HOUR_US
+
+
+def test_recrawl_schedule_single_exchange(spark):
+    df = spark.createDataFrame(
+        [("u", _ts("2026-01-01 00:00:00"), 1, "a")],
+        "url string, fetch_ts timestamp, event_id long, content_hash string",
+    )
+    plan = (
+        recrawl_schedule(df, tiebreak="event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the groupBy reuses the window's hash partitioning on url: one
+    # Exchange in the whole plan
+    assert plan.count("Exchange") == 1, plan
