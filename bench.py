@@ -48,14 +48,19 @@ def pretouch_conf() -> dict[str, str]:
 
 HEADLINE = [
     "frontier_bfs3",
+    "pagerank3",
     "url_canonicalize",
     "politeness_topk",
+    "budget_allocate",
+    "recrawl_schedule",
     "dedup_exact",
     "fingerprint",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_near_dup",
     "doc_quality",
+    "quality_classifier",
+    "heavy_hitters_cms",
     "length_quantiles",
     "token_totals",
     "lang_id",

@@ -742,6 +742,61 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "heavy_hitters_cms",
+    r"""
+    WITH occ AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tc AS (SELECT token, CAST(count(*) AS BIGINT) AS n_true FROM occ GROUP BY token),
+    top AS (SELECT token, n_true FROM tc ORDER BY n_true DESC, token LIMIT 20),
+    cells AS (
+      SELECT r.rw AS rw,
+             ('0x' || substr(md5(CAST(r.rw AS VARCHAR) || '|' || o.token), 1, 8))::BIGINT % 1024 AS bucket
+      FROM occ o CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS rw) r
+    ),
+    cnt AS (SELECT rw, bucket, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY rw, bucket)
+    SELECT t.token, t.n_true, CAST(min(c.c) AS BIGINT) AS est
+    FROM top t
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS rw) r
+    JOIN cnt c ON c.rw = r.rw
+     AND c.bucket = ('0x' || substr(md5(CAST(r.rw AS VARCHAR) || '|' || t.token), 1, 8))::BIGINT % 1024
+    GROUP BY t.token, t.n_true
+    """,
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/sketch.py): the top-20
+    true-frequent tokens with their exact count AND the 4x1024 CMS
+    estimate side by side (est >= n_true by construction). The sketch
+    build shuffles only 4096 counter keys with map-side combine —
+    fixed memory at any corpus size; estimation is 4 broadcast joins,
+    zero query-side shuffle."""
+    from news_please_spark.functions.text import tokens
+    from news_please_spark.operators.sketch import cms_counters, cms_estimate
+
+    occ = (
+        load(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    )
+    occ = occ.localCheckpoint()  # consumed by BOTH the counts and the sketch
+    try:
+        top = (
+            occ.groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+            .orderBy(F.desc("n_true"), "token")
+            .limit(20)
+        )
+        counters = cms_counters(occ)
+        est = cms_estimate(top, counters)
+        return top.join(est, "token").select("token", "n_true", "est").localCheckpoint()
+    finally:
+        from news_please_spark.operators.cacheutil import release_df
+
+        release_df(occ)
+
+
 # data-mixture weights for the mixture_sample entry: src{i} keeps
 # (i % 10 + 1)/10 of its rows — every rate in (0, 1] exercised.  The
 # hex thresholds are computed ONCE here and embedded verbatim in both
