@@ -212,6 +212,24 @@ def minhash_lsh_candidates(
     shingled = df.select(
         F.col(id_col), ngram_set(F.col(text_col), n).alias("_sh")
     ).filter(F.size("_sh") > 0)
+    return minhash_lsh_candidates_from_grams(
+        shingled, id_col=id_col, gram_col="_sh", bands=bands
+    )
+
+
+def minhash_lsh_candidates_from_grams(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    gram_col: str = "_sh",
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate generation from an ALREADY-SHINGLED (id, gram-set)
+    table — lets a verify pipeline shingle the corpus once, checkpoint
+    it, and feed BOTH the LSH index build and the exact-Jaccard verify
+    from the same pass (tokenization is the dominant map-side cost at
+    corpus scale; doing it twice doubles the scan CPU)."""
+    if gram_col != "_sh":
+        shingled = shingled.select(F.col(id_col), F.col(gram_col).alias("_sh"))
     sig = shingled.select(
         id_col,
         F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("_band"),
@@ -257,6 +275,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     n: int = 3,
     impl: str = "array",
+    grams_df: DataFrame | None = None,
 ) -> DataFrame:
     """Verify candidate pairs (from MinHash-LSH or SimHash banding) with
     exact n-gram Jaccard. candidate_pairs: (doc_a, doc_b).
@@ -272,12 +291,21 @@ def ngram_jaccard_pairs(
     would copy its whole gram array 10^4 times under 'array', while
     here the work is narrow rows hash-partitioned on (doc, gram) —
     no fat rows, spreads across the cluster. Both impls are
-    bit-identical (test_dedup_similarity.py)."""
+    bit-identical (test_dedup_similarity.py).
+
+    `grams_df` (id, gram-set array named '_g'): pass a precomputed —
+    ideally checkpointed — shingle table to skip re-tokenizing; the
+    candidate generator's `minhash_lsh_candidates_from_grams` shares
+    the same table, so the corpus is shingled exactly once."""
+    if grams_df is None:
+        grams_df = df.select(
+            F.col(id_col), ngram_set(F.col(text_col), n).alias("_g")
+        )
     if impl == "exploded":
-        gramrows = df.select(
+        gramrows = grams_df.select(
             F.col(id_col),
-            F.explode(ngram_set(F.col(text_col), n)).alias("_g"),
-        ).select(id_col, F.md5("_g").alias("_g"))
+            F.explode(F.col("_g")).alias("_gx"),
+        ).select(id_col, F.md5("_gx").alias("_g"))
         sizes = gramrows.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
         inter = (
             candidate_pairs.join(
@@ -315,7 +343,7 @@ def ngram_jaccard_pairs(
             )
         )
         return out.filter(F.col("jaccard") >= threshold)
-    grams = df.select(F.col(id_col), ngram_set(F.col(text_col), n).alias("_g"))
+    grams = grams_df
     out = (
         candidate_pairs.join(
             grams.select(F.col(id_col).alias("doc_a"), F.col("_g").alias("_ga")),

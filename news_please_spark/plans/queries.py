@@ -1825,12 +1825,26 @@ def corpus_dup_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard on the MinHash-LSH candidate pairs (the
     verify stage of the near-dup pipeline): candidates only — the
-    all-pairs square is never formed."""
-    from news_please_spark.operators.dedup import ngram_jaccard_pairs
+    all-pairs square is never formed. The corpus is shingled ONCE: a
+    lazily-persisted (doc_id, gram-set) table feeds both the LSH index
+    build and the verify joins (tokenization is the dominant map cost;
+    the pre-split plan paid it twice). Lazy persist keeps the whole
+    cost inside the measured action — nothing materializes at plan
+    build time."""
+    from news_please_spark.operators.dedup import (
+        minhash_lsh_candidates_from_grams,
+        ngram_jaccard_pairs,
+        ngram_set,
+    )
 
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
-    cand = QUERIES["minhash_lsh_pairs"](spark, sf_dir)
-    scored = ngram_jaccard_pairs(docs, cand, threshold=0.0)
+    grams = (
+        docs.select("doc_id", ngram_set(F.col("text")).alias("_g"))
+        .filter(F.size("_g") > 0)
+        .persist()
+    )
+    cand = minhash_lsh_candidates_from_grams(grams, gram_col="_g")
+    scored = ngram_jaccard_pairs(docs, cand, threshold=0.0, grams_df=grams)
     return (
         scored.select(
             "doc_a", "doc_b",
