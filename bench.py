@@ -49,6 +49,7 @@ def pretouch_conf() -> dict[str, str]:
 HEADLINE = [
     "frontier_bfs3",
     "pagerank3",
+    "authority_order",
     "url_canonicalize",
     "politeness_topk",
     "budget_allocate",

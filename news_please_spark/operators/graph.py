@@ -93,6 +93,7 @@ def pagerank_scaled(
     src: str = "src",
     dst: str = "dst",
     id_col: str = "id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Integer-EXACT fixed-iteration PageRank for uniform-out-degree
     graphs — link-authority scores for crawl frontier prioritization
@@ -128,14 +129,18 @@ def pagerank_scaled(
     Multi-edges contribute once per edge (standard multigraph
     PageRank); callers wanting simple-graph semantics distinct() the
     edge table first.
+
+    materialize=False skips the per-iteration localCheckpoints and
+    returns one lazy linear plan — right for small iteration counts
+    where the caller wants the whole computation to run inside ITS
+    action (benchmark timing windows, composition into a larger plan);
+    the edge table is then re-derived once per iteration.
     """
     if out_degree <= 0:
         raise ValueError("out_degree must be positive")
-    e = (
-        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-        .repartition("_src")
-        .localCheckpoint()
-    )
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    if materialize:
+        e = e.repartition("_src").localCheckpoint()
     base = 100 * out_degree
     ranks = nodes.select(F.col(id_col).alias("id")).withColumn(
         "r", F.lit(1).cast("long")
@@ -161,12 +166,14 @@ def pagerank_scaled(
                     .cast("long")
                     .alias("r"),
                 )
-                .localCheckpoint()
             )
-            release_df(prev)
+            if materialize:
+                ranks = ranks.localCheckpoint()
+                release_df(prev)
         return ranks
     finally:
-        release_df(e)
+        if materialize:
+            release_df(e)
 
 
 def pagerank(

@@ -130,7 +130,7 @@ def frontier_bfs3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # computation is BIGINT arithmetic — bit-identical across engines (see
 # operators/graph.pagerank_scaled). D=3 because every derived-graph node
 # emits exactly len(EDGE_PARAMS)=3 edges.
-def _pagerank_sql(iters: int = 3, deg: int = 3, damping_pct: int = 85) -> str:
+def _pagerank_ctes(iters: int = 3, deg: int = 3, damping_pct: int = 85) -> str:
     parts = ["r0 AS (SELECT doc_id AS id, CAST(1 AS BIGINT) AS r FROM documents)"]
     for k in range(iters):
         teleport = (100 - damping_pct) * deg * (100 * deg) ** k
@@ -143,9 +143,13 @@ def _pagerank_sql(iters: int = 3, deg: int = 3, damping_pct: int = 85) -> str:
             f" CAST({teleport} + {damping_pct} * COALESCE(c{k + 1}.c, 0) AS BIGINT) AS r"
             f" FROM documents d LEFT JOIN c{k + 1} ON c{k + 1}.id = d.doc_id)"
         )
+    return ", ".join(parts)
+
+
+def _pagerank_sql(iters: int = 3, deg: int = 3, damping_pct: int = 85) -> str:
     return (
         f"WITH edges AS ({_EDGES_SQL}), "
-        + ", ".join(parts)
+        + _pagerank_ctes(iters, deg, damping_pct)
         + f" SELECT id AS doc_id, r AS rank_s{iters} FROM r{iters}"
     )
 
@@ -161,12 +165,54 @@ def pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = derived_edges(spark, sf_dir)
     nodes = load(spark, sf_dir, "documents").select("doc_id")
+    # materialize=False: 3 iterations compose into one lazy linear plan,
+    # so the bench-timed action pays the whole computation (the
+    # checkpointed default would run it eagerly at plan-build time)
     ranks = pagerank_scaled(
-        edges, nodes, out_degree=len(EDGE_PARAMS), iters=3, id_col="doc_id"
+        edges,
+        nodes,
+        out_degree=len(EDGE_PARAMS),
+        iters=3,
+        id_col="doc_id",
+        materialize=False,
     )
     return ranks.select(
         F.col("id").alias("doc_id"), F.col("r").alias("rank_s3")
     )
+
+
+@register(
+    "authority_order",
+    f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    bfs(id, depth) AS (
+      SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+      UNION ALL
+      SELECT e.dst, b.depth + 1 FROM bfs b JOIN edges e ON e.src = b.id
+      WHERE b.depth < 3
+    ),
+    reach AS (SELECT id, CAST(min(depth) AS INT) AS depth FROM bfs GROUP BY id),
+    {_pagerank_ctes()}
+    SELECT reach.id AS node_id, reach.depth, r3.r AS rank_s3,
+           CAST(row_number() OVER (ORDER BY reach.depth, r3.r DESC, reach.id) - 1 AS BIGINT) AS seq
+    FROM reach JOIN r3 ON r3.id = reach.id
+    """,
+)
+def authority_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority-prioritized crawl order: the BFS frontier's reached
+    set re-ranked by (depth, PageRank DESC) — the priority-queue
+    admission order a production scheduler runs instead of raw
+    discovery order. Composition of frontier_bfs3 + pagerank3 through
+    the two-phase global-seq pattern (no single-task window)."""
+    from news_please_spark.operators.ordering import with_global_seq
+
+    reached = QUERIES["frontier_bfs3"](spark, sf_dir)
+    ranks = QUERIES["pagerank3"](spark, sf_dir)
+    j = reached.join(
+        ranks, reached["node_id"] == ranks["doc_id"]
+    ).select("node_id", "depth", "rank_s3", (-F.col("rank_s3")).alias("_nr"))
+    ordered, _ = with_global_seq(j, order_cols=["depth", "_nr", "node_id"])
+    return ordered.select("node_id", "depth", "rank_s3", "seq")
 
 
 # ---------------------------------------------------------------------------
