@@ -74,6 +74,7 @@ HEADLINE = [
     "repetition_scores",
     "corpus_dup_ngrams",
     "jaccard_verify",
+    "incremental_near_dups",
     "dup_clusters",
     "decontam_hits",
     "pii_redact",

@@ -228,9 +228,35 @@ def minhash_lsh_candidates_from_grams(
     it, and feed BOTH the LSH index build and the exact-Jaccard verify
     from the same pass (tokenization is the dominant map-side cost at
     corpus scale; doing it twice doubles the scan CPU)."""
+    sig = lsh_index_of(shingled, id_col=id_col, gram_col=gram_col, bands=bands)
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._sig") == F.col("b._sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def lsh_index_of(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    gram_col: str = "_sh",
+    bands: int = 4,
+) -> DataFrame:
+    """The banded MinHash signature table (id, _band, _sig) — THE LSH
+    index. Persist/write this once per corpus: candidate lookups for a
+    delta batch are then (band, sig) equi-joins against it, never a
+    rescan of corpus text (see near_dup_candidates_against_index)."""
     if gram_col != "_sh":
         shingled = shingled.select(F.col(id_col), F.col(gram_col).alias("_sh"))
-    sig = shingled.select(
+    return shingled.select(
         id_col,
         F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("_band"),
         F.col("_sh"),
@@ -246,17 +272,34 @@ def minhash_lsh_candidates_from_grams(
             )
         ).alias("_sig"),
     )
-    a, b = sig.alias("a"), sig.alias("b")
+
+
+def near_dup_candidates_against_index(
+    delta_sigs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup candidates: (delta_id, corpus_id) pairs
+    whose signatures collide in any band. The production dedup shape —
+    a new crawl batch is checked against the STORED corpus index
+    (lsh_index_of output, typically a bucketed table partitioned on
+    (_band, _sig)), so per-batch cost scales with the batch, not the
+    corpus: the corpus side is never re-shingled, and the equi-join
+    shuffles only the delta's signatures into the index's partitioning.
+    Self-collisions (same id on both sides) are excluded; pairs are
+    distinct regardless of how many bands collide."""
+    a = delta_sigs.select(
+        F.col(id_col).alias("delta_id"),
+        F.col("_band").alias("_band"),
+        F.col("_sig").alias("_sig"),
+    )
+    b = index_sigs.select(
+        F.col(id_col).alias("corpus_id"), F.col("_band"), F.col("_sig")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col("a._sig") == F.col("b._sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
+        a.join(b, ["_band", "_sig"])
+        .filter(F.col("delta_id") != F.col("corpus_id"))
+        .select("delta_id", "corpus_id")
         .distinct()
     )
 

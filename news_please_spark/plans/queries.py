@@ -1900,6 +1900,83 @@ def jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_near_dups",
+    f"""
+    WITH t AS ({_SHINGLES_SQL}),
+    s AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+      FROM t WHERE len(toks) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, band,
+             list_aggregate(list_transform(shingles, sh -> md5(CAST(band AS VARCHAR) || '|' || sh)), 'min') AS sig
+      FROM s, (SELECT unnest([0, 1, 2, 3]) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS delta_id, b.doc_id AS corpus_id
+      FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    ),
+    sets AS (SELECT doc_id, list_distinct(shingles) AS gs FROM s)
+    SELECT delta_id, corpus_id, jaccard_q FROM (
+      SELECT delta_id, corpus_id,
+             CAST(floor(
+               (CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE)
+                / len(list_distinct(list_concat(sa.gs, sb.gs)))) * 10000
+             ) AS BIGINT) AS jaccard_q
+      FROM cand
+      JOIN sets sa ON sa.doc_id = cand.delta_id
+      JOIN sets sb ON sb.doc_id = cand.corpus_id
+    ) WHERE jaccard_q >= 5000
+    """,
+)
+def incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — a delta batch (doc_id % 10 == 0) checked
+    against the stored corpus LSH index (operators/dedup.lsh_index_of +
+    near_dup_candidates_against_index), then exact-Jaccard verified.
+    The production shape: per-batch cost scales with the batch — the
+    corpus is never re-shingled at steady state (here both sides derive
+    from one persisted gram table because the test corpus is built
+    fresh; the index side would be a stored bucketed table)."""
+    from news_please_spark.operators.dedup import (
+        jaccard,
+        lsh_index_of,
+        near_dup_candidates_against_index,
+        ngram_set,
+    )
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    grams = (
+        docs.select("doc_id", ngram_set(F.col("text")).alias("_g"))
+        .filter(F.size("_g") > 0)
+        .persist()
+    )
+    delta_sigs = lsh_index_of(
+        grams.filter(F.col("doc_id") % 10 == 0), gram_col="_g"
+    )
+    corpus_sigs = lsh_index_of(
+        grams.filter(F.col("doc_id") % 10 != 0), gram_col="_g"
+    )
+    cand = near_dup_candidates_against_index(delta_sigs, corpus_sigs)
+    ga = grams.select(F.col("doc_id").alias("delta_id"), F.col("_g").alias("_ga"))
+    gb = grams.select(F.col("doc_id").alias("corpus_id"), F.col("_g").alias("_gb"))
+    return (
+        cand.join(ga, "delta_id")
+        .join(gb, "corpus_id")
+        .select(
+            "delta_id",
+            "corpus_id",
+            F.floor(jaccard(F.col("_ga"), F.col("_gb")) * 10000)
+            .cast("long")
+            .alias("jaccard_q"),
+        )
+        .filter(F.col("jaccard_q") >= 5000)
+    )
+
+
 @register("dup_clusters", None)
 def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dup clusters: connected components over the verified

@@ -228,3 +228,47 @@ def test_strip_dup_substrings_cuts_exactly_the_spans(spark):
     assert out[2].clean_text == "z1 z2"
     assert out[3].clean_text == docs.filter("doc_id = 3").first().text
     assert out[3].kept_tokens == out[3].total_tokens
+
+
+def test_incremental_index_lookup_matches_full_candidates(spark):
+    """Delta-vs-index candidates == the delta↔corpus subset of the full
+    self-join candidate set; self-pairs excluded; corpus side reusable
+    as a stored table."""
+    from news_please_spark.operators.dedup import (
+        lsh_index_of,
+        minhash_lsh_candidates,
+        near_dup_candidates_against_index,
+        ngram_set,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (10, "the quick brown fox jumps over the lazy dog tonight"),  # dup of 1
+        (11, "completely unrelated text about spark physical plans"),
+        (3, "completely unrelated text about spark physical plans"),  # dup of 11
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    grams = df.select(
+        "doc_id", ngram_set(F.col("text")).alias("_g")
+    ).filter(F.size("_g") > 0)
+    delta = grams.filter(F.col("doc_id") >= 10)
+    corpus = grams.filter(F.col("doc_id") < 10)
+    got = sorted(
+        (r.delta_id, r.corpus_id)
+        for r in near_dup_candidates_against_index(
+            lsh_index_of(delta, gram_col="_g"),
+            lsh_index_of(corpus, gram_col="_g"),
+        ).collect()
+    )
+    # full self-join candidates, restricted to delta-corpus pairs
+    full = minhash_lsh_candidates(df)
+    want = set()
+    for r in full.collect():
+        a, b = r.doc_a, r.doc_b
+        if a >= 10 and b < 10:
+            want.add((a, b))
+        elif b >= 10 and a < 10:
+            want.add((b, a))
+    assert got == sorted(want)
+    assert (10, 1) in want and (11, 3) in want
