@@ -47,11 +47,34 @@ def cms_counters(
 ) -> DataFrame:
     """Build the d x w counter table from an item-occurrence table
     (one row per occurrence).  Returns (row, bucket, cnt) — d*w rows
-    max, regardless of corpus size.  The explode multiplies rows by
-    `depth` BEFORE the shuffle, but the shuffle itself carries only
-    d*w distinct keys with map-side partial counts — the whole point."""
+    max, regardless of corpus size.
+
+    Hash work is per DISTINCT item, not per occurrence: occurrences
+    are counted first (map-side-combinable groupBy), then each distinct
+    item's d bucket cells are incremented by its count.  Token
+    frequencies are Zipfian, so this is orders of magnitude fewer md5
+    evaluations than hashing every occurrence — for identical counters
+    (integer sums commute)."""
+    counts = items.groupBy(item_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_w")
+    )
+    return cms_counters_weighted(counts, item_col, "_w", depth, width)
+
+
+def cms_counters_weighted(
+    counts: DataFrame,
+    item_col: str = "token",
+    weight_col: str = "_w",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Counter build from a pre-aggregated (item, weight) table —
+    share the aggregation when the caller already has frequencies.
+    The final shuffle carries only d*w distinct keys with map-side
+    partial sums."""
     c = F.col(item_col)
-    pairs = items.select(
+    pairs = counts.select(
+        F.col(weight_col).alias("_w"),
         F.explode(
             F.array(
                 *[
@@ -62,11 +85,11 @@ def cms_counters(
                     for i in range(depth)
                 ]
             )
-        ).alias("rb")
+        ).alias("rb"),
     )
     return pairs.groupBy(
         F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
-    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ).agg(F.sum("_w").cast("long").alias("cnt"))
 
 
 def cms_estimate(

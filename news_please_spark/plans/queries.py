@@ -819,28 +819,28 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed memory at any corpus size; estimation is 4 broadcast joins,
     zero query-side shuffle."""
     from news_please_spark.functions.text import tokens
-    from news_please_spark.operators.sketch import cms_counters, cms_estimate
+    from news_please_spark.operators.sketch import (
+        cms_counters_weighted,
+        cms_estimate,
+    )
 
     occ = (
-        load(spark, sf_dir, "documents")
+        spread(load(spark, sf_dir, "documents").select("text"), spark)
         .filter(F.trim(F.col("text")) != "")
         .select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
     )
-    occ = occ.localCheckpoint()  # consumed by BOTH the counts and the sketch
-    try:
-        top = (
-            occ.groupBy("token")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
-            .orderBy(F.desc("n_true"), "token")
-            .limit(20)
-        )
-        counters = cms_counters(occ)
-        est = cms_estimate(top, counters)
-        return top.join(est, "token").select("token", "n_true", "est").localCheckpoint()
-    finally:
-        from news_please_spark.operators.cacheutil import release_df
-
-        release_df(occ)
+    # one aggregation feeds BOTH the exact top-k and the sketch build
+    # (cms_counters_weighted hashes each DISTINCT token once). Lazy
+    # persist: the whole cost stays inside the caller's action.
+    tc = (
+        occ.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+        .persist()
+    )
+    top = tc.orderBy(F.desc("n_true"), "token").limit(20)
+    counters = cms_counters_weighted(tc, "token", "n_true")
+    est = cms_estimate(top, counters)
+    return top.join(est, "token").select("token", "n_true", "est")
 
 
 # data-mixture weights for the mixture_sample entry: src{i} keeps
