@@ -303,3 +303,44 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     # the day filter must reach the scan as a PARTITION filter
     assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_diff_table_cdc_between_snapshots(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "t"))
+    tx = cat.begin()
+    df0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "id long, name string, score long",
+    )
+    tx.write_table("docs", df0)
+    tx.commit()
+    tx2 = cat.begin()
+    df1 = spark.createDataFrame(
+        [
+            (1, "a", 10),      # unchanged
+            (2, "b", 99),      # update (value)
+            (4, "d", 40),      # update (null -> value)
+            (5, "e", 50),      # insert
+        ],                      # 3 deleted
+        "id long, name string, score long",
+    )
+    tx2.write_table("docs", df1)
+    tx2.commit()
+
+    diff = cat.diff_table(spark, "docs", 0, 1, key_cols=["id"])
+    got = sorted(
+        (r._change, r.id, r.name, r.score) for r in diff.collect()
+    )
+    assert got == [
+        ("delete", 3, "c", 30),
+        ("insert", 5, "e", 50),
+        ("update", 2, "b", 99),
+        ("update", 4, "d", 40),
+    ]
+    # self-diff is empty; schema drift raises
+    assert cat.diff_table(spark, "docs", 1, 1, key_cols=["id"]).count() == 0
+    tx3 = cat.begin()
+    tx3.write_table("docs", df1.withColumnRenamed("score", "points"))
+    tx3.commit()
+    with pytest.raises(ValueError):
+        cat.diff_table(spark, "docs", 1, 2, key_cols=["id"])
