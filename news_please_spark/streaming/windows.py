@@ -54,3 +54,32 @@ def windowed_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
             "value_c",
         )
     )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session-window rollup: per-user event counts over dynamic
+    windows that extend while events keep arriving within `gap` —
+    the streaming twin of the batch gaps-and-islands sessionize
+    (events_sessionize), but with the window boundaries computed by
+    the engine's session-window state store instead of a lag/sum
+    window chain.
+
+    Scale/state semantics: state is one open session per active
+    (user) key; the watermark closes a session once event time passes
+    session_end + gap, so state is bounded by ACTIVE users, not
+    stream length. In append mode each session emits exactly once at
+    close — the contract a downstream table sink wants. Sessions
+    merge across micro-batches: two fragments that land in different
+    batches but overlap within `gap` become ONE output row (tested
+    against the batch session_window aggregation in
+    test_streaming_windows.py)."""
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+            "user_id",
+            "n",
+        )
+    )

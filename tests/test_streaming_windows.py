@@ -114,3 +114,56 @@ def test_windowed_counts_append_emits_closed_windows_only(spark, tmp_path):
     assert got == sorted(closed, key=repr)
     # and the trailing windows are genuinely withheld (still open state)
     assert len(got) < len(batch)
+
+
+def test_session_windows_stream_equals_batch(spark, tmp_path):
+    """Session windows across micro-batches must merge fragments and,
+    once the watermark passes, emit exactly the batch session_window
+    result. A far-future sentinel event advances the watermark so
+    every real session closes."""
+    import datetime
+
+    from news_please_spark.streaming.windows import session_counts
+
+    ev = _mk_events(spark, n=200)
+    sentinel = spark.createDataFrame(
+        [(9999, "2024-01-03 00:00:00", -1, "t0", 0.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    src = str(tmp_path / "src")
+    # chronological files so sessions split across micro-batches, then
+    # the sentinel file last so the watermark closes everything
+    ev.withColumn("h", F.hour("ts")).repartition(1).sortWithinPartitions(
+        "ts"
+    ).write.partitionBy("h").parquet(src)
+    sentinel.withColumn("h", F.lit(99)).write.mode("append").partitionBy(
+        "h"
+    ).parquet(src)
+
+    stream = session_counts(
+        events_stream(spark, src + "/h=*", delay="1 hour"), gap="2 hours"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_agg")
+        .outputMode("append")
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.s_start, r.s_end, r.user_id, r.n)
+        for r in spark.sql("SELECT * FROM sess_agg WHERE user_id >= 0").collect()
+    )
+    want = sorted(
+        (r.s_start, r.s_end, r.user_id, r.n)
+        for r in session_counts(ev, gap="2 hours").collect()
+    )
+    assert got == want
+    assert len(got) > 0
+    # fragments genuinely merged: some session spans > one event
+    assert any(n > 1 for _, _, _, n in got)
