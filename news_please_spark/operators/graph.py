@@ -5,13 +5,16 @@ a≉c pairwise; keeping min-id per cluster is then exemplar selection,
 not a per-pair coin flip).
 
 Algorithm: iterative min-label propagation (the "hash-to-min" family,
-Kiveris et al. 2014, "Connected Components in MapReduce and Beyond"):
-every node starts labeled with itself; each round it takes the min of
-its own label and its neighbors' labels; fixpoint = every node holds
-its component's min id.  Convergence is O(graph diameter) rounds —
-near-dup clusters are dense stars/cliques with tiny diameters, so this
-runs 2-4 rounds in practice (the paper's large-star/small-star variant
-is the O(log n) upgrade path for adversarially long chains).
+Kiveris et al. 2014, "Connected Components in MapReduce and Beyond")
+PLUS per-round pointer doubling (Shiloach & Vishkin 1982): every node
+starts labeled with itself; each round it (a) hooks — takes the min of
+its own label and its neighbors' labels — then (b) compresses — takes
+its label's label, halving pointer-chain depth.  Fixpoint = every node
+holds its component's min id.  Hooking alone converges in O(diameter)
+rounds; the doubling step makes it O(log diameter) — a 10^6-node chain
+resolves in ~20 rounds instead of 10^6 (test: 200-chain in <= 12).
+Near-dup clusters are dense stars/cliques that finish in 2-4 rounds
+either way; the doubling is the insurance for adversarial chains.
 
 Distribution: one hash-shuffle join per round on node id, labels
 localCheckpoint'ed each round (plan stays flat, superseded checkpoints
@@ -59,13 +62,29 @@ def connected_components(
                 .groupBy("a")
                 .agg(F.min("root").alias("_nr"))
             )
+            hooked = labels.join(
+                neigh, labels["id"] == neigh["a"], "left"
+            ).select(
+                "id",
+                "root",
+                F.least(
+                    F.col("root"), F.coalesce(F.col("_nr"), F.col("root"))
+                ).alias("_h"),
+            )
+            # pointer doubling: follow the hooked label one more hop
+            # (labels only ever decrease toward the component min, so
+            # compressing through the PREVIOUS round's table is safe
+            # and halves chain depth every round)
+            lk = labels.select(
+                F.col("id").alias("_lid"), F.col("root").alias("_lroot")
+            )
             stepped = (
-                labels.join(neigh, labels["id"] == neigh["a"], "left")
+                hooked.join(lk, hooked["_h"] == lk["_lid"], "left")
                 .select(
                     "id",
                     "root",
                     F.least(
-                        F.col("root"), F.coalesce(F.col("_nr"), F.col("root"))
+                        F.col("_h"), F.coalesce(F.col("_lroot"), F.col("_h"))
                     ).alias("_new"),
                 )
                 .localCheckpoint()

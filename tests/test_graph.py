@@ -139,3 +139,13 @@ def test_pagerank_double_matches_numpy_power_iteration_with_dangling(spark):
     for i in nodes:
         assert abs(got[i] - r[i]) < 1e-12
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_cc_pointer_doubling_converges_logarithmically(spark):
+    # a 200-node chain: hooking alone needs ~200 rounds; with per-round
+    # pointer doubling it must finish in <= 12
+    edges = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = connected_components(df, max_iters=12)
+    assert out.filter(F.col("root") != 0).count() == 0
+    assert out.count() == 201
