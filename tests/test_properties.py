@@ -142,3 +142,74 @@ def test_all_new_operators_handle_empty_inputs(spark):
     assert semantic_dedup(
         spark.createDataFrame([], "vec_id long, embedding array<double>")
     ).count() == 0
+
+
+def test_all_session2_operators_handle_empty_inputs(spark):
+    """Same empty-input gate for the second-session operators."""
+    from news_please_spark.operators.dedup import (
+        lsh_index_of,
+        near_dup_candidates_against_index,
+    )
+    from news_please_spark.operators.graph import pagerank, pagerank_scaled
+    from news_please_spark.operators.ordering import allocate_budget
+    from news_please_spark.operators.recrawl import recrawl_schedule
+    from news_please_spark.operators.sketch import cms_counters, cms_estimate
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    empty_nodes = spark.createDataFrame([], "id long")
+    assert pagerank_scaled(empty_edges, empty_nodes, out_degree=3).count() == 0
+    assert pagerank(empty_edges, empty_nodes, iters=2).count() == 0
+    assert (
+        allocate_budget(
+            spark.createDataFrame([], "host string, score long"), 100
+        ).count()
+        == 0
+    )
+    assert (
+        recrawl_schedule(
+            spark.createDataFrame(
+                [], "url string, fetch_ts timestamp, content_hash string"
+            )
+        ).count()
+        == 0
+    )
+    empty_toks = spark.createDataFrame([], "token string")
+    counters = cms_counters(empty_toks)
+    assert counters.count() == 0
+    # estimating against an empty sketch: every count is 0
+    q = spark.createDataFrame([("x",)], "token string")
+    est = cms_estimate(q, counters).collect()
+    assert [(r.token, r.est) for r in est] == [("x", 0)]
+    empty_sigs = lsh_index_of(
+        spark.createDataFrame([], "doc_id long, _sh array<string>")
+    )
+    assert near_dup_candidates_against_index(empty_sigs, empty_sigs).count() == 0
+
+
+@given(
+    scores=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(-5, 10**6)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.sampled_from([1, 7, 1000]),
+)
+@SET
+def test_allocate_budget_invariants(spark, scores, budget):
+    from news_please_spark.operators.ordering import allocate_budget
+
+    rows = [(f"h{i}", s) for i, s in scores]
+    df = spark.createDataFrame(rows, "host string, score long")
+    got = {r.host: r.budget for r in allocate_budget(df, budget).collect()}
+    total = sum(max(0, s) for _, s in rows)
+    assert set(got) == {h for h, _ in rows}
+    if total == 0:
+        assert all(v == 0 for v in got.values())
+        return
+    assert sum(got.values()) == budget  # exact apportionment
+    for h, s in rows:
+        exact = budget * max(0, s) / total
+        assert abs(got[h] - exact) <= 1  # within-1-of-proportion
+        if s <= 0:
+            assert got[h] == 0
