@@ -105,7 +105,11 @@ def cms_estimate(
     (w-row) per-row counter slices + one `least` — the query table
     never shuffles and never explodes, so estimation composes into any
     scan-side plan.  Missing cells count 0 (an item whose cell was
-    never incremented has true count 0)."""
+    never incremented has true count 0).
+
+    `counters` is read once per depth row (d broadcast slices): pass a
+    persisted/stored table — handing a lazy plan here re-runs the whole
+    counter build d times."""
     c = F.col(item_col)
     q = queries.select(
         item_col,

@@ -838,7 +838,10 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     top = tc.orderBy(F.desc("n_true"), "token").limit(20)
-    counters = cms_counters_weighted(tc, "token", "n_true")
+    # persist: cms_estimate reads the counter table once per depth row
+    # (4 broadcast slices) — without this the whole counter build
+    # subtree re-aggregates 4x (plan audit, round 5)
+    counters = cms_counters_weighted(tc, "token", "n_true").persist()
     est = cms_estimate(top, counters)
     return top.join(est, "token").select("token", "n_true", "est")
 
