@@ -62,10 +62,12 @@ HEADLINE = [
     "doc_quality",
     "quality_classifier",
     "heavy_hitters_cms",
+    "hll_distinct",
     "length_quantiles",
     "token_totals",
     "lang_id",
     "tfidf_top_terms",
+    "lm_score",
     "mixture_sample",
     "dataset_split",
     "quality_topfrac",
@@ -81,6 +83,7 @@ HEADLINE = [
     "span_stats",
     "interleaved_render",
     "span_boilerplate",
+    "caption_pairs",
     "ann_cosine_topk",
     "semantic_dedup",
     "extract_articles",

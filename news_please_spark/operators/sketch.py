@@ -124,3 +124,108 @@ def cms_estimate(
         *[F.coalesce(F.col(f"_c{i}"), F.lit(0)) for i in range(depth)]
     )
     return q.select(item_col, est.cast("long").alias(out))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — fixed-memory DISTINCT-count estimation (Flajolet et al.
+# 2007).  Exact count-distinct over a 100 TB corpus shuffles one key per
+# distinct item (billions); HLL instead folds every item into m = 2^p
+# registers holding max(rho) — the register table is mergeable by MAX,
+# so per-partition sketches combine map-side and per-group sketches
+# union across days/sources without touching the raw data again.
+#
+# Engine-portable arithmetic (the same reasons as the CMS above):
+#   hash   = first 8 hex chars of md5(item) as uint32
+#   bucket = top p bits           (shiftright)
+#   rho    = leading-zero count of the remaining (32-p) bits + 1,
+#            derived from length(bin(rest)) — no float log2
+#   raw estimate = alpha_m * m^2 / sum(2^-rho)  computed as ONE integer
+#   division: alpha_m = 0.7213/(1 + 1.079/m) is the rational
+#   7213*m / (10000*m + 10790), and sum(2^-rho) = S / 2^R with
+#   S = sum_buckets 2^(R - rho) (absent buckets contribute rho=0), so
+#       est = (7213 * m^3 * 2^R) DIV ((10000*m + 10790) * S)
+#   — every factor a BIGINT, bit-identical across engines and
+#   partitionings.  The default p=8 keeps the constant numerator under
+#   2^63; larger p needs DECIMAL and is documented, not silently wrong.
+#   This is the RAW estimator: production accuracy would add the
+#   linear-counting small-range correction below 2.5m, which is float
+#   territory and deliberately outside the oracle-gated surface.
+
+HLL_P = 8  # 256 registers, ~6.5% standard error
+
+
+def hll_rho(item: Column, p: int = HLL_P) -> tuple[Column, Column]:
+    """(bucket, rho) of one item under the engine-portable hash."""
+    nbits = 32 - p
+    h = F.conv(F.substring(F.md5(item), 1, 8), 16, 10).cast("long")
+    bucket = F.shiftright(h, nbits)
+    rest = h.bitwiseAND(F.lit((1 << nbits) - 1))
+    rho = (
+        F.when(rest == 0, F.lit(nbits + 1))
+        .otherwise(F.lit(nbits) + 1 - F.length(F.bin(rest)))
+        .cast("int")
+    )
+    return bucket.cast("int"), rho
+
+
+def hll_registers(
+    items: DataFrame,
+    item_col: str = "token",
+    group_cols: tuple[str, ...] = (),
+    p: int = HLL_P,
+) -> DataFrame:
+    """Register table (group..., bucket, max_rho) from an item table.
+    At most 2^p rows per group regardless of item volume; the groupBy
+    is map-side combinable (MAX).  Merge two register tables with
+    `hll_merge`; estimate with `hll_estimate`."""
+    bucket, rho = hll_rho(F.col(item_col), p)
+    return (
+        items.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(
+    a: DataFrame, b: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Union two register tables: per-(group, bucket) MAX.  Exactly the
+    sketch of the unioned item sets — the property that lets daily
+    sketches roll up to monthly ones without rescanning."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    p: int = HLL_P,
+    out: str = "hll_est",
+) -> DataFrame:
+    """Integer-exact raw HLL estimate per group from a register table.
+    One aggregation over <= 2^p rows per group; absent buckets enter
+    the sum as 2^R (rho = 0)."""
+    m = 1 << p
+    nbits = 32 - p
+    big_r = nbits + 1
+    numer = 7213 * (m**3) * (1 << big_r)
+    if numer >= 1 << 63:
+        raise ValueError(f"p={p} overflows BIGINT; use p<=8 or DECIMAL")
+    denom_c = 10000 * m + 10790
+    # S = sum over PRESENT buckets of 2^(R - rho) + (m - present) * 2^R.
+    # The final division is BIGINT `div` — the double-precision quotient
+    # of a ~4e18 numerator would flip low bits between engines.
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {big_r} - max_rho)")
+    agg = registers.groupBy(*group_cols).agg(
+        (
+            F.sum(term).cast("long")
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << big_r)
+        ).alias("_s")
+    )
+    return agg.select(
+        *group_cols,
+        F.expr(f"CAST({numer} AS BIGINT) div ({denom_c} * _s)").alias(out),
+    )

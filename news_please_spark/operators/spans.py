@@ -276,3 +276,42 @@ def strip_boilerplate(
         id_col,
         F.coalesce(F.col("spans"), F.array().cast(SPAN_SCHEMA)).alias("spans"),
     )
+
+
+def caption_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Image-text pairing over the interleaved span table: for every
+    media span, the nearest text span BEFORE it and the nearest AFTER
+    it in offset order — the caption-candidate extraction that feeds
+    image-caption training pairs out of interleaved web documents
+    (input_hint shape; multimodal pairing is the training-data tier,
+    no reference analogue).
+
+    Plan: one posexplode (spans are per-doc bounded), one window
+    partitioned by doc ordered by offset carrying last(text) /
+    first(text) with ignorenulls over the before/after frames — a
+    single Exchange on doc id, no self-join of the span table.  Media
+    spans with no text neighbor on a side yield NULL for that side.
+
+    Output: (id, media_ref, offset, caption_before, caption_after).
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col), F.explode("spans").alias("s")
+    ).select(
+        id_col,
+        F.col("s.kind").alias("_kind"),
+        F.col("s.text").alias("_text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+    txt = F.when(F.col("_kind") == "text", F.col("_text"))
+    w = Window.partitionBy(id_col).orderBy("offset")
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    after = w.rowsBetween(1, Window.unboundedFollowing)
+    return (
+        ex.withColumn("caption_before", F.last(txt, ignorenulls=True).over(before))
+        .withColumn("caption_after", F.first(txt, ignorenulls=True).over(after))
+        .filter(F.col("_kind") != "text")
+        .select(id_col, "media_ref", "offset", "caption_before", "caption_after")
+    )

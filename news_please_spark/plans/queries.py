@@ -846,6 +846,110 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(est, "token").select("token", "n_true", "est")
 
 
+@register(
+    "hll_distinct",
+    r"""
+    WITH occ AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ),
+    h AS (
+      SELECT source, ('0x' || substr(md5(token), 1, 8))::BIGINT AS hv
+      FROM (SELECT DISTINCT source, token FROM occ)
+    ),
+    br AS (
+      SELECT source, hv // 16777216 AS bucket,
+             CASE WHEN hv % 16777216 = 0 THEN 25
+                  ELSE 25 - length(bin(hv % 16777216)) END AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT source, bucket, max(rho) AS max_rho FROM br GROUP BY source, bucket
+    ),
+    est AS (
+      SELECT source,
+             CAST(4060558014027923456 AS BIGINT)
+               // (2570790 * (sum(1::BIGINT << (25 - max_rho))
+                              + (256 - count(*)) * 33554432)) AS hll_est,
+             CAST(count(*) AS BIGINT) AS n_registers
+      FROM regs GROUP BY source
+    ),
+    exact AS (
+      SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS n_exact
+      FROM occ GROUP BY source
+    )
+    SELECT e.source, x.n_exact, e.hll_est, e.n_registers
+    FROM est e JOIN exact x ON e.source = x.source
+    """,
+)
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog per-source distinct-token cardinality
+    (operators/sketch.py::hll_registers/hll_estimate) beside the exact
+    count.  The sketch side folds every occurrence into <= 256 register
+    rows per source (map-side-combinable MAX — the 100-TB path, where
+    the exact countDistinct's per-token shuffle is the thing being
+    avoided); the exact side exists to exhibit the error bound and is
+    the oracle's cross-check."""
+    from news_please_spark.functions.text import tokens
+    from news_please_spark.operators.sketch import hll_estimate, hll_registers
+
+    occ = (
+        spread(load(spark, sf_dir, "documents").select("source", "text"), spark)
+        .filter(F.trim(F.col("text")) != "")
+        .select("source", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    )
+    regs = hll_registers(occ, "token", group_cols=("source",)).persist()
+    est = hll_estimate(regs, ("source",))
+    n_regs = regs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers")
+    )
+    exact = occ.groupBy("source").agg(
+        F.countDistinct("token").cast("long").alias("n_exact")
+    )
+    return (
+        est.join(n_regs, "source")
+        .join(exact, "source")
+        .select("source", "n_exact", "hll_est", "n_registers")
+    )
+
+
+@register(
+    "lm_score",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)), i ->
+             {'w1': toks[i], 'w2': toks[i+1]}), recursive := true)
+      FROM t WHERE len(toks) >= 2
+    ),
+    cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2 FROM bg GROUP BY w1, w2),
+    cp AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM cb GROUP BY w1),
+    model AS (
+      SELECT cb.w1, cb.w2, (cb.n2 * 1000000) // cp.n1 AS pq
+      FROM cb JOIN cp ON cb.w1 = cp.w1
+    )
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(m.pq) // count(*) AS BIGINT) AS lm_q
+    FROM bg b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+    GROUP BY b.doc_id
+    """,
+)
+def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM quality score per document
+    (operators/terms.py::lm_doc_scores) — the CCNet-style perplexity
+    filter in integer-exact surrogate form.  Model training is one
+    map-side-combinable bigram count; scoring is one equi-join on the
+    bigram key; nothing corpus-proportional broadcasts."""
+    from news_please_spark.operators.terms import lm_doc_scores
+
+    return lm_doc_scores(
+        spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    )
+
+
 # data-mixture weights for the mixture_sample entry: src{i} keeps
 # (i % 10 + 1)/10 of its rows — every rate in (0, 1] exercised.  The
 # hex thresholds are computed ONCE here and embedded verbatim in both
@@ -2330,6 +2434,35 @@ def span_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_please_spark.operators.spans import boilerplate_spans
 
     return boilerplate_spans(_synth_spans_df(spark, sf_dir), min_docs=2)
+
+
+@register(
+    "caption_pairs",
+    _SPAN_ROWS_SQL
+    + """
+    SELECT doc_id, media_ref, "offset", caption_before, caption_after
+    FROM (
+      SELECT doc_id, kind, media_ref, "offset",
+             last_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+               OVER (PARTITION BY doc_id ORDER BY "offset"
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS caption_before,
+             first_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+               OVER (PARTITION BY doc_id ORDER BY "offset"
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS caption_after
+      FROM span_rows
+    ) WHERE kind != 'text'
+    """,
+)
+def caption_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-caption candidate pairs from the interleaved span table
+    (operators/spans.py::caption_pairs): nearest text span before/after
+    each media span — one posexplode + one window on doc id, no span
+    self-join."""
+    from news_please_spark.operators.spans import caption_pairs
+
+    return caption_pairs(_synth_spans_df(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

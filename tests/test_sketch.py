@@ -72,3 +72,77 @@ def test_cms_estimate_is_query_side_shuffle_free(spark):
     )
     # estimation = broadcast joins + least(): no Exchange on the query path
     assert "Exchange" not in plan.replace("BroadcastExchange", "BX"), plan
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+
+
+def _py_hll_registers(items, p=8):
+    regs = {}
+    nbits = 32 - p
+    for it in set(items):
+        h = int(hashlib.md5(it.encode()).hexdigest()[:8], 16)
+        bucket = h >> nbits
+        rest = h & ((1 << nbits) - 1)
+        rho = nbits + 1 if rest == 0 else nbits + 1 - rest.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def _py_hll_estimate(regs, p=8):
+    m = 1 << p
+    big_r = (32 - p) + 1
+    s = sum(1 << (big_r - rho) for rho in regs.values())
+    s += (m - len(regs)) * (1 << big_r)
+    return (7213 * m**3 * (1 << big_r)) // ((10000 * m + 10790) * s)
+
+
+def test_hll_matches_python_oracle(spark):
+    from news_please_spark.operators.sketch import hll_estimate, hll_registers
+
+    items = [f"url{i}" for i in range(3000)] + [f"url{i}" for i in range(500)]
+    df = spark.createDataFrame([(t,) for t in items], "token string")
+    regs = hll_registers(df)
+    got = {r.bucket: r.max_rho for r in regs.collect()}
+    assert got == _py_hll_registers(items)
+    est = hll_estimate(regs).first().hll_est
+    assert est == _py_hll_estimate(got)
+    # raw-HLL error bound: ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(est - 3000) < 0.20 * 3000
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    from news_please_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    a_items = [f"a{i}" for i in range(800)]
+    b_items = [f"b{i}" for i in range(600)] + a_items[:300]
+    a = spark.createDataFrame([(t,) for t in a_items], "token string")
+    b = spark.createDataFrame([(t,) for t in b_items], "token string")
+    merged = {
+        r.bucket: r.max_rho
+        for r in hll_merge(hll_registers(a), hll_registers(b)).collect()
+    }
+    union = {
+        r.bucket: r.max_rho
+        for r in hll_registers(a.unionByName(b)).collect()
+    }
+    assert merged == union  # sketch(A ∪ B) == merge(sketch A, sketch B)
+
+
+def test_hll_grouped_registers_bounded(spark):
+    from news_please_spark.operators.sketch import hll_registers
+
+    rows = [(f"s{i % 3}", f"tok{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "source string, token string")
+    regs = hll_registers(df, group_cols=("source",))
+    per_group = {
+        r.source: r.n for r in
+        regs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(per_group) == {"s0", "s1", "s2"}
+    assert all(n <= 256 for n in per_group.values())

@@ -128,3 +128,37 @@ def test_span_ops_zero_shuffle(spark):
     for op in (span_stats, render_interleaved):
         plan = op(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, op.__name__
+
+
+# ---------------------------------------------------------------------------
+# caption pairing
+
+
+def test_caption_pairs_nearest_text_neighbors(spark):
+    from news_please_spark.operators.spans import SPAN_SCHEMA, caption_pairs
+
+    rows = [
+        # doc 0: text, media, text  -> both sides present
+        (0, [("text", "intro words", None, 0),
+             ("image", None, "img://0/1", 1),
+             ("text", "closing words", None, 2)]),
+        # doc 1: media first (no caption_before), then text
+        (1, [("image", None, "img://1/1", 0),
+             ("text", "only after", None, 1)]),
+        # doc 2: trailing media (no caption_after); NEAREST text wins
+        (2, [("text", "far text", None, 0),
+             ("text", "near text", None, 1),
+             ("video", None, "vid://2/1", 5)]),
+        # doc 3: no media at all -> no rows
+        (3, [("text", "alone", None, 0)]),
+    ]
+    df = spark.createDataFrame(rows, f"doc_id long, spans {SPAN_SCHEMA}")
+    got = {
+        (r.doc_id, r.media_ref): (r.caption_before, r.caption_after)
+        for r in caption_pairs(df).collect()
+    }
+    assert got == {
+        (0, "img://0/1"): ("intro words", "closing words"),
+        (1, "img://1/1"): (None, "only after"),
+        (2, "vid://2/1"): ("near text", None),
+    }

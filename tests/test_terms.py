@@ -51,3 +51,81 @@ def test_tfidf_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         tfidf_top_terms(df, k=0)
+
+
+# ---------------------------------------------------------------------------
+# bigram LM quality scoring
+
+
+def _py_bigrams(docs):
+    out = {}
+    for did, text in docs:
+        toks = text.strip().lower().split()
+        out[did] = list(zip(toks, toks[1:]))
+    return out
+
+
+def _py_lm_scores(docs, model_docs=None):
+    from collections import Counter
+
+    bg_by_doc = _py_bigrams(docs)
+    model_bgs = _py_bigrams(model_docs if model_docs is not None else docs)
+    c2 = Counter(b for bgs in model_bgs.values() for b in bgs)
+    c1 = Counter()
+    for (w1, _), n in c2.items():
+        c1[w1] += n
+    out = {}
+    for did, bgs in bg_by_doc.items():
+        if not bgs:
+            continue
+        qs = [
+            (c2[b] * 1_000_000) // c1[b[0]] if b in c2 else 0 for b in bgs
+        ]
+        out[did] = (len(bgs), sum(qs) // len(qs))
+    return out
+
+
+def test_lm_scores_match_python_oracle(spark):
+    from news_please_spark.operators.terms import lm_doc_scores
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the hat"),
+        (2, "the dog sat on the mat"),
+        (3, "zx qv zx qv zx"),          # repetitive: self-model p=1
+        (4, "one"),                      # too short: no bigrams
+        (5, "  "),                       # empty after trim
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.lm_q) for r in lm_doc_scores(df).collect()}
+    assert got == _py_lm_scores(docs)
+
+
+def test_lm_scores_reference_model_flags_junk(spark):
+    from news_please_spark.operators.terms import lm_doc_scores
+
+    # the filtering configuration: model trained on trusted text, junk
+    # bigrams are out-of-model and score 0
+    ref = [(100, "the cat sat on the mat"), (101, "the dog sat on the hat")]
+    docs = [
+        (0, "the cat sat on the hat"),   # fluent vs the reference
+        (1, "zx qv zx qv zx"),           # junk: every bigram OOV -> 0
+    ]
+    rdf = spark.createDataFrame(ref, "doc_id long, text string")
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.lm_q)
+        for r in lm_doc_scores(ddf, model_docs=rdf).collect()
+    }
+    assert got == _py_lm_scores(docs, ref)
+    assert got[1][1] == 0 and got[0][1] > 0
+
+
+def test_lm_scores_partition_invariant(spark):
+    from news_please_spark.operators.terms import lm_doc_scores
+
+    docs = [(i, f"w{i % 5} w{(i + 1) % 5} w{(i + 2) % 5} common tail") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    one = sorted(tuple(r) for r in lm_doc_scores(df.coalesce(1)).collect())
+    many = sorted(tuple(r) for r in lm_doc_scores(df.repartition(13)).collect())
+    assert one == many
