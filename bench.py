@@ -68,6 +68,7 @@ HEADLINE = [
     "lang_id",
     "tfidf_top_terms",
     "lm_score",
+    "bm25_search",
     "mixture_sample",
     "dataset_split",
     "quality_topfrac",
@@ -78,6 +79,8 @@ HEADLINE = [
     "jaccard_verify",
     "incremental_near_dups",
     "dup_clusters",
+    "dup_substring_spans",
+    "strip_dup_substrings",
     "decontam_hits",
     "pii_redact",
     "span_stats",
@@ -85,6 +88,8 @@ HEADLINE = [
     "span_boilerplate",
     "caption_pairs",
     "ann_cosine_topk",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
     "semantic_dedup",
     "extract_articles",
     "sitemap_expand",

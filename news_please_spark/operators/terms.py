@@ -140,3 +140,122 @@ def lm_doc_scores(
             .alias("lm_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search: inverted index + query-time top-k.
+
+
+def inverted_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The postings table (term, id, tf, dl) — the search index a
+    crawl's article store feeds (reference stores articles for search
+    downstream, e.g. its ElasticSearch sink, newsplease config
+    elasticsearch section; the INDEX itself has no reference analogue
+    — this is the engine-side equivalent of what that sink delegates).
+
+    One explode + one map-side-combinable count per distinct
+    (term, doc) — the only corpus shuffle, and it IS the index build
+    (at scale, write this bucketed by term and query-time joins are
+    shuffle-free).  ``dl`` (the doc's token count) rides each posting
+    from the explode stage, the denormalization real impact-ordered
+    indexes use, so scoring never joins back to a doc-length table."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def bm25_topk(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 top-k document retrieval (Robertson & Sparck Jones'
+    probabilistic ranking; the Okapi BM25 form with k1=1.2, b=0.75)
+    for a small query table (query_id, text) against the corpus.
+
+    Integer-exact scoring for the cross-engine oracle gate (the same
+    contract as tfidf_top_terms: transcendental log rounds differently
+    across engines, so the idf uses the RATIONAL Robertson surrogate):
+
+      idf_q    = ((2*(N - df) + 1) * 10^6) DIV (2*df + 1)
+                 -- the (N-df+.5)/(df+.5) ratio, scale 10^6, no log
+      norm_q   = 250 + (750 * dl) DIV avgdl        -- 10^3 * (1-b+b*dl/avgdl)
+      tf_q     = (tf * 22 * 10^8) DIV (tf * 10^6 + 1200 * norm_q)
+                 -- 10^3 * tf*(k1+1)/(tf + k1*norm), saturates at 2200
+      score_q  = sum over distinct query terms of idf_q * tf_q
+
+    avgdl is integer ``total_tokens DIV N``.  The induced ranking is
+    monotone in the true BM25 per term (both factors are); swap log
+    idf (doubles) in production where cross-engine bit-exactness is
+    not a contract.  BIGINT headroom: idf_q <= 2e6*N/df and tf_q <=
+    2200, so contributions stay under 2^63 through corpus sizes ~1e12
+    unless a term's df is 1 at N~1e10 — at that point switch the idf
+    scale from 1e6 to 1e3 (one constant), or DECIMAL.
+
+    Plan: the corpus appears ONLY through the postings build (or a
+    pre-built `postings` index table, the incremental/search-service
+    shape); the query side is |Q| rows — query terms join the df table
+    and then BROADCAST into the postings join, so query-time cost is
+    one broadcast-hash scan of the matching postings plus one
+    (query, doc) aggregation.  Nothing corpus-proportional ever
+    broadcasts; ties rank toward the smaller doc id.
+
+    Output: (query_id, doc_id, score_q, rk), rk <= k per query."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    post = inverted_index(docs, id_col, text_col) if postings is None else postings
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    stats = post.select(id_col, "dl").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("dl").cast("long").alias("_tot"),
+    )
+    qterms = queries.select(
+        F.col("query_id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    qidf = (
+        F.broadcast(qterms)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "term",
+            F.expr("(2*(_n - _df) + 1) * 1000000 div (2*_df + 1)").alias("_idf"),
+            F.expr("_tot div _n").alias("_avgdl"),
+        )
+    )
+    cand = post.join(F.broadcast(qidf), "term").select(
+        "query_id",
+        F.col(id_col),
+        (
+            F.col("_idf")
+            * F.expr(
+                "(tf * 2200000000) div"
+                " (tf * 1000000 + 1200 * (250 + (750 * dl) div _avgdl))"
+            )
+        ).alias("_c"),
+    )
+    scores = cand.groupBy("query_id", id_col).agg(
+        F.sum("_c").cast("long").alias("score_q")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc(id_col))
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, "score_q", F.col("rk").cast("long").alias("rk"))
+    )

@@ -950,6 +950,70 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bm25_search",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    post AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term FROM t
+    ),
+    tf AS (
+      SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+      FROM post GROUP BY term, doc_id, dl
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tot
+      FROM (SELECT DISTINCT doc_id, dl FROM tf)
+    ),
+    qt AS (
+      SELECT doc_id AS query_id, unnest(list_distinct(toks[1:5])) AS term
+      FROM t WHERE doc_id % 97 = 0
+    ),
+    sc AS (
+      SELECT qt.query_id, tf.doc_id,
+             sum( ((2*(s.n - d.df) + 1) * 1000000 // (2*d.df + 1))
+                  * ((tf.tf * 2200000000) //
+                     (tf.tf * 1000000
+                      + 1200 * (250 + (750 * tf.dl) // (s.tot // s.n)))) ) AS score_q
+      FROM qt
+      JOIN tf ON tf.term = qt.term
+      JOIN dfreq d ON d.term = qt.term
+      CROSS JOIN stats s
+      GROUP BY qt.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, CAST(score_q AS BIGINT) AS score_q, rk FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score_q DESC, doc_id
+             ) AS BIGINT) AS rk
+      FROM sc
+    ) WHERE rk <= 10
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval (operators/terms.py::bm25_topk) — queries
+    are the first 5 tokens of every 97th document (so each query's own
+    doc should rank near the top, a built-in sanity anchor).  The
+    corpus appears only through the inverted-index build; query-time
+    work is broadcast joins + one (query, doc) aggregation."""
+    from news_please_spark.operators.terms import bm25_topk
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    qs = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(toks, 1, 5), " ").alias("text"),
+        )
+    )
+    return bm25_topk(qs, docs)
+
+
 # data-mixture weights for the mixture_sample entry: src{i} keeps
 # (i % 10 + 1)/10 of its rows — every rate in (0, 1] exercised.  The
 # hex thresholds are computed ONCE here and embedded verbatim in both

@@ -129,3 +129,103 @@ def test_lm_scores_partition_invariant(spark):
     one = sorted(tuple(r) for r in lm_doc_scores(df.coalesce(1)).collect())
     many = sorted(tuple(r) for r in lm_doc_scores(df.repartition(13)).collect())
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# BM25 search
+
+
+def _py_bm25(queries, docs, k=10):
+    from collections import Counter
+
+    toked = {
+        did: text.strip().lower().split()
+        for did, text in docs
+        if text.strip()
+    }
+    tf = {did: Counter(ts) for did, ts in toked.items()}
+    df = Counter(t for c in tf.values() for t in c)
+    n = len(toked)
+    avgdl = sum(len(ts) for ts in toked.values()) // n
+    out = {}
+    for qid, qtext in queries:
+        scores = {}
+        for did, c in tf.items():
+            s = 0
+            for term in dict.fromkeys(qtext.strip().lower().split()):
+                if term not in c:
+                    continue
+                idf = ((2 * (n - df[term]) + 1) * 1_000_000) // (2 * df[term] + 1)
+                dl = len(toked[did])
+                tfq = (c[term] * 2_200_000_000) // (
+                    c[term] * 1_000_000 + 1200 * (250 + (750 * dl) // avgdl)
+                )
+                s += idf * tfq
+            if s:
+                scores[did] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for rk, (did, s) in enumerate(ranked, 1):
+            out[(qid, did)] = (s, rk)
+    return out
+
+
+_BM25_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown cat sleeps"),
+    (2, "a slow green turtle crawls under the log"),
+    (3, "quick quick quick repetition of quick"),
+    (4, "unrelated text about spark clusters and shuffles"),
+    (5, "   "),
+]
+
+
+def test_bm25_matches_python_oracle(spark):
+    from news_please_spark.operators.terms import bm25_topk
+
+    queries = [(100, "quick brown fox"), (101, "turtle log"), (102, "zzz missing")]
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+    ddf = spark.createDataFrame(_BM25_DOCS, "doc_id long, text string")
+    got = {
+        (r.query_id, r.doc_id): (r.score_q, r.rk)
+        for r in bm25_topk(qdf, ddf, k=3).collect()
+    }
+    assert got == _py_bm25(queries, _BM25_DOCS, k=3)
+    # the all-OOV query matches nothing
+    assert not any(q == 102 for q, _ in got)
+
+
+def test_bm25_prebuilt_index_path_identical(spark):
+    from news_please_spark.operators.terms import bm25_topk, inverted_index
+
+    qdf = spark.createDataFrame([(0, "quick brown")], "query_id long, text string")
+    ddf = spark.createDataFrame(_BM25_DOCS, "doc_id long, text string")
+    direct = sorted(tuple(r) for r in bm25_topk(qdf, ddf).collect())
+    post = inverted_index(ddf)
+    via_index = sorted(
+        tuple(r) for r in bm25_topk(qdf, ddf, postings=post).collect()
+    )
+    assert direct == via_index
+
+
+def test_bm25_rejects_bad_k(spark):
+    from news_please_spark.operators.terms import bm25_topk
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    q = spark.createDataFrame([(1, "a")], "query_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(q, df, k=0)
+
+
+def test_bm25_partition_invariant(spark):
+    from news_please_spark.operators.terms import bm25_topk
+
+    docs = [(i, f"w{i % 7} w{(i + 1) % 7} common tail w{i % 3}") for i in range(60)]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [(0, "w1 common"), (1, "w4 tail")], "query_id long, text string"
+    )
+    one = sorted(tuple(r) for r in bm25_topk(qdf, ddf.coalesce(1), k=5).collect())
+    many = sorted(
+        tuple(r) for r in bm25_topk(qdf, ddf.repartition(13), k=5).collect()
+    )
+    assert one == many
