@@ -70,6 +70,7 @@ HEADLINE = [
     "lm_score",
     "bm25_search",
     "mixture_sample",
+    "temperature_sample",
     "dataset_split",
     "quality_topfrac",
     "pack_sequences",

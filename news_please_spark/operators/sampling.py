@@ -340,3 +340,86 @@ def render_packed_chunks(
             F.flatten(F.transform(ordered, lambda s: s["_piece"])), " "
         ).alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture resampling (language/source balancing)
+
+
+def temperature_thresholds(
+    counts: dict[str, int], target: int, alpha: str = "sqrt"
+) -> dict[str, str]:
+    """Per-source md5-hex8 keep thresholds for a temperature-scaled
+    mixture: source i gets weight w_i = n_i^alpha, a keep budget
+    k_i = min(n_i, (target * w_i) DIV sum(w)), and the threshold
+    admitting ~k_i of its n_i rows under the hash_frac_hex8 draw —
+    the resampling step that balances a multilingual/multi-domain
+    corpus (GPT-3 / mBERT style: upsample the tail by downsampling
+    the head less than proportionally; Brown et al. 2020 §2.2,
+    Conneau & Lample 2019 §3.1 use alpha in [0.3, 0.7]).
+
+    alpha is one of "prop" (w=n: plain proportional), "sqrt"
+    (w=isqrt(n), exact integer square root — the common 0.5 setting),
+    "uniform" (w=1: equal share per source).  Restricting to these
+    keeps every weight an EXACT integer — a float pow() would make the
+    budgets engine-rounding-dependent.  All arithmetic is arbitrary-
+    precision Python on a config-sized dict; the DuckDB oracle
+    reproduces it with HUGEINT + corrected floor(sqrt()).
+
+    A source whose budget covers it (k_i >= n_i) maps to "g" (keep
+    all, the rate_to_hex8 convention); otherwise the threshold is
+    (k_i * 2^32) DIV n_i as 8 lowercase hex digits."""
+    from math import isqrt
+
+    if target < 0:
+        raise ValueError(f"target must be >= 0, got {target}")
+    weigh = {
+        "prop": lambda n: n,
+        "sqrt": isqrt,
+        "uniform": lambda n: 1,
+    }.get(alpha)
+    if weigh is None:
+        raise ValueError(f"alpha must be prop|sqrt|uniform, got {alpha!r}")
+    w = {s: weigh(n) for s, n in counts.items() if n > 0}
+    sw = sum(w.values())
+    out = {}
+    for s, n in counts.items():
+        if n <= 0:
+            continue
+        k = min(n, (target * w[s]) // sw)
+        out[s] = "g" if k >= n else format((k << 32) // n, "08x")
+    return out
+
+
+def temperature_sample(
+    df: DataFrame,
+    target: int,
+    alpha: str = "sqrt",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep ~``target`` rows total, allocated across sources by
+    n^alpha temperature weights (see temperature_thresholds), decided
+    per row by the same deterministic md5 hash-fraction draw as
+    mixture_sample — auditable, partitioning-independent, identical
+    in any engine with md5.
+
+    Plan: ONE map-side-combinable count to the |sources| histogram
+    (config-sized — languages or domain buckets, 10^2..10^4 rows),
+    collected to compute exact thresholds driver-side, then a map-side
+    literal-map filter: the corpus itself never shuffles and is
+    scanned once.  This is the same two-phase shape as the CMS/HLL
+    sketches: tiny aggregate state, broadcast-free scan."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    thr = temperature_thresholds(counts, target, alpha)
+    if not thr:
+        return df.filter(F.lit(False))
+    thr_map = F.create_map(
+        *[lit for s, t in sorted(thr.items()) for lit in (F.lit(s), F.lit(t))]
+    )
+    return df.filter(
+        hash_frac_hex8(F.col(id_col)) < thr_map[F.col(source_col)]
+    )

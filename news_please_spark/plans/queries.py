@@ -1014,6 +1014,51 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(qs, docs)
 
 
+@register(
+    "temperature_sample",
+    """
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ),
+    s0 AS (
+      SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS r FROM c
+    ),
+    w AS (
+      SELECT source, n,
+             r - CASE WHEN r*r > n THEN 1 ELSE 0 END
+               + CASE WHEN (r+1)*(r+1) <= n THEN 1 ELSE 0 END AS w
+      FROM s0
+    ),
+    t AS (
+      SELECT source, n,
+             least(CAST(n AS HUGEINT),
+                   (CAST(200 AS HUGEINT) * w) // (SELECT sum(w) FROM w)) AS k
+      FROM w
+    ),
+    thr AS (
+      SELECT source,
+             CASE WHEN k >= n THEN 'g'
+                  ELSE lpad(lower(to_hex(CAST((k * 4294967296) // n AS BIGINT))), 8, '0')
+             END AS thr
+      FROM t
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr ON thr.source = d.source
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
+    """,
+)
+def temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha = 1/2) mixture resample to ~200 rows
+    (operators/sampling.py::temperature_sample): per-source budgets
+    from exact-integer isqrt weights, kept rows decided by the md5
+    hash-fraction draw.  One |sources|-row aggregate + a map-side
+    literal filter — the corpus never shuffles."""
+    from news_please_spark.operators.sampling import temperature_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_sample(docs, target=200)
+
+
 # data-mixture weights for the mixture_sample entry: src{i} keeps
 # (i % 10 + 1)/10 of its rows — every rate in (0, 1] exercised.  The
 # hex thresholds are computed ONCE here and embedded verbatim in both

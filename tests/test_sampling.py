@@ -330,3 +330,86 @@ def test_render_packed_chunks_roundtrip(spark):
         want.setdefault(key[:1], []).append(dict(rows)[d])
     want = {p: " ".join(texts) for p, texts in want.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture resampling
+
+
+def _py_temp_sample(rows, target, alpha="sqrt"):
+    import hashlib
+    from collections import Counter
+    from math import isqrt
+
+    counts = Counter(s for _, s in rows)
+    weigh = {"prop": lambda n: n, "sqrt": isqrt, "uniform": lambda n: 1}[alpha]
+    w = {s: weigh(n) for s, n in counts.items()}
+    sw = sum(w.values())
+    kept = []
+    for did, s in rows:
+        k = min(counts[s], (target * w[s]) // sw)
+        thr = "g" if k >= counts[s] else format((k << 32) // counts[s], "08x")
+        if hashlib.md5(str(did).encode()).hexdigest()[:8] < thr:
+            kept.append((did, s))
+    return sorted(kept)
+
+
+def _temp_rows():
+    # skewed: one fat head source, mid source, tiny tail source
+    return (
+        [(i, "en") for i in range(400)]
+        + [(1000 + i, "de") for i in range(100)]
+        + [(2000 + i, "sw") for i in range(4)]
+    )
+
+
+def test_temperature_sample_matches_python_oracle(spark):
+    from news_please_spark.operators.sampling import temperature_sample
+
+    rows = _temp_rows()
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    for alpha in ("prop", "sqrt", "uniform"):
+        got = sorted(
+            (r.doc_id, r.source)
+            for r in temperature_sample(df, 120, alpha=alpha).collect()
+        )
+        assert got == _py_temp_sample(rows, 120, alpha), alpha
+
+
+def test_temperature_sample_rebalances_toward_tail(spark):
+    from news_please_spark.operators.sampling import temperature_thresholds
+
+    counts = {"en": 400, "de": 100, "sw": 4}
+    # sqrt temperature: en gets 20/9 of sw's budget instead of 100x
+    from math import isqrt
+
+    sw = sum(isqrt(n) for n in counts.values())
+    k = {s: min(n, (120 * isqrt(n)) // sw) for s, n in counts.items()}
+    assert k["en"] / max(k["sw"], 1) < counts["en"] / counts["sw"]
+    thr = temperature_thresholds(counts, 120, "sqrt")
+    # the tiny tail source saturates: keep-all sentinel
+    assert thr["sw"] == "g" and thr["en"] != "g"
+
+
+def test_temperature_sample_partition_invariant_and_guards(spark):
+    import pytest
+
+    from news_please_spark.operators.sampling import (
+        temperature_sample,
+        temperature_thresholds,
+    )
+
+    rows = _temp_rows()
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    one = sorted(tuple(r) for r in temperature_sample(df.coalesce(1), 80).collect())
+    many = sorted(
+        tuple(r) for r in temperature_sample(df.repartition(13), 80).collect()
+    )
+    assert one == many
+    assert temperature_sample(df, 0).count() == 0
+    empty = spark.createDataFrame([], "doc_id long, source string")
+    assert temperature_sample(empty, 50).count() == 0
+    with pytest.raises(ValueError):
+        temperature_thresholds({"a": 1}, -1)
+    with pytest.raises(ValueError):
+        temperature_thresholds({"a": 1}, 10, alpha="cube")
