@@ -51,6 +51,7 @@ HEADLINE = [
     "pagerank3",
     "authority_order",
     "url_canonicalize",
+    "robots_gate",
     "politeness_topk",
     "budget_allocate",
     "recrawl_schedule",

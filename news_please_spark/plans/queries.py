@@ -1014,6 +1014,150 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(qs, docs)
 
 
+# robots.txt corpus for the robots_gate entry: three per-host policy
+# variants (prefix rules + allow-override, CRLF + multi-agent groups +
+# wildcards/$ + a star fallback, empty-disallow allow-all), embedded
+# VERBATIM in both engines so parser and oracle read identical bytes.
+_ROBOTS_VARIANTS = [
+    "# policy\nUser-agent: *\nDisallow: /private/\nAllow: /private/pub",
+    "User-agent: newsbot\r\nUser-agent: archiver\r\nDisallow: /tmp/*\r\n"
+    "Allow: /tmp/*.html$\r\n\r\nUser-agent: *\r\nDisallow: /",
+    "User-agent: *\nDisallow:",
+]
+
+
+@register(
+    "robots_gate",
+    f"""
+    WITH hosts AS (
+      SELECT DISTINCT doc_id % 7 AS k FROM documents
+    ),
+    rt AS (
+      SELECT 'h' || k || '.example.com' AS host,
+             string_split_regex(
+               CASE k % 3 WHEN 0 THEN '{_ROBOTS_VARIANTS[0]}'
+                          WHEN 1 THEN '{_ROBOTS_VARIANTS[1]}'
+                          ELSE '{_ROBOTS_VARIANTS[2]}' END, '\r?\n') AS l
+      FROM hosts
+    ),
+    lines AS (
+      SELECT host, i AS pos, trim(regexp_replace(l[i + 1], '#.*$', '')) AS line
+      FROM rt, LATERAL (SELECT unnest(range(0, len(l))) AS i)
+    ),
+    tagged AS (
+      SELECT host, pos,
+             lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS field,
+             trim(regexp_extract(line, '^[A-Za-z-]+\\s*:\\s*(.*)$', 1)) AS val
+      FROM lines
+    ),
+    kept AS (
+      SELECT host, pos, field = 'user-agent' AS is_ua,
+             field = 'allow' AS allow, val
+      FROM tagged
+      WHERE field = 'user-agent'
+         OR (field IN ('allow', 'disallow') AND val <> '')
+    ),
+    opened AS (
+      SELECT *, CASE WHEN is_ua AND NOT coalesce(
+                       lag(is_ua) OVER (PARTITION BY host ORDER BY pos), false)
+                     THEN 1 ELSE 0 END AS opens
+      FROM kept
+    ),
+    grouped AS (
+      SELECT *, sum(opens) OVER (PARTITION BY host ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM opened
+    ),
+    agents AS (SELECT host, grp, lower(val) AS agent FROM grouped WHERE is_ua),
+    rules AS (
+      SELECT host, grp, allow, val AS path,
+             CAST(length(val) AS BIGINT) AS spec
+      FROM grouped WHERE NOT is_ua
+    ),
+    ar AS (
+      SELECT r.host, r.allow, r.path, r.spec,
+             (a.agent <> '*' AND instr('newsbot', a.agent) > 0) AS specific
+      FROM rules r JOIN agents a USING (host, grp)
+      WHERE (a.agent <> '*' AND instr('newsbot', a.agent) > 0)
+         OR a.agent = '*'
+    ),
+    hs AS (SELECT host, bool_or(specific) AS has_specific FROM ar GROUP BY host),
+    appl AS (
+      SELECT ar.host, ar.allow, ar.spec,
+             CASE WHEN ar.path LIKE '%$'
+                  THEN replace(replace(replace(replace(
+                         substr(ar.path, 1, length(ar.path) - 1),
+                         '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%')
+                  ELSE replace(replace(replace(replace(
+                         ar.path,
+                         '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%') || '%'
+             END AS pat
+      FROM ar JOIN hs USING (host)
+      WHERE ar.specific = hs.has_specific
+    ),
+    urls AS (
+      SELECT doc_id, 'h' || (doc_id % 7) || '.example.com' AS host,
+             CASE doc_id % 5
+               WHEN 0 THEN '/p/' || doc_id
+               WHEN 1 THEN '/private/' || doc_id
+               WHEN 2 THEN '/private/pub' || doc_id
+               WHEN 3 THEN '/tmp/x' || doc_id || '.html'
+               ELSE '/tmp/y' || doc_id
+             END AS path
+      FROM documents
+    ),
+    dec AS (
+      SELECT u.doc_id, u.host, u.path,
+             max(CASE WHEN u.path LIKE a.pat ESCAPE '\\'
+                      THEN a.spec * 2 + CAST(a.allow AS INT) END) AS best
+      FROM urls u LEFT JOIN appl a ON a.host = u.host
+      GROUP BY u.doc_id, u.host, u.path
+    )
+    SELECT doc_id, host, path, coalesce(best % 2 = 1, true) AS allowed FROM dec
+    """,
+)
+def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt gate (sources/robots.py): parse three
+    synthesized per-host policy variants (groups, CRLF, wildcards, $
+    anchors, allow-overrides, star fallback) and decide every derived
+    URL for agent 'newsbot' by longest-match/allow-wins semantics —
+    the full parser + evaluator, hash-exact against a from-scratch SQL
+    implementation."""
+    from news_please_spark.sources.robots import parse_robots, robots_allowed
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("k")
+    hosts = docs.select((F.col("doc_id") % 7).alias("k")).distinct()
+    txt = (
+        F.when(k % 3 == 0, F.lit(_ROBOTS_VARIANTS[0]))
+        .when(k % 3 == 1, F.lit(_ROBOTS_VARIANTS[1]))
+        .otherwise(F.lit(_ROBOTS_VARIANTS[2]))
+    )
+    robots = hosts.select(
+        F.concat(F.lit("h"), k.cast("string"), F.lit(".example.com")).alias("host"),
+        txt.alias("robots_txt"),
+    )
+    d = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 5
+    path = (
+        F.when(m == 0, F.concat(F.lit("/p/"), d))
+        .when(m == 1, F.concat(F.lit("/private/"), d))
+        .when(m == 2, F.concat(F.lit("/private/pub"), d))
+        .when(m == 3, F.concat(F.lit("/tmp/x"), d, F.lit(".html")))
+        .otherwise(F.concat(F.lit("/tmp/y"), d))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        path.alias("path"),
+    )
+    return robots_allowed(urls, parse_robots(robots), agent="newsbot").select(
+        "doc_id", "host", "path", "allowed"
+    )
+
+
 @register(
     "temperature_sample",
     """
