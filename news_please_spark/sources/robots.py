@@ -45,12 +45,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def parse_robots(
-    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
-) -> DataFrame:
-    """(host, grp, agent, allow, path, spec) — one row per (agent in
-    group header) × (rule in group). ``spec`` is the rule's pattern
-    length (its RFC specificity); ``agent`` is lowercased."""
+def _lines(robots: DataFrame, host_col: str, text_col: str) -> DataFrame:
+    """(host, pos, field, val) per non-empty directive-shaped line,
+    comments stripped, field lowercased."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("pos", "_raw"),
@@ -59,17 +56,40 @@ def parse_robots(
         "pos",
         F.trim(F.regexp_replace(F.col("_raw"), r"#.*$", "")).alias("_line"),
     )
-    field = F.lower(F.regexp_extract(F.col("_line"), r"^([A-Za-z-]+)\s*:", 1))
-    value = F.trim(F.regexp_extract(F.col("_line"), r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
-    tagged = lines.select(
+    return lines.select(
         "host",
         "pos",
-        (field == "user-agent").alias("_is_ua"),
-        field.isin("allow", "disallow").alias("_is_rule"),
-        (field == "allow").alias("allow"),
-        value.alias("_val"),
+        F.lower(F.regexp_extract(F.col("_line"), r"^([A-Za-z-]+)\s*:", 1)).alias(
+            "field"
+        ),
+        F.trim(
+            F.regexp_extract(F.col("_line"), r"^[A-Za-z-]+\s*:\s*(.*)$", 1)
+        ).alias("val"),
+    )
+
+
+# the per-group directive fields the group machinery recognizes; a
+# non-UA member line closes an open User-agent header, so e.g. a
+# Crawl-delay between two UA lines splits them into two groups.
+# Sitemap (cross-group by spec) and unknown fields never join or split
+# groups.
+_GROUP_FIELDS = ("allow", "disallow", "crawl-delay")
+
+
+def _directives(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, grp, agent, field, val) — every recognized in-group
+    directive, one row per agent named in its group's header."""
+    tagged = _lines(robots, host_col, text_col).select(
+        "host",
+        "pos",
+        (F.col("field") == "user-agent").alias("_is_ua"),
+        "field",
+        "val",
     ).filter(
-        F.col("_is_ua") | (F.col("_is_rule") & (F.col("_val") != ""))
+        (F.col("field") == "user-agent")
+        | (F.col("field").isin(*_GROUP_FIELDS) & (F.col("val") != ""))
     )
     w = Window.partitionBy("host").orderBy("pos")
     opened = tagged.withColumn(
@@ -80,26 +100,40 @@ def parse_robots(
     )
     grouped = opened.select(
         "host",
-        "pos",
         "_is_ua",
-        "allow",
-        "_val",
+        "field",
+        "val",
         F.sum("_opens")
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("grp"),
     )
     agents = grouped.filter("_is_ua").select(
-        "host", "grp", F.lower(F.col("_val")).alias("agent")
+        "host", "grp", F.lower(F.col("val")).alias("agent")
     )
-    rules = grouped.filter(~F.col("_is_ua")).select(
+    return (
+        grouped.filter(~F.col("_is_ua"))
+        .select("host", "grp", "field", "val")
+        .join(agents, ["host", "grp"])
+        .select("host", "grp", "agent", "field", "val")
+    )
+
+
+def parse_robots(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, grp, agent, allow, path, spec) — one row per (agent in
+    group header) × (Allow/Disallow rule in group). ``spec`` is the
+    rule's pattern length (its RFC specificity); ``agent`` is
+    lowercased."""
+    return _directives(robots, host_col, text_col).filter(
+        F.col("field").isin("allow", "disallow")
+    ).select(
         "host",
         "grp",
-        "allow",
-        F.col("_val").alias("path"),
-        F.length("_val").cast("long").alias("spec"),
-    )
-    return rules.join(agents, ["host", "grp"]).select(
-        "host", "grp", "agent", "allow", "path", "spec"
+        "agent",
+        (F.col("field") == "allow").alias("allow"),
+        F.col("val").alias("path"),
+        F.length("val").cast("long").alias("spec"),
     )
 
 
@@ -125,11 +159,12 @@ def _like_pattern(path):
 
 
 def applicable_rules(rules: DataFrame, agent: str) -> DataFrame:
-    """The per-host rule set governing ``agent``: rules of groups whose
-    token is a substring of the agent (specific), or of ``*`` groups on
-    hosts with NO specific group. Output adds nothing — same columns as
-    parse_robots, filtered."""
+    """The per-host subset of a (host, grp, agent, ...) directive table
+    governing ``agent``: rows of groups whose token is a substring of
+    the agent (specific), or of ``*`` groups on hosts with NO specific
+    group. Output columns = input columns, filtered."""
     a = agent.lower()
+    cols = rules.columns
     r = rules.withColumn(
         "_specific",
         (F.col("agent") != "*") & (F.instr(F.lit(a), F.col("agent")) > 0),
@@ -138,7 +173,7 @@ def applicable_rules(rules: DataFrame, agent: str) -> DataFrame:
     return (
         r.join(has, "host")
         .filter(F.col("_specific") == F.col("_has_specific"))
-        .select("host", "grp", "agent", "allow", "path", "spec")
+        .select(*cols)
     )
 
 
@@ -198,5 +233,48 @@ def disallow_prefixes_for(rules: DataFrame, agent: str = "*") -> DataFrame:
             & ~F.col("path").endswith("$")
         )
         .select("host", F.col("path").alias("disallow_prefix"))
+        .distinct()
+    )
+
+
+def crawl_delay_of(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, crawl_delay_s) — the Crawl-delay governing ``agent`` on
+    each host that declares one (the de-facto directive RFC 9309 left
+    out but crawlers honor; the reference honors it through scrapy's
+    AutoThrottle/DOWNLOAD_DELAY). Agent selection is the same
+    specific-shadows-star rule as paths; if the applicable groups
+    declare several delays the LARGEST wins (the polite reading).
+    Non-numeric values are ignored. Feed this into the politeness
+    tier's per-host budgets (operators/ordering.py) to derive
+    fetches-per-window caps."""
+    d = _directives(robots, host_col, text_col).filter(
+        F.col("field") == "crawl-delay"
+    )
+    delays = applicable_rules(d, agent).select(
+        "host", F.col("val").try_cast("long").alias("_delay")
+    ).filter(F.col("_delay").isNotNull() & (F.col("_delay") >= 0))
+    return delays.groupBy("host").agg(
+        F.max("_delay").alias("crawl_delay_s")
+    )
+
+
+def sitemaps_of(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, sitemap_url) — every ``Sitemap:`` line (a cross-group
+    directive: it belongs to no User-agent group and applies to all).
+    This is how news sitemaps are actually discovered — the reference's
+    sitemap crawler lets scrapy read robots.txt for sitemap URLs
+    (reference newsplease/crawler/spiders/sitemap_crawler.py); pipe
+    this table into sources/sitemap.py's recursive expansion."""
+    return (
+        _lines(robots, host_col, text_col)
+        .filter((F.col("field") == "sitemap") & (F.col("val") != ""))
+        .select("host", F.col("val").alias("sitemap_url"))
         .distinct()
     )

@@ -184,3 +184,59 @@ def test_robots_like_metachars_are_literal(spark):
         for r in robots_allowed(urls, parse_robots(robots)).collect()
     }
     assert got == {"/a_b%c/d": False, "/aXb%c/d": True, "/a_bYc/d": True}
+
+
+def test_crawl_delay_selection_and_group_split(spark):
+    from news_please_spark.sources.robots import crawl_delay_of
+
+    robots = spark.createDataFrame(
+        [
+            # specific group shadows star; two applicable delays -> max
+            ("a.example.com",
+             "User-agent: newsbot\nCrawl-delay: 7\n"
+             "User-agent: newsbot\nCrawl-delay: 3\n"
+             "User-agent: *\nCrawl-delay: 99\n"),
+            # a Crawl-delay closes the header: second UA opens a NEW
+            # group, so bot2's group has no delay
+            ("b.example.com",
+             "User-agent: bot1\nCrawl-delay: 5\nUser-agent: bot2\nDisallow: /\n"),
+            # star fallback; junk value ignored
+            ("c.example.com", "User-agent: *\nCrawl-delay: 4\n"),
+            ("d.example.com", "User-agent: *\nCrawl-delay: soon\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {
+        r.host: r.crawl_delay_s for r in crawl_delay_of(robots, "newsbot").collect()
+    }
+    assert got == {"a.example.com": 7, "c.example.com": 4}
+    got2 = {
+        r.host: r.crawl_delay_s for r in crawl_delay_of(robots, "bot2").collect()
+    }
+    # b absent: the Crawl-delay line closed bot1's header, so bot2's own
+    # group declares no delay and b has no star group. a/c fall back to
+    # their star groups (bot2 matches no specific token there).
+    assert got2 == {"a.example.com": 99, "c.example.com": 4}
+
+
+def test_sitemaps_are_cross_group(spark):
+    from news_please_spark.sources.robots import sitemaps_of
+
+    robots = spark.createDataFrame(
+        [
+            ("a.example.com",
+             "Sitemap: https://a.example.com/sm.xml\n"
+             "User-agent: x\nDisallow: /\n"
+             "Sitemap: https://a.example.com/news.xml\n"
+             "Sitemap: https://a.example.com/sm.xml\n"),  # dup collapses
+            ("b.example.com", "User-agent: *\nDisallow: /\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = sorted(
+        (r.host, r.sitemap_url) for r in sitemaps_of(robots).collect()
+    )
+    assert got == [
+        ("a.example.com", "https://a.example.com/news.xml"),
+        ("a.example.com", "https://a.example.com/sm.xml"),
+    ]
