@@ -413,3 +413,15 @@ def test_temperature_sample_partition_invariant_and_guards(spark):
         temperature_thresholds({"a": 1}, -1)
     with pytest.raises(ValueError):
         temperature_thresholds({"a": 1}, 10, alpha="cube")
+
+
+def test_temperature_filter_is_map_side(spark):
+    """After the config-sized histogram collect, the kept-rows plan is
+    scan + literal-map filter: zero Exchange."""
+    from news_please_spark.operators.sampling import temperature_sample
+
+    df = spark.createDataFrame(_temp_rows(), "doc_id long, source string")
+    plan = (
+        temperature_sample(df, 100)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan

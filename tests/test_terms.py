@@ -229,3 +229,15 @@ def test_bm25_partition_invariant(spark):
         tuple(r) for r in bm25_topk(qdf, ddf.repartition(13), k=5).collect()
     )
     assert one == many
+
+
+def test_bm25_corpus_never_join_shuffles(spark):
+    """Every join in the query path builds on the broadcast tiny side:
+    no SortMergeJoin/ShuffledHashJoin anywhere — the corpus's only
+    shuffles are the index-build aggregations."""
+    from news_please_spark.operators.terms import bm25_topk
+
+    ddf = spark.createDataFrame(_BM25_DOCS, "doc_id long, text string")
+    qdf = spark.createDataFrame([(0, "quick fox")], "query_id long, text string")
+    plan = bm25_topk(qdf, ddf)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
