@@ -49,6 +49,7 @@ def pretouch_conf() -> dict[str, str]:
 HEADLINE = [
     "frontier_bfs3",
     "pagerank3",
+    "hits_scores",
     "authority_order",
     "url_canonicalize",
     "robots_gate",

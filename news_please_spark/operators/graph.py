@@ -264,3 +264,73 @@ def pagerank(
     finally:
         release_df(e)
         release_df(outdeg)
+
+
+def hits_scaled(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """Integer-EXACT fixed-iteration HITS (Kleinberg 1999, "Authoritative
+    Sources in a Hyperlinked Environment") — the hub/authority
+    decomposition that complements PageRank for crawl prioritization:
+    news INDEX pages are hubs (they link to many good articles),
+    articles are authorities; a frontier that knows both can schedule
+    hub recrawls and authority fetches differently.
+
+    UNNORMALIZED form: h_0 = 1; then per iteration
+    a_{k+1}[n] = SUM_{s->n} h_k[s], h_{k+1}[n] = SUM_{n->d} a_{k+1}[d].
+    Skipping the per-step L2 normalization (a float sqrt that rounds
+    differently across engines) keeps every value a BIGINT sum — the
+    RANKING is identical (normalization is a positive per-step scalar)
+    and the result hash-compares against a SQL oracle.  Overflow bound:
+    values grow like (d_in*d_out)^iters — at the default iters=2 safe
+    through ~10^4-degree hubs on 10^9-edge graphs; production wanting
+    deep iteration switches to the normalized double form the same way
+    pagerank() pairs with pagerank_scaled().
+
+    Distribution: two map-side-combinable SUM aggregations per
+    iteration (one keyed by dst, one by src) + equi-joins on node id —
+    the same shape and skew story as pagerank_scaled (AQE skew-join /
+    salting both apply unchanged, bit-identical because integer
+    addition is associative).  Lazy linear plan: the whole computation
+    runs inside the caller's action.
+
+    Output: (id, authority, hub) for every node."""
+    if iters <= 0:
+        raise ValueError("iters must be positive")
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    ids = nodes.select(F.col(id_col).alias("id"))
+    h = ids.withColumn("h", F.lit(1).cast("long"))
+    a = None
+    for _ in range(iters):
+        a = (
+            ids.join(
+                e.join(h, e["_src"] == h["id"])
+                .groupBy("_dst")
+                .agg(F.sum("h").alias("_s")),
+                F.col("id") == F.col("_dst"),
+                "left",
+            )
+            .select(
+                "id", F.coalesce(F.col("_s"), F.lit(0)).cast("long").alias("a")
+            )
+        )
+        h = (
+            ids.join(
+                e.join(a, e["_dst"] == a["id"])
+                .groupBy("_src")
+                .agg(F.sum("a").alias("_s")),
+                F.col("id") == F.col("_src"),
+                "left",
+            )
+            .select(
+                "id", F.coalesce(F.col("_s"), F.lit(0)).cast("long").alias("h")
+            )
+        )
+    return a.join(h, "id").select(
+        "id", F.col("a").alias("authority"), F.col("h").alias("hub")
+    )

@@ -182,6 +182,44 @@ def pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hits_scores",
+    f"""
+    WITH edges AS ({_EDGES_SQL}),
+    nodes AS (SELECT doc_id AS id FROM documents),
+    a1 AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS a FROM edges GROUP BY dst),
+    h1 AS (
+      SELECT e.src AS id, CAST(sum(coalesce(a1.a, 0)) AS BIGINT) AS h
+      FROM edges e LEFT JOIN a1 ON a1.id = e.dst GROUP BY e.src
+    ),
+    a2 AS (
+      SELECT e.dst AS id, CAST(sum(coalesce(h1.h, 0)) AS BIGINT) AS a
+      FROM edges e LEFT JOIN h1 ON h1.id = e.src GROUP BY e.dst
+    ),
+    h2 AS (
+      SELECT e.src AS id, CAST(sum(coalesce(a2.a, 0)) AS BIGINT) AS h
+      FROM edges e LEFT JOIN a2 ON a2.id = e.dst GROUP BY e.src
+    )
+    SELECT n.id AS doc_id, CAST(coalesce(a2.a, 0) AS BIGINT) AS authority,
+           CAST(coalesce(h2.h, 0) AS BIGINT) AS hub
+    FROM nodes n LEFT JOIN a2 ON a2.id = n.id LEFT JOIN h2 ON h2.id = n.id
+    """,
+)
+def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration integer-exact HITS hub/authority scores on the
+    derived webgraph (operators/graph.py::hits_scaled — unnormalized
+    BIGINT form, ranking identical to normalized HITS). Index pages
+    rank as hubs, linked articles as authorities — the crawl-scheduling
+    complement to pagerank3."""
+    from news_please_spark.operators.graph import hits_scaled
+
+    edges = derived_edges(spark, sf_dir)
+    nodes = load(spark, sf_dir, "documents").select("doc_id")
+    return hits_scaled(edges, nodes, iters=2, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "authority", "hub"
+    )
+
+
+@register(
     "authority_order",
     f"""
     WITH RECURSIVE edges AS ({_EDGES_SQL}),

@@ -149,3 +149,49 @@ def test_cc_pointer_doubling_converges_logarithmically(spark):
     out = connected_components(df, max_iters=12)
     assert out.filter(F.col("root") != 0).count() == 0
     assert out.count() == 201
+
+
+# ---------------------------------------------------------------------------
+# HITS
+
+
+def _py_hits(edges, nodes, iters=2):
+    h = {n: 1 for n in nodes}
+    a = {}
+    for _ in range(iters):
+        a = {n: 0 for n in nodes}
+        for s, d in edges:
+            if d in a and s in h:
+                a[d] += h[s]
+        h = {n: 0 for n in nodes}
+        for s, d in edges:
+            if s in h and d in a:
+                h[s] += a[d]
+    return {n: (a[n], h[n]) for n in nodes}
+
+
+def test_hits_matches_python_oracle(spark):
+    from news_please_spark.operators.graph import hits_scaled
+
+    # star: 0 -> {1,2,3}; chain 3 -> 4; 4 -> 0 closes a loop
+    edges = [(0, 1), (0, 2), (0, 3), (3, 4), (4, 0)]
+    nodes = list(range(5))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n = spark.createDataFrame([(x,) for x in nodes], "id long")
+    got = {
+        r.id: (r.authority, r.hub) for r in hits_scaled(e, n, iters=2).collect()
+    }
+    assert got == _py_hits(edges, nodes, 2)
+    # the star center is the best hub; its targets carry authority
+    assert got[0][1] == max(v[1] for v in got.values())
+
+
+def test_hits_rejects_bad_iters(spark):
+    import pytest
+
+    from news_please_spark.operators.graph import hits_scaled
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    n = spark.createDataFrame([(0,), (1,)], "id long")
+    with pytest.raises(ValueError):
+        hits_scaled(e, n, iters=0)
