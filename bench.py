@@ -93,6 +93,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "pq_adc_topk",
     "semantic_dedup",
     "extract_articles",
     "sitemap_expand",

@@ -1546,6 +1546,69 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+@register(
+    "pq_adc_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sel AS (
+      SELECT vec_id AS cid, v FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+    ),
+    cb AS (SELECT list(v ORDER BY cid) AS cents FROM sel),
+    enc AS (
+      SELECT e.vec_id AS neighbor_id,
+             list_transform(range(0, 8), mm ->
+               list_indexof(
+                 list_transform(cents, c ->
+                   list_sum(list_transform(range(1, 9), i ->
+                     (v[mm*8 + i] - c[mm*8 + i])
+                     * (v[mm*8 + i] - c[mm*8 + i])))),
+                 list_min(
+                 list_transform(cents, c ->
+                   list_sum(list_transform(range(1, 9), i ->
+                     (v[mm*8 + i] - c[mm*8 + i])
+                     * (v[mm*8 + i] - c[mm*8 + i]))))))) AS codes
+      FROM e, cb
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 101 = 0),
+    lut AS (
+      SELECT query_id,
+             list_transform(range(0, 8), mm ->
+               list_transform(cents, c ->
+                 list_sum(list_transform(range(1, 9), i ->
+                   (qv[mm*8 + i] - c[mm*8 + i])
+                   * (qv[mm*8 + i] - c[mm*8 + i]))))) AS lt
+      FROM q, cb
+    ),
+    p AS (
+      SELECT l.query_id, enc.neighbor_id,
+             CAST(floor(1000000 * list_sum(list_transform(range(0, 8), mm ->
+               lt[mm + 1][codes[mm + 1]]))) AS BIGINT) AS dist_q
+      FROM lut l, enc WHERE l.query_id <> enc.neighbor_id
+    )
+    SELECT query_id, neighbor_id, dist_q, rk FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY dist_q, neighbor_id
+             ) AS BIGINT) AS rk
+      FROM p
+    ) WHERE rk <= 10
+    """,
+)
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-10 (operators/similarity.py::pq_adc_topk):
+    64-dim corpus compressed to 8 one-byte-range codes per vector
+    (md5-rank codebook, 16 centroids shared across the 8 subspaces),
+    queries scored by table lookup — the memory layout that keeps a
+    10^10-vector index cluster-resident. Quantized squared-L2 estimates
+    hash-exact vs the from-scratch DuckDB PQ pipeline."""
+    from news_please_spark.operators.similarity import pq_adc_topk
+
+    emb = spread(load(spark, sf_dir, "embeddings"), spark)
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    return pq_adc_topk(queries, emb, dim=64, k=10, m=8, n_cents=16)
+
+
+# ---------------------------------------------------------------------------
 # 7. ANN similarity search: brute-force cosine top-k (baseline path)
 @register(
     "ann_cosine_topk",

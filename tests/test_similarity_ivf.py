@@ -195,3 +195,107 @@ def test_semantic_dedup_pre_bucketed_still_flags_identicals(spark):
     plain = {r.vec_id: r.is_dup for r in
              semantic_dedup(e, n_lists=2, threshold=0.999).collect()}
     assert all(plain[k] for k, v in out.items() if v)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + ADC
+
+
+def _py_pq(vectors, queries, dim, m, n_cents, k):
+    import hashlib
+
+    sub = dim // m
+    sel = sorted(vectors, key=lambda kv: hashlib.md5(str(kv[0]).encode()).hexdigest())[
+        :n_cents
+    ]
+    cents = [v for _, v in sorted(sel)]  # cid-sorted
+
+    def l2sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    def sub_d(v, c, mm):
+        return l2sq(v[mm * sub : (mm + 1) * sub], c[mm * sub : (mm + 1) * sub])
+
+    codes = {}
+    for vid, v in vectors:
+        cs = []
+        for mm in range(m):
+            ds = [sub_d(v, c, mm) for c in cents]
+            cs.append(ds.index(min(ds)) + 1)
+        codes[vid] = cs
+    out = {}
+    for qid, qv in queries:
+        luts = [[sub_d(qv, c, mm) for c in cents] for mm in range(m)]
+        scored = []
+        for vid, _ in vectors:
+            if vid == qid:
+                continue
+            d = 0.0
+            for mm in range(m):
+                d = d + luts[mm][codes[vid][mm] - 1]
+            scored.append((int(__import__("math").floor(d * 1e6)), vid))
+        scored.sort()
+        for rk, (dq, vid) in enumerate(scored[:k], 1):
+            out[(qid, vid)] = (dq, rk)
+    return codes, out
+
+
+def _pq_vectors(n=40, dim=16):
+    # deterministic "random" doubles in [-1, 1]
+    def val(i, j):
+        return (((i * 2654435761 + j * 40503) % 2000) - 1000) / 1000.0
+
+    return [(i, [val(i, j) for j in range(dim)]) for i in range(n)]
+
+
+def test_pq_adc_matches_python_oracle(spark):
+    from news_please_spark.operators.similarity import pq_adc_topk, pq_encode
+
+    vecs = _pq_vectors()
+    queries = [v for v in vecs if v[0] % 7 == 0]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(queries, "vec_id long, embedding array<double>")
+    py_codes, py_topk = _py_pq(vecs, queries, dim=16, m=4, n_cents=8, k=5)
+    got_codes = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(df, dim=16, m=4, n_cents=8).collect()
+    }
+    assert got_codes == py_codes
+    got = {
+        (r.query_id, r.neighbor_id): (r.dist_q, r.rk)
+        for r in pq_adc_topk(qdf, df, dim=16, k=5, m=4, n_cents=8).collect()
+    }
+    assert got == py_topk
+
+
+def test_pq_encode_partition_invariant_and_bounded(spark):
+    from news_please_spark.operators.similarity import pq_encode
+
+    vecs = _pq_vectors(60)
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    one = sorted(
+        (r.vec_id, tuple(r.codes))
+        for r in pq_encode(df.coalesce(1), dim=16, m=4, n_cents=8).collect()
+    )
+    many = sorted(
+        (r.vec_id, tuple(r.codes))
+        for r in pq_encode(df.repartition(7), dim=16, m=4, n_cents=8).collect()
+    )
+    assert one == many
+    assert all(1 <= c <= 8 for _, cs in one for c in cs)
+    assert all(len(cs) == 4 for _, cs in one)
+
+
+def test_pq_guards(spark):
+    import pytest
+
+    from news_please_spark.operators.similarity import pq_adc_topk, pq_encode
+
+    df = spark.createDataFrame(_pq_vectors(5), "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        pq_encode(df, dim=10, m=4)
+    with pytest.raises(ValueError):
+        pq_adc_topk(df, df, dim=16, m=4, k=0)
