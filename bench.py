@@ -68,6 +68,7 @@ HEADLINE = [
     "length_quantiles",
     "token_totals",
     "lang_id",
+    "script_profile",
     "tfidf_top_terms",
     "lm_score",
     "bm25_search",

@@ -169,3 +169,50 @@ def hashed_linear_logit(
         F.lit(0).cast("long"),
         lambda acc, t: acc + bucket_weight(hashed_bucket(t, buckets)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profiling — the script-level complement to the n-gram
+# language heuristic above: codepoint-range counts per writing system,
+# used for script filtering/routing in multilingual corpus prep (e.g.
+# route CJK to a different tokenizer, drop scripts outside the training
+# mix). Counts are exact integers (length minus length-after-removal),
+# so the whole profile is oracle-gated; character classes are built
+# from literal BMP codepoints, giving identical semantics to Java
+# regex and RE2.
+
+_SCRIPT_RANGES: list[tuple[str, list[tuple[int, int]]]] = [
+    ("latin", [(0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F)]),
+    ("cyrillic", [(0x400, 0x4FF)]),
+    ("arabic", [(0x600, 0x6FF)]),
+    ("devanagari", [(0x900, 0x97F)]),
+    ("cjk", [(0x3040, 0x30FF), (0x4E00, 0x9FFF)]),  # kana + unified han
+    ("hangul", [(0xAC00, 0xD7AF)]),
+]
+
+SCRIPT_NAMES = [name for name, _ in _SCRIPT_RANGES]
+
+
+def script_char_class(name: str) -> str:
+    """The literal-codepoint regex character class for one script."""
+    ranges = dict(_SCRIPT_RANGES)[name]
+    return "[" + "".join(f"{chr(a)}-{chr(b)}" for a, b in ranges) + "]"
+
+
+def script_count(text: Column, name: str) -> Column:
+    """Exact count of ``text``'s characters in the script's ranges."""
+    return (
+        F.length(text)
+        - F.length(F.regexp_replace(text, script_char_class(name), ""))
+    ).cast("long")
+
+
+def dominant_script(text: Column) -> Column:
+    """The script with the most characters; first in SCRIPT_NAMES order
+    wins ties; 'none' when no profiled script appears."""
+    counts = [script_count(text, n) for n in SCRIPT_NAMES]
+    m = F.greatest(*counts)
+    expr = F.lit("none")
+    for name, c in reversed(list(zip(SCRIPT_NAMES, counts))):
+        expr = F.when((m > 0) & (c == m), F.lit(name)).otherwise(expr)
+    return expr

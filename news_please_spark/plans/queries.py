@@ -1196,6 +1196,83 @@ def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _script_profile_sql() -> str:
+    from news_please_spark.functions.text import SCRIPT_NAMES, script_char_class
+
+    suffixes = _SCRIPT_SUFFIXES
+    counts = ",\n             ".join(
+        f"CAST(length(t) - length(regexp_replace(t, '{script_char_class(n)}', '', 'g')) AS BIGINT) AS n_{n},\n"
+        f"             CAST(length(s) - length(regexp_replace(s, '{script_char_class(n)}', '', 'g')) AS BIGINT) AS s_{n}"
+        for n in SCRIPT_NAMES
+    )
+    case_t = " ".join(f"WHEN n_{n} = m THEN '{n}'" for n in SCRIPT_NAMES)
+    case_s = " ".join(f"WHEN s_{n} = ms THEN '{n}'" for n in SCRIPT_NAMES)
+    g_t = ", ".join(f"n_{n}" for n in SCRIPT_NAMES)
+    g_s = ", ".join(f"s_{n}" for n in SCRIPT_NAMES)
+    return f"""
+    WITH t1 AS (
+      SELECT doc_id,
+             text || CASE doc_id % 4 WHEN 1 THEN '{suffixes[1]}'
+                                     WHEN 2 THEN '{suffixes[2]}'
+                                     WHEN 3 THEN '{suffixes[3]}'
+                                     ELSE '' END AS t,
+             CASE doc_id % 4 WHEN 1 THEN '{suffixes[1]}'
+                             WHEN 2 THEN '{suffixes[2]}'
+                             WHEN 3 THEN '{suffixes[3]}'
+                             ELSE '' END AS s
+      FROM documents
+    ),
+    t2 AS (
+      SELECT doc_id,
+             {counts}
+      FROM t1
+    ),
+    t3 AS (
+      SELECT *, greatest({g_t}) AS m, greatest({g_s}) AS ms FROM t2
+    )
+    SELECT doc_id, {g_t},
+           CASE WHEN m = 0 THEN 'none' {case_t} END AS script,
+           CASE WHEN ms = 0 THEN 'none' {case_s} END AS suffix_script
+    FROM t3
+    """
+
+
+_SCRIPT_SUFFIXES = ["", " привет мир", " 日本語のテキスト", " مرحبا بالعالم"]
+
+
+@register("script_profile", None)
+def script_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Unicode script counts + dominant script
+    (functions/text.py::script_count/dominant_script) over the corpus
+    text with a derived multilingual suffix (so every profiled range
+    and the 'none' branch are exercised). Pure codegen'd Columns —
+    zero shuffle, the profile rides the parquet scan."""
+    from news_please_spark.functions.text import (
+        SCRIPT_NAMES,
+        dominant_script,
+        script_count,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    m4 = F.col("doc_id") % 4
+    suffix = (
+        F.when(m4 == 1, F.lit(_SCRIPT_SUFFIXES[1]))
+        .when(m4 == 2, F.lit(_SCRIPT_SUFFIXES[2]))
+        .when(m4 == 3, F.lit(_SCRIPT_SUFFIXES[3]))
+        .otherwise(F.lit(""))
+    )
+    t = F.concat(F.col("text"), suffix)
+    return docs.select(
+        "doc_id",
+        *[script_count(t, n).alias(f"n_{n}") for n in SCRIPT_NAMES],
+        dominant_script(t).alias("script"),
+        dominant_script(suffix).alias("suffix_script"),
+    )
+
+
+ORACLES["script_profile"] = _script_profile_sql()
+
+
 @register(
     "temperature_sample",
     """

@@ -105,3 +105,59 @@ def test_hashed_linear_logit_matches_python_and_is_zero_shuffle(spark):
     # the classifier is a map-side Column: no Exchange anywhere
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profiling
+
+
+def test_script_counts_and_dominance(spark):
+    from pyspark.sql import functions as F
+
+    from news_please_spark.functions.text import (
+        SCRIPT_NAMES,
+        dominant_script,
+        script_count,
+    )
+
+    rows = [
+        (0, "hello world"),                      # latin
+        (1, "привет мир"),                       # cyrillic
+        (2, "日本語のテキストです"),                 # cjk (kana + han)
+        (3, "مرحبا بالعالم"),                    # arabic
+        (4, "한국어 텍스트"),                      # hangul
+        (5, "नमस्ते दुनिया"),                      # devanagari
+        (6, "12345 !!! ..."),                    # none
+        (7, "abc привет"),                       # tie broken by order: latin=3 < cyr=6
+        (8, "abcdef мир"),                       # latin wins 6 > 3
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r.i: (r.script, {n: r[f"n_{n}"] for n in SCRIPT_NAMES})
+        for r in df.select(
+            "i",
+            dominant_script(F.col("t")).alias("script"),
+            *[script_count(F.col("t"), n).alias(f"n_{n}") for n in SCRIPT_NAMES],
+        ).collect()
+    }
+    assert got[0][0] == "latin" and got[0][1]["latin"] == 10
+    assert got[1][0] == "cyrillic" and got[1][1]["cyrillic"] == 9
+    assert got[2][0] == "cjk" and got[2][1]["cjk"] == 10
+    assert got[3][0] == "arabic"
+    assert got[4][0] == "hangul"
+    assert got[5][0] == "devanagari"
+    assert got[6][0] == "none" and all(v == 0 for v in got[6][1].values())
+    assert got[7][0] == "cyrillic"
+    assert got[8][0] == "latin"
+
+
+def test_script_profile_zero_shuffle(spark):
+    from news_please_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["script_profile"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
