@@ -62,6 +62,8 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_near_dup",
     "doc_quality",
+    "gopher_rules",
+    "c4_clean",
     "quality_classifier",
     "heavy_hitters_cms",
     "hll_distinct",

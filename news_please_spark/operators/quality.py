@@ -1,0 +1,168 @@
+"""Heuristic document-quality rule sets for training-data pipelines.
+
+Two public rule families, both pure per-row Column expressions (array
+HOFs over the line/word splits) so they ride the parquet scan with zero
+shuffle and stay inside whole-stage codegen at any corpus size — the
+same execution contract as the repetition signals in
+``operators/repetition.py``:
+
+* ``gopher_quality``    — the Gopher quality-filter rules (Rae et al.
+  2021, §A1.1): word-count bounds, mean-word-length bounds,
+  symbol-to-word ratio, bullet-line and ellipsis-line fractions,
+  alphabetic-word fraction, and the required-stopword rule. Emits the
+  raw metrics (integer-quantized to floor(1e4·x) ratios, exactly
+  representable cross-engine), one 0/1 flag per rule, and the combined
+  ``keep`` decision.
+* ``c4_line_filter``    — the C4 cleaning heuristics (Raffel et al.
+  2020, §2.2): keep only lines that end in a terminal punctuation mark,
+  contain at least five words, and do not mention "javascript"; drop
+  the whole page when it contains "lorem ipsum", a curly brace, or
+  fewer than three sentences after line filtering. Emits the cleaned
+  text plus counters and the page-level ``keep`` decision.
+
+The reference pipeline has no corpus-quality tier (it filters at the
+URL/heuristics level — see ``extraction/heuristics.py`` for those); the
+two rule sets here are the published-pipeline analogues a 100-TB corpus
+build runs immediately after extraction.
+
+Ratio quantization: all fractional metrics are emitted as
+``floor(10000 * num / den)`` BIGINTs via integer division so Spark and
+any oracle engine agree bit-for-bit (no float formatting drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Gopher's required-stopword list (Rae et al. 2021 §A1.1): a document
+# must contain at least GOPHER_MIN_STOP_HITS distinct entries.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+GOPHER_MIN_STOP_HITS = 2
+
+# Gopher thresholds, in the quantized floor(1e4·x) domain.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN_Q = 3 * 10_000
+GOPHER_MAX_MEAN_WORD_LEN_Q = 10 * 10_000
+GOPHER_MAX_SYMBOL_RATIO_Q = 1_000     # symbols (# or …) per word ≤ 0.1
+GOPHER_MAX_BULLET_FRAC_Q = 9_000      # ≤ 90% of lines bullet-started
+GOPHER_MAX_ELLIPSIS_FRAC_Q = 3_000    # ≤ 30% of lines ellipsis-ended
+GOPHER_MIN_ALPHA_WORD_FRAC_Q = 8_000  # ≥ 80% of words contain a letter
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+
+
+def _q(num: Column, den: Column) -> Column:
+    """floor(1e4 · num/den) as BIGINT, 0 when the denominator is 0."""
+    return F.when(den == 0, F.lit(0)).otherwise(
+        F.floor((F.lit(10_000) * num) / den)
+    ).cast("long")
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Exact count of non-overlapping literal occurrences."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def gopher_metrics(text: Column) -> list[Column]:
+    """The raw Gopher §A1.1 metrics as aliased Columns (see module
+    docstring for the quantization contract)."""
+    words = F.split(F.trim(text), r"\s+")
+    lines = F.split(text, "\n")
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("long")
+    char_sum = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_symbols = _count_occurrences(text, "#") + _count_occurrences(text, "...")
+    n_bullet = F.size(F.filter(lines, lambda l: l.startswith("- "))).cast("long")
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("long")
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[a-z]"))
+    ).cast("long")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(
+                F.transform(words, lambda w: F.regexp_replace(w, "[^a-z]", ""))
+            ),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    return [
+        n_words.alias("n_words"),
+        _q(char_sum, n_words).alias("mean_word_len_q"),
+        _q(n_symbols, n_words).alias("symbol_ratio_q"),
+        _q(n_bullet, n_lines).alias("bullet_frac_q"),
+        _q(n_ellipsis, n_lines).alias("ellipsis_frac_q"),
+        _q(n_alpha_words, n_words).alias("alpha_word_frac_q"),
+        stop_hits.alias("stop_hits"),
+    ]
+
+
+def gopher_quality(df: DataFrame, text: Column | None = None) -> DataFrame:
+    """Append the Gopher metrics, one 0/1 flag per rule, and the
+    combined ``keep`` decision. Zero-shuffle: every column is a scalar
+    expression over the row's text."""
+    t = text if text is not None else F.col("text")
+    out = df.select("*", *gopher_metrics(t))
+    flags = {
+        "r_word_count": (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS),
+        "r_mean_word_len": (F.col("mean_word_len_q") >= GOPHER_MIN_MEAN_WORD_LEN_Q)
+        & (F.col("mean_word_len_q") <= GOPHER_MAX_MEAN_WORD_LEN_Q),
+        "r_symbol_ratio": F.col("symbol_ratio_q") <= GOPHER_MAX_SYMBOL_RATIO_Q,
+        "r_bullet": F.col("bullet_frac_q") <= GOPHER_MAX_BULLET_FRAC_Q,
+        "r_ellipsis": F.col("ellipsis_frac_q") <= GOPHER_MAX_ELLIPSIS_FRAC_Q,
+        "r_alpha_words": F.col("alpha_word_frac_q")
+        >= GOPHER_MIN_ALPHA_WORD_FRAC_Q,
+        "r_stopwords": F.col("stop_hits") >= GOPHER_MIN_STOP_HITS,
+    }
+    for name, cond in flags.items():
+        out = out.withColumn(name, cond.cast("long"))
+    keep = None
+    for name in flags:
+        keep = F.col(name) if keep is None else keep * F.col(name)
+    return out.withColumn("keep", keep.cast("long"))
+
+
+def c4_line_filter(df: DataFrame, text: Column | None = None) -> DataFrame:
+    """Append C4-cleaned text + counters + the page ``keep`` decision.
+
+    Line rules (each line must pass all): ends in terminal punctuation
+    ([.!?]), has ≥ C4_MIN_LINE_WORDS space-separated words, does not
+    contain "javascript". Page rules: ≥ C4_MIN_SENTENCES sentence
+    terminators in the cleaned text, no "lorem ipsum", no '{'.
+    Zero-shuffle per-row expressions throughout.
+    """
+    t = text if text is not None else F.col("text")
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike("[.!?]$")
+        & (F.size(F.split(l, " ")) >= C4_MIN_LINE_WORDS)
+        & ~l.contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sentences = (
+        F.length(clean) - F.length(F.regexp_replace(clean, "[.!?]", ""))
+    ).cast("long")
+    keep = (
+        (n_sentences >= C4_MIN_SENTENCES)
+        & ~t.contains("lorem ipsum")
+        & ~t.contains("{")
+    )
+    return df.select(
+        "*",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        F.md5(clean).alias("clean_md5"),
+        keep.cast("long").alias("keep"),
+    )

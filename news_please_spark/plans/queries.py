@@ -1273,6 +1273,219 @@ def script_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["script_profile"] = _script_profile_sql()
 
 
+# ---------------------------------------------------------------------------
+# Gopher quality rules + C4 line filters (operators/quality.py) over a
+# deterministically derived multi-line page: the corpus text is a flat
+# word soup (no newlines / punctuation), so both entries re-layout it
+# into doc_id-keyed lines with bullets / ellipses / terminal punctuation
+# plus class injections (all-bullet docs %19, all-ellipsis %23, lorem
+# ipsum %11, curly-brace code %13, javascript boilerplate %17) so every
+# rule fires on some rows and passes on others. The SAME derivation is
+# expressed as native Columns here and as DuckDB list-lambda SQL in the
+# shared oracle prefix below — bit-equality of the downstream metrics
+# proves the rule implementations agree, not just the layout.
+
+
+def _synth_page(text: Column, doc_id: Column) -> Column:
+    toks = F.split(F.trim(text), r"\s+")
+    k = (doc_id % 3 + 4).cast("int")
+    nlines = F.floor((F.size(toks) + k - 1) / k).cast("long")
+    lines = F.transform(
+        F.sequence(F.lit(0).cast("long"), nlines - 1),
+        lambda i: F.concat(
+            F.when(
+                (doc_id % 19 == 0) | ((doc_id + i) % 7 == 0), F.lit("- ")
+            ).otherwise(F.lit("")),
+            F.array_join(F.slice(toks, (i * k + 1).cast("int"), k), " "),
+            F.when((doc_id % 23 == 0) | ((doc_id + i) % 5 == 0), F.lit("..."))
+            .when((doc_id + i) % 5 == 1, F.lit(""))
+            .otherwise(F.lit(".")),
+        ),
+    )
+    return F.concat(
+        F.array_join(lines, "\n"),
+        F.when(doc_id % 11 == 0, F.lit("\nlorem ipsum dolor sit amet."))
+        .otherwise(F.lit("")),
+        F.when(doc_id % 13 == 0, F.lit("\nvar x = { a: 1 };"))
+        .otherwise(F.lit("")),
+        F.when(doc_id % 17 == 0, F.lit("\nplease enable javascript to continue."))
+        .otherwise(F.lit("")),
+    )
+
+
+# Shared oracle prefix: the same page derivation in DuckDB list SQL.
+# chr(123)/chr(125) are the braces (kept out of the literal so the
+# Python source carries no asymmetric quoting hazards in reviews).
+_SYNTH_PAGE_CTE = r"""
+    WITH t0 AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks,
+             (doc_id % 3 + 4) AS k
+      FROM documents
+    ),
+    t1 AS (
+      SELECT doc_id,
+             list_transform(range(0, (len(toks) + k - 1) // k), i ->
+               (CASE WHEN doc_id % 19 = 0 OR (doc_id + i) % 7 = 0
+                     THEN '- ' ELSE '' END)
+               || array_to_string(list_slice(toks, i*k + 1, i*k + k), ' ')
+               || (CASE WHEN doc_id % 23 = 0 OR (doc_id + i) % 5 = 0 THEN '...'
+                        WHEN (doc_id + i) % 5 = 1 THEN ''
+                        ELSE '.' END)
+             ) AS lines
+      FROM t0
+    ),
+    page AS (
+      SELECT doc_id,
+             array_to_string(lines, chr(10))
+             || CASE WHEN doc_id % 11 = 0
+                     THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                     ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN chr(10) || 'var x = ' || chr(123) || ' a: 1 ' || chr(125) || ';'
+                     ELSE '' END
+             || CASE WHEN doc_id % 17 = 0
+                     THEN chr(10) || 'please enable javascript to continue.'
+                     ELSE '' END AS page
+      FROM t1
+    )
+"""
+
+
+def _gopher_rules_sql() -> str:
+    from news_please_spark.operators.quality import (
+        GOPHER_MAX_BULLET_FRAC_Q,
+        GOPHER_MAX_ELLIPSIS_FRAC_Q,
+        GOPHER_MAX_MEAN_WORD_LEN_Q,
+        GOPHER_MAX_SYMBOL_RATIO_Q,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_WORD_FRAC_Q,
+        GOPHER_MIN_MEAN_WORD_LEN_Q,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
+    stop = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    flags = {
+        "r_word_count": f"n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}",
+        "r_mean_word_len": f"mean_word_len_q >= {GOPHER_MIN_MEAN_WORD_LEN_Q} AND mean_word_len_q <= {GOPHER_MAX_MEAN_WORD_LEN_Q}",
+        "r_symbol_ratio": f"symbol_ratio_q <= {GOPHER_MAX_SYMBOL_RATIO_Q}",
+        "r_bullet": f"bullet_frac_q <= {GOPHER_MAX_BULLET_FRAC_Q}",
+        "r_ellipsis": f"ellipsis_frac_q <= {GOPHER_MAX_ELLIPSIS_FRAC_Q}",
+        "r_alpha_words": f"alpha_word_frac_q >= {GOPHER_MIN_ALPHA_WORD_FRAC_Q}",
+        "r_stopwords": f"stop_hits >= {GOPHER_MIN_STOP_HITS}",
+    }
+    flag_cols = ",\n           ".join(
+        f"CAST(CASE WHEN {cond} THEN 1 ELSE 0 END AS BIGINT) AS {name}"
+        for name, cond in flags.items()
+    )
+    keep_cond = " AND ".join(f"({c})" for c in flags.values())
+    return (
+        _SYNTH_PAGE_CTE
+        + f""",
+    g AS (
+      SELECT doc_id, page,
+             string_split_regex(trim(page), '\\s+') AS words,
+             string_split(page, chr(10)) AS lines
+      FROM page
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS char_sum,
+             CAST(length(page) - length(replace(page, '#', '')) AS BIGINT)
+               + CAST((length(page) - length(replace(page, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+             CAST(len(list_filter(lines, l -> starts_with(l, '- '))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS n_ellipsis,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_intersect(
+               list_distinct(list_transform(words, w -> regexp_replace(w, '[^a-z]', '', 'g'))),
+               [{stop}])) AS BIGINT) AS stop_hits
+      FROM g
+    ),
+    q AS (
+      SELECT doc_id, n_words,
+             CASE WHEN n_words = 0 THEN 0 ELSE (10000 * char_sum) // n_words END AS mean_word_len_q,
+             CASE WHEN n_words = 0 THEN 0 ELSE (10000 * n_symbols) // n_words END AS symbol_ratio_q,
+             CASE WHEN n_lines = 0 THEN 0 ELSE (10000 * n_bullet) // n_lines END AS bullet_frac_q,
+             CASE WHEN n_lines = 0 THEN 0 ELSE (10000 * n_ellipsis) // n_lines END AS ellipsis_frac_q,
+             CASE WHEN n_words = 0 THEN 0 ELSE (10000 * n_alpha) // n_words END AS alpha_word_frac_q,
+             stop_hits
+      FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len_q, symbol_ratio_q, bullet_frac_q,
+           ellipsis_frac_q, alpha_word_frac_q, stop_hits,
+           {flag_cols},
+           CAST(CASE WHEN {keep_cond} THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM q
+    """
+    )
+
+
+@register("gopher_rules", None)
+def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 quality rules (operators/quality.py::gopher_quality)
+    over the derived page. Zero shuffle — metrics, flags, and keep are
+    scalar expressions riding the parquet scan."""
+    from news_please_spark.operators.quality import gopher_quality
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    paged = docs.select(
+        "doc_id", _synth_page(F.col("text"), F.col("doc_id")).alias("page")
+    )
+    return gopher_quality(paged, F.col("page")).drop("page")
+
+
+ORACLES["gopher_rules"] = _gopher_rules_sql()
+
+
+@register(
+    "c4_clean",
+    _SYNTH_PAGE_CTE
+    + r""",
+    c AS (
+      SELECT doc_id, page, string_split(page, chr(10)) AS lines FROM page
+    ),
+    k AS (
+      SELECT doc_id, page, lines,
+             list_filter(lines, l ->
+               regexp_matches(l, '[.!?]$')
+               AND len(string_split(l, ' ')) >= 5
+               AND NOT contains(l, 'javascript')) AS kept
+      FROM c
+    ),
+    f AS (
+      SELECT doc_id, page,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(kept) AS BIGINT) AS n_kept_lines,
+             coalesce(array_to_string(kept, chr(10)), '') AS clean
+      FROM k
+    )
+    SELECT doc_id, n_lines, n_kept_lines,
+           CAST(length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+           md5(clean) AS clean_md5,
+           CAST(CASE WHEN length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g')) >= 3
+                      AND NOT contains(page, 'lorem ipsum')
+                      AND NOT contains(page, chr(123))
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM f
+    """,
+)
+def c4_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2 line filters + page gates
+    (operators/quality.py::c4_line_filter) over the derived page; the
+    cleaned text crosses the oracle as md5. Zero shuffle."""
+    from news_please_spark.operators.quality import c4_line_filter
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    paged = docs.select(
+        "doc_id", _synth_page(F.col("text"), F.col("doc_id")).alias("page")
+    )
+    return c4_line_filter(paged, F.col("page")).drop("page")
+
+
 @register(
     "temperature_sample",
     """

@@ -1,0 +1,121 @@
+"""Gopher quality rules + C4 line filters (operators/quality.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from news_please_spark.operators.quality import (
+    c4_line_filter,
+    gopher_quality,
+)
+
+GOOD = "\n".join(
+    [
+        "the quick brown fox jumps over the lazy dog today.",
+        "we have to be sure that every line of prose reads well.",
+        "writers of long articles tend to keep sentences complete.",
+    ]
+    * 4  # 12 lines, ~120 words — clears the 50-word floor
+)
+
+
+def _gq(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r.doc_id: r.asDict() for r in gopher_quality(df).collect()}
+
+
+def test_gopher_rules_each_axis(spark):
+    rows = [
+        (0, GOOD),
+        (1, "short text."),                               # word-count floor
+        (2, " ".join(["a"] * 60) + " the of."),           # mean word len < 3
+        (3, GOOD + "\n" + " ".join(["###"] * 30)),        # symbol ratio
+        (4, "\n".join(["- bullet line here"] * 10)),      # all bullets
+        (5, "\n".join(["trailing off line..."] * 10)),    # all ellipsis
+        (6, " ".join(["123 456"] * 40) + " the of"),      # alpha-word frac
+        (7, " ".join(["word"] * 60)),                     # no stopwords
+    ]
+    got = _gq(spark, rows)
+    assert got[0]["keep"] == 1 and all(
+        got[0][k] == 1 for k in got[0] if k.startswith("r_")
+    )
+    assert got[1]["r_word_count"] == 0 and got[1]["keep"] == 0
+    assert got[2]["r_mean_word_len"] == 0
+    assert got[3]["r_symbol_ratio"] == 0
+    assert got[4]["r_bullet"] == 0 and got[4]["bullet_frac_q"] == 10_000
+    assert got[5]["r_ellipsis"] == 0 and got[5]["ellipsis_frac_q"] == 10_000
+    assert got[6]["r_alpha_words"] == 0
+    assert got[7]["r_stopwords"] == 0 and got[7]["stop_hits"] == 0
+
+
+def test_gopher_metrics_exact(spark):
+    got = _gq(spark, [(0, "the cat... sat\n- on # the mat.")])
+    m = got[0]
+    # words: the cat... sat - on # the mat.  (8 slots)
+    assert m["n_words"] == 8
+    # chars: 3+6+3+1+2+1+3+4 = 23 -> floor(1e4*23/8)
+    assert m["mean_word_len_q"] == 10_000 * 23 // 8
+    assert m["symbol_ratio_q"] == 10_000 * 2 // 8  # one '#', one '...'
+    assert m["bullet_frac_q"] == 5_000  # 1 of 2 lines
+    assert m["stop_hits"] == 1  # 'the' (punctuation stripped for matching)
+
+
+def test_c4_line_filter_rules(spark):
+    doc = "\n".join(
+        [
+            "this line has enough words and ends well.",   # kept
+            "too short.",                                   # < 5 words
+            "no terminal punctuation so this line drops",   # no [.!?]$
+            "please enable javascript to view this page.",  # javascript
+            "another perfectly fine sentence goes here!",   # kept
+            "is this a question with enough words here?",   # kept
+        ]
+    )
+    df = spark.createDataFrame([(0, doc)], "doc_id long, text string")
+    row = c4_line_filter(df).collect()[0]
+    assert row.n_lines == 6 and row.n_kept_lines == 3
+    kept = "\n".join(
+        [
+            "this line has enough words and ends well.",
+            "another perfectly fine sentence goes here!",
+            "is this a question with enough words here?",
+        ]
+    )
+    assert row.clean_md5 == hashlib.md5(kept.encode()).hexdigest()
+    assert row.n_sentences == 3 and row.keep == 1
+
+
+def test_c4_page_gates(spark):
+    rows = [
+        (0, "good sentence with five words here.\n" * 3),
+        (1, "we used lorem ipsum filler text in this page today.\n" * 3),
+        (2, "this page contains a { brace } in its body text.\n" * 3),
+        (3, "only one good sentence lives in this page here."),  # < 3 sentences
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_line_filter(df).collect()}
+    assert got[0].keep == 1
+    assert got[1].keep == 0 and got[1].n_kept_lines == 3  # lines fine, page gated
+    assert got[2].keep == 0
+    assert got[3].keep == 0 and got[3].n_sentences == 1
+
+
+def test_quality_entries_zero_shuffle(spark):
+    from news_please_spark.plans.queries import QUERIES
+
+    for name in ("gopher_rules", "c4_clean"):
+        plan = (
+            QUERIES[name](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, (name, plan)
+
+
+def test_quality_empty_input(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert gopher_quality(empty).count() == 0
+    assert c4_line_filter(empty).count() == 0
