@@ -80,6 +80,7 @@ HEADLINE = [
     "quality_topfrac",
     "pack_sequences",
     "packed_chunks",
+    "interleaved_pack",
     "repetition_scores",
     "corpus_dup_ngrams",
     "jaccard_verify",

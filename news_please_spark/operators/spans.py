@@ -41,7 +41,7 @@ nothing is re-evaluated per element in interpreted eval.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from news_please_spark.functions.text import tokens
@@ -314,4 +314,130 @@ def caption_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .withColumn("caption_after", F.first(txt, ignorenulls=True).over(after))
         .filter(F.col("_kind") != "text")
         .select(id_col, "media_ref", "offset", "caption_before", "caption_after")
+    )
+
+
+def pack_interleaved(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    packer_hex: int = 2,
+) -> DataFrame:
+    """Pack interleaved span-documents into fixed ``seq_len``-token
+    training windows — the multimodal twin of
+    ``sampling.pack_sequences`` (same md5 packer shards, same window
+    prefix-sum + integer-DIV chunk math), operating on the input_hint
+    span table instead of flat text.
+
+    Token convention: a text span contributes its whitespace token
+    count (the convention shared with ``token_totals`` /
+    ``pack_sequences``); a media span contributes exactly ONE
+    placeholder token — ``render_interleaved``'s grain, so a packed
+    chunk's token count equals the rendered sample's. Media atomicity
+    is structural at this grain: a 1-token span can never straddle a
+    chunk boundary, so images are never cut in half; text spans may
+    split across chunks like any document tail.
+
+    Output: one row per (span × chunk it occupies) —
+    ``(packer, chunk, id, span_idx, kind, media_ref, n_tok, tok_start,
+    tok_end, span_off)`` where ``[tok_start, tok_end)`` is the slice of
+    the chunk the span fills and ``span_off`` is the first packed
+    token's offset inside the span. Ordering is md5(id) inside 16^k
+    packer shards (deterministic, partitioning-independent, no global
+    sort task); spans keep their offset order inside each document, so
+    every chunk is a valid interleaved sample prefix/suffix.
+
+    Plan: one fold per row for the in-doc prefix sums (array HOFs, no
+    explode before the window), ONE shuffle for the per-packer doc
+    window, then posexplode + chunk sequence — the same shape that
+    holds at the 10^10-doc design point with packer_hex=4.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    key = F.md5(F.col(id_col).cast("string"))
+    spans = F.array_sort(
+        F.col("spans"), lambda a, b: a["offset"] - b["offset"]
+    )
+    n_toks = F.transform(
+        spans,
+        lambda s: F.when(
+            s["kind"] == "text",
+            F.size(F.split(F.trim(s["text"]), r"\s+")).cast("long"),
+        ).otherwise(F.lit(1).cast("long")),
+    )
+    base = df.select(
+        F.col(id_col),
+        key.alias("_key"),
+        F.substring(key, 1, packer_hex).alias("packer"),
+        spans.alias("_spans"),
+        n_toks.alias("_ntoks"),
+    )
+    # in-doc start offset per span: one fold building the prefix-sum
+    # array (acc struct carries the array + running total)
+    zero = F.struct(
+        F.array().cast("array<long>").alias("arr"),
+        F.lit(0).cast("long").alias("tot"),
+    )
+    pref = F.aggregate(
+        F.col("_ntoks"),
+        zero,
+        lambda acc, x: F.struct(
+            F.concat(acc["arr"], F.array(acc["tot"])).alias("arr"),
+            (acc["tot"] + x).alias("tot"),
+        ),
+    )
+    staged = base.select(
+        id_col, "_key", "packer", "_spans", "_ntoks",
+        pref["arr"].alias("_offs"),
+        pref["tot"].alias("_doc_tok"),
+    )
+    w = (
+        Window.partitionBy("packer")
+        .orderBy("_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    started = staged.select(
+        id_col, "packer", "_spans", "_ntoks", "_offs",
+        F.coalesce(F.sum("_doc_tok").over(w), F.lit(0)).alias("_start"),
+    )
+    rows = started.select(
+        id_col,
+        "packer",
+        "_start",
+        F.posexplode(F.arrays_zip("_spans", "_ntoks", "_offs")).alias(
+            "span_idx", "z"
+        ),
+    ).select(
+        id_col,
+        "packer",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        F.col("z._spans.kind").alias("kind"),
+        F.col("z._spans.media_ref").alias("media_ref"),
+        F.col("z._ntoks").alias("n_tok"),
+        (F.col("_start") + F.col("z._offs")).alias("_g0"),
+        (F.col("_start") + F.col("z._offs") + F.col("z._ntoks")).alias("_g1"),
+    )
+    L = F.lit(int(seq_len)).cast("long")
+    chunked = rows.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"_g0 DIV {int(seq_len)}"),
+                F.expr(f"(_g1 - 1) DIV {int(seq_len)}"),
+            )
+        ).alias("chunk"),
+    )
+    lo = F.greatest(F.col("_g0"), F.col("chunk") * L)
+    hi = F.least(F.col("_g1"), (F.col("chunk") + 1) * L)
+    return chunked.select(
+        "packer",
+        F.col("chunk").cast("long").alias("chunk"),
+        F.col(id_col),
+        "span_idx",
+        "kind",
+        "media_ref",
+        "n_tok",
+        (lo - F.col("chunk") * L).alias("tok_start"),
+        (hi - F.col("chunk") * L).alias("tok_end"),
+        (lo - F.col("_g0")).alias("span_off"),
     )

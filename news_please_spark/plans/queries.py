@@ -3109,6 +3109,64 @@ def caption_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return caption_pairs(_synth_spans_df(spark, sf_dir))
 
 
+@register(
+    "interleaved_pack",
+    _SPAN_ROWS_SQL
+    + r"""
+    , nt AS (
+      SELECT doc_id, kind, media_ref, "offset",
+             CASE WHEN kind = 'text'
+                  THEN CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) END AS n_tok
+      FROM span_rows
+    ),
+    pre AS (
+      SELECT doc_id, kind, media_ref, n_tok,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY "offset") - 1 AS BIGINT) AS span_idx,
+             coalesce(sum(n_tok) OVER (PARTITION BY doc_id ORDER BY "offset"
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off0
+      FROM nt
+    ),
+    docs AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS packer,
+             sum(n_tok) AS doc_tok
+      FROM nt GROUP BY doc_id
+    ),
+    starts AS (
+      SELECT doc_id, packer,
+             coalesce(sum(doc_tok) OVER (PARTITION BY packer ORDER BY key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS g_start
+      FROM docs
+    ),
+    g AS (
+      SELECT p.doc_id, s.packer, p.span_idx, p.kind, p.media_ref, p.n_tok,
+             s.g_start + p.off0 AS g0, s.g_start + p.off0 + p.n_tok AS g1
+      FROM pre p JOIN starts s USING (doc_id)
+    ),
+    e AS (
+      SELECT *, unnest(range(CAST(g0 // 64 AS BIGINT),
+                             CAST((g1 - 1) // 64 + 1 AS BIGINT))) AS chunk FROM g
+    )
+    SELECT packer, CAST(chunk AS BIGINT) AS chunk, doc_id, span_idx, kind,
+           media_ref, n_tok,
+           CAST(greatest(g0, chunk * 64) - chunk * 64 AS BIGINT) AS tok_start,
+           CAST(least(g1, (chunk + 1) * 64) - chunk * 64 AS BIGINT) AS tok_end,
+           CAST(greatest(g0, chunk * 64) - g0 AS BIGINT) AS span_off
+    FROM e
+    """,
+)
+def interleaved_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal sequence packing over the input_hint span table
+    (operators/spans.py::pack_interleaved): spans laid end-to-end in
+    md5-packer order and cut every 64 tokens; text spans may split,
+    1-token media placeholders never do. One shuffle (per-packer doc
+    window); in-doc prefix sums are array folds riding the scan."""
+    from news_please_spark.operators.spans import pack_interleaved
+
+    return pack_interleaved(_synth_spans_df(spark, sf_dir), seq_len=64)
+
+
 # ---------------------------------------------------------------------------
 # 14. the end-to-end corpus-hygiene pipeline (clean_corpus), oracle-checked
 #     as ONE entry: exact dedup -> LSH near-dup -> decontam -> quality gate,

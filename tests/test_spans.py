@@ -162,3 +162,113 @@ def test_caption_pairs_nearest_text_neighbors(spark):
         (1, "img://1/1"): (None, "only after"),
         (2, "vid://2/1"): ("near text", None),
     }
+
+
+# ---------------------------------------------------------------------------
+# pack_interleaved
+
+
+def _ntok(kind, text):
+    # whitespace token convention shared with token_totals: split of a
+    # trimmed empty string is [''] — empty text counts ONE token
+    return max(1, len(text.strip().split())) if kind == "text" else 1
+
+
+def _py_pack(spans_by_doc, seq_len, packer_hex=2):
+    """Pure-Python twin of pack_interleaved (md5 order, concat+chunk)."""
+    import hashlib
+
+    out = []
+    keyed = sorted(
+        spans_by_doc, key=lambda d: hashlib.md5(str(d).encode()).hexdigest()
+    )
+    starts = {}
+    totals = {}
+    for d in keyed:
+        tot = 0
+        for kind, text, _, _ in spans_by_doc[d]:
+            tot += _ntok(kind, text)
+        totals[d] = tot
+    acc = {}
+    for d in keyed:
+        p = hashlib.md5(str(d).encode()).hexdigest()[:packer_hex]
+        starts[d] = acc.get(p, 0)
+        acc[p] = starts[d] + totals[d]
+    for d in keyed:
+        p = hashlib.md5(str(d).encode()).hexdigest()[:packer_hex]
+        off = 0
+        for idx, (kind, text, ref, _) in enumerate(spans_by_doc[d]):
+            n = _ntok(kind, text)
+            g0, g1 = starts[d] + off, starts[d] + off + n
+            for c in range(g0 // seq_len, (g1 - 1) // seq_len + 1):
+                lo, hi = max(g0, c * seq_len), min(g1, (c + 1) * seq_len)
+                out.append(
+                    (p, c, d, idx, kind, ref, n, lo - c * seq_len,
+                     hi - c * seq_len, lo - g0)
+                )
+            off += n
+    return sorted(out)
+
+
+def test_pack_interleaved_matches_python(spark):
+    from news_please_spark.operators.spans import pack_interleaved
+
+    spans_by_doc = {d: _py_spans(d, t) for d, t in DOCS}
+    got = sorted(
+        tuple(r)
+        for r in pack_interleaved(synth_spans(_df(spark)), seq_len=16).collect()
+    )
+    assert got == _py_pack(spans_by_doc, 16)
+
+
+def test_pack_interleaved_invariants(spark):
+    from collections import defaultdict
+
+    from news_please_spark.operators.spans import pack_interleaved
+
+    rows = pack_interleaved(synth_spans(_df(spark)), seq_len=16).collect()
+    # media spans are atomic: exactly one chunk row, one token
+    media = [r for r in rows if r.kind != "text"]
+    assert media and all(
+        r.n_tok == 1 and r.tok_end - r.tok_start == 1 for r in media
+    )
+    per_media = defaultdict(int)
+    for r in media:
+        per_media[(r.doc_id, r.span_idx)] += 1
+    assert all(v == 1 for v in per_media.values())
+    # chunks tile [0, seq_len) with no gaps/overlaps; all but the last
+    # chunk of each packer are exactly full
+    by_chunk = defaultdict(list)
+    for r in rows:
+        by_chunk[(r.packer, r.chunk)].append((r.tok_start, r.tok_end))
+    for (p, c), segs in by_chunk.items():
+        segs.sort()
+        assert segs[0][0] == 0
+        for (a0, a1), (b0, b1) in zip(segs, segs[1:]):
+            assert a1 == b0, (p, c, segs)
+        last = max(c for (pp, c) in by_chunk if pp == p)
+        if c < last:
+            assert segs[-1][1] == 16, (p, c, segs)
+    # every span's slices reassemble the span exactly
+    per_span = defaultdict(list)
+    for r in rows:
+        per_span[(r.doc_id, r.span_idx)].append((r.span_off, r.tok_end - r.tok_start, r.n_tok))
+    for (d, i), parts in per_span.items():
+        parts.sort()
+        assert parts[0][0] == 0
+        covered = 0
+        for off, ln, n in parts:
+            assert off == covered
+            covered += ln
+        assert covered == parts[0][2]
+
+
+def test_pack_interleaved_empty_and_bad_args(spark):
+    import pytest as _pytest
+
+    from news_please_spark.operators.spans import SPAN_SCHEMA, pack_interleaved
+
+    empty = spark.createDataFrame([], f"doc_id long, spans {SPAN_SCHEMA}")
+    assert pack_interleaved(empty, seq_len=8).count() == 0
+    with _pytest.raises(ValueError):
+        pack_interleaved(empty, seq_len=0)
