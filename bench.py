@@ -76,6 +76,7 @@ HEADLINE = [
     "bm25_search",
     "mixture_sample",
     "temperature_sample",
+    "token_budget",
     "dataset_split",
     "quality_topfrac",
     "pack_sequences",

@@ -423,3 +423,122 @@ def temperature_sample(
     return df.filter(
         hash_frac_hex8(F.col(id_col)) < thr_map[F.col(source_col)]
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget epoch planning (mixture construction under per-source caps)
+
+
+def token_budget_plan(
+    counts: dict[str, int],
+    budget: int,
+    epochs: int | dict[str, int],
+    alpha: str = "sqrt",
+) -> dict[str, tuple[int, bool]]:
+    """Allocate a total training-token ``budget`` across sources
+    proportional to n^alpha weights, capping every source at
+    ``epochs[s] * n_s`` tokens (no source repeats more than its max
+    epochs) and redistributing capped-off excess to the uncapped
+    sources — exact integer water-filling, the budget arithmetic
+    behind published mixture tables (e.g. Llama/GPT-3-style "epochs
+    over the dataset" columns; Muennighoff et al. 2023 on repeating
+    data up to ~4 epochs).
+
+    Semantics (the unique fixpoint): capped set S* = {s : c_s ≤ λ·w_s}
+    with λ = (budget − Σ_{S*} c) / Σ_{∉S*} w, c_s = epochs_s·n_s; the
+    uncapped remainder R = budget − Σ_{S*} c is split proportional to w
+    with largest-remainder rounding (remainder DESC, source ASC), so
+    Σ alloc == min(budget, Σ c) EXACTLY. All arithmetic is
+    arbitrary-precision Python over the config-sized source histogram
+    (the temperature_thresholds pattern) — no float, no overflow at
+    any corpus size; the DuckDB oracle reproduces the fixpoint with
+    the sorted-ratio prefix closed form.
+
+    ``alpha`` is prop|sqrt|uniform (the temperature_thresholds weight
+    family, exact integers). Returns {source: (alloc_tokens, capped)};
+    sources with n ≤ 0 get (0, False).
+    """
+    from math import isqrt
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    weigh = {"prop": lambda n: n, "sqrt": isqrt, "uniform": lambda n: 1}.get(alpha)
+    if weigh is None:
+        raise ValueError(f"alpha must be prop|sqrt|uniform, got {alpha!r}")
+    eps = epochs if isinstance(epochs, dict) else {s: epochs for s in counts}
+    live = {s: n for s, n in counts.items() if n > 0}
+    w = {s: weigh(n) for s, n in live.items()}
+    caps = {s: eps[s] * live[s] for s in live}
+    capped: set[str] = set()
+    while True:
+        un = [s for s in live if s not in capped]
+        if not un:
+            break
+        tot_w = sum(w[s] for s in un)
+        rem_budget = budget - sum(caps[s] for s in capped)
+        newly = [s for s in un if caps[s] * tot_w <= rem_budget * w[s]]
+        if not newly:
+            break
+        capped.update(newly)
+    un = sorted(s for s in live if s not in capped)
+    tot_w = sum(w[s] for s in un)
+    rem_budget = budget - sum(caps[s] for s in capped)
+    alloc = {s: caps[s] for s in capped}
+    if un:
+        base = {s: (rem_budget * w[s]) // tot_w for s in un}
+        left = rem_budget - sum(base.values())
+        order = sorted(un, key=lambda s: (-((rem_budget * w[s]) % tot_w), s))
+        for i, s in enumerate(order):
+            alloc[s] = base[s] + (1 if i < left else 0)
+    return {s: (alloc.get(s, 0), s in capped) for s in counts}
+
+
+def plan_token_budget(
+    df: DataFrame,
+    budget: int,
+    epochs,
+    alpha: str = "sqrt",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """DataFrame wrapper: one map-side-combinable aggregation to the
+    per-source token histogram (whitespace convention shared with
+    token_totals), exact plan driver-side (config-sized, like
+    temperature_sample), result as one row per source:
+    (source, n_tokens, max_epochs, capped, alloc_tokens, epochs_q)
+    with epochs_q = floor(1e4 · alloc / n)."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col)
+        .agg(
+            F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+            .cast("long")
+            .alias("n")
+        )
+        .collect()
+    }
+    # epochs may be an int, a dict, or a callable(source) -> int — the
+    # callable form avoids a second corpus pass just to list sources
+    if callable(epochs):
+        eps = {s: int(epochs(s)) for s in counts}
+    elif isinstance(epochs, dict):
+        eps = epochs
+    else:
+        eps = {s: int(epochs) for s in counts}
+    plan = token_budget_plan(counts, budget, eps, alpha)
+    rows = [
+        (
+            s,
+            int(n),
+            int(eps[s]),
+            int(plan[s][1]),
+            int(plan[s][0]),
+            (10_000 * plan[s][0]) // n if n > 0 else 0,
+        )
+        for s, n in sorted(counts.items())
+    ]
+    return df.sparkSession.createDataFrame(
+        rows,
+        "source string, n_tokens long, max_epochs long, capped long, "
+        "alloc_tokens long, epochs_q long",
+    )

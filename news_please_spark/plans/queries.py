@@ -1531,6 +1531,102 @@ def temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(docs, target=200)
 
 
+@register(
+    "token_budget",
+    r"""
+    WITH tt AS (
+      SELECT source,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    s0 AS (
+      SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS r FROM tt
+    ),
+    wt AS (
+      SELECT source, n,
+             r - CASE WHEN r*r > n THEN 1 ELSE 0 END
+               + CASE WHEN (r+1)*(r+1) <= n THEN 1 ELSE 0 END AS w,
+             CAST(1 + ascii(right(source, 1)) % 4 AS BIGINT) AS e
+      FROM s0
+    ),
+    cp AS (SELECT source, n, w, e, e * n AS cap FROM wt),
+    o AS (
+      SELECT *,
+             row_number() OVER (ORDER BY CAST(cap AS DOUBLE)/w, source) AS rk,
+             coalesce(sum(cap) OVER (ORDER BY CAST(cap AS DOUBLE)/w, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumc,
+             coalesce(sum(w) OVER (ORDER BY CAST(cap AS DOUBLE)/w, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumw,
+             sum(w) OVER () AS tw
+      FROM cp
+    ),
+    t AS (
+      SELECT *,
+             CASE WHEN cap * (tw - cumw) <= (60000 - cumc) * w
+                  THEN 1 ELSE 0 END AS pass
+      FROM o
+    ),
+    f AS (
+      SELECT *, min(pass) OVER (ORDER BY rk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped
+      FROM t
+    ),
+    a AS (
+      SELECT coalesce(sum(CASE WHEN capped = 1 THEN cap END), 0) AS cc,
+             coalesce(sum(CASE WHEN capped = 0 THEN w END), 0) AS uw
+      FROM f
+    ),
+    b AS (
+      SELECT f.*, (60000 - a.cc) AS rem_budget,
+             CASE WHEN capped = 1 THEN cap
+                  ELSE ((60000 - a.cc) * w) // a.uw END AS base,
+             CASE WHEN capped = 1 THEN -1
+                  ELSE ((60000 - a.cc) * w) % a.uw END AS remv
+      FROM f, a
+    ),
+    lv AS (
+      SELECT max(rem_budget) AS rb,
+             coalesce(sum(CASE WHEN capped = 0 THEN base END), 0) AS sb
+      FROM b
+    ),
+    x AS (
+      SELECT b.*, (lv.rb - lv.sb) AS leftover,
+             row_number() OVER (PARTITION BY capped ORDER BY remv DESC, source) AS xrk
+      FROM b, lv
+    ),
+    al AS (
+      SELECT source, n, e, capped,
+             CASE WHEN capped = 1 THEN cap
+                  ELSE base + CASE WHEN xrk <= leftover THEN 1 ELSE 0 END
+             END AS alloc
+      FROM x
+    )
+    SELECT source, n AS n_tokens, e AS max_epochs,
+           CAST(capped AS BIGINT) AS capped,
+           CAST(alloc AS BIGINT) AS alloc_tokens,
+           CAST((10000 * alloc) // n AS BIGINT) AS epochs_q
+    FROM al
+    """,
+)
+def token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch planning
+    (operators/sampling.py::plan_token_budget): 60k training tokens
+    split across sources by isqrt weights under per-source epoch caps
+    (1 + ascii(last char) % 4 — all four cap classes present), capped
+    excess water-filled onto uncapped sources with largest-remainder
+    rounding. One map-side-combinable histogram aggregation; the plan
+    itself is exact integer arithmetic on the config-sized result. The
+    oracle reproduces the fixpoint via the sorted-ratio prefix closed
+    form — cross-engine equality proves the two formulations agree."""
+    from news_please_spark.operators.sampling import plan_token_budget
+
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    return plan_token_budget(
+        docs, budget=60_000, epochs=lambda s: 1 + (ord(s[-1]) % 4),
+        alpha="sqrt",
+    )
+
+
 # data-mixture weights for the mixture_sample entry: src{i} keeps
 # (i % 10 + 1)/10 of its rows — every rate in (0, 1] exercised.  The
 # hex thresholds are computed ONCE here and embedded verbatim in both

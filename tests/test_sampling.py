@@ -425,3 +425,90 @@ def test_temperature_filter_is_map_side(spark):
         temperature_sample(df, 100)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# token_budget_plan (water-filling under per-source epoch caps)
+
+
+def test_token_budget_plan_invariants():
+    from math import isqrt
+
+    from news_please_spark.operators.sampling import token_budget_plan
+
+    counts = {"a": 1000, "b": 5000, "c": 200, "d": 40_000, "e": 0}
+    eps = {"a": 1, "b": 2, "c": 4, "d": 1, "e": 3}
+    for budget in (0, 100, 5_000, 30_000, 10**7):
+        plan = token_budget_plan(counts, budget, eps, alpha="sqrt")
+        caps = {s: eps[s] * n for s, n in counts.items()}
+        total = sum(a for a, _ in plan.values())
+        assert total == min(budget, sum(caps[s] for s, n in counts.items() if n > 0))
+        for s, (alloc, capped) in plan.items():
+            assert 0 <= alloc <= caps[s]
+            if capped:
+                assert alloc == caps[s]
+        # uncapped allocations are within 1 of the real proportion
+        un = [s for s, (_, c) in plan.items() if not c and counts[s] > 0]
+        if un:
+            rem = budget - sum(caps[s] for s, (_, c) in plan.items() if c)
+            tw = sum(isqrt(counts[s]) for s in un)
+            for s in un:
+                exact = rem * isqrt(counts[s]) / tw
+                assert abs(plan[s][0] - exact) < 1.0
+
+
+def test_token_budget_plan_cases():
+    import pytest as _pytest
+
+    from news_please_spark.operators.sampling import token_budget_plan
+
+    # budget exceeding all caps: everyone capped, total = sum caps
+    plan = token_budget_plan({"a": 10, "b": 20}, 10**6, 2, alpha="prop")
+    assert plan == {"a": (20, True), "b": (40, True)}
+    # tiny budget, uniform weights: equal split with remainder by name
+    plan = token_budget_plan({"a": 100, "b": 100, "c": 100}, 10, 1, "uniform")
+    assert sum(a for a, _ in plan.values()) == 10
+    assert plan["a"][0] == 4 and plan["b"][0] == 3 and plan["c"][0] == 3
+    # zero-count sources get nothing, never capped
+    assert token_budget_plan({"z": 0}, 100, 1)["z"] == (0, False)
+    assert token_budget_plan({}, 100, 1) == {}
+    with _pytest.raises(ValueError):
+        token_budget_plan({"a": 1}, -1, 1)
+    with _pytest.raises(ValueError):
+        token_budget_plan({"a": 1}, 1, 1, alpha="pow")
+
+
+def test_token_budget_plan_fixpoint_matches_bruteforce():
+    """The iterative fixpoint equals exhaustive search over capped
+    sets (the unique water-filling solution) on small instances."""
+    from itertools import combinations
+
+    from news_please_spark.operators.sampling import token_budget_plan
+
+    counts = {"a": 30, "b": 300, "c": 70, "d": 9}
+    eps = {"a": 3, "b": 1, "c": 2, "d": 4}
+    for budget in (0, 10, 50, 120, 333, 500, 700, 2000):
+        plan = token_budget_plan(counts, budget, eps, alpha="prop")
+        got_capped = {s for s, (_, c) in plan.items() if c}
+        # valid fixpoint: every capped source would exceed its cap at
+        # lambda, every uncapped one would not
+        names = list(counts)
+        valid = []
+        for r in range(len(names) + 1):
+            for sub in combinations(names, r):
+                S = set(sub)
+                rem = budget - sum(eps[s] * counts[s] for s in S)
+                tw = sum(counts[s] for s in names if s not in S)
+                ok = all(
+                    eps[s] * counts[s] * (tw if tw else 1) <= rem * counts[s]
+                    for s in S
+                )
+                if tw:
+                    ok = ok and all(
+                        eps[s] * counts[s] * tw > rem * counts[s]
+                        for s in names
+                        if s not in S
+                    )
+                if ok:
+                    valid.append(S)
+        assert got_capped in valid, (budget, got_capped, valid)
