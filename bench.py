@@ -52,6 +52,7 @@ HEADLINE = [
     "hits_scores",
     "authority_order",
     "url_canonicalize",
+    "crawl_traps",
     "robots_gate",
     "politeness_topk",
     "budget_allocate",

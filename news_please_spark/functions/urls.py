@@ -68,3 +68,41 @@ def canonical_url(url: Column, redirect_from: Column | None = None) -> Column:
         canonical_host(base),
         url_path(base),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL templating + crawl-trap fan-out detection. Crawler traps
+# (calendar pages, session-id links, faceted search) generate unbounded
+# URL families on one host; the standard mitigation is to normalize
+# URLs to structural templates and bound the per-template fan-out (the
+# reference bounds per-site URLs globally via its max-url config —
+# this is the pattern-granular version a 10^10-URL frontier needs).
+
+_QUERY_RE = r"\?([^#]*)"
+
+
+def url_query(url: Column) -> Column:
+    """The raw query string ('' when absent)."""
+    return F.regexp_extract(url, _QUERY_RE, 1)
+
+
+def url_template(url: Column) -> Column:
+    """Structural template: host + path with digit runs collapsed to
+    'N' + '?' + sorted query-parameter NAMES (values dropped). URLs
+    from the same generator collapse to one template:
+    /cal/2024/01/02 and /cal/2024/01/03 → /cal/N/N/N;
+    /view?sid=abc&p=1 and /view?p=2&sid=zzz → /view?p&sid."""
+    path_t = F.regexp_replace(url_path(url), "[0-9]+", "N")
+    q = url_query(url)
+    names = F.array_sort(
+        F.transform(
+            F.split(q, "&"), lambda kv: F.element_at(F.split(kv, "="), 1)
+        )
+    )
+    return F.concat(
+        url_host(url),
+        path_t,
+        F.when(q == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.array_join(names, "&"))
+        ),
+    )

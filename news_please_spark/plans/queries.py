@@ -464,6 +464,106 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# crawl-trap detection over a lineitem-derived URL population: two
+# generator classes (calendar paths, session-id queries) that must
+# flag, two numeric catalog classes and a static section that must not.
+_TRAP_URL_SQL = """
+    'https://h' || CAST(l_orderkey % 11 AS VARCHAR) || '.shop.test' ||
+    CASE (l_orderkey + l_linenumber) % 8
+      WHEN 0 THEN '/cal/' || CAST(l_partkey % 12 AS VARCHAR) || '/' || CAST(l_suppkey % 28 AS VARCHAR)
+      WHEN 1 THEN '/cal/' || CAST(l_suppkey % 12 AS VARCHAR) || '/' || CAST(l_partkey % 28 AS VARCHAR)
+      WHEN 2 THEN '/view?sid=s' || CAST(l_orderkey AS VARCHAR) || CAST(l_linenumber AS VARCHAR) || '&page=' || CAST(l_partkey % 9 AS VARCHAR)
+      WHEN 3 THEN '/view?page=' || CAST(l_partkey % 9 AS VARCHAR) || '&sid=t' || CAST(l_orderkey AS VARCHAR)
+      WHEN 4 THEN '/item/' || CAST(l_partkey AS VARCHAR)
+      WHEN 5 THEN '/sku/' || CAST(l_suppkey AS VARCHAR)
+      WHEN 6 THEN '/about/' || CASE l_partkey % 3 WHEN 0 THEN 'team' WHEN 1 THEN 'press' ELSE 'contact' END
+      ELSE '/docs/' || CASE l_suppkey % 2 WHEN 0 THEN 'faq' ELSE 'help' END
+    END
+"""
+
+
+def _trap_url_col():
+    ok, ln, pk, sk = (
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_partkey"),
+        F.col("l_suppkey"),
+    )
+    cls = (ok + ln) % 8
+    s = lambda c: c.cast("string")  # noqa: E731
+    path = (
+        F.when(cls == 0, F.concat(F.lit("/cal/"), s(pk % 12), F.lit("/"), s(sk % 28)))
+        .when(cls == 1, F.concat(F.lit("/cal/"), s(sk % 12), F.lit("/"), s(pk % 28)))
+        .when(cls == 2, F.concat(F.lit("/view?sid=s"), s(ok), s(ln), F.lit("&page="), s(pk % 9)))
+        .when(cls == 3, F.concat(F.lit("/view?page="), s(pk % 9), F.lit("&sid=t"), s(ok)))
+        .when(cls == 4, F.concat(F.lit("/item/"), s(pk)))
+        .when(cls == 5, F.concat(F.lit("/sku/"), s(sk)))
+        .when(
+            cls == 6,
+            F.concat(
+                F.lit("/about/"),
+                F.when(pk % 3 == 0, F.lit("team"))
+                .when(pk % 3 == 1, F.lit("press"))
+                .otherwise(F.lit("contact")),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/docs/"),
+                F.when(sk % 2 == 0, F.lit("faq")).otherwise(F.lit("help")),
+            )
+        )
+    )
+    return F.concat(F.lit("https://h"), s(ok % 11), F.lit(".shop.test"), path)
+
+
+@register(
+    "crawl_traps",
+    f"""
+    WITH u AS (SELECT {_TRAP_URL_SQL} AS url FROM lineitem),
+    p AS (
+      SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+             regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS q
+      FROM u
+    ),
+    t AS (
+      SELECT host,
+             host || regexp_replace(path, '[0-9]+', 'N', 'g') ||
+             CASE WHEN q = '' THEN ''
+                  ELSE '?' || array_to_string(
+                    list_sort(list_transform(string_split(q, '&'),
+                                             kv -> string_split(kv, '=')[1])), '&')
+             END AS template
+      FROM p
+    ),
+    cells AS (
+      SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls
+      FROM t GROUP BY host, template
+    ),
+    h AS (
+      SELECT *, CAST(sum(n_urls) OVER (PARTITION BY host) AS BIGINT) AS host_urls
+      FROM cells
+    )
+    SELECT host, template, n_urls, host_urls,
+           CAST((10000 * n_urls) // host_urls AS BIGINT) AS share_q,
+           CAST(CASE WHEN n_urls >= 20 AND (10000 * n_urls) // host_urls >= 2000
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_trap
+    FROM h
+    """,
+)
+def crawl_traps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection (operators/traps.py::template_fanout) over
+    a lineitem-derived URL population: calendar-path and session-query
+    generators flag; moderate numeric catalogs and static sections do
+    not. Two exchanges total, both over the (host, template) CELL
+    table, never per-URL rows."""
+    from news_please_spark.operators.traps import template_fanout
+
+    urls = load(spark, sf_dir, "lineitem").select(_trap_url_col().alias("url"))
+    return template_fanout(urls)
+
+
 # ---------------------------------------------------------------------------
 # 3. politeness top-k per host (O2, config.cfg:354)
 @register(

@@ -1,0 +1,67 @@
+"""URL templating + crawl-trap fan-out detection (operators/traps.py)."""
+
+from pyspark.sql import functions as F
+
+from news_please_spark.functions.urls import url_template
+from news_please_spark.operators.traps import template_fanout
+
+
+def test_url_template(spark):
+    rows = [
+        (0, "https://a.test/cal/2024/01/02"),
+        (1, "https://a.test/cal/1999/12/31"),
+        (2, "https://a.test/view?sid=abc123&page=4"),
+        (3, "https://a.test/view?page=9&sid=zzz"),
+        (4, "https://a.test/about/team"),
+        (5, "https://b.test/item/42"),
+    ]
+    df = spark.createDataFrame(rows, "i long, url string")
+    got = {
+        r.i: r.t
+        for r in df.select("i", url_template(F.col("url")).alias("t")).collect()
+    }
+    assert got[0] == got[1] == "a.test/cal/N/N/N"
+    assert got[2] == got[3] == "a.test/view?page&sid"
+    assert got[4] == "a.test/about/team"
+    assert got[5] == "b.test/item/N"
+
+
+def test_template_fanout_flags(spark):
+    # trap.test: 30 calendar URLs (one template) + 10 singles;
+    # ok.test: 40 URLs spread over 40 distinct static paths
+    rows = [(f"https://trap.test/cal/{i}/{i % 7}",) for i in range(30)]
+    rows += [(f"https://trap.test/page-{chr(97 + i)}",) for i in range(10)]
+    rows += [(f"https://ok.test/s{chr(97 + i // 26)}{chr(97 + i % 26)}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "url string")
+    got = {(r.host, r.template): r for r in template_fanout(df).collect()}
+    trap = got[("trap.test", "trap.test/cal/N/N")]
+    assert trap.n_urls == 30 and trap.host_urls == 40
+    assert trap.share_q == 7500 and trap.is_trap == 1
+    assert all(
+        r.is_trap == 0 for k, r in got.items() if k[0] == "ok.test"
+    )
+    # per-host totals are consistent
+    assert sum(r.n_urls for k, r in got.items() if k[0] == "ok.test") == 40
+
+
+def test_crawl_traps_entry_semantics(spark):
+    from news_please_spark.plans.queries import QUERIES
+
+    from collections import Counter
+
+    rows = QUERIES["crawl_traps"](spark, "/root/testdata/sf0.001").collect()
+    n_hosts = len({r.host for r in rows})
+    flagged = Counter(
+        r.template.split(".test", 1)[1] for r in rows if r.is_trap == 1
+    )
+    # only the two generator classes ever flag; the calendar generator
+    # flags on every host, the session one on all but boundary hosts
+    # (its share hovers at the 20% threshold by construction)
+    assert set(flagged) == {"/cal/N/N", "/view?page&sid"}
+    assert flagged["/cal/N/N"] == n_hosts
+    assert flagged["/view?page&sid"] >= n_hosts - 2
+
+
+def test_template_fanout_empty(spark):
+    empty = spark.createDataFrame([], "url string")
+    assert template_fanout(empty).count() == 0
