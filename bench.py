@@ -53,6 +53,7 @@ HEADLINE = [
     "authority_order",
     "url_canonicalize",
     "crawl_traps",
+    "blocklist_hosts",
     "robots_gate",
     "politeness_topk",
     "budget_allocate",

@@ -106,3 +106,21 @@ def url_template(url: Column) -> Column:
             F.concat(F.lit("?"), F.array_join(names, "&"))
         ),
     )
+
+
+def host_suffixes(host: Column, min_labels: int = 2) -> Column:
+    """All parent-domain suffixes of a host with ≥ min_labels labels:
+    'a.b.example.com' → ['a.b.example.com', 'b.example.com',
+    'example.com']. The explode side of suffix blocklist matching —
+    a host has ≤ ~6 suffixes, so the blowup is a small constant."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    # guard: Spark's sequence(0, -1) DESCENDS — a host with fewer than
+    # min_labels labels must yield itself, not phantom suffixes
+    return F.when(
+        n >= min_labels,
+        F.transform(
+            F.sequence(F.lit(0), n - min_labels),
+            lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."),
+        ),
+    ).otherwise(F.array(host))

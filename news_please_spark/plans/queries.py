@@ -564,6 +564,76 @@ def crawl_traps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return template_fanout(urls)
 
 
+# domain-blocklist suffix matching: hosts derived from documents cover
+# exact-entry, parent-domain, 3-label-TLD and overlapping-entry cases
+_BLOCKLIST = (
+    "tracker0.net",
+    "cdn.tracker0.net",     # overlaps tracker0.net: most-specific wins
+    "ads.h1.example.com",
+    "site2.org",
+    "shop3.co.uk",
+)
+
+_BL_HOST_SQL = """
+    CASE doc_id % 5
+      WHEN 0 THEN 'ads.h' || CAST(doc_id % 3 AS VARCHAR) || '.example.com'
+      WHEN 1 THEN 'cdn.tracker' || CAST(doc_id % 2 AS VARCHAR) || '.net'
+      WHEN 2 THEN 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+      WHEN 3 THEN 'news.site' || CAST(doc_id % 4 AS VARCHAR) || '.org'
+      ELSE 'm.shop' || CAST(doc_id % 6 AS VARCHAR) || '.co.uk'
+    END
+"""
+
+
+def _blocklist_host_col():
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return (
+        F.when(d % 5 == 0, F.concat(F.lit("ads.h"), s(d % 3), F.lit(".example.com")))
+        .when(d % 5 == 1, F.concat(F.lit("cdn.tracker"), s(d % 2), F.lit(".net")))
+        .when(d % 5 == 2, F.concat(F.lit("h"), s(d % 7), F.lit(".example.com")))
+        .when(d % 5 == 3, F.concat(F.lit("news.site"), s(d % 4), F.lit(".org")))
+        .otherwise(F.concat(F.lit("m.shop"), s(d % 6), F.lit(".co.uk")))
+    )
+
+
+@register(
+    "blocklist_hosts",
+    f"""
+    WITH h0 AS (SELECT DISTINCT {_BL_HOST_SQL} AS host FROM documents),
+    bl(domain) AS (VALUES {", ".join(f"('{d}')" for d in _BLOCKLIST)}),
+    s AS (
+      SELECT host,
+             unnest(list_transform(
+               range(0, len(string_split(host, '.')) - 1),
+               i -> array_to_string(
+                 list_slice(string_split(host, '.'), i + 1,
+                            len(string_split(host, '.'))), '.')
+             )) AS suf
+      FROM h0
+    )
+    SELECT s.host, max_by(s.suf, length(s.suf)) AS matched_domain
+    FROM s JOIN bl ON s.suf = bl.domain
+    GROUP BY s.host
+    """,
+)
+def blocklist_hosts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist matching with parent-suffix semantics
+    (operators/blocklist.py::blocked_hosts) — exact entries, parent
+    domains, 3-label TLDs, and overlapping entries (most-specific
+    wins) all exercised. Per-HOST equi-joins on exploded suffixes;
+    the blocklist rides as a literal-array plan (no Python rows)."""
+    from news_please_spark.operators.blocklist import blocked_hosts
+
+    hosts = load(spark, sf_dir, "documents").select(
+        _blocklist_host_col().alias("host")
+    )
+    bl = spark.range(1).select(
+        F.explode(F.array(*[F.lit(d) for d in _BLOCKLIST])).alias("domain")
+    )
+    return blocked_hosts(hosts, bl)
+
+
 # ---------------------------------------------------------------------------
 # 3. politeness top-k per host (O2, config.cfg:354)
 @register(

@@ -65,3 +65,70 @@ def test_crawl_traps_entry_semantics(spark):
 def test_template_fanout_empty(spark):
     empty = spark.createDataFrame([], "url string")
     assert template_fanout(empty).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# domain-blocklist suffix matching (operators/blocklist.py)
+
+
+def _bl(spark, domains):
+    return spark.createDataFrame([(d,) for d in domains], "domain string")
+
+
+def test_host_suffixes(spark):
+    from news_please_spark.functions.urls import host_suffixes
+
+    df = spark.createDataFrame(
+        [("a.b.example.com",), ("example.com",), ("localhost",)], "h string"
+    )
+    got = {
+        r.h: r.s
+        for r in df.select("h", host_suffixes(F.col("h")).alias("s")).collect()
+    }
+    assert got["a.b.example.com"] == [
+        "a.b.example.com", "b.example.com", "example.com",
+    ]
+    assert got["example.com"] == ["example.com"]
+    assert got["localhost"] == ["localhost"]  # no phantom descending seq
+
+
+def test_blocked_hosts_semantics(spark):
+    from news_please_spark.operators.blocklist import blocked_hosts
+
+    hosts = spark.createDataFrame(
+        [
+            ("cdn.tracker.net",),     # parent match
+            ("tracker.net",),         # exact match
+            ("ads.sub.tracker.net",), # matches both entries: longest wins
+            ("nottracker.net",),      # suffix labels, NOT substring match
+            ("clean.example.org",),
+        ],
+        "host string",
+    )
+    bl = _bl(spark, ["tracker.net", "sub.tracker.net"])
+    got = {r.host: r.matched_domain for r in blocked_hosts(hosts, bl).collect()}
+    assert got == {
+        "cdn.tracker.net": "tracker.net",
+        "tracker.net": "tracker.net",
+        "ads.sub.tracker.net": "sub.tracker.net",
+    }
+
+
+def test_strip_blocked(spark):
+    from news_please_spark.operators.blocklist import strip_blocked
+
+    urls = spark.createDataFrame(
+        [("u1", "bad.net"), ("u2", "ok.net"), ("u3", "x.bad.net")],
+        "url string, host string",
+    )
+    kept = strip_blocked(urls, _bl(spark, ["bad.net"])).collect()
+    assert [r.url for r in kept] == ["u2"]
+
+
+def test_blocklist_empty(spark):
+    from news_please_spark.operators.blocklist import blocked_hosts
+
+    hosts = spark.createDataFrame([("a.net",)], "host string")
+    assert blocked_hosts(hosts, _bl(spark, [])).count() == 0
+    empty = spark.createDataFrame([], "host string")
+    assert blocked_hosts(empty, _bl(spark, ["a.net"])).count() == 0
