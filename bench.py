@@ -93,6 +93,7 @@ HEADLINE = [
     "strip_dup_substrings",
     "decontam_hits",
     "pii_redact",
+    "span_pii_redact",
     "span_stats",
     "interleaved_render",
     "span_boilerplate",

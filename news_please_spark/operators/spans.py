@@ -441,3 +441,56 @@ def pack_interleaved(
         (hi - F.col("chunk") * L).alias("tok_end"),
         (lo - F.col("_g0")).alias("span_off"),
     )
+
+
+def redact_spans(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """PII redaction INSIDE the interleaved span table: every text
+    span's content goes through the same fixed-order regexp chain as
+    ``decontam.redact_pii`` (email → ip → phone, each kind counted on
+    the text as already redacted of earlier kinds); media spans pass
+    through untouched, offsets and interleave order are preserved — the
+    hygiene step for multimodal training data where flattening to one
+    string would lose the media structure.
+
+    Output: id, spans (redacted, same schema/order), n_email / n_ip /
+    n_phone per-doc counts. Pure per-row Column expressions (array
+    HOFs over the spans), zero shuffle.
+    """
+    from news_please_spark.operators.decontam import _PII
+
+    def chain(text):
+        """(redacted_text, [count per kind]) as Columns."""
+        counts = []
+        t = text
+        for kind, pat in _PII:
+            counts.append(
+                F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")
+            )
+            t = F.regexp_replace(t, pat, f"<{kind.upper()}>")
+        return t, counts
+
+    def span_clean(s):
+        t, _ = chain(s["text"])
+        return F.struct(
+            s["kind"].alias("kind"),
+            F.when(s["kind"] == "text", t).otherwise(s["text"]).alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        )
+
+    def kind_total(i):
+        def per_span(acc, s):
+            _, counts = chain(s["text"])
+            return acc + F.when(s["kind"] == "text", counts[i]).otherwise(
+                F.lit(0).cast("long")
+            )
+
+        return F.aggregate(F.col("spans"), F.lit(0).cast("long"), per_span)
+
+    return df.select(
+        F.col(id_col),
+        F.transform(F.col("spans"), span_clean).alias("spans"),
+        *[
+            kind_total(i).alias(f"n_{kind}") for i, (kind, _) in enumerate(_PII)
+        ],
+    )

@@ -3433,6 +3433,117 @@ def interleaved_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_interleaved(_synth_spans_df(spark, sf_dir), seq_len=64)
 
 
+def _span_pii_sql() -> str:
+    from news_please_spark.operators.decontam import _PII
+
+    stages = []
+    prev = "inj"
+    for i, (kind, pat) in enumerate(_PII):
+        esc = pat.replace("'", "''")
+        stages.append(
+            "r{i} AS (\n"
+            "      SELECT doc_id, kind, media_ref, \"offset\"{carry},\n"
+            "             CASE WHEN kind = 'text'\n"
+            "                  THEN CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT)\n"
+            "                  ELSE CAST(0 AS BIGINT) END AS n_{k},\n"
+            "             CASE WHEN kind = 'text'\n"
+            "                  THEN regexp_replace(text, '{p}', '<{K}>', 'g')\n"
+            "                  ELSE text END AS text\n"
+            "      FROM {prev}\n"
+            "    )".format(
+                i=i,
+                p=esc,
+                k=kind,
+                K=kind.upper(),
+                prev=prev,
+                carry="".join(
+                    ", n_" + k2 for k2, _ in _PII[:i]
+                ),
+            )
+        )
+        prev = f"r{i}"
+    last = prev
+    counts = ", ".join(
+        f"CAST(sum(n_{k}) AS BIGINT) AS n_{k}" for k, _ in _PII
+    )
+    return (
+        _SPAN_ROWS_SQL
+        + """
+    , inj AS (
+      SELECT doc_id, kind, media_ref, "offset",
+             CASE WHEN kind = 'text' THEN
+               text
+               || CASE WHEN (doc_id + "offset") % 5 = 0
+                       THEN ' contact bob@example.com' ELSE '' END
+               || CASE WHEN (doc_id + "offset") % 7 = 0
+                       THEN ' server 10.0.0.1 up' ELSE '' END
+               || CASE WHEN (doc_id + "offset") % 9 = 0
+                       THEN ' call +1-555-0100-1234' ELSE '' END
+             ELSE text END AS text
+      FROM span_rows
+    ),
+    """
+        + ",\n    ".join(stages)
+        + f"""
+    SELECT doc_id, {counts},
+           md5(string_agg(CASE WHEN kind = 'text' THEN text
+                               ELSE '<' || kind || '>' END,
+                          ' ' ORDER BY "offset")) AS clean_md5
+    FROM {last} GROUP BY doc_id
+    """
+    )
+
+
+def _inject_pii_spans(spans_df: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+
+    def inj(s):
+        o = s["offset"].cast("long")
+        t2 = F.concat(
+            s["text"],
+            F.when((d + o) % 5 == 0, F.lit(" contact bob@example.com"))
+            .otherwise(F.lit("")),
+            F.when((d + o) % 7 == 0, F.lit(" server 10.0.0.1 up"))
+            .otherwise(F.lit("")),
+            F.when((d + o) % 9 == 0, F.lit(" call +1-555-0100-1234"))
+            .otherwise(F.lit("")),
+        )
+        return F.struct(
+            s["kind"].alias("kind"),
+            F.when(s["kind"] == "text", t2).otherwise(s["text"]).alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        )
+
+    return spans_df.select("doc_id", F.transform("spans", inj).alias("spans"))
+
+
+@register("span_pii_redact", None)
+def span_pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction inside the interleaved span table
+    (operators/spans.py::redact_spans): email/ip/phone shapes planted
+    into text spans by doc_id+offset arithmetic, redacted in the fixed
+    decontam order with per-kind counts; media spans and interleave
+    order untouched (the redacted doc crosses the oracle as the md5 of
+    its rendered form). Zero shuffle."""
+    from news_please_spark.operators.spans import redact_spans
+
+    red = redact_spans(_inject_pii_spans(_synth_spans_df(spark, sf_dir)))
+    piece = lambda s: F.when(s["kind"] == "text", s["text"]).otherwise(  # noqa: E731
+        F.concat(F.lit("<"), s["kind"], F.lit(">"))
+    )
+    return red.select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_phone",
+        F.md5(F.array_join(F.transform("spans", piece), " ")).alias("clean_md5"),
+    )
+
+
+ORACLES["span_pii_redact"] = _span_pii_sql()
+
+
 # ---------------------------------------------------------------------------
 # 14. the end-to-end corpus-hygiene pipeline (clean_corpus), oracle-checked
 #     as ONE entry: exact dedup -> LSH near-dup -> decontam -> quality gate,

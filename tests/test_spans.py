@@ -272,3 +272,41 @@ def test_pack_interleaved_empty_and_bad_args(spark):
     assert pack_interleaved(empty, seq_len=8).count() == 0
     with _pytest.raises(ValueError):
         pack_interleaved(empty, seq_len=0)
+
+
+# ---------------------------------------------------------------------------
+# redact_spans
+
+
+def test_redact_spans(spark):
+    from news_please_spark.operators.spans import SPAN_SCHEMA, redact_spans
+
+    spans = [
+        ("text", "write to a@b.co or c@d.org now", None, 0),
+        ("image", None, "img://1/1", 1),
+        ("text", "host 10.0.0.1 phone +1-555-0100-1234", None, 2),
+    ]
+    df = spark.createDataFrame(
+        [(1, spans)], f"doc_id long, spans {SPAN_SCHEMA}"
+    )
+    row = redact_spans(df).collect()[0]
+    assert (row.n_email, row.n_ip, row.n_phone) == (2, 1, 1)
+    texts = [s.text for s in row.spans]
+    assert texts[0] == "write to <EMAIL> or <EMAIL> now"
+    assert texts[1] is None  # media untouched
+    assert texts[2] == "host <IP> phone <PHONE>"
+    assert [s.kind for s in row.spans] == ["text", "image", "text"]
+    assert [s.offset for s in row.spans] == [0, 1, 2]
+
+
+def test_redact_spans_zero_shuffle(spark):
+    from news_please_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["span_pii_redact"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the spread() test-input repartition is the only allowed exchange
+    assert plan.count("Exchange") <= 1, plan
