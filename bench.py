@@ -102,6 +102,7 @@ HEADLINE = [
     "lsh_ann_topk",
     "ivf_ann_topk",
     "pq_adc_topk",
+    "ivfadc_topk",
     "semantic_dedup",
     "extract_articles",
     "sitemap_expand",

@@ -196,6 +196,46 @@ def ivf_centroid_rows(
     ).select("cid", "cv")
 
 
+def _top2(vec: Column, vn: Column, cents: Column) -> Column:
+    """Fold: (best cid/cos, second-best cid/cos) over the sorted
+    centroid array; strict > keeps the smallest cid on ties. Each
+    centroid is scored ONCE (transform), the fold then compares
+    scalars — not re-deriving the 64-dim dot in every branch; the
+    row's own norm `vn` is precomputed once outside (norm_of), the
+    centroid's rides in the codebook struct — identical arithmetic
+    to cosine() at a third of the folds. Shared by ivf_topk and
+    ivfadc_topk."""
+    scored = F.transform(
+        cents,
+        lambda cent: F.struct(
+            cent["cid"].alias("cid"),
+            (dot(vec, cent["cv"]) / (vn * cent["cn"])).alias("cos"),
+        ),
+    )
+    init = F.struct(
+        F.lit(-1).cast("long").alias("b1"),
+        F.lit(-2.0).alias("c1"),
+        F.lit(-1).cast("long").alias("b2"),
+        F.lit(-2.0).alias("c2"),
+    )
+
+    def step(acc, s):
+        return F.struct(
+            F.when(s["cos"] > acc["c1"], s["cid"]).otherwise(acc["b1"]).alias("b1"),
+            F.when(s["cos"] > acc["c1"], s["cos"]).otherwise(acc["c1"]).alias("c1"),
+            F.when(s["cos"] > acc["c1"], acc["b1"])
+            .when(s["cos"] > acc["c2"], s["cid"])
+            .otherwise(acc["b2"])
+            .alias("b2"),
+            F.when(s["cos"] > acc["c1"], acc["c1"])
+            .when(s["cos"] > acc["c2"], s["cos"])
+            .otherwise(acc["c2"])
+            .alias("c2"),
+        )
+
+    return F.aggregate(scored, init, step)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -243,44 +283,6 @@ def ivf_topk(
             )
         ).alias("cents")
     )
-
-    def _top2(vec: Column, vn: Column, cents: Column) -> Column:
-        """Fold: (best cid/cos, second-best cid/cos) over the sorted
-        centroid array; strict > keeps the smallest cid on ties. Each
-        centroid is scored ONCE (transform), the fold then compares
-        scalars — not re-deriving the 64-dim dot in every branch; the
-        row's own norm `vn` is precomputed once outside (norm_of), the
-        centroid's rides in the codebook struct — identical arithmetic
-        to cosine() at a third of the folds."""
-        scored = F.transform(
-            cents,
-            lambda cent: F.struct(
-                cent["cid"].alias("cid"),
-                (dot(vec, cent["cv"]) / (vn * cent["cn"])).alias("cos"),
-            ),
-        )
-        init = F.struct(
-            F.lit(-1).cast("long").alias("b1"),
-            F.lit(-2.0).alias("c1"),
-            F.lit(-1).cast("long").alias("b2"),
-            F.lit(-2.0).alias("c2"),
-        )
-
-        def step(acc, s):
-            return F.struct(
-                F.when(s["cos"] > acc["c1"], s["cid"]).otherwise(acc["b1"]).alias("b1"),
-                F.when(s["cos"] > acc["c1"], s["cos"]).otherwise(acc["c1"]).alias("c1"),
-                F.when(s["cos"] > acc["c1"], acc["b1"])
-                .when(s["cos"] > acc["c2"], s["cid"])
-                .otherwise(acc["b2"])
-                .alias("b2"),
-                F.when(s["cos"] > acc["c1"], acc["c1"])
-                .when(s["cos"] > acc["c2"], s["cos"])
-                .otherwise(acc["c2"])
-                .alias("c2"),
-            )
-
-        return F.aggregate(scored, init, step)
 
     corpus_cells = c.crossJoin(F.broadcast(cents)).select(
         F.col("_id").alias("neighbor_id"),
@@ -537,4 +539,129 @@ def pq_adc_topk(
         sims.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "dist_q", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def ivfadc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 8,
+    n_cents: int = 16,
+    n_lists: int = 64,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC proper (Jégou et al. 2011 §IV): the coarse IVF quantizer
+    routes each query to its ``nprobe`` nearest inverted lists and the
+    PQ/ADC estimator scores ONLY the codes in those lists — the full
+    design-scale ANN path where neither the corpus vectors nor the
+    whole code table are touched per query.
+
+    One map pass over the corpus produces (id, cell, codes) against
+    the two bounded broadcast codebooks (IVF centroids + PQ codebook)
+    — zero shuffle, no join between the assignment and the encoding.
+    Queries build their (m × n_cents) ADC LUT and probe cells from
+    their OWN vectors (external queries are first-class), explode to
+    nprobe rows, and equi-join the coded corpus on the cell id: per-
+    query work is |corpus|/n_lists · nprobe code lookups. At design
+    scale the coded corpus is a stored table partitioned by cell; the
+    LUT side is per-query-tiny and broadcasts.
+
+    Output matches pq_adc_topk: (query_id, neighbor_id, dist_q, rk)
+    with dist_q = floor(10^6 · estimated squared L2), ascending, ties
+    to the smaller neighbor id. Exactness caveat vs pq_adc_topk: only
+    probed cells are candidates (that is the point).
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if k <= 0 or nprobe <= 0:
+        raise ValueError(f"k and nprobe must be positive, got {k}, {nprobe}")
+    sub = dim // m
+    ivf_cents = ivf_centroid_rows(
+        corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col
+    ).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("cid"), F.col("cv"), norm_of(F.col("cv")).alias("cn"))
+            )
+        ).alias("cents")
+    )
+    cb = pq_codebook(corpus, n_cents, id_col, vec_col).select(
+        F.col("cents").alias("pq_cents")
+    )
+    # ONE pass: cell assignment + PQ encoding against both broadcasts
+    v = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_vn", norm_of(F.col("_v")))
+    codes = F.array(
+        *[
+            F.array_position(
+                _subspace_dists(F.col("_v"), F.col("pq_cents"), mm, sub),
+                F.array_min(
+                    _subspace_dists(F.col("_v"), F.col("pq_cents"), mm, sub)
+                ),
+            ).cast("int")
+            for mm in range(m)
+        ]
+    )
+    coded = (
+        v.crossJoin(F.broadcast(ivf_cents))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _top2(F.col("_v"), F.col("_vn"), F.col("cents"))["b1"].alias("cell"),
+            codes.alias("codes"),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_q")
+    ).withColumn("_qn", norm_of(F.col("_q")))
+    lut = F.array(
+        *[
+            _subspace_dists(F.col("_q"), F.col("pq_cents"), mm, sub)
+            for mm in range(m)
+        ]
+    )
+    probes = (
+        q.crossJoin(F.broadcast(ivf_cents))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            lut.alias("_lut"),
+            _top2(F.col("_q"), F.col("_qn"), F.col("cents")).alias("_a"),
+        )
+        .select(
+            "query_id",
+            "_lut",
+            F.explode(
+                F.slice(F.array(F.col("_a.b1"), F.col("_a.b2")), 1, nprobe)
+            ).alias("cell"),
+        )
+        .filter(F.col("cell") >= 0)
+    )
+    dist = F.lit(0.0)
+    for mm in range(m):
+        dist = dist + F.element_at(
+            F.element_at(F.col("_lut"), mm + 1),
+            F.element_at(F.col("codes"), mm + 1),
+        )
+    sims = (
+        probes.join(coded, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(dist * 1000000).cast("long").alias("dist_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist_q"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "neighbor_id", "dist_q", F.col("rk").cast("long").alias("rk")
+        )
     )

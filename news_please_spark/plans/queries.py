@@ -2164,6 +2164,92 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(queries, emb, dim=64, k=10, m=8, n_cents=16)
 
 
+@register(
+    "ivfadc_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ivfc AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 64
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             list_dot_product(e.v, c.cv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+      FROM e CROSS JOIN ivfc c
+    ),
+    assign AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+      FROM scored
+    ),
+    corpus_cell AS (SELECT vec_id AS neighbor_id, cid AS cell FROM assign WHERE rk = 1),
+    query_cell AS (
+      SELECT vec_id AS query_id, cid AS cell FROM assign
+      WHERE rk <= 2 AND vec_id % 101 = 0
+    ),
+    sel AS (
+      SELECT vec_id AS cid, v FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+    ),
+    cb AS (SELECT list(v ORDER BY cid) AS cents FROM sel),
+    enc AS (
+      SELECT e.vec_id AS neighbor_id,
+             list_transform(range(0, 8), mm ->
+               list_indexof(
+                 list_transform(cents, c ->
+                   list_sum(list_transform(range(1, 9), i ->
+                     (v[mm*8 + i] - c[mm*8 + i])
+                     * (v[mm*8 + i] - c[mm*8 + i])))),
+                 list_min(
+                 list_transform(cents, c ->
+                   list_sum(list_transform(range(1, 9), i ->
+                     (v[mm*8 + i] - c[mm*8 + i])
+                     * (v[mm*8 + i] - c[mm*8 + i]))))))) AS codes
+      FROM e, cb
+    ),
+    lut AS (
+      SELECT vec_id AS query_id,
+             list_transform(range(0, 8), mm ->
+               list_transform(cents, c ->
+                 list_sum(list_transform(range(1, 9), i ->
+                   (v[mm*8 + i] - c[mm*8 + i])
+                   * (v[mm*8 + i] - c[mm*8 + i]))))) AS lt
+      FROM e, cb WHERE vec_id % 101 = 0
+    ),
+    p AS (
+      SELECT l.query_id, cc.neighbor_id,
+             CAST(floor(1000000 * list_sum(list_transform(range(0, 8), mm ->
+               lt[mm + 1][codes[mm + 1]]))) AS BIGINT) AS dist_q
+      FROM lut l
+      JOIN query_cell qc ON qc.query_id = l.query_id
+      JOIN corpus_cell cc ON cc.cell = qc.cell
+      JOIN enc ON enc.neighbor_id = cc.neighbor_id
+      WHERE l.query_id <> cc.neighbor_id
+    )
+    SELECT query_id, neighbor_id, dist_q, rk FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY dist_q, neighbor_id
+             ) AS BIGINT) AS rk
+      FROM p
+    ) WHERE rk <= 10
+    """,
+)
+def ivfadc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (operators/similarity.py::ivfadc_topk): nprobe=2 coarse
+    routing + PQ/ADC scoring of ONLY the probed lists — the composed
+    design-scale ANN path. One map pass produces (cell, codes) against
+    the two bounded broadcasts; candidates come from the cell
+    equi-join; per-query cost is |corpus|/n_lists · nprobe lookups."""
+    from news_please_spark.operators.similarity import ivfadc_topk
+
+    emb = spread(load(spark, sf_dir, "embeddings"), spark)
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    return ivfadc_topk(
+        queries, emb, dim=64, k=10, m=8, n_cents=16, n_lists=64, nprobe=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # 7. ANN similarity search: brute-force cosine top-k (baseline path)
 @register(

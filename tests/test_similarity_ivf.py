@@ -299,3 +299,50 @@ def test_pq_guards(spark):
         pq_encode(df, dim=10, m=4)
     with pytest.raises(ValueError):
         pq_adc_topk(df, df, dim=16, m=4, k=0)
+
+
+# ---------------------------------------------------------------------------
+# IVFADC (coarse routing + ADC scoring)
+
+
+def test_ivfadc_subset_of_full_adc(spark):
+    """Every IVFADC hit appears in the full ADC scan with the SAME
+    quantized distance (routing changes the candidate set, never the
+    estimator), and hits respect the probed-cell structure."""
+    from pyspark.sql import functions as F
+
+    from news_please_spark.operators.similarity import (
+        ivf_assign_cells,
+        ivfadc_topk,
+        pq_adc_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 101 == 0)
+    ivfadc = ivfadc_topk(q, emb, dim=64, k=10, n_lists=16, nprobe=2)
+    full = pq_adc_topk(q, emb, dim=64, k=10**9)  # unranked-complete scan
+    got = {(r.query_id, r.neighbor_id): r.dist_q for r in ivfadc.collect()}
+    assert got, "no IVFADC results"
+    ref = {(r.query_id, r.neighbor_id): r.dist_q for r in full.collect()}
+    for pair, d in got.items():
+        assert ref[pair] == d, pair
+    # structure: every returned neighbor lives in one of the query's cells
+    cells = {r.vec_id: r.cell for r in ivf_assign_cells(emb, n_lists=16).collect()}
+    probe = {}
+    for r in ivfadc.select("query_id").distinct().collect():
+        probe[r.query_id] = set()
+    for (qid, nid) in got:
+        probe[qid].add(cells[nid])
+    assert all(len(cs) <= 2 for cs in probe.values())
+
+
+def test_ivfadc_bad_args(spark):
+    import pytest as _pytest
+
+    from news_please_spark.operators.similarity import ivfadc_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(ValueError):
+        ivfadc_topk(emb, emb, dim=63)
+    with _pytest.raises(ValueError):
+        ivfadc_topk(emb, emb, dim=64, k=0)
