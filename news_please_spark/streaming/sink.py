@@ -89,10 +89,21 @@ def write_stream_to_catalog(
 
 
 def read_appended(
-    spark: SparkSession, catalog_path: str, table: str
+    spark: SparkSession,
+    catalog_path: str,
+    table: str,
+    allow_schema_evolution: bool = False,
 ) -> DataFrame | None:
     """Union of every committed snapshot's delta for `table` (None if
-    nothing committed yet)."""
+    nothing committed yet).
+
+    ``allow_schema_evolution=True`` supports ADD-COLUMN drift across
+    snapshots (Iceberg's add-only schema evolution): deltas written
+    before a column existed contribute NULL for it, and the result
+    carries the union of all columns. Renames/drops are not resolved —
+    a rename reads as drop+add (both columns present, each null where
+    the other was written), which is also Iceberg's behavior without
+    explicit column-mapping metadata."""
     cat = SnapshotCatalog(catalog_path)
     out = None
     for s in cat.snapshots():
@@ -100,5 +111,7 @@ def read_appended(
             d = cat.read_table(spark, table, s)
         except FileNotFoundError:
             continue
-        out = d if out is None else out.unionByName(d)
+        out = d if out is None else out.unionByName(
+            d, allowMissingColumns=allow_schema_evolution
+        )
     return out

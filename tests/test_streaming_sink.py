@@ -60,3 +60,28 @@ def test_commit_batch_replay_is_idempotent(spark, tmp_path):
     assert len(SnapshotCatalog(cat_path).snapshots()) == 1
     assert commit_batch(cat_path, "rows", df, 1) is True
     assert read_appended(spark, cat_path, "rows").count() == 2
+
+
+def test_read_appended_schema_evolution(spark, tmp_path):
+    """Add-column drift across delta snapshots: evolved reads backfill
+    NULL for columns that predate the delta; strict reads refuse."""
+    import pytest as _pytest
+    from pyspark.sql.utils import AnalysisException
+
+    from news_please_spark.streaming.sink import read_appended
+
+    cat_path = str(tmp_path / "cat")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v2 = spark.createDataFrame(
+        [(2, "b", 7)], "id long, name string, score long"
+    )
+    assert commit_batch(cat_path, "rows", v1, 0) is True
+    assert commit_batch(cat_path, "rows", v2, 1) is True
+
+    evolved = read_appended(spark, cat_path, "rows", allow_schema_evolution=True)
+    got = {r.id: (r.name, r.score) for r in evolved.collect()}
+    assert got == {1: ("a", None), 2: ("b", 7)}
+    assert set(evolved.columns) == {"id", "name", "score"}
+
+    with _pytest.raises(AnalysisException):
+        read_appended(spark, cat_path, "rows").collect()
