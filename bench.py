@@ -88,6 +88,7 @@ HEADLINE = [
     "corpus_dup_ngrams",
     "jaccard_verify",
     "incremental_near_dups",
+    "cdc_lsh_index",
     "dup_clusters",
     "dup_substring_spans",
     "strip_dup_substrings",

@@ -648,3 +648,30 @@ def semantic_dedup(
             F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def apply_cdc_to_index(
+    index: DataFrame,
+    changes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Maintain the stored LSH signature index from a CDC feed (the
+    `state.diff_table` shape: one row per changed key, ``_change`` in
+    insert/update/delete; insert/update rows carry the new text) —
+    the incremental-pipeline closure of lsh_index_of: signatures of
+    every changed id are retracted (one left_anti on id), insert/update
+    docs are shingled and appended. Per-batch cost scales with the
+    change set; the corpus is NEVER re-shingled and the index never
+    rebuilt. Invariant (oracle-checked by the cdc_lsh_index entry):
+    the maintained index is row-identical to lsh_index_of over the
+    post-change corpus."""
+    changed_ids = changes.select(F.col(id_col)).distinct()
+    kept = index.join(changed_ids, id_col, "left_anti")
+    upserts = changes.filter(F.col("_change").isin("insert", "update"))
+    shingled = upserts.select(
+        F.col(id_col), ngram_set(F.col(text_col), n).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    return kept.unionByName(lsh_index_of(shingled, id_col=id_col, bands=bands))

@@ -3004,6 +3004,79 @@ def jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_lsh_index",
+    r"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    post AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' updated content'
+                  ELSE text END AS text
+      FROM base
+      WHERE NOT (doc_id % 9 = 0 AND doc_id % 10 <> 0)
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' new doc' AS text
+      FROM base WHERE doc_id % 8 = 0
+    ),
+    t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM post
+    ),
+    s AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+      FROM t WHERE len(toks) >= 3
+    )
+    SELECT doc_id, CAST(band AS BIGINT) AS band,
+           list_aggregate(list_transform(shingles,
+             sh -> md5(CAST(band AS VARCHAR) || '|' || sh)), 'min') AS sig
+    FROM s, (SELECT unnest([0, 1, 2, 3]) AS band)
+    """,
+)
+def cdc_lsh_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-maintained LSH index (operators/dedup.apply_cdc_to_index):
+    a diff_table-shaped feed (updates %10, deletes %9, inserts %8 as
+    new ids) applied to the stored signature index — retract changed
+    ids, shingle only the upserts. The oracle builds the index FROM
+    SCRATCH over the post-change corpus, so equality proves the
+    incremental maintenance reaches the rebuild's fixpoint without
+    ever re-shingling the corpus."""
+    from news_please_spark.operators.dedup import (
+        apply_cdc_to_index,
+        lsh_index_of,
+        ngram_set,
+    )
+
+    base = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    d = F.col("doc_id")
+    shingled = base.select(
+        "doc_id", ngram_set(F.col("text")).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    index = lsh_index_of(shingled)
+    updates = base.filter(d % 10 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" updated content")).alias("text"),
+        F.lit("update").alias("_change"),
+    )
+    deletes = base.filter((d % 9 == 0) & (d % 10 != 0)).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit("delete").alias("_change"),
+    )
+    inserts = base.filter(d % 8 == 0).select(
+        (d + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" new doc")).alias("text"),
+        F.lit("insert").alias("_change"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    out = apply_cdc_to_index(index, changes)
+    return out.select(
+        "doc_id",
+        F.col("_band").cast("long").alias("band"),
+        F.col("_sig").alias("sig"),
+    )
+
+
+@register(
     "incremental_near_dups",
     f"""
     WITH t AS ({_SHINGLES_SQL}),

@@ -272,3 +272,51 @@ def test_incremental_index_lookup_matches_full_candidates(spark):
             want.add((b, a))
     assert got == sorted(want)
     assert (10, 1) in want and (11, 3) in want
+
+
+# ---------------------------------------------------------------------------
+# CDC-maintained LSH index
+
+
+def test_apply_cdc_to_index_equals_rebuild(spark):
+    from pyspark.sql import functions as F
+
+    from news_please_spark.operators.dedup import (
+        apply_cdc_to_index,
+        lsh_index_of,
+        ngram_set,
+    )
+
+    def index_of(df):
+        sh = df.select("doc_id", ngram_set(F.col("text")).alias("_sh")).filter(
+            F.size("_sh") > 0
+        )
+        return lsh_index_of(sh)
+
+    base = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc {i} body") for i in range(12)],
+        "doc_id long, text string",
+    )
+    post = spark.createDataFrame(
+        # 3 deleted, 5 rewritten, 100 inserted, rest unchanged
+        [(i, f"alpha beta gamma delta epsilon doc {i} body") for i in range(12)
+         if i not in (3, 5)]
+        + [(5, "totally different rewritten text here now")]
+        + [(100, "a brand new document with plenty of tokens")],
+        "doc_id long, text string",
+    )
+    changes = spark.createDataFrame(
+        [
+            (3, None, "delete"),
+            (5, "totally different rewritten text here now", "update"),
+            (100, "a brand new document with plenty of tokens", "insert"),
+        ],
+        "doc_id long, text string, _change string",
+    )
+    got = sorted(tuple(r) for r in apply_cdc_to_index(index_of(base), changes).collect())
+    want = sorted(tuple(r) for r in index_of(post.filter(~F.col("doc_id").isin(3))).collect())
+    assert got == want and got
+    # empty change set is the identity
+    empty = spark.createDataFrame([], "doc_id long, text string, _change string")
+    same = sorted(tuple(r) for r in apply_cdc_to_index(index_of(base), empty).collect())
+    assert same == sorted(tuple(r) for r in index_of(base).collect())
