@@ -26,6 +26,7 @@ extraction cascades are exercised:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 from datetime import datetime, timedelta
 
 import pandas as pd
@@ -189,6 +190,12 @@ class DocWorld:
     # expected timestamp truncates to the minute
     MINUTE_ONLY_VARIANTS = (15,)
 
+    # html(d) re-derives the spec and pipeline callers also ask for it
+    # (url), so the render path paid spec() twice per page — profiled at
+    # ~30% of the whole extraction chain. Specs are pure functions of d;
+    # a bounded per-instance cache halves that. (Keyed by (self, d):
+    # worlds are worker-lifetime objects, the retained self is fine.)
+    @lru_cache(maxsize=8192)
     def spec(self, d: int) -> DocSpec:
         host = f"h{mix(d, 21) % 20}.news-example.org"
         v_date = d % self.N_DATE_VARIANTS
