@@ -75,6 +75,8 @@ HEADLINE = [
     "script_profile",
     "tfidf_top_terms",
     "lm_score",
+    "bpe_merges",
+    "bpe_encode",
     "bm25_search",
     "mixture_sample",
     "temperature_sample",

@@ -4007,3 +4007,131 @@ def strip_dup_substrings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=8,
         min_count=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (operators/bpe.py) — the learned-merge loop of
+# Sennrich et al. 2016 over the corpus word-frequency table.  The
+# DuckDB oracle replays the SAME framed-string formulation (regexp
+# encode + one literal replace per merge) as a generated CTE chain, so
+# the learned merge table — pair identity, order, AND counts — is
+# bit-exact cross-engine.
+_BPE_WF_SQL = r"""
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word
+"""
+
+
+def _bpe_ctes(iters: int) -> str:
+    parts = [
+        f"wf AS ({_BPE_WF_SQL})",
+        "w0 AS (SELECT word, regexp_replace(word, '(.)',"
+        " chr(2) || '\\1' || chr(3), 'g') AS w, freq FROM wf)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"p{k} AS (SELECT syms[i] AS a, syms[i+1] AS b,"
+            f" SUM(freq) AS cnt"
+            f" FROM (SELECT freq, string_split(substr(w, 2, length(w) - 2),"
+            f" chr(3) || chr(2)) AS syms FROM w{k}),"
+            f" UNNEST(generate_series(1, len(syms) - 1)) AS t(i)"
+            f" GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{k} AS (SELECT a, b, cnt FROM p{k}"
+            f" ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"
+        )
+        parts.append(
+            f"w{k + 1} AS (SELECT word, replace(w,"
+            f" chr(2) || b{k}.a || chr(3) || chr(2) || b{k}.b || chr(3),"
+            f" chr(2) || b{k}.a || b{k}.b || chr(3)) AS w, freq"
+            f" FROM w{k}, b{k})"
+        )
+        parts.append(
+            f"m{k} AS (SELECT CAST({k} AS BIGINT) AS step,"
+            f' a AS "left", b AS "right",'
+            f" CAST(cnt AS BIGINT) AS pair_freq FROM b{k})"
+        )
+    return ", ".join(parts)
+
+
+_BPE_ITERS = 8
+
+
+def _bpe_merges_sql(iters: int = _BPE_ITERS) -> str:
+    union = " UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(iters))
+    return f"WITH {_bpe_ctes(iters)} {union}"
+
+
+@register("bpe_merges", _bpe_merges_sql())
+def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 8 BPE merges from the documents corpus
+    (operators/bpe.py::train_bpe): one corpus pass to the word-freq
+    table, then per round one map-side-combinable pair count over the
+    VOCAB (never the corpus) + a 1-row argmax collect + a literal
+    whole-stage-codegen replace.  Result emitted as JVM literal
+    structs (config-sized)."""
+    from news_please_spark.operators.bpe import train_bpe, word_freqs
+
+    docs = spread(load(spark, sf_dir, "documents").select("text"), spark)
+    merges = train_bpe(word_freqs(docs), num_merges=_BPE_ITERS)
+    rows = [
+        F.struct(
+            F.lit(m["step"]).cast("long").alias("step"),
+            F.lit(m["left"]).alias("left"),
+            F.lit(m["right"]).alias("right"),
+            F.lit(int(m["pair_freq"])).cast("long").alias("pair_freq"),
+        )
+        for m in merges
+    ]
+    if not rows:
+        return spark.createDataFrame(
+            [], "step long, left string, right string, pair_freq long"
+        )
+    return spark.range(1).select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.*")
+
+
+def _bpe_encode_sql(iters: int = _BPE_ITERS) -> str:
+    return f"""
+    WITH {_bpe_ctes(iters)},
+    enc AS (
+      SELECT word,
+             CAST(len(string_split(substr(w, 2, length(w) - 2),
+                                   chr(3) || chr(2))) AS BIGINT) AS n
+      FROM w{iters}
+    ),
+    dw AS (
+      SELECT doc_id, word
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+            FROM documents)
+      WHERE word <> ''
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+           CAST(SUM(enc.n) AS BIGINT) AS bpe_tokens
+    FROM dw JOIN enc USING (word) GROUP BY doc_id
+    """
+
+
+@register("bpe_encode", _bpe_encode_sql())
+def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the 8 learned merges
+    (operators/bpe.py::bpe_token_counts): re-tokenize, encode each
+    occurrence through the chained literal replaces, sum symbol
+    counts — the train->encode round trip, proving the learned merges
+    actually compress the corpus they were learned from."""
+    from news_please_spark.operators.bpe import (
+        bpe_token_counts,
+        train_bpe,
+        word_freqs,
+    )
+
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    merges = train_bpe(word_freqs(docs), num_merges=_BPE_ITERS)
+    return bpe_token_counts(docs, merges)
