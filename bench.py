@@ -80,6 +80,7 @@ HEADLINE = [
     "bm25_search",
     "mixture_sample",
     "temperature_sample",
+    "dsir_select",
     "token_budget",
     "dataset_split",
     "quality_topfrac",

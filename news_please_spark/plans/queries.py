@@ -4135,3 +4135,70 @@ def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = train_bpe(word_freqs(docs), num_merges=_BPE_ITERS)
     return bpe_token_counts(docs, merges)
+
+
+@register(
+    "dsir_select",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    f AS (
+      SELECT doc_id, unnest(toks) AS feat FROM t
+      UNION ALL
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS feat
+      FROM t WHERE len(toks) >= 2
+    ),
+    hb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(feat), 1, 8))::BIGINT % 512 AS BIGINT) AS bucket
+      FROM f
+    ),
+    tb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM hb
+           WHERE doc_id % 13 = 0 GROUP BY bucket),
+    rb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM hb
+           WHERE doc_id % 13 <> 0 GROUP BY bucket),
+    tot AS (SELECT COALESCE((SELECT CAST(sum(c) AS BIGINT) FROM tb), 0) AS tt,
+                   COALESCE((SELECT CAST(sum(c) AS BIGINT) FROM rb), 0) AS rt),
+    g AS (SELECT unnest(range(0, 512)) AS bucket),
+    m AS (
+      SELECT g.bucket,
+             ((1000000000 * (COALESCE(tb.c, 0) + 1)) // (tot.tt + 512) * 1000000)
+             // ((1000000000 * (COALESCE(rb.c, 0) + 1)) // (tot.rt + 512)) AS llr
+      FROM g LEFT JOIN tb ON g.bucket = tb.bucket
+             LEFT JOIN rb ON g.bucket = rb.bucket
+             CROSS JOIN tot
+    ),
+    w AS (
+      SELECT hb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(m.llr) AS BIGINT) AS dsir_q
+      FROM hb JOIN m ON hb.bucket = m.bucket
+      WHERE hb.doc_id % 13 <> 0
+      GROUP BY hb.doc_id
+    ),
+    k AS (SELECT CAST((count(*) * 25 + 99) // 100 AS BIGINT) AS k FROM w)
+    SELECT doc_id, n_feats, dsir_q,
+           CAST((row_number() OVER (ORDER BY dsir_q DESC, doc_id)) <= k.k AS INT)
+             AS selected
+    FROM w CROSS JOIN k
+    """,
+)
+def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/dsir.py, Xie et al. NeurIPS 2023
+    in integer-exact surrogate form): target = every 13th document (the
+    stand-in trusted corpus), raw = the rest; fit hashed unigram+bigram
+    models in ONE tagged-union pass (only 2x512 bucket keys shuffle),
+    score raw documents with a ZERO-shuffle constant-folded literal-
+    array fold, flag the global top 25% by (weight DESC, id) through
+    the skew-safe histogram ranking.  The oracle recomputes the whole
+    method the expensive way (unnest + joins + a global window)."""
+    from news_please_spark.operators.dsir import dsir_select
+
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    tgt = docs.filter(F.col("doc_id") % 13 == 0)
+    raw = docs.filter(F.col("doc_id") % 13 != 0)
+    return dsir_select(tgt, raw, frac_pct=25)
