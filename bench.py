@@ -112,6 +112,7 @@ HEADLINE = [
     "sitemap_expand",
     "events_hourly",
     "events_sessionize",
+    "funnel_steps",
     "asof_last_purchase",
     "purchase_click_attribution",
     "recency_filter",

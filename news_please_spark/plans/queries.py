@@ -4202,3 +4202,43 @@ def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = docs.filter(F.col("doc_id") % 13 == 0)
     raw = docs.filter(F.col("doc_id") % 13 != 0)
     return dsir_select(tgt, raw, frac_pct=25)
+
+
+@register(
+    "funnel_steps",
+    r"""
+    WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    u2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN u1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > u1.t1
+             AND e.ts <= u1.t1 + INTERVAL 86400 SECONDS
+           GROUP BY 1),
+    u3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN u2 USING (user_id) JOIN u1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+             AND e.ts <= u1.t1 + INTERVAL 86400 SECONDS
+           GROUP BY 1)
+    SELECT u1.user_id,
+           CAST(1 + CAST(t2 IS NOT NULL AS INT)
+                  + CAST(t3 IS NOT NULL AS INT) AS INT) AS steps,
+           t1, t2, t3
+    FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)
+    """,
+)
+def funnel_steps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel within a 24h conversion
+    window (operators/funnel.py::funnel_steps): ONE shuffle + a native-
+    HOF fold over per-user sorted events, vs the oracle's textbook
+    one-join-per-step chain — cross-engine equality proves the fold
+    implements the min-per-step semantics (incl. strict-> tie rule and
+    the window bound)."""
+    from news_please_spark.operators.funnel import funnel_steps
+
+    ev = spread(
+        load(spark, sf_dir, "events").select("user_id", "ts", "event_type"),
+        spark,
+    )
+    return funnel_steps(
+        ev, ("view", "click", "purchase"), window_seconds=86400
+    )
