@@ -113,6 +113,7 @@ HEADLINE = [
     "events_hourly",
     "events_sessionize",
     "funnel_steps",
+    "cohort_retention",
     "asof_last_purchase",
     "purchase_click_attribution",
     "recency_filter",

@@ -4242,3 +4242,48 @@ def funnel_steps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_steps(
         ev, ("view", "click", "purchase"), window_seconds=86400
     )
+
+
+@register(
+    "cohort_retention",
+    r"""
+    WITH cohorts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS p
+      FROM events
+    ),
+    joined AS (
+      SELECT c.cohort,
+             CAST(date_diff('day', c.cohort, a.p) // 7 AS INT) AS k,
+             a.user_id
+      FROM activity a JOIN cohorts c USING (user_id)
+      WHERE a.p >= c.cohort
+    ),
+    counts AS (
+      SELECT cohort, k, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+      FROM joined GROUP BY cohort, k
+    ),
+    sizes AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort
+      FROM cohorts GROUP BY cohort
+    )
+    SELECT cohort, k, n_active, n_cohort,
+           CAST((n_active * 10000) // n_cohort AS BIGINT) AS retention_bp
+    FROM counts JOIN sizes USING (cohort)
+    """,
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly signup-cohort retention in integer basis points
+    (operators/retention.py::cohort_retention): per-user grain joins
+    only (no broadcast assumption), ONE corpus-sized shuffle (the
+    distinct (user, week) activity set), tiny (cohort, k) aggregation."""
+    from news_please_spark.operators.retention import cohort_retention
+
+    ev = spread(
+        load(spark, sf_dir, "events").select("user_id", "ts", "event_type"),
+        spark,
+    )
+    return cohort_retention(ev)
