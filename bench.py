@@ -110,6 +110,7 @@ HEADLINE = [
     "semantic_dedup",
     "extract_articles",
     "sitemap_expand",
+    "anchor_terms",
     "events_hourly",
     "events_sessionize",
     "funnel_steps",

@@ -24,7 +24,7 @@ The driver loop carries only the single changed-row COUNT per round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from news_please_spark.operators.cacheutil import release_df
@@ -333,4 +333,45 @@ def hits_scaled(
         )
     return a.join(h, "id").select(
         "id", F.col("a").alias("authority"), F.col("h").alias("hub")
+    )
+
+
+def anchor_terms(
+    edges: DataFrame,
+    docs: DataFrame,
+    top_k: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "doc_id",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Anchor-text aggregation: (dst, term, cnt, rk) — the top-k terms
+    other pages use when linking to each target, the classic
+    link-context ranking/description signal (search engines index a
+    page under its incoming anchor text; a crawler uses it to
+    prioritize unfetched URLs it has only seen described).
+
+    ``edges`` must carry an ``anchor`` array<string> column (the link's
+    text, already tokenized — e.g. a slice of the source page near the
+    link).  Scale shape: one explode to (dst, term) occurrences, a
+    map-side-combinable count, and a per-target top-k window.  The
+    window's partition is a single TARGET's distinct-term set — bounded
+    by vocabulary, not by in-degree (a million links saying "home"
+    collapse to one counted row before any ranking), which is what
+    makes this safe for the usual anchor-text skew (everyone links to
+    the front page with the same words).
+    """
+    occ = edges.select(
+        F.col(dst_col).alias("dst"), F.explode(anchor_col).alias("term")
+    )
+    counts = occ.groupBy("dst", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.desc("cnt"), F.asc("term")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= top_k)
+        .select(F.col("dst").alias("dst_id"), "term", "cnt", "rk")
     )

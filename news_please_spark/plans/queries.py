@@ -4287,3 +4287,66 @@ def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
     )
     return cohort_retention(ev)
+
+
+_ANCHOR_ARMS_SQL = " UNION ALL ".join(
+    f"SELECT (doc_id*{m} + {a}) % n.n AS dst,"
+    f" toks[{2 * j + 1}:{2 * j + 3}] AS anchor FROM t CROSS JOIN n"
+    for j, (m, a) in enumerate(EDGE_PARAMS)
+)
+
+
+@register(
+    "anchor_terms",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+    e AS ({_ANCHOR_ARMS_SQL}),
+    occ AS (SELECT dst, unnest(anchor) AS term FROM e),
+    c AS (SELECT dst, term, CAST(count(*) AS BIGINT) AS cnt
+          FROM occ GROUP BY dst, term)
+    SELECT dst AS dst_id, term, cnt, rk FROM (
+      SELECT dst, term, cnt,
+             CAST(row_number() OVER (
+               PARTITION BY dst ORDER BY cnt DESC, term
+             ) AS INT) AS rk
+      FROM c
+    ) WHERE rk <= 5
+    """,
+)
+def anchor_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation over the derived webgraph
+    (operators/graph.py::anchor_terms): each edge carries a
+    deterministic 3-token slice of its SOURCE page as link text
+    (slot j of EDGE_PARAMS reads tokens 2j+1..2j+3); per target, the
+    top-5 incoming anchor terms by (count DESC, term) — the
+    link-context signal search indexing and described-URL crawl
+    prioritization use.  Counts collapse before ranking, so in-degree
+    skew (everyone linking 'home' to the front page) never reaches the
+    window."""
+    from news_please_spark.operators.graph import anchor_terms
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    toked = (
+        spread(docs.select("doc_id", "text"), spark)
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+        )
+    )
+    arms = [
+        F.struct(
+            ((F.col("doc_id") * m + a) % n).cast("long").alias("dst"),
+            F.slice("toks", 2 * j + 1, 3).alias("anchor"),
+        )
+        for j, (m, a) in enumerate(EDGE_PARAMS)
+    ]
+    edges = toked.select(F.explode(F.array(*arms)).alias("e")).select(
+        "e.dst", "e.anchor"
+    )
+    return anchor_terms(edges, docs)

@@ -195,3 +195,41 @@ def test_hits_rejects_bad_iters(spark):
     n = spark.createDataFrame([(0,), (1,)], "id long")
     with pytest.raises(ValueError):
         hits_scaled(e, n, iters=0)
+
+
+def test_anchor_terms_topk_and_skew_collapse(spark):
+    from news_please_spark.operators.graph import anchor_terms
+
+    edges = spark.createDataFrame(
+        [
+            (1, 10, ["home", "page"]),
+            (2, 10, ["home"]),
+            (3, 10, ["home", "news"]),
+            (4, 10, ["news"]),
+            (5, 20, ["about"]),
+            (6, 20, []),
+        ],
+        "src long, dst long, anchor array<string>",
+    )
+    out = {
+        (r.dst_id, r.term): (r.cnt, r.rk)
+        for r in anchor_terms(edges, None, top_k=2).collect()
+    }
+    assert out == {
+        (10, "home"): (3, 1),
+        (10, "news"): (2, 2),
+        (20, "about"): (1, 1),
+    }
+
+
+def test_anchor_terms_tiebreak_by_term(spark):
+    from news_please_spark.operators.graph import anchor_terms
+
+    edges = spark.createDataFrame(
+        [(1, 7, ["b"]), (2, 7, ["a"]), (3, 7, ["c"])],
+        "src long, dst long, anchor array<string>",
+    )
+    rows = sorted(
+        anchor_terms(edges, None, top_k=2).collect(), key=lambda r: r.rk
+    )
+    assert [(r.term, r.rk) for r in rows] == [("a", 1), ("b", 2)]
