@@ -119,6 +119,7 @@ HEADLINE = [
     "purchase_click_attribution",
     "recency_filter",
     "versioning_chain",
+    "zorder_cluster",
     "merge_upsert",
     "bucketed_join",
     "training_corpus",

@@ -4350,3 +4350,37 @@ def anchor_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e.dst", "e.anchor"
     )
     return anchor_terms(edges, docs)
+
+
+def _zorder_oracle_sql() -> str:
+    from news_please_spark.functions.zorder import quantize_sql, zorder_key_sql
+
+    zk = zorder_key_sql(
+        [
+            quantize_sql("user_id", 0, 2048, 10),
+            quantize_sql("date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))", 0, 31, 10),
+        ],
+        10,
+    )
+    return f"SELECT event_id, {zk} AS zkey FROM events"
+
+
+@register("zorder_cluster", _zorder_oracle_sql())
+def zorder_cluster_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering keys for the events table
+    (functions/zorder.py + state.SnapshotCatalog.cluster_table):
+    Morton-interleave of quantized (user_id, day) so min/max file
+    pruning serves predicates on EITHER column after one rewrite —
+    pure int64 shift/mask arithmetic inside whole-stage codegen,
+    bit-identical to the DuckDB image emitted by zorder_key_sql.
+    test_zorder.py demonstrates the skipping (thin-y box: linear
+    layout touches every file, z-order a bounded curve-range set)."""
+    from news_please_spark.functions.zorder import quantize, zorder_key
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    zk = zorder_key(
+        [quantize(F.col("user_id"), 0, 2048, 10), quantize(day, 0, 31, 10)],
+        10,
+    )
+    return ev.select("event_id", zk.alias("zkey"))

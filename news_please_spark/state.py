@@ -343,6 +343,56 @@ class SnapshotCatalog:
                 last_err = e
         raise last_err  # type: ignore[misc]
 
+    def cluster_table(
+        self,
+        spark,
+        name: str,
+        zkey,
+        n_files: int = 16,
+        max_retries: int = 5,
+    ) -> int:
+        """Z-order rewrite (Iceberg's rewrite_data_files with a sort
+        strategy / Delta OPTIMIZE ZORDER BY): rewrite the latest
+        snapshot of `name` range-partitioned AND sorted by ``zkey`` (a
+        Column, typically functions/zorder.zorder_key over quantized
+        dimensions), so min/max pruning skips files for predicates on
+        ANY of the interleaved columns.  Row-identical by construction
+        (a reordering); committed CAS like every other rewrite, so
+        readers keep the old snapshot and racing writers cost a retry.
+
+        Cost model: one full shuffle of the table (range partitioning)
+        + a per-file sort — the standard price of re-clustering, paid
+        once per maintenance window, amortized by every subsequent
+        selective scan.  Returns the new snapshot id."""
+        if n_files < 1:
+            raise ValueError(f"n_files must be positive, got {n_files}")
+        last_err: Exception | None = None
+        for _ in range(max_retries):
+            snap = self.latest()
+            if snap is None:
+                raise FileNotFoundError(f"no committed snapshot in {self.path}")
+            df = self.read_table(spark, name, snap)
+            out = (
+                df.withColumn("_zk", zkey)
+                .repartitionByRange(int(n_files), "_zk")
+                .sortWithinPartitions("_zk")
+                .drop("_zk")
+            )
+            tx = self.begin(expected=snap)
+            try:
+                tx.write_table(name, out)
+                return tx.commit(
+                    meta={
+                        "op": "cluster",
+                        "table": name,
+                        "source_snap": snap,
+                        "n_files": n_files,
+                    }
+                )
+            except CommitConflict as e:
+                last_err = e
+        raise last_err  # type: ignore[misc]
+
 
 class Transaction:
     def __init__(self, catalog: SnapshotCatalog, expected: int):
