@@ -675,3 +675,59 @@ def apply_cdc_to_index(
         F.col(id_col), ngram_set(F.col(text_col), n).alias("_sh")
     ).filter(F.size("_sh") > 0)
     return kept.unionByName(lsh_index_of(shingled, id_col=id_col, bands=bands))
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter selection (the MMDS ch.3 S-curve analysis)
+
+
+def lsh_collision_prob(s: float, bands: int, rows: int) -> float:
+    """Probability two sets with Jaccard similarity ``s`` share at
+    least one LSH bucket under (bands × rows) banding:
+    1 - (1 - s^rows)^bands.  rows=1 is this repo's candidate
+    generator (each band one independent min-hash — monotone curve,
+    recall-heavy, precision delegated to the exact verify stage)."""
+    if not 0.0 <= s <= 1.0:
+        raise ValueError(f"similarity must be in [0, 1], got {s}")
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def choose_lsh_params(
+    threshold: float,
+    max_hashes: int,
+    fn_weight: float = 1.0,
+    grid: int = 1000,
+) -> tuple[int, int]:
+    """(bands, rows) minimizing expected banding error for a target
+    Jaccard ``threshold`` under a signature budget of ``max_hashes``
+    (= bands·rows): error = ∫₀ᵗ p(s) ds  (false-positive mass the
+    verify stage must re-check) + fn_weight · ∫ₜ¹ (1−p(s)) ds
+    (near-dups silently missed — weight it up when missing duplicates
+    is costlier than extra verification).  Trapezoid integration on a
+    fixed grid; exhaustive over the O(max_hashes·√max_hashes) divisor
+    pairs — a config-time driver computation, never per-row.
+
+    The classic rule of thumb threshold ≈ (1/bands)^(1/rows) falls out:
+    the chosen pair's inflection lands near ``threshold``."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if max_hashes < 1:
+        raise ValueError(f"max_hashes must be positive, got {max_hashes}")
+    best: tuple[float, int, int] | None = None
+    for rows in range(1, max_hashes + 1):
+        bands = max_hashes // rows
+        if bands < 1:
+            break
+        fp = fn = 0.0
+        for i in range(grid):
+            s = (i + 0.5) / grid
+            p = lsh_collision_prob(s, bands, rows)
+            if s < threshold:
+                fp += p
+            else:
+                fn += (1.0 - p) * fn_weight
+        err = (fp + fn) / grid
+        if best is None or err < best[0] - 1e-12:
+            best = (err, bands, rows)
+    assert best is not None
+    return best[1], best[2]

@@ -320,3 +320,49 @@ def test_apply_cdc_to_index_equals_rebuild(spark):
     empty = spark.createDataFrame([], "doc_id long, text string, _change string")
     same = sorted(tuple(r) for r in apply_cdc_to_index(index_of(base), empty).collect())
     assert same == sorted(tuple(r) for r in index_of(base).collect())
+
+
+def test_lsh_collision_prob_shape():
+    from news_please_spark.operators.dedup import lsh_collision_prob
+
+    assert lsh_collision_prob(0.0, 16, 4) == 0.0
+    assert lsh_collision_prob(1.0, 16, 4) == 1.0
+    # monotone in s; more bands raises, more rows sharpens/lowers below
+    # the inflection
+    assert lsh_collision_prob(0.5, 16, 4) > lsh_collision_prob(0.4, 16, 4)
+    assert lsh_collision_prob(0.3, 32, 4) > lsh_collision_prob(0.3, 16, 4)
+    assert lsh_collision_prob(0.2, 16, 8) < lsh_collision_prob(0.2, 16, 4)
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_collision_prob(1.5, 16, 4)
+
+
+def test_choose_lsh_params_tracks_threshold():
+    from news_please_spark.operators.dedup import choose_lsh_params
+
+    b1, r1 = choose_lsh_params(0.5, 128)
+    b2, r2 = choose_lsh_params(0.9, 128)
+    assert b1 * r1 <= 128 and b2 * r2 <= 128
+    # rule of thumb: inflection (1/b)^(1/r) lands near the threshold
+    assert abs((1 / b1) ** (1 / r1) - 0.5) < 0.15
+    assert abs((1 / b2) ** (1 / r2) - 0.9) < 0.1
+    # a higher threshold needs a sharper (more rows) curve
+    assert r2 >= r1
+    # weighting false negatives up shifts the curve left (recall-ward):
+    # collision probability AT the threshold must not decrease
+    from news_please_spark.operators.dedup import lsh_collision_prob
+
+    b3, r3 = choose_lsh_params(0.5, 128, fn_weight=5.0)
+    assert lsh_collision_prob(0.5, b3, r3) >= lsh_collision_prob(0.5, b1, r1)
+
+
+def test_choose_lsh_params_validation():
+    import pytest
+
+    from news_please_spark.operators.dedup import choose_lsh_params
+
+    with pytest.raises(ValueError):
+        choose_lsh_params(0.0, 128)
+    with pytest.raises(ValueError):
+        choose_lsh_params(0.5, 0)
