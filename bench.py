@@ -71,6 +71,7 @@ HEADLINE = [
     "hll_distinct",
     "length_quantiles",
     "token_totals",
+    "corpus_report",
     "lang_id",
     "script_profile",
     "tfidf_top_terms",

@@ -149,3 +149,59 @@ def clean_corpus(
         ),
     )
     return scored.filter(F.col("_top_q") < top_bigram_q_max).drop("_g2", "_top_q")
+
+
+def corpus_report(
+    docs: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus health report — the one table a pipeline
+    operator reads every morning: volume (docs, tokens), exact-dup
+    rate in basis points, average quality signals, dominant language.
+
+    Scale shape: ONE doc-level aggregation by source (count / token
+    sum / distinct normalized fingerprints — all map-side combinable
+    or hash-agg), plus one tiny (source, lang) count for the dominant
+    language (deterministic tie-break: count DESC, lang ASC).  Joins
+    are per-source grain — thousands of rows, never corpus-sized.
+    Quality columns reuse the oracle-gated quantized signals
+    (functions/text.quality_struct), so the report's numbers are the
+    SAME integers the quality_topfrac/gopher tiers filter on."""
+    from pyspark.sql import Window
+    from news_please_spark.functions.text import fingerprint, quality_struct
+
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        fingerprint(F.col(text_col)).alias("_fp"),
+        quality_struct(F.col(text_col)).alias("_q"),
+    )
+    stats = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_q.n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("_fp").cast("long").alias("n_uniq"),
+        F.sum("_q.alpha_q").cast("long").alias("_alpha_sum"),
+        F.sum("_q.stop_q").cast("long").alias("_stop_sum"),
+    )
+    lang_rk = Window.partitionBy("source").orderBy(
+        F.desc("n_lang"), F.asc("lang")
+    )
+    top_lang = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_lang"))
+        .withColumn("_rk", F.row_number().over(lang_rk))
+        .filter(F.col("_rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return stats.join(top_lang, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_uniq",
+        F.expr("((n_docs - n_uniq) * 10000) DIV n_docs").alias("dup_bp"),
+        F.expr("_alpha_sum DIV n_docs").alias("avg_alpha_q"),
+        F.expr("_stop_sum DIV n_docs").alias("avg_stop_q"),
+        "top_lang",
+    )

@@ -4384,3 +4384,64 @@ def zorder_cluster_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     )
     return ev.select("event_id", zk.alias("zkey"))
+
+
+@register(
+    "corpus_report",
+    r"""
+    WITH t AS (
+      SELECT source, lang, text,
+             string_split_regex(trim(text), '\s+') AS toks,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    q AS (
+      SELECT source, lang, fp,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(floor(10000.0 * length(regexp_replace(text, '[^a-z]', '', 'g'))
+                  / length(text)) AS BIGINT) AS alpha_q,
+             CAST(floor(10000.0 * len(list_filter(toks,
+                    x -> x IN ('the', 'a', 'of', 'and'))) / len(toks))
+                  AS BIGINT) AS stop_q
+      FROM t
+    ),
+    stats AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(count(DISTINCT fp) AS BIGINT) AS n_uniq,
+             CAST(sum(alpha_q) AS BIGINT) AS alpha_sum,
+             CAST(sum(stop_q) AS BIGINT) AS stop_sum
+      FROM q GROUP BY source
+    ),
+    tl AS (
+      SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY count(*) DESC, lang ASC
+               ) AS rk
+        FROM q GROUP BY source, lang
+      ) WHERE rk = 1
+    )
+    SELECT s.source, n_docs, total_tokens, n_uniq,
+           CAST(((n_docs - n_uniq) * 10000) // n_docs AS BIGINT) AS dup_bp,
+           CAST(alpha_sum // n_docs AS BIGINT) AS avg_alpha_q,
+           CAST(stop_sum // n_docs AS BIGINT) AS avg_stop_q,
+           top_lang
+    FROM stats s JOIN tl USING (source)
+    """,
+)
+def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report (pipeline.py::corpus_report):
+    volume, exact-dup basis points, average quantized quality signals,
+    dominant language — one doc-level aggregation + one tiny
+    (source, lang) count, per-source-grain joins only."""
+    from news_please_spark.pipeline import corpus_report
+
+    return corpus_report(
+        spread(
+            load(spark, sf_dir, "documents").select("source", "lang", "text"),
+            spark,
+        )
+    )

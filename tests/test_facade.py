@@ -99,3 +99,36 @@ def test_prepare_training_data_one_call(spark):
     rendered = nps.prepare_training_data(docs, seq_len=32, packer_hex=1, render=True)
     r0 = rendered.first()
     assert r0.chunk_text and r0.split in ("train", "val", "test")
+
+
+def test_corpus_report_semantics(spark):
+    from news_please_spark.pipeline import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "en", "the cat sat"),
+            ("a", "en", "THE  CAT   SAT"),  # exact dup after normalize
+            ("a", "de", "der hund lief schnell heute"),
+            ("b", "fr", "le chat"),
+        ],
+        "source string, lang string, text string",
+    )
+    got = {r.source: r for r in corpus_report(docs).collect()}
+    a = got["a"]
+    assert a.n_docs == 3 and a.n_uniq == 2
+    assert a.dup_bp == (3 - 2) * 10000 // 3
+    assert a.total_tokens == 3 + 3 + 5
+    assert a.top_lang == "en"
+    b = got["b"]
+    assert (b.n_docs, b.n_uniq, b.dup_bp, b.top_lang) == (1, 1, 0, "fr")
+
+
+def test_corpus_report_lang_tiebreak(spark):
+    from news_please_spark.pipeline import corpus_report
+
+    docs = spark.createDataFrame(
+        [("s", "en", "one doc"), ("s", "de", "two doc")],
+        "source string, lang string, text string",
+    )
+    (row,) = corpus_report(docs).collect()
+    assert row.top_lang == "de"  # tie on count -> lang ASC
