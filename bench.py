@@ -238,8 +238,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs = [(name, QUERIES[name]) for name in HEADLINE] + list(EXTRA_HEADLINE.items())
     for name, fn in runs:
-        df = fn(spark, SF_DIR)
+        # construction INSIDE the timer: iterative/driver-coordinated
+        # entries (bpe_merges' training rounds, dsir_select's fit
+        # collect) do real work while building the plan — timing only
+        # the noop write would hide it
         t0 = time.time()
+        df = fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
 
