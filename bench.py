@@ -84,6 +84,8 @@ HEADLINE = [
     "dsir_select",
     "token_budget",
     "dataset_split",
+    "priority_sample",
+    "length_buckets",
     "quality_topfrac",
     "pack_sequences",
     "packed_chunks",

@@ -426,6 +426,151 @@ def temperature_sample(
 
 
 # ---------------------------------------------------------------------------
+# weighted sampling without replacement (priority sampling)
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weight-proportional sample of k rows WITHOUT replacement, with
+    the Horvitz-Thompson weight estimates that make the sample usable
+    for unbiased subset-sum estimation — priority sampling (Duffield,
+    Lund & Thorup, JACM 54(6) 2007): draw u_i uniform, set priority
+    q_i = w_i / u_i, keep the k highest priorities, and estimate every
+    kept row's weight as max(w_i, tau) where tau is the (k+1)-th
+    priority.  The data-curation use: pick k documents proportional to
+    a quality/length weight, deterministically, with per-row inclusion
+    probabilities you can audit.
+
+    Integer-exact by construction (the house convention — float keys
+    would make the sample engine-rounding-dependent):
+
+      u_i   = first 8 md5 hex chars of the id, as int, +1  (in [1, 2^32])
+      q_i   = (w_i << 32) DIV u_i          (exact long arithmetic;
+                                            weights must be < 2^31)
+      order = (q DESC, id ASC)             (total, tie-stable)
+
+    Plan shape: the priority is a map-side Column; the k+1 selection is
+    orderBy().limit(k+1) which Spark executes as TakeOrderedAndProject
+    — per-partition heaps of size k+1, no global sort, no shuffle of
+    the corpus.  Only the k+1 survivors reach the single-task ranking
+    window and the 1-row threshold aggregate, so driver/exchange volume
+    is O(k) at any corpus size.
+
+    Returns (id, w, priority, rk, w_est); rows with NULL or
+    non-positive weight are clamped to weight 1 (every row must have a
+    nonzero chance or the estimator's support is wrong).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    )
+    w = F.greatest(F.coalesce(F.col(weight_col).cast("long"), F.lit(1)), F.lit(1))
+    base = (
+        df.select(F.col(id_col), w.alias("w"), u.alias("_u"))
+        .withColumn("priority", F.expr(f"w * {1 << 32}L DIV _u"))
+    )
+    top = base.orderBy(F.col("priority").desc(), F.col(id_col).asc()).limit(k + 1)
+    stats = top.agg(
+        F.count(F.lit(1)).alias("_n"), F.min("priority").alias("_minq")
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("priority").desc(), F.col(id_col).asc())
+    )
+    tau = F.when(F.col("_n") == k + 1, F.col("_minq")).otherwise(F.lit(0))
+    return (
+        top.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= k)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            "w",
+            "priority",
+            "rk",
+            F.greatest(F.col("w"), tau).cast("long").alias("w_est"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed batch planning (padding-efficiency for training batches)
+
+
+def length_bucket_plan(
+    df: DataFrame,
+    batch_size: int,
+    boundaries: tuple[int, ...] = (32, 64, 128, 256, 512, 1024, 2048),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_hex: int = 1,
+) -> DataFrame:
+    """Length-bucketed batch planning: group documents of similar token
+    length into fixed-size batches so pad-to-longest waste stays small
+    — the batching step every padded-attention trainer runs between
+    the corpus and the GPU (bucketing by length is the standard
+    counterpart to pack_sequences' concat-and-chunk for models that
+    must keep document boundaries).
+
+    Assignment is deterministic and engine-portable:
+
+      bucket = #{b in boundaries : n_tok >= b}   (a sum of integer
+               indicator comparisons — no CASE ladder drift)
+      shard  = first ``shard_hex`` md5 hex chars of the id (the
+               pack_sequences sharding convention: batches never cross
+               a shard, so no bucket becomes one sort task; md5
+               uniformity bounds skew; raise shard_hex at design scale)
+      batch  = (row_number within (bucket, shard) by md5 key) - 1,
+               integer-divided by ``batch_size``
+
+    Output is the per-batch plan a trainer consumes:
+    (bucket, shard, batch, n_docs, max_tok, sum_tok, pad_waste) with
+    pad_waste = n_docs*max_tok - sum_tok (pad-to-longest-in-batch).
+
+    Plan shape: ONE shuffle, on (bucket, shard); the follow-up groupBy
+    (bucket, shard, batch) reuses that partitioning (hash partitioning
+    on a subset of the grouping keys already clusters the groups), so
+    Catalyst elides the second Exchange.  Token count is the
+    whitespace convention shared with token_totals, so plan totals
+    reconcile with corpus audits bit-exactly."""
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    key = F.md5(F.col(id_col).cast("string"))
+    bucket = sum(
+        (F.col("n_tok") >= int(b)).cast("long") for b in boundaries
+    )
+    base = df.select(
+        F.col(id_col), key.alias("_key"), n_tok.alias("n_tok")
+    ).select(
+        F.col(id_col),
+        "_key",
+        "n_tok",
+        bucket.alias("bucket"),
+        F.substring(F.col("_key"), 1, shard_hex).alias("shard"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("bucket", "shard").orderBy("_key", id_col)
+    )
+    batched = base.withColumn("_rn", rn).withColumn(
+        "batch", F.expr(f"CAST((_rn - 1) DIV {int(batch_size)} AS LONG)")
+    )
+    return batched.groupBy("bucket", "shard", "batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("n_tok").cast("long").alias("max_tok"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+        (F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok"))
+        .cast("long")
+        .alias("pad_waste"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # token-budget epoch planning (mixture construction under per-source caps)
 
 

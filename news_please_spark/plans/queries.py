@@ -1952,6 +1952,91 @@ ORACLES["dataset_split"] = (
 
 
 @register(
+    "priority_sample",
+    r"""
+    WITH b AS (
+      SELECT doc_id,
+             greatest(COALESCE(CAST(n_chars AS BIGINT), 1), 1) AS w,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1 AS u
+      FROM documents
+    ),
+    p AS (SELECT doc_id, w, (w * 4294967296) // u AS priority FROM b),
+    top AS (
+      SELECT doc_id, w, priority,
+             CAST(row_number() OVER (ORDER BY priority DESC, doc_id ASC)
+                  AS BIGINT) AS rk
+      FROM p
+      QUALIFY rk <= 101
+    ),
+    tau AS (
+      SELECT CASE WHEN count(*) = 101 THEN min(priority) ELSE 0 END AS tau
+      FROM top
+    )
+    SELECT doc_id, w, priority, rk,
+           CAST(greatest(w, tau) AS BIGINT) AS w_est
+    FROM top CROSS JOIN tau
+    WHERE rk <= 100
+    """,
+)
+def priority_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional k=100 sample without replacement with
+    Horvitz-Thompson weight estimates — priority sampling, Duffield,
+    Lund & Thorup JACM 2007 (operators/sampling.py:priority_sample).
+    Integer-exact priorities q = (w<<32) DIV u with the md5 draw, so
+    both engines pick the identical sample; the corpus never shuffles
+    (TakeOrderedAndProject heaps), only k+1 rows reach the driver-side
+    plan tail."""
+    from news_please_spark.operators.sampling import priority_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return priority_sample(docs, "n_chars", 100)
+
+
+@register(
+    "length_buckets",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS key,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    bk AS (
+      SELECT doc_id, key, shard, n_tok,
+             CAST((n_tok >= 32)::INT + (n_tok >= 64)::INT + (n_tok >= 128)::INT
+                + (n_tok >= 256)::INT + (n_tok >= 512)::INT
+                + (n_tok >= 1024)::INT + (n_tok >= 2048)::INT AS BIGINT) AS bucket
+      FROM t
+    ),
+    rn AS (
+      SELECT *, row_number() OVER (PARTITION BY bucket, shard
+                                   ORDER BY key, doc_id) AS rn
+      FROM bk
+    )
+    SELECT bucket, shard, CAST((rn - 1) // 16 AS BIGINT) AS batch,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tok) AS BIGINT) AS max_tok,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste
+    FROM rn
+    GROUP BY bucket, shard, (rn - 1) // 16
+    """,
+)
+def length_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch plan (batch_size 16, power-of-two length
+    buckets, 16 md5 shards) — pad-to-longest batching for padded-
+    attention training (operators/sampling.py:length_bucket_plan).
+    One shuffle on (bucket, shard); the per-batch aggregation reuses
+    that partitioning (grouping keys are a superset), so Catalyst
+    elides a second Exchange."""
+    from news_please_spark.operators.sampling import length_bucket_plan
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    return length_bucket_plan(docs, 16)
+
+
+@register(
     "tfidf_top_terms",
     """
     WITH toks AS (

@@ -512,3 +512,134 @@ def test_token_budget_plan_fixpoint_matches_bruteforce():
                 if ok:
                     valid.append(S)
         assert got_capped in valid, (budget, got_capped, valid)
+
+
+# ---------------------------------------------------------------------------
+# priority sampling (weighted without replacement, DLT 2007)
+
+
+def _priority_oracle(rows, k):
+    """Quadratic python oracle: md5 draw, integer priorities, (q DESC,
+    id ASC) order, tau = (k+1)-th priority, w_est = max(w, tau)."""
+    import hashlib
+
+    def pri(i, w):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 1
+        return (max(w, 1) << 32) // u
+
+    scored = sorted(
+        ((pri(i, w), i, max(w, 1)) for i, w in rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    tau = scored[k][0] if len(scored) > k else 0
+    return {
+        i: (w, q, rk + 1, max(w, tau))
+        for rk, (q, i, w) in enumerate(scored[:k])
+    }
+
+
+def test_priority_sample_matches_python_oracle(spark):
+    from news_please_spark.operators.sampling import priority_sample
+
+    rows = [(i, (i * 37) % 900 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, wgt long")
+    got = {
+        r.doc_id: (r.w, r.priority, r.rk, r.w_est)
+        for r in priority_sample(df, "wgt", 10).collect()
+    }
+    assert got == _priority_oracle(rows, 10)
+
+
+def test_priority_sample_small_corpus_keeps_all_unadjusted(spark):
+    from news_please_spark.operators.sampling import priority_sample
+
+    rows = [(1, 5), (2, 50), (3, 500)]
+    df = spark.createDataFrame(rows, "doc_id long, wgt long")
+    out = priority_sample(df, "wgt", 10).collect()
+    # n <= k: everything sampled, tau = 0, estimates are the raw weights
+    assert sorted((r.doc_id, r.w_est) for r in out) == [(1, 5), (2, 50), (3, 500)]
+
+
+def test_priority_sample_partitioning_invariant_and_weight_clamp(spark):
+    from news_please_spark.operators.sampling import priority_sample
+
+    rows = [(i, None if i % 7 == 0 else (i % 5) - 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, wgt long")
+    a = sorted(map(tuple, priority_sample(df, "wgt", 8).collect()))
+    b = sorted(map(tuple, priority_sample(df.repartition(13), "wgt", 8).collect()))
+    assert a == b
+    # NULL/zero/negative weights clamp to 1, never divide-by-zero/drop
+    assert all(r[1] >= 1 for r in a)
+
+
+def test_priority_sample_plan_is_take_ordered(spark):
+    from news_please_spark.operators.sampling import priority_sample
+
+    rows = [(i, i + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, wgt long")
+    plan = (
+        priority_sample(df, "wgt", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the corpus-side selection must be per-partition heaps, not a sort
+    assert "TakeOrdered" in plan
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed batch planning
+
+
+def _length_oracle(rows, batch_size, boundaries):
+    import hashlib
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for i, text in rows:
+        n_tok = len(text.strip().split()) if text.strip() else 1
+        key = hashlib.md5(str(i).encode()).hexdigest()
+        bucket = sum(1 for b in boundaries if n_tok >= b)
+        per[(bucket, key[:1])].append((key, i, n_tok))
+    out = {}
+    for (bucket, shard), docs in per.items():
+        docs.sort()
+        for pos, (_, _, n_tok) in enumerate(docs):
+            cell = out.setdefault((bucket, shard, pos // batch_size), [])
+            cell.append(n_tok)
+    return {
+        k: (len(v), max(v), sum(v), len(v) * max(v) - sum(v))
+        for k, v in out.items()
+    }
+
+
+def test_length_buckets_match_python_oracle(spark):
+    from news_please_spark.operators.sampling import length_bucket_plan
+
+    rows = [(i, "w " * ((i * 13) % 300)) for i in range(150)] + [(999, "  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bounds = (32, 64, 128, 256, 512, 1024, 2048)
+    got = {
+        (r.bucket, r.shard, r.batch): (r.n_docs, r.max_tok, r.sum_tok, r.pad_waste)
+        for r in length_bucket_plan(df, 16).collect()
+    }
+    assert got == _length_oracle(rows, 16, bounds)
+    # invariants: batch sizes bounded, every doc planned exactly once
+    assert all(v[0] <= 16 for v in got.values())
+    assert sum(v[0] for v in got.values()) == len(rows)
+
+
+def test_length_buckets_single_exchange(spark):
+    from news_please_spark.operators.sampling import length_bucket_plan
+
+    rows = [(i, "w " * (i % 90 + 1)) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = (
+        length_bucket_plan(df, 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the per-batch aggregation must reuse the window's (bucket, shard)
+    # hash partitioning — one shuffle total
+    assert plan.count("Exchange hashpartitioning") == 1
