@@ -46,6 +46,16 @@ class CommitConflict(Exception):
     based on — re-read the table state and retry."""
 
 
+class AuditFailed(Exception):
+    """A write-audit-publish run failed its audit gate: the staged
+    snapshot was discarded, the table is unchanged. `.failures` holds
+    one message per failed audit."""
+
+    def __init__(self, failures):
+        self.failures = list(failures)
+        super().__init__("; ".join(self.failures))
+
+
 class SnapshotCatalog:
     """One table directory of immutable snapshots with CAS commits.
 
@@ -290,6 +300,55 @@ class SnapshotCatalog:
                 last_err = e  # re-read on the winner's snapshot and retry
         raise last_err  # type: ignore[misc]
 
+    def write_audit_publish(
+        self,
+        spark,
+        tables: dict,
+        audits,
+        meta: dict | None = None,
+        expected: int | None = None,
+    ) -> int:
+        """Write-audit-publish (Iceberg's WAP / audit-branch pattern,
+        `spark.wap.branch`): stage every table of the new snapshot,
+        run the audit gate OVER THE STAGED DATA, and only then publish
+        with the usual CAS rename.  Readers never observe an unaudited
+        snapshot; a failed audit discards the staging dir and raises
+        AuditFailed with every failure message, leaving latest()
+        untouched — the guard that keeps one bad pipeline run (a
+        filter bug gutting the corpus, a join fanout doubling it) from
+        ever becoming the table.
+
+        ``tables`` maps name -> DataFrame; ``audits`` is an iterable of
+        callables ``audit(spark, tx) -> str | None`` (None = pass,
+        message = fail) — see audit_min_rows / audit_max_null_pct /
+        audit_row_delta for the standard gates.  Audits read the staged
+        data via ``tx.read_table`` and the previous version via
+        ``tx.catalog.read_table(name, tx.expected)``, so a gate can
+        compare against what it is about to replace.  Each audit is
+        O(1) Spark jobs over already-written parquet — the staged data
+        is written once and scanned by the audits, never recomputed.
+
+        Returns the published snapshot id; raises CommitConflict (after
+        passing audits) if another writer won the CAS — the caller
+        re-reads and retries like every other commit path."""
+        audits = list(audits)
+        tx = self.begin(expected)
+        try:
+            for name, df in tables.items():
+                tx.write_table(name, df)
+            failures = [m for m in (a(spark, tx) for a in audits) if m]
+            if failures:
+                tx.abort()
+                raise AuditFailed(failures)
+        except AuditFailed:
+            raise
+        except BaseException:
+            tx.abort()
+            raise
+        return tx.commit(
+            meta={**(meta or {}), "op": "wap", "audits_passed": len(audits)}
+        )
+
     def compact_table(
         self,
         spark,
@@ -423,6 +482,17 @@ class Transaction:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(name))
 
+    def read_table(self, spark, name: str):
+        """Read back a STAGED table, pre-commit — the audit step of
+        write-audit-publish reads here.  Ordinary readers cannot: the
+        staging dir carries the `.tmp-` marker the catalog listing
+        ignores, which is exactly what makes the stage an audit branch
+        rather than a published version."""
+        d = self.path(name)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(f"table {name!r} not staged in {self.staging_dir}")
+        return spark.read.parquet(d)
+
     def commit(self, meta: dict | None = None) -> int:
         """Atomically publish the staged snapshot. Returns its id.
 
@@ -449,3 +519,77 @@ class Transaction:
         if not self._done:
             shutil.rmtree(self.staging_dir, ignore_errors=True)
             self._done = True
+
+
+# ---------------------------------------------------------------------------
+# standard WAP audit gates
+#
+# Each factory returns audit(spark, tx) -> str | None.  All thresholds
+# are integer percentages compared with cross-multiplication — no float
+# ratios, so a gate's verdict can't flip on engine rounding.
+
+
+def audit_min_rows(name: str, min_rows: int):
+    """Fail when the staged table holds fewer than `min_rows` rows —
+    the cheapest guard against an upstream filter bug emptying a
+    corpus before it publishes."""
+
+    def audit(spark, tx) -> str | None:
+        n = tx.read_table(spark, name).count()
+        if n < min_rows:
+            return f"{name}: {n} rows < required minimum {min_rows}"
+        return None
+
+    return audit
+
+
+def audit_max_null_pct(name: str, col: str, max_pct: int):
+    """Fail when more than `max_pct` percent of `col` is NULL in the
+    staged table (schema-drift / extraction-regression tripwire)."""
+
+    def audit(spark, tx) -> str | None:
+        from pyspark.sql import functions as F
+
+        r = (
+            tx.read_table(spark, name)
+            .agg(F.count(F.lit(1)).alias("n"), F.count(col).alias("nn"))
+            .first()
+        )
+        nulls = r.n - r.nn
+        if r.n and nulls * 100 > r.n * max_pct:
+            return f"{name}.{col}: {nulls}/{r.n} NULL exceeds {max_pct}%"
+        return None
+
+    return audit
+
+
+def audit_row_delta(name: str, max_drop_pct: int = 50, max_grow_pct: int | None = None):
+    """Fail when the staged row count dropped more than `max_drop_pct`
+    percent (or grew more than `max_grow_pct`, when given) versus the
+    snapshot this transaction is replacing — the classic WAP gate: a
+    hygiene pipeline that suddenly deletes 90% of a table is almost
+    always a bug, not the corpus.  Passes trivially on the first
+    snapshot or when the previous snapshot lacks the table."""
+
+    def audit(spark, tx) -> str | None:
+        if tx.expected < 0:
+            return None
+        try:
+            prev = tx.catalog.read_table(spark, name, tx.expected)
+        except FileNotFoundError:
+            return None
+        p = prev.count()
+        n = tx.read_table(spark, name).count()
+        if n * 100 < p * (100 - max_drop_pct):
+            return (
+                f"{name}: rows fell {p} -> {n}, beyond the "
+                f"{max_drop_pct}% drop gate"
+            )
+        if max_grow_pct is not None and n * 100 > p * (100 + max_grow_pct):
+            return (
+                f"{name}: rows grew {p} -> {n}, beyond the "
+                f"{max_grow_pct}% growth gate"
+            )
+        return None
+
+    return audit

@@ -344,3 +344,107 @@ def test_diff_table_cdc_between_snapshots(spark, tmp_path):
     tx3.commit()
     with pytest.raises(ValueError):
         cat.diff_table(spark, "docs", 1, 2, key_cols=["id"])
+
+
+# ---------------------------------------------------------------------------
+# write-audit-publish
+
+
+def test_wap_publishes_only_after_audits_pass(spark, tmp_path):
+    from news_please_spark.state import (
+        audit_min_rows,
+        audit_row_delta,
+    )
+
+    cat = SnapshotCatalog(str(tmp_path / "t"))
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    snap = cat.write_audit_publish(
+        spark,
+        {"docs": df},
+        [audit_min_rows("docs", 50), audit_row_delta("docs", max_drop_pct=50)],
+        meta={"run": "initial"},
+    )
+    assert snap == 0 and cat.latest() == 0
+    assert cat.read_table(spark, "docs").count() == 100
+    meta = cat.read_meta(0)
+    assert meta["op"] == "wap" and meta["audits_passed"] == 2
+
+
+def test_wap_failed_audit_leaves_table_unchanged(spark, tmp_path):
+    from news_please_spark.state import AuditFailed, audit_min_rows
+
+    cat = SnapshotCatalog(str(tmp_path / "t"))
+    cat.write_audit_publish(
+        spark, {"docs": spark.range(100)}, [audit_min_rows("docs", 1)]
+    )
+    with pytest.raises(AuditFailed) as ei:
+        cat.write_audit_publish(
+            spark, {"docs": spark.range(3)}, [audit_min_rows("docs", 50)]
+        )
+    assert "3 rows < required minimum 50" in str(ei.value)
+    # latest() still the good snapshot; the staging dir was discarded
+    assert cat.latest() == 0
+    assert cat.read_table(spark, "docs").count() == 100
+    assert cat.sweep_staging() == 0
+
+
+def test_wap_row_delta_gate_catches_gutted_table(spark, tmp_path):
+    from news_please_spark.state import AuditFailed, audit_row_delta
+
+    cat = SnapshotCatalog(str(tmp_path / "t"))
+    gates = [audit_row_delta("docs", max_drop_pct=50, max_grow_pct=100)]
+    cat.write_audit_publish(spark, {"docs": spark.range(1000)}, gates)
+    # a 95% drop: the classic filter-bug publish, blocked
+    with pytest.raises(AuditFailed):
+        cat.write_audit_publish(spark, {"docs": spark.range(50)}, gates)
+    # a 3x growth: the classic join-fanout publish, blocked
+    with pytest.raises(AuditFailed):
+        cat.write_audit_publish(spark, {"docs": spark.range(3000)}, gates)
+    # a 30% drop passes and becomes the new baseline
+    assert cat.write_audit_publish(spark, {"docs": spark.range(700)}, gates) == 1
+    assert cat.read_table(spark, "docs").count() == 700
+
+
+def test_wap_null_pct_gate(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from news_please_spark.state import AuditFailed, audit_max_null_pct
+
+    cat = SnapshotCatalog(str(tmp_path / "t"))
+    df = spark.range(100).select(
+        "id",
+        F.when(F.col("id") % 4 != 0, F.col("id").cast("string")).alias("title"),
+    )
+    # 25% NULL: passes a 30% gate, fails a 20% gate
+    cat.write_audit_publish(
+        spark, {"docs": df}, [audit_max_null_pct("docs", "title", 30)]
+    )
+    with pytest.raises(AuditFailed) as ei:
+        cat.write_audit_publish(
+            spark, {"docs": df}, [audit_max_null_pct("docs", "title", 20)]
+        )
+    assert "25/100 NULL exceeds 20%" in str(ei.value)
+
+
+def test_wap_cas_conflict_after_audits(spark, tmp_path):
+    """A racer that lands between stage and publish costs a
+    CommitConflict (retryable), never a silent overwrite."""
+    cat = SnapshotCatalog(str(tmp_path / "t"))
+    cat.write_audit_publish(spark, {"docs": spark.range(10)}, [])
+
+    stolen = {"done": False}
+
+    def stealing_audit(spark_, tx):
+        # simulate a concurrent writer winning while audits run
+        if not stolen["done"]:
+            other = cat.begin()
+            with open(other.path("d"), "w") as f:
+                f.write("racer")
+            other.commit()
+            stolen["done"] = True
+        return None
+
+    with pytest.raises(CommitConflict):
+        cat.write_audit_publish(spark, {"docs": spark.range(20)}, [stealing_audit])
+    assert cat.latest() == 1  # the racer's snapshot
+    assert cat.sweep_staging() == 0  # loser's staging removed
