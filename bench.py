@@ -99,6 +99,7 @@ HEADLINE = [
     "dup_substring_spans",
     "strip_dup_substrings",
     "decontam_hits",
+    "source_overlap",
     "pii_redact",
     "span_pii_redact",
     "span_stats",

@@ -83,6 +83,89 @@ def decontaminate(
 
 
 # ---------------------------------------------------------------------------
+# cross-source contamination matrix
+
+
+def source_overlap(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise n-gram overlap between sources — the contamination
+    matrix a curation team reads before mixing corpora: how much of
+    source A's shingle vocabulary also appears in source B (mirror
+    dumps, syndication rings, and benchmark bleed all show up as an
+    off-diagonal spike).  One row per unordered source pair that
+    shares at least one shingle: (source_a, source_b, shared_grams,
+    grams_a, grams_b, jaccard_bp) with jaccard_bp the integer Jaccard
+    in basis points (shared·10⁴ DIV (a+b−shared)).
+
+    Scale shape — the corpus is never self-joined:
+
+      1. distinct (md5(shingle), source): map-side-combinable distinct;
+         only fixed-width hashes shuffle (lowercased shingles, the
+         dedup tier's ngram_set convention).
+      2. per-gram source set: bounded by |sources| (a config-sized
+         set — tens, not corpus-proportional), so the pair explode is
+         ≤ C(|sources|, 2) rows per gram regardless of corpus size.
+      3. count per pair; per-source totals join back via broadcast
+         (the totals table has |sources| rows — genuinely tiny at any
+         corpus scale, unlike document-keyed "small" sets).
+    """
+    from news_please_spark.operators.dedup import ngram_set
+
+    grams = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(ngram_set(F.col(text_col), n)).alias("_g"),
+        )
+        .select("source", F.md5(F.col("_g")).alias("_gh"))
+        .distinct()
+    )
+    totals = grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    sets = grams.groupBy("_gh").agg(
+        F.sort_array(F.collect_set("source")).alias("_ss")
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("_ss"),
+                lambda a: F.transform(
+                    F.col("_ss"),
+                    lambda b: F.struct(a.alias("source_a"), b.alias("source_b")),
+                ),
+            )
+        ),
+        lambda p: p["source_a"] < p["source_b"],
+    )
+    shared = (
+        sets.select(F.explode(pair_structs).alias("_p"))
+        .select("_p.source_a", "_p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+    )
+    ta = F.broadcast(totals.select(F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a")))
+    tb = F.broadcast(totals.select(F.col("source").alias("source_b"), F.col("n_grams").alias("grams_b")))
+    return (
+        shared.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            "grams_a",
+            "grams_b",
+            F.expr(
+                "shared_grams * 10000L DIV (grams_a + grams_b - shared_grams)"
+            ).alias("jaccard_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII redaction
 
 # RE2-compatible (and java.util.regex-compatible) patterns; keep in sync

@@ -2037,6 +2037,52 @@ def length_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_overlap",
+    r"""
+    WITH t AS (
+      SELECT source, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT source,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+      FROM t
+    ),
+    d AS (SELECT DISTINCT source, md5(gram) AS gh FROM g),
+    tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    pr AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS shared_grams
+      FROM d a JOIN d b ON a.gh = b.gh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, shared_grams,
+           ta.n AS grams_a, tb.n AS grams_b,
+           CAST(shared_grams * 10000 // (ta.n + tb.n - shared_grams)
+                AS BIGINT) AS jaccard_bp
+    FROM pr
+    JOIN tot ta ON ta.source = pr.source_a
+    JOIN tot tb ON tb.source = pr.source_b
+    """,
+)
+def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: distinct lowercased 3-gram
+    shingles shared between every source pair, with integer Jaccard in
+    basis points (operators/decontam.py:source_overlap).  The corpus is
+    never self-joined: per-gram source sets are bounded by |sources|,
+    so pair fanout is C(|sources|, 2) per gram at any corpus size; the
+    per-source totals join back via a genuinely-tiny broadcast."""
+    from news_please_spark.operators.decontam import source_overlap
+
+    docs = spread(
+        load(spark, sf_dir, "documents").select("source", "text"), spark
+    )
+    return source_overlap(docs, 3)
+
+
+@register(
     "tfidf_top_terms",
     """
     WITH toks AS (

@@ -107,3 +107,66 @@ def test_redact_pii_is_zero_shuffle(spark):
     df = spark.createDataFrame([(1, "a@b.io")], "doc_id long, text string")
     plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# cross-source contamination matrix
+
+
+def _overlap_oracle(rows, n=3):
+    """Quadratic python oracle: distinct lowercased n-gram shingles per
+    source, pairwise intersections, integer Jaccard in basis points."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    per = defaultdict(set)
+    for src, text in rows:
+        toks = text.strip().lower().split()
+        per[src] |= {
+            " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+        }
+    out = {}
+    for a, b in combinations(sorted(per), 2):
+        shared = len(per[a] & per[b])
+        if shared:
+            na, nb = len(per[a]), len(per[b])
+            out[(a, b)] = (shared, na, nb, shared * 10000 // (na + nb - shared))
+    return out
+
+
+def test_source_overlap_matches_python_oracle(spark):
+    from news_please_spark.operators.decontam import source_overlap
+
+    rows = [
+        ("wiki", "the quick brown fox jumps over the lazy dog"),
+        ("wiki", "completely original encyclopedic sentence here"),
+        ("news", "The QUICK brown fox JUMPS over a fence"),  # case-folds to overlap
+        ("news", "breaking story with unique newsroom wording"),
+        ("forum", "no tokens in common with anybody else whatsoever"),
+        ("mirror", "the quick brown fox jumps over the lazy dog"),  # full dup of wiki
+        ("tiny", "xy"),  # < n tokens: no shingles, never appears
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r.source_a, r.source_b): (r.shared_grams, r.grams_a, r.grams_b, r.jaccard_bp)
+        for r in source_overlap(df, 3).collect()
+    }
+    assert got == _overlap_oracle(rows, 3)
+    # the mirror source is a full copy of one wiki doc: its Jaccard vs
+    # wiki must dominate every other wiki pairing
+    wiki_pairs = {k: v for k, v in got.items() if "wiki" in k}
+    assert max(wiki_pairs, key=lambda k: wiki_pairs[k][3]) == ("mirror", "wiki")
+    assert all(v[3] <= 10000 for v in got.values())
+
+
+def test_source_overlap_never_self_joins_corpus(spark):
+    """Plan contract: the document table is scanned, hashed, and
+    reduced to (gram, source) — no corpus-side self-join; the only
+    joins are the two broadcast totals joins (|sources| rows)."""
+    from news_please_spark.operators.decontam import source_overlap
+
+    rows = [("a", "one two three four"), ("b", "two three four five")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    plan = source_overlap(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("BroadcastHashJoin") == 2
