@@ -57,6 +57,7 @@ HEADLINE = [
     "robots_gate",
     "politeness_topk",
     "budget_allocate",
+    "host_shards",
     "recrawl_schedule",
     "dedup_exact",
     "fingerprint",

@@ -261,3 +261,51 @@ def allocate_budget(
         key, F.lit(0).cast("long").alias(out)
     )
     return ranked.unionByName(zeros)
+
+
+def host_shards(
+    hosts: DataFrame,
+    n_shards: int,
+    key: str = "host",
+    weight: str = "n_urls",
+) -> DataFrame:
+    """Assign hosts to ``n_shards`` crawler shards, balancing load by
+    weight — the placement step between the frontier's per-host queues
+    and the executors that drain them (politeness pins a host to one
+    worker, so host→shard assignment IS the crawl's load balance; a
+    hash assignment strands the www.-sized head domains together).
+
+    Serpentine (boustrophedon) assignment over the weight ranking:
+    rank hosts by (weight DESC, host ASC), then walk the shards
+    0..K-1, K-1..0, 0..K-1, ... — each pass hands every shard exactly
+    one host, and the direction flip pairs a heavy pick in one pass
+    with a light pick in the next (the standard snake draft argument),
+    so shard loads stay within one pass-spread of each other without
+    any sequential greedy state.  Deterministic: a pure function of
+    the (weight, host) ranking.
+
+    Scale shape: input is PER-HOST aggregates (~10^8 rows worst case).
+    The ranking is `with_global_seq` — range shuffle + per-partition
+    row_number + broadcast offsets — so no single task ever sorts all
+    hosts; the shard arithmetic is map-side integer DIV/MOD on the
+    seq.  Returns (key, weight, shard)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    base = hosts.select(
+        F.col(key),
+        F.col(weight).cast("long").alias(weight),
+        (-F.col(weight).cast("long")).alias("_negw"),
+    )
+    ranked, _ = with_global_seq(
+        base, order_cols=["_negw", key], out="_rk", materialize=True
+    )
+    k = int(n_shards)
+    return ranked.select(
+        key,
+        weight,
+        # integer DIV, not float /: rank arithmetic must stay exact
+        F.when(F.expr(f"(_rk div {k}) % 2") == 0, F.col("_rk") % k)
+        .otherwise(k - 1 - F.col("_rk") % k)
+        .cast("long")
+        .alias("shard"),
+    )

@@ -666,6 +666,48 @@ def politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "host_shards",
+    """
+    WITH u AS (
+      SELECT CASE WHEN doc_id % 5 = 0 THEN 'big' || CAST(doc_id % 3 AS VARCHAR)
+             ELSE 'h' || CAST(doc_id % 211 AS VARCHAR) END AS host
+      FROM documents
+    ),
+    hc AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls FROM u GROUP BY 1),
+    rk AS (
+      SELECT host, n_urls,
+             CAST(row_number() OVER (ORDER BY n_urls DESC, host ASC) - 1
+                  AS BIGINT) AS rk
+      FROM hc
+    )
+    SELECT host, n_urls,
+           CAST(CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+                ELSE 7 - rk % 8 END AS BIGINT) AS shard
+    FROM rk
+    """,
+)
+def host_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host→crawler-shard placement, serpentine by descending URL count
+    (operators/ordering.py:host_shards) over a deliberately skewed
+    derived host table (three head hosts holding ~7% of URLs each plus
+    a 211-host tail).  Ranking runs through the two-phase global seq —
+    no single task sorts all hosts; shard arithmetic is map-side
+    integer DIV/MOD."""
+    from news_please_spark.operators.ordering import host_shards
+
+    u = load(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("big"), (F.col("doc_id") % 3).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("h"), (F.col("doc_id") % 211).cast("string")))
+        .alias("host")
+    )
+    hc = u.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+    return host_shards(hc, 8)
+
+
+@register(
     "budget_allocate",
     """
     WITH s AS (

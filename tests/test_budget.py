@@ -55,3 +55,49 @@ def test_allocate_budget_partition_invariant(spark):
         for r in allocate_budget(df.repartition(13), 101).collect()
     }
     assert a == b == _py_allocate(scores, 101)
+
+
+# ---------------------------------------------------------------------------
+# host -> crawler-shard placement (serpentine by weight)
+
+
+def _py_shards(weights, k):
+    order = sorted(weights, key=lambda h: (-weights[h], h))
+    out = {}
+    for rk, h in enumerate(order):
+        pos = rk % k
+        out[h] = pos if (rk // k) % 2 == 0 else k - 1 - pos
+    return out
+
+
+def test_host_shards_matches_python_oracle(spark):
+    from news_please_spark.operators.ordering import host_shards
+
+    weights = {f"h{i:03d}": (i * 17) % 97 + 1 for i in range(120)}
+    weights.update({"bigA": 5000, "bigB": 4800, "bigC": 4700})
+    df = spark.createDataFrame(list(weights.items()), "host string, n_urls long")
+    got = {r.host: r.shard for r in host_shards(df, 8).collect()}
+    assert got == _py_shards(weights, 8)
+
+
+def test_host_shards_separates_head_hosts_and_balances(spark):
+    from news_please_spark.operators.ordering import host_shards
+
+    weights = {f"h{i:03d}": 10 for i in range(77)}
+    weights.update({"bigA": 900, "bigB": 880, "bigC": 860, "bigD": 840})
+    df = spark.createDataFrame(list(weights.items()), "host string, n_urls long")
+    rows = host_shards(df, 4).collect()
+    shard_of = {r.host: r.shard for r in rows}
+    # the four head hosts must land on four DIFFERENT shards (a hash
+    # assignment has no such guarantee — the point of the operator)
+    assert len({shard_of[h] for h in ("bigA", "bigB", "bigC", "bigD")}) == 4
+    loads = {}
+    for r in rows:
+        loads[r.shard] = loads.get(r.shard, 0) + r.n_urls
+    # serpentine spread stays bounded by the head-weight gaps (70 here:
+    # 900-840 plus one tail-pass remainder) — far under the 900 a
+    # worst-case hash collision of two heads would cost
+    assert max(loads.values()) - min(loads.values()) == 70
+    # determinism under repartitioning
+    again = {r.host: r.shard for r in host_shards(df.repartition(9), 4).collect()}
+    assert again == shard_of
