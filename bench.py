@@ -49,6 +49,7 @@ def pretouch_conf() -> dict[str, str]:
 HEADLINE = [
     "frontier_bfs3",
     "pagerank3",
+    "spam_mass",
     "hits_scores",
     "authority_order",
     "url_canonicalize",

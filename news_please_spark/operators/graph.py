@@ -113,6 +113,7 @@ def pagerank_scaled(
     dst: str = "dst",
     id_col: str = "id",
     materialize: bool = True,
+    teleport_nodes: DataFrame | None = None,
 ) -> DataFrame:
     """Integer-EXACT fixed-iteration PageRank for uniform-out-degree
     graphs — link-authority scores for crawl frontier prioritization
@@ -154,6 +155,15 @@ def pagerank_scaled(
     where the caller wants the whole computation to run inside ITS
     action (benchmark timing windows, composition into a larger plan);
     the edge table is then re-derived once per iteration.
+
+    ``teleport_nodes`` restricts where teleport mass lands (TrustRank-
+    style seeding, Gyöngyi et al. VLDB 2004): nodes outside the set get
+    a zero teleport term and a zero initial rank, so their score is
+    pure inherited link mass.  The teleport magnitude PER SEED is kept
+    identical to the uniform case, which makes the seeded rank
+    componentwise ≤ the uniform rank (every recurrence coefficient is
+    nonnegative) — the monotonicity spam_mass depends on.  Default
+    None = every node (classic PageRank, unchanged results).
     """
     if out_degree <= 0:
         raise ValueError("out_degree must be positive")
@@ -161,8 +171,21 @@ def pagerank_scaled(
     if materialize:
         e = e.repartition("_src").localCheckpoint()
     base = 100 * out_degree
-    ranks = nodes.select(F.col(id_col).alias("id")).withColumn(
-        "r", F.lit(1).cast("long")
+    if teleport_nodes is None:
+        marked = nodes.select(F.col(id_col).alias("id"), F.lit(True).alias("_tp"))
+    else:
+        tset = teleport_nodes.select(
+            F.col(id_col).alias("id"), F.lit(True).alias("_mark")
+        ).distinct()
+        marked = (
+            nodes.select(F.col(id_col).alias("id"))
+            .join(tset, "id", "left")
+            .select("id", F.coalesce(F.col("_mark"), F.lit(False)).alias("_tp"))
+        )
+        if materialize:
+            marked = marked.localCheckpoint()
+    ranks = marked.select(
+        "id", F.when(F.col("_tp"), 1).otherwise(0).cast("long").alias("r")
     )
     try:
         for k in range(iters):
@@ -174,12 +197,12 @@ def pagerank_scaled(
             )
             prev = ranks
             ranks = (
-                nodes.select(F.col(id_col).alias("id"))
+                marked
                 .join(contrib, F.col("id") == F.col("_dst"), "left")
                 .select(
                     "id",
                     (
-                        F.lit(teleport)
+                        F.when(F.col("_tp"), teleport).otherwise(0)
                         + F.lit(damping_pct) * F.coalesce(F.col("_c"), F.lit(0))
                     )
                     .cast("long")
@@ -193,6 +216,79 @@ def pagerank_scaled(
     finally:
         if materialize:
             release_df(e)
+            # safe only once the returned ranks are their own
+            # checkpoint (iters >= 1); at iters == 0 the result still
+            # reads through `marked` and must keep its blocks
+            if teleport_nodes is not None and iters > 0:
+                release_df(marked)
+
+
+def spam_mass(
+    edges: DataFrame,
+    nodes: DataFrame,
+    bad_nodes: DataFrame,
+    out_degree: int,
+    iters: int = 3,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    materialize: bool = True,
+) -> DataFrame:
+    """Spam mass (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2006): how
+    much of a page's PageRank is inherited through the flagged part of
+    the web — the crawl-scheduler signal that demotes link farms the
+    blocklist itself hasn't caught yet (rank laundered from bad
+    neighborhoods shows up as high relative mass even when the page is
+    not itself listed).
+
+    Computed as two integer-exact fixed-iteration ranks in the SAME
+    N·(100·D)^k scale: R (teleport to every node) and R_good (teleport
+    restricted to nodes NOT in ``bad_nodes`` — the TrustRank-seeded
+    variant).  Every recurrence coefficient is nonnegative and the
+    good teleport vector is componentwise ≤ the uniform one, so
+    R_good ≤ R exactly; absolute mass = R − R_good, relative mass
+    spam_bp = (R − R_good)·10⁴ DIV R (R is always ≥ its own teleport
+    term > 0 for teleport-eligible nodes; pure-inherited nodes with
+    R = 0 report 0).
+
+    Scale shape: exactly two pagerank_scaled runs over one shared
+    hash-partitioned edge checkpoint shape (each run repartitions the
+    1-long-per-node rank table only); the final merge is an id
+    equi-join of two node-sized tables.  Overflow: the bp multiply
+    tightens pagerank_scaled's bound by 10⁴ — at the default D=3,
+    iters=3 that still covers N up to ~3·10⁷ per 64-bit lane; above
+    that drop to iters=2 or consume spam_abs directly (the allocate_
+    budget documentation-over-runtime-assert convention).
+
+    Returns (id, rank_all, rank_good, spam_abs, spam_bp)."""
+    good = nodes.select(F.col(id_col).alias(id_col)).join(
+        bad_nodes.select(F.col(id_col).alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
+    r_all = pagerank_scaled(
+        edges, nodes, out_degree, iters, damping_pct,
+        src=src, dst=dst, id_col=id_col, materialize=materialize,
+    ).select(F.col("id"), F.col("r").alias("rank_all"))
+    r_good = pagerank_scaled(
+        edges, nodes, out_degree, iters, damping_pct,
+        src=src, dst=dst, id_col=id_col, materialize=materialize,
+        teleport_nodes=good,
+    ).select(F.col("id"), F.col("r").alias("rank_good"))
+    return r_all.join(r_good, "id").select(
+        "id",
+        "rank_all",
+        "rank_good",
+        (F.col("rank_all") - F.col("rank_good")).alias("spam_abs"),
+        F.when(
+            F.col("rank_all") > 0,
+            F.expr("(rank_all - rank_good) * 10000L DIV rank_all"),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("spam_bp"),
+    )
 
 
 def pagerank(

@@ -181,6 +181,68 @@ def pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spam_mass_sql(iters: int = 3, deg: int = 3, damping_pct: int = 85) -> str:
+    parts = [
+        "g0 AS (SELECT doc_id AS id, CAST(CASE WHEN doc_id % 13 <> 0 THEN 1"
+        " ELSE 0 END AS BIGINT) AS r FROM documents)"
+    ]
+    for k in range(iters):
+        teleport = (100 - damping_pct) * deg * (100 * deg) ** k
+        parts.append(
+            f"gc{k + 1} AS (SELECT e.dst AS id, SUM(g{k}.r) AS c FROM edges e"
+            f" JOIN g{k} ON g{k}.id = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"g{k + 1} AS (SELECT d.doc_id AS id,"
+            f" CAST(CASE WHEN d.doc_id % 13 <> 0 THEN {teleport} ELSE 0 END"
+            f" + {damping_pct} * COALESCE(gc{k + 1}.c, 0) AS BIGINT) AS r"
+            f" FROM documents d LEFT JOIN gc{k + 1} ON gc{k + 1}.id = d.doc_id)"
+        )
+    return (
+        f"WITH edges AS ({_EDGES_SQL}), "
+        + _pagerank_ctes(iters, deg, damping_pct)
+        + ", "
+        + ", ".join(parts)
+        + f" SELECT r{iters}.id AS doc_id, r{iters}.r AS rank_all,"
+        f" g{iters}.r AS rank_good,"
+        f" CAST(r{iters}.r - g{iters}.r AS BIGINT) AS spam_abs,"
+        f" CAST(CASE WHEN r{iters}.r > 0 THEN"
+        f" (r{iters}.r - g{iters}.r) * 10000 // r{iters}.r"
+        f" ELSE 0 END AS BIGINT) AS spam_bp"
+        f" FROM r{iters} JOIN g{iters} ON g{iters}.id = r{iters}.id"
+    )
+
+
+@register("spam_mass", _spam_mass_sql())
+def spam_mass_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spam mass (Gyöngyi et al. VLDB 2006) on the derived webgraph
+    with doc_id % 13 == 0 as the flagged set: uniform-teleport rank vs
+    good-seeded (TrustRank) rank in the same integer scale, absolute
+    and basis-point relative mass per node
+    (operators/graph.py:spam_mass).  Two fixed-iteration integer-exact
+    rank runs; only 1-long-per-node rank tables shuffle."""
+    from news_please_spark.operators.graph import spam_mass
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    bad = docs.filter(F.col("doc_id") % 13 == 0)
+    out = spam_mass(
+        derived_edges(spark, sf_dir),
+        docs,
+        bad,
+        out_degree=len(EDGE_PARAMS),
+        iters=3,
+        id_col="doc_id",
+        materialize=False,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "rank_all",
+        "rank_good",
+        "spam_abs",
+        "spam_bp",
+    )
+
+
 @register(
     "hits_scores",
     f"""

@@ -233,3 +233,64 @@ def test_anchor_terms_tiebreak_by_term(spark):
         anchor_terms(edges, None, top_k=2).collect(), key=lambda r: r.rk
     )
     assert [(r.term, r.rk) for r in rows] == [("a", 1), ("b", 2)]
+
+
+# ---------------------------------------------------------------------------
+# spam mass (Gyöngyi et al. 2006): uniform vs good-seeded rank
+
+
+def _py_rank(nodes, edges, deg, iters, damping, teleport):
+    r = {n: (1 if teleport[n] else 0) for n in nodes}
+    for k in range(iters):
+        t = (100 - damping) * deg * (100 * deg) ** k
+        c = {n: 0 for n in nodes}
+        for s, d in edges:
+            c[d] += r[s]
+        r = {n: (t if teleport[n] else 0) + damping * c[n] for n in nodes}
+    return r
+
+
+def test_spam_mass_matches_python_oracle(spark):
+    from news_please_spark.operators.graph import spam_mass
+
+    nodes = list(range(12))
+    # ring + two chords; nodes 0,4,8 are flagged (uniform out-degree 2)
+    edges = [(i, (i + 1) % 12) for i in nodes] + [(i, (i + 5) % 12) for i in nodes]
+    bad = {0, 4, 8}
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    bdf = spark.createDataFrame([(b,) for b in bad], "id long")
+    got = {
+        r.id: (r.rank_all, r.rank_good, r.spam_abs, r.spam_bp)
+        for r in spam_mass(edf, ndf, bdf, out_degree=2, iters=3).collect()
+    }
+    r_all = _py_rank(nodes, edges, 2, 3, 85, {n: True for n in nodes})
+    r_good = _py_rank(nodes, edges, 2, 3, 85, {n: n not in bad for n in nodes})
+    want = {
+        n: (
+            r_all[n],
+            r_good[n],
+            r_all[n] - r_good[n],
+            (r_all[n] - r_good[n]) * 10000 // r_all[n] if r_all[n] else 0,
+        )
+        for n in nodes
+    }
+    assert got == want
+    # monotonicity: seeded teleport is componentwise <= uniform
+    assert all(v[0] >= v[1] for v in got.values())
+    # flagged nodes inherit NO teleport, so every one carries positive
+    # mass
+    assert all(got[b][3] > 0 for b in bad)
+    # and a fully clean graph carries zero mass everywhere
+    none = spam_mass(edf, ndf, bdf.limit(0), out_degree=2, iters=3).collect()
+    assert all(r.spam_abs == 0 and r.spam_bp == 0 for r in none)
+
+
+def test_seeded_pagerank_zero_seed_set_is_all_zero(spark):
+    from news_please_spark.operators.graph import pagerank_scaled
+
+    ndf = spark.createDataFrame([(n,) for n in range(5)], "id long")
+    edf = spark.createDataFrame([(i, (i + 1) % 5) for i in range(5)], "src long, dst long")
+    empty = ndf.limit(0)
+    out = pagerank_scaled(edf, ndf, 1, iters=2, teleport_nodes=empty)
+    assert [r.r for r in out.collect()] == [0, 0, 0, 0, 0]
