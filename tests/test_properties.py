@@ -213,3 +213,106 @@ def test_allocate_budget_invariants(spark, scores, budget):
         assert abs(got[h] - exact) <= 1  # within-1-of-proportion
         if s <= 0:
             assert got[h] == 0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(-5, 10**6)),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.sampled_from([1, 3, 10]),
+)
+@SET
+def test_priority_sample_equals_quadratic_oracle(spark, rows, k):
+    """Sample = the k highest integer priorities under the md5 draw,
+    ranks dense, estimates = max(w, tau) — on arbitrary inputs,
+    including non-positive weights (clamped to 1)."""
+    import hashlib
+
+    from news_please_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, wgt long") if rows else (
+        spark.createDataFrame([], "doc_id long, wgt long")
+    )
+    got = {
+        r.doc_id: (r.w, r.priority, r.rk, r.w_est)
+        for r in priority_sample(df, "wgt", k).collect()
+    }
+
+    def pri(i, w):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 1
+        return (max(w, 1) << 32) // u
+
+    scored = sorted(
+        ((pri(i, w), i, max(w, 1)) for i, w in rows), key=lambda t: (-t[0], t[1])
+    )
+    tau = scored[k][0] if len(scored) > k else 0
+    want = {
+        i: (w, q, rk + 1, max(w, tau))
+        for rk, (q, i, w) in enumerate(scored[:k])
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 400)),
+        min_size=0,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+    batch=st.sampled_from([1, 4, 16]),
+)
+@SET
+def test_length_buckets_invariants(spark, rows, batch):
+    """Conservation (every doc in exactly one batch), batch-size bound,
+    pad-waste identity, and batches numbered densely from 0."""
+    from news_please_spark.operators.sampling import length_bucket_plan
+
+    data = [(i, "w " * n) for i, n in rows]
+    df = spark.createDataFrame(data, "doc_id long, text string") if data else (
+        spark.createDataFrame([], "doc_id long, text string")
+    )
+    out = length_bucket_plan(df, batch).collect()
+    assert sum(r.n_docs for r in out) == len(rows)
+    for r in out:
+        assert 1 <= r.n_docs <= batch
+        assert r.pad_waste == r.n_docs * r.max_tok - r.sum_tok >= 0
+    groups = {}
+    for r in out:
+        groups.setdefault((r.bucket, r.shard), []).append(r.batch)
+    for batches in groups.values():
+        assert sorted(batches) == list(range(len(batches)))
+
+
+def test_fifth_session_operators_handle_empty_inputs(spark):
+    """Empty-input gate for the fifth-session operators."""
+    from news_please_spark.operators.decontam import source_overlap
+    from news_please_spark.operators.graph import spam_mass
+    from news_please_spark.operators.ordering import host_shards
+    from news_please_spark.operators.sampling import (
+        length_bucket_plan,
+        priority_sample,
+    )
+    from news_please_spark.streaming.dedup import dedup_ledger_batch
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    wdf = spark.createDataFrame([], "doc_id long, wgt long")
+    assert priority_sample(wdf, "wgt", 5).count() == 0
+    assert length_bucket_plan(docs, 8).count() == 0
+    assert source_overlap(
+        spark.createDataFrame([], "source string, text string")
+    ).count() == 0
+    assert host_shards(
+        spark.createDataFrame([], "host string, n_urls long"), 4
+    ).count() == 0
+    empty_nodes = spark.createDataFrame([], "id long")
+    assert spam_mass(
+        spark.createDataFrame([], "src long, dst long"),
+        empty_nodes, empty_nodes, out_degree=2, iters=2,
+    ).count() == 0
+    assert dedup_ledger_batch(
+        spark.createDataFrame([], "fp string, doc_id string")
+    ).count() == 0
