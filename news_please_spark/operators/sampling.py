@@ -477,24 +477,25 @@ def priority_sample(
         .withColumn("priority", F.expr(f"w * {1 << 32}L DIV _u"))
     )
     top = base.orderBy(F.col("priority").desc(), F.col(id_col).asc()).limit(k + 1)
-    stats = top.agg(
-        F.count(F.lit(1)).alias("_n"), F.min("priority").alias("_minq")
-    )
+    # rank AND threshold from one pass over the k+1 survivors: tau is
+    # the (k+1)-th priority when it exists, read via a whole-set window
+    # (k+1 rows, single partition) — NOT a separate agg branch, which
+    # would make the executed plan scan the corpus twice (`top` has no
+    # exchange Spark could reuse between two consumers)
     rk = F.row_number().over(
         Window.orderBy(F.col("priority").desc(), F.col(id_col).asc())
     )
-    tau = F.when(F.col("_n") == k + 1, F.col("_minq")).otherwise(F.lit(0))
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tau = F.max(
+        F.when(F.col("rk") == k + 1, F.col("priority")).otherwise(F.lit(0))
+    ).over(whole)
     return (
         top.withColumn("rk", rk.cast("long"))
+        .withColumn("w_est", F.greatest(F.col("w"), tau).cast("long"))
         .filter(F.col("rk") <= k)
-        .crossJoin(F.broadcast(stats))
-        .select(
-            F.col(id_col),
-            "w",
-            "priority",
-            "rk",
-            F.greatest(F.col("w"), tau).cast("long").alias("w_est"),
-        )
+        .select(F.col(id_col), "w", "priority", "rk", "w_est")
     )
 
 
