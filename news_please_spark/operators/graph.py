@@ -252,9 +252,10 @@ def spam_mass(
     term > 0 for teleport-eligible nodes; pure-inherited nodes with
     R = 0 report 0).
 
-    Scale shape: exactly two pagerank_scaled runs over one shared
-    hash-partitioned edge checkpoint shape (each run repartitions the
-    1-long-per-node rank table only); the final merge is an id
+    Scale shape: exactly two pagerank_scaled runs; per iteration only
+    the 1-long-per-node rank table shuffles. With materialize=True
+    each run builds its own hash-partitioned edge checkpoint (2× a
+    one-time cost, not per-iteration); the final merge is an id
     equi-join of two node-sized tables.  Overflow: the bp multiply
     tightens pagerank_scaled's bound by 10⁴ — at the default D=3,
     iters=3 that still covers N up to ~3·10⁷ per 64-bit lane; above
