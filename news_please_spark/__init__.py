@@ -131,3 +131,52 @@ def prepare_training_data(
             packed, split.select("doc_id", "text"), group_cols=["split"]
         )
     return packed
+
+
+def publish_training_corpus(
+    spark,
+    catalog,
+    docs,
+    benchmark=None,
+    min_rows: int = 1,
+    max_drop_pct: int = 60,
+    max_grow_pct: int | None = None,
+    **corpus_kwargs,
+):
+    """Hygiene → pack → AUDITED publish, one call: runs
+    training_corpus (clean_corpus → dataset_split → pack_sequences),
+    stages the cleaned split table AND the packed spans as one
+    snapshot, and publishes through the catalog's write-audit-publish
+    gate — min-rows plus the row-delta tripwire on `corpus`, so a
+    filter bug that guts the corpus (or a join fanout that doubles it)
+    is rejected with AuditFailed and readers keep the previous
+    snapshot.  Returns the published snapshot id.
+
+    This is the intended production loop: every refresh of the
+    training table lands atomically or not at all, and `catalog.
+    read_table(spark, "packed"|"corpus", snap)` time-travels any
+    previous version for ablations."""
+    from news_please_spark.operators.sampling import dataset_split, pack_sequences
+    from news_please_spark.pipeline import clean_corpus
+    from news_please_spark.state import audit_min_rows, audit_row_delta
+
+    splits = corpus_kwargs.pop("splits", None)
+    seq_len = corpus_kwargs.pop("seq_len", 2048)
+    packer_hex = corpus_kwargs.pop("packer_hex", 2)
+    cleaned = clean_corpus(docs, benchmark, **corpus_kwargs)
+    split = dataset_split(
+        cleaned.select("doc_id", "text"),
+        splits or {"test": 0.01, "val": 0.01, "train": 0.98},
+    )
+    packed = pack_sequences(
+        split, seq_len=seq_len, packer_hex=packer_hex, group_cols=["split"]
+    )
+    return catalog.write_audit_publish(
+        spark,
+        {"corpus": split, "packed": packed},
+        [
+            audit_min_rows("corpus", min_rows),
+            audit_row_delta("corpus", max_drop_pct, max_grow_pct),
+        ],
+        meta={"op": "publish_training_corpus", "seq_len": seq_len},
+    )

@@ -345,8 +345,10 @@ class SnapshotCatalog:
         except BaseException:
             tx.abort()
             raise
+        # caller meta wins on key collisions ("op" especially — a
+        # facade publishing through this gate names its own operation)
         return tx.commit(
-            meta={**(meta or {}), "op": "wap", "audits_passed": len(audits)}
+            meta={"op": "wap", "audits_passed": len(audits), **(meta or {})}
         )
 
     def compact_table(

@@ -91,3 +91,35 @@ def test_transitive_near_dup_differs_on_chains_exactly(spark):
     assert 5 not in greedy and 5 not in trans
     # the chain member: greedy keeps, transitive drops
     assert 2 in greedy and 2 not in trans
+
+
+def test_publish_training_corpus_wap_gate(spark, tmp_path):
+    """Facade loop: hygiene -> split -> pack -> AUDITED publish.  A
+    healthy refresh publishes atomically; a gutted refresh is rejected
+    and readers keep the previous snapshot."""
+    import pytest
+
+    from news_please_spark import publish_training_corpus
+    from news_please_spark.state import AuditFailed, SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "corpus"))
+    snap = publish_training_corpus(
+        spark, cat, _df(spark), min_rows=3, seq_len=8, packer_hex=1
+    )
+    assert snap == 0
+    corpus0 = cat.read_table(spark, "corpus")
+    n0 = corpus0.count()
+    assert n0 >= 3 and "split" in corpus0.columns
+    assert cat.read_table(spark, "packed").count() > 0
+    assert cat.read_meta(0)["op"] == "publish_training_corpus"
+
+    # second refresh: only ONE healthy doc survives a tiny input — the
+    # row-delta gate must reject it and latest() must not move
+    tiny = spark.createDataFrame([_rows()[0]], "doc_id long, text string")
+    with pytest.raises(AuditFailed):
+        publish_training_corpus(
+            spark, cat, tiny, min_rows=1, max_drop_pct=50,
+            seq_len=8, packer_hex=1,
+        )
+    assert cat.latest() == 0
+    assert cat.read_table(spark, "corpus").count() == n0
