@@ -98,11 +98,20 @@ class SnapshotCatalog:
         with open(os.path.join(self.snapshot_dir(snap), "meta.json")) as f:
             return json.load(f)
 
-    def read_table(self, spark, name: str, snap: int | None = None):
+    def read_table(
+        self, spark, name: str, snap: int | None = None, ref: str | None = None
+    ):
         """Time-travel read: the parquet table `name` as of snapshot
-        `snap` (default: latest). Snapshots are immutable, so the
-        returned DataFrame is a stable view of that version — the
-        catalog-level analogue of Iceberg's `VERSION AS OF`."""
+        `snap` (default: latest), or as of the named `ref` (a tag set
+        with set_ref — Iceberg's `VERSION AS OF 'tag'`). Snapshots are
+        immutable, so the returned DataFrame is a stable view of that
+        version."""
+        if ref is not None:
+            if snap is not None:
+                raise ValueError("pass snap or ref, not both")
+            snap = self.get_ref(ref)
+            if snap is None:
+                raise FileNotFoundError(f"no ref {ref!r} in {self.path}")
         if snap is None:
             snap = self.latest()
             if snap is None:
@@ -170,9 +179,55 @@ class SnapshotCatalog:
         )
         return inserts.unionByName(deletes).unionByName(updates)
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+    # -- named refs (Iceberg tags/branches: a name -> snapshot pointer) ----
+    def set_ref(self, name: str, snap: int) -> None:
+        """Point the named ref at a committed snapshot — Iceberg's tag
+        semantics ("prod", "last-audited", an experiment branch head).
+        The move is one `os.replace` of a one-line file: atomic, so a
+        reader resolving the ref sees the old or the new target, never
+        a torn pointer.  Refs pin their snapshot against
+        expire_snapshots (keep_refs=True, the default)."""
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid ref name {name!r}")
+        if snap not in self.snapshots():
+            raise ValueError(f"snapshot {snap} is not committed in {self.path}")
+        tmp = os.path.join(self.path, f".ref-{name}.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump({"snap": snap}, f)
+        os.replace(tmp, os.path.join(self.path, f"ref-{name}.json"))
+
+    def get_ref(self, name: str) -> int | None:
+        try:
+            with open(os.path.join(self.path, f"ref-{name}.json")) as f:
+                return int(json.load(f)["snap"])
+        except FileNotFoundError:
+            return None
+
+    def delete_ref(self, name: str) -> bool:
+        try:
+            os.remove(os.path.join(self.path, f"ref-{name}.json"))
+            return True
+        except FileNotFoundError:
+            return False
+
+    def refs(self) -> dict[str, int]:
+        out = {}
+        for n in os.listdir(self.path) if os.path.isdir(self.path) else []:
+            if n.startswith("ref-") and n.endswith(".json"):
+                name = n[len("ref-"):-len(".json")]
+                snap = self.get_ref(name)
+                if snap is not None:
+                    out[name] = snap
+        return out
+
+    def expire_snapshots(
+        self, keep_last: int = 1, keep_refs: bool = True
+    ) -> list[int]:
         """Retention: delete all but the newest `keep_last` committed
         snapshots (Iceberg's expire_snapshots). Returns the expired ids.
+        With keep_refs (default) snapshots a named ref points at are
+        never expired — the Iceberg rule that a tag pins its snapshot;
+        pass keep_refs=False only after deleting the refs on purpose.
 
         Deletion is oldest-first and each dir is renamed to a staging
         name BEFORE its recursive delete, so a reader that raced the
@@ -186,6 +241,9 @@ class SnapshotCatalog:
             raise ValueError("keep_last must be >= 1")
         snaps = self.snapshots()
         expired = snaps[:-keep_last] if len(snaps) > keep_last else []
+        if keep_refs:
+            pinned = set(self.refs().values())
+            expired = [s for s in expired if s not in pinned]
         for s in expired:
             d = self.snapshot_dir(s)
             doomed = f"{d}.tmp-expire-{uuid.uuid4().hex[:8]}"
@@ -203,6 +261,13 @@ class SnapshotCatalog:
             if name.startswith(self.prefix) and ".tmp" in name:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
                 n += 1
+            elif name.startswith(".ref-") and ".tmp-" in name:
+                # crash between ref write and its atomic replace
+                try:
+                    os.remove(os.path.join(self.path, name))
+                    n += 1
+                except OSError:
+                    pass
         return n
 
     # -- writing -----------------------------------------------------------

@@ -448,3 +448,37 @@ def test_wap_cas_conflict_after_audits(spark, tmp_path):
         cat.write_audit_publish(spark, {"docs": spark.range(20)}, [stealing_audit])
     assert cat.latest() == 1  # the racer's snapshot
     assert cat.sweep_staging() == 0  # loser's staging removed
+
+
+# ---------------------------------------------------------------------------
+# named refs (tags) + retention interplay
+
+
+def test_refs_point_pin_and_move(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "t"))
+    for v in range(4):
+        tx = cat.begin()
+        spark.range(10 * (v + 1)).write.parquet(tx.path("t"))
+        tx.commit({"v": v})
+    cat.set_ref("prod", 1)
+    assert cat.get_ref("prod") == 1 and cat.refs() == {"prod": 1}
+    # ref-resolved read returns the tagged version, not latest
+    assert cat.read_table(spark, "t", ref="prod").count() == 20
+    assert cat.read_table(spark, "t").count() == 40
+    # a tag pins its snapshot against retention
+    assert cat.expire_snapshots(keep_last=1) == [0, 2]
+    assert cat.snapshots() == [1, 3]
+    # moving the tag is atomic and frees the old target
+    cat.set_ref("prod", 3)
+    assert cat.expire_snapshots(keep_last=1) == [1]
+    assert cat.snapshots() == [3]
+    # invalid targets and names are rejected; delete is idempotent
+    with pytest.raises(ValueError):
+        cat.set_ref("prod", 99)
+    with pytest.raises(ValueError):
+        cat.set_ref("a/b", 3)
+    assert cat.delete_ref("prod") is True
+    assert cat.delete_ref("prod") is False
+    assert cat.get_ref("prod") is None
+    with pytest.raises(FileNotFoundError):
+        cat.read_table(spark, "t", ref="prod")
