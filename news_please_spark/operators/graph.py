@@ -393,43 +393,47 @@ def hits_scaled(
     iteration (one keyed by dst, one by src) + equi-joins on node id —
     the same shape and skew story as pagerank_scaled (AQE skew-join /
     salting both apply unchanged, bit-identical because integer
-    addition is associative).  Lazy linear plan: the whole computation
-    runs inside the caller's action.
+    addition is associative).  Score vectors stay SPARSE between
+    iterations: a node absent from a/h has score 0, and zero rows
+    contribute nothing to the next SUM, so the full node table is
+    joined exactly once — in the final projection — instead of twice
+    per iteration (at 10^10 nodes those interior left-joins against
+    `ids` were the dominant cost, and they only manufactured zeros the
+    very next join threw away).  h_0 ≡ 1 collapses the first authority
+    pass to plain in-degree: one aggregation, no join.  Lazy linear
+    plan: the whole computation runs inside the caller's action.
 
     Output: (id, authority, hub) for every node."""
     if iters <= 0:
         raise ValueError("iters must be positive")
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
     ids = nodes.select(F.col(id_col).alias("id"))
-    h = ids.withColumn("h", F.lit(1).cast("long"))
-    a = None
-    for _ in range(iters):
-        a = (
-            ids.join(
-                e.join(h, e["_src"] == h["id"])
-                .groupBy("_dst")
-                .agg(F.sum("h").alias("_s")),
-                F.col("id") == F.col("_dst"),
-                "left",
-            )
-            .select(
-                "id", F.coalesce(F.col("_s"), F.lit(0)).cast("long").alias("a")
-            )
+
+    def _sum_over(scores: DataFrame, col: str, join_key: str, group_key: str) -> DataFrame:
+        # sparse propagation: SUM scores[col] over edges whose join_key
+        # endpoint has a score, keyed by the opposite endpoint
+        return (
+            e.join(scores, e[join_key] == scores["id"])
+            .groupBy(F.col(group_key).alias("id"))
+            .agg(F.sum(col).cast("long").alias(col))
         )
-        h = (
-            ids.join(
-                e.join(a, e["_dst"] == a["id"])
-                .groupBy("_src")
-                .agg(F.sum("a").alias("_s")),
-                F.col("id") == F.col("_src"),
-                "left",
-            )
-            .select(
-                "id", F.coalesce(F.col("_s"), F.lit(0)).cast("long").alias("h")
-            )
+
+    # a_1 = in-degree (h_0 is uniformly 1)
+    a = e.groupBy(F.col("_dst").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    h = _sum_over(a, "a", "_dst", "_src").withColumnRenamed("a", "h")
+    for _ in range(iters - 1):
+        a = _sum_over(h, "h", "_src", "_dst").withColumnRenamed("h", "a")
+        h = _sum_over(a, "a", "_dst", "_src").withColumnRenamed("a", "h")
+    return (
+        ids.join(a, "id", "left")
+        .join(h, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("authority"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub"),
         )
-    return a.join(h, "id").select(
-        "id", F.col("a").alias("authority"), F.col("h").alias("hub")
     )
 
 

@@ -429,6 +429,25 @@ def _subspace_dists(vec: Column, cents: Column, m: int, sub: int) -> Column:
     )
 
 
+def _sub_code(vec: Column, cents: Column, m: int, sub: int) -> Column:
+    """1-based position of the nearest per-subspace centroid, computed
+    in ONE interpreted-HOF pass: transform to (dist, pos) structs and
+    take the struct min (orders by dist, then pos — i.e. ties go to
+    the smaller position, exactly array_position-of-array_min
+    semantics, at half the evaluation cost: HOFs are interpreted, not
+    codegen'd, so writing the dists expression twice really does run
+    every _l2sq fold twice per row)."""
+    lo = m * sub + 1
+    ds = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            _l2sq(F.slice(vec, lo, sub), F.slice(c, lo, sub)).alias("d"),
+            (i + 1).cast("int").alias("p"),
+        ),
+    )
+    return F.array_min(ds)["p"]
+
+
 def pq_encode(
     corpus: DataFrame,
     dim: int,
@@ -456,13 +475,7 @@ def pq_encode(
         F.col(id_col), as_double(F.col(vec_col)).alias("_v")
     )
     codes = F.array(
-        *[
-            F.array_position(
-                _subspace_dists(F.col("_v"), F.col("cents"), mm, sub),
-                F.array_min(_subspace_dists(F.col("_v"), F.col("cents"), mm, sub)),
-            ).cast("int")
-            for mm in range(m)
-        ]
+        *[_sub_code(F.col("_v"), F.col("cents"), mm, sub) for mm in range(m)]
     )
     return v.crossJoin(F.broadcast(cb)).select(
         F.col(id_col), codes.alias("codes")
@@ -597,15 +610,7 @@ def ivfadc_topk(
         F.col(id_col), as_double(F.col(vec_col)).alias("_v")
     ).withColumn("_vn", norm_of(F.col("_v")))
     codes = F.array(
-        *[
-            F.array_position(
-                _subspace_dists(F.col("_v"), F.col("pq_cents"), mm, sub),
-                F.array_min(
-                    _subspace_dists(F.col("_v"), F.col("pq_cents"), mm, sub)
-                ),
-            ).cast("int")
-            for mm in range(m)
-        ]
+        *[_sub_code(F.col("_v"), F.col("pq_cents"), mm, sub) for mm in range(m)]
     )
     coded = (
         v.crossJoin(F.broadcast(ivf_cents))
