@@ -413,13 +413,25 @@ def embedding_near_dups(
     """Near-identical embeddings: candidates from random-hyperplane LSH
     buckets (pairs with cosine ≥ .95 almost always share the full sign
     signature at 12 planes), verified with exact cosine. Deterministic
-    planes derive from xxhash64 — no RNG, reproducible across runs."""
-    from news_please_spark.operators.similarity import cosine, lsh_bucket
+    planes derive from md5 — no RNG, reproducible across runs (and
+    re-derivable by the DuckDB oracle)."""
+    from news_please_spark.operators.similarity import (
+        dot,
+        lsh_bucket,
+        norm_of,
+        peek_dim,
+    )
 
-    v = emb.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    ).withColumn("_b", lsh_bucket(F.col("_v"), lsh_planes))
+    v = (
+        emb.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+        .withColumn("_n", norm_of(F.col("_v")))
+        .withColumn(
+            "_b", lsh_bucket(F.col("_v"), lsh_planes, dim=peek_dim(emb, vec_col))
+        )
+    )
     a, b = v.alias("a"), v.alias("b")
     cand = a.join(
         b,
@@ -429,7 +441,9 @@ def embedding_near_dups(
     return cand.select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        cosine(F.col("a._v"), F.col("b._v")).alias("cos"),
+        (dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))).alias(
+            "cos"
+        ),
     ).filter(F.col("cos") >= threshold)
 
 
@@ -608,6 +622,7 @@ def semantic_dedup(
         dot,
         ivf_assign_cells,
         norm_of,
+        peek_dim,
     )
 
     from news_please_spark.operators.similarity import lsh_bucket
@@ -621,7 +636,10 @@ def semantic_dedup(
         .join(cells, id_col)
     )
     if pre_bucket_planes is not None:
-        v = v.withColumn("_bk", lsh_bucket(F.col("_v"), pre_bucket_planes))
+        v = v.withColumn(
+            "_bk",
+            lsh_bucket(F.col("_v"), pre_bucket_planes, dim=peek_dim(emb, vec_col)),
+        )
     else:
         v = v.withColumn("_bk", F.lit(0))
     a, b = v.alias("a"), v.alias("b")

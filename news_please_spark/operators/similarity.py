@@ -9,6 +9,9 @@ the LSH path buckets the corpus once and only compares within buckets.
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -70,48 +73,167 @@ def brute_force_topk(
     )
 
 
-def _plane_coef(plane: int, i: Column) -> Column:
-    """Deterministic pseudo-random coefficient in [-1, 1] for plane
-    `plane`, dimension i — derived from md5 (first 8 hex chars as a
-    uint32), so the SAME planes are reproducible in any engine with md5
-    (the DuckDB oracle re-derives them; xxhash64 is Spark-private)."""
+@lru_cache(maxsize=None)
+def _plane_coefs(plane: int, dim: int) -> tuple[float, ...]:
+    """Deterministic pseudo-random coefficients in [-1, 1] for plane
+    `plane`, dimensions 1..dim — derived from md5 (first 8 hex chars as
+    a uint32), so the SAME planes are reproducible in any engine with
+    md5 (the DuckDB oracle re-derives them; xxhash64 is Spark-private).
+
+    Driver-side image of _plane_coef_col — the
+    IDENTICAL value sequence ((uint32 of md5 hex[:8]) % 2001 - 1000) /
+    1000.0, computed once per (plane, dim) instead of once per ELEMENT
+    per ROW inside an interpreted HOF lambda. Integer ops are exact and
+    the final /1000.0 is one IEEE double division in both engines, so
+    literalizing the coefficients cannot change a single bucket bit."""
+    out = []
+    for i in range(1, dim + 1):
+        h = int(hashlib.md5(f"plane{plane}_{i}".encode()).hexdigest()[:8], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return tuple(out)
+
+
+def _plane_coef_col(pid: Column, i: Column) -> Column:
+    """_plane_coef with the plane id itself a Column — byte-identical
+    concat layout ("plane{pid}_{i}"), used by the ragged-row fallback
+    where the plane index is a lambda variable."""
     h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"plane{plane}_"), i.cast("string"))), 1, 8),
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("plane"), pid.cast("string"), F.lit("_"), i.cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
         16,
         10,
     ).cast("long")
     return (F.pmod(h, F.lit(2001)) - 1000).cast("double") / 1000.0
 
 
-def lsh_bucket(vec: Column, planes: int = 12, table: int = 0) -> Column:
-    """Random-hyperplane signature: bit p = sign of <v, plane_p>.
-    `table` offsets the plane family for multi-table LSH."""
+def _projections(vec: Column, plane_ids: tuple[int, ...], dim: int | None) -> Column:
+    """array<double> of <v, plane_pid> for every pid, in order.
+
+    Fast path (dim known, row length matches): ONE nested literal
+    coefficient matrix — built as a single F.expr (per-element F.lit
+    costs one py4j round-trip each, ~1.3 s of driver time for 32×64
+    coefficients, measured; the SQL string parses in ~1 ms; every value
+    is n/1000 with |n| ≤ 1000, so repr() round-trips exactly through
+    the SQL double parser) — and ONE transform whose lambda folds
+    zip_with(vec, coefs). The md5/conv/pmod chain leaves the per-element
+    hot path entirely (at dim 64 × 32 planes it ran 2048 times PER ROW
+    in interpreted HOF mode).
+
+    Fallback (dim unknown, or a ragged row whose length ≠ dim): derive
+    each coefficient from md5 per element, exactly the original
+    expression. when/otherwise evaluates lazily per row, so uniform-dim
+    data never executes the fallback and ragged inputs keep
+    bit-identical buckets."""
     idx = F.sequence(F.lit(1), F.size(vec))
-    bucket = F.lit(0).cast("long")
-    for p in range(planes):
-        proj = F.aggregate(
-            F.zip_with(vec, idx, lambda x, i: x * _plane_coef(table * 1000 + p, i)),
+    pid_arr = F.expr(
+        "array(" + ",".join(str(p) for p in plane_ids) + ")"
+    )
+    slow = F.transform(
+        pid_arr,
+        lambda pid: F.aggregate(
+            F.zip_with(vec, idx, lambda x, i: x * _plane_coef_col(pid, i)),
             F.lit(0.0),
             lambda acc, x: acc + x,
+        ),
+    )
+    if dim is None:
+        return slow
+    mat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{c!r}D" for c in _plane_coefs(pid, dim)) + ")"
+            for pid in plane_ids
         )
+        + ")"
+    )
+    fast = F.transform(
+        mat,
+        lambda coefs: F.aggregate(
+            F.zip_with(vec, coefs, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return F.when(F.size(vec) == dim, fast).otherwise(slow)
+
+
+def _bucket_of(projs: Column, planes: int, offset: int) -> Column:
+    """Sign bits of projs[offset .. offset+planes) packed into a long.
+    `projs` must be a lambda variable or materialized column — element_at
+    on it is a lookup, not a re-evaluation."""
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        proj = F.element_at(projs, offset + p + 1)
         bucket = bucket.bitwiseOR(
-            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
         )
     return bucket
 
 
-def lsh_buckets(vec: Column, planes: int, tables: int) -> Column:
+def _bind(value: Column, fn) -> Column:
+    """Evaluate `value` ONCE per row and pass it to fn as a lambda
+    variable: transform(array(value), v -> fn(v))[0]. Without this,
+    every reference to `value` inside a built-up expression would embed
+    (and, in interpreted HOF mode, re-evaluate) a full copy of its
+    tree."""
+    return F.transform(F.array(value), fn)[0]
+
+
+def lsh_bucket(
+    vec: Column, planes: int = 12, table: int = 0, dim: int | None = None
+) -> Column:
+    """Random-hyperplane signature: bit p = sign of <v, plane_p>.
+    `table` offsets the plane family for multi-table LSH. Pass `dim`
+    (peek_dim) to route coefficient derivation to the literal-matrix
+    fast path — see _projections."""
+    pids = tuple(table * 1000 + p for p in range(planes))
+    return _bind(
+        _projections(vec, pids, dim), lambda pr: _bucket_of(pr, planes, 0)
+    )
+
+
+def lsh_buckets(
+    vec: Column, planes: int, tables: int, dim: int | None = None
+) -> Column:
     """Array of (table, bucket) keys — classic OR-amplified LSH: a pair
     is a candidate if ANY table agrees. Recall → 1 as `tables` grows,
-    cost grows linearly."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"), lsh_bucket(vec, planes, t).alias("b")
-            )
-            for t in range(tables)
-        ]
+    cost grows linearly. All tables' projections come from one
+    coefficient matrix in one pass (see _projections)."""
+    pids = tuple(t * 1000 + p for t in range(tables) for p in range(planes))
+    return _bind(
+        _projections(vec, pids, dim),
+        lambda pr: F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    _bucket_of(pr, planes, t * planes).alias("b"),
+                )
+                for t in range(tables)
+            ]
+        ),
     )
+
+
+def peek_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Length of the first non-null vector — one 1-row job at plan
+    construction. Used only to pick the fast literal-coefficient branch;
+    a wrong peek (ragged data) costs the md5 fallback per odd row, never
+    correctness."""
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    return int(row["d"]) if row is not None and row["d"] is not None else None
 
 
 def lsh_topk(
@@ -133,28 +255,41 @@ def lsh_topk(
     quantize=True ranks and returns sim_q = floor(10^4·cos) as BIGINT
     (the cross-engine-exact form the oracle gate hashes) instead of the
     raw double cos."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_q")
-    ).withColumn("_tb", F.explode(lsh_buckets(F.col("_q"), planes, tables)))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_tb", F.explode(lsh_buckets(F.col("_v"), planes, tables)))
+    dim = peek_dim(corpus, vec_col)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_q")
+        )
+        .withColumn("_qn", norm_of(F.col("_q")))
+        .withColumn("_tb", F.explode(lsh_buckets(F.col("_q"), planes, tables, dim)))
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_v")
+        )
+        .withColumn("_vn", norm_of(F.col("_v")))
+        .withColumn("_tb", F.explode(lsh_buckets(F.col("_v"), planes, tables, dim)))
+    )
     cand = (
         q.join(c, "_tb")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "_q", "neighbor_id", "_v")
+        .select("query_id", "_q", "_qn", "neighbor_id", "_v", "_vn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # dot/(qn·vn) with precomputed norms is the identical arithmetic to
+    # cosine() (same folds, same sqrt, same product) at a third of the
+    # per-pair interpreted-HOF work — see norm_of.
+    pair_cos = dot(F.col("_q"), F.col("_v")) / (F.col("_qn") * F.col("_vn"))
     if quantize:
         sims = cand.select(
             "query_id",
             "neighbor_id",
-            F.floor(10000 * cosine(F.col("_q"), F.col("_v"))).cast("long").alias("sim_q"),
+            F.floor(10000 * pair_cos).cast("long").alias("sim_q"),
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("sim_q"), F.col("neighbor_id"))
     else:
         sims = cand.select(
-            "query_id", "neighbor_id", cosine(F.col("_q"), F.col("_v")).alias("cos")
+            "query_id", "neighbor_id", pair_cos.alias("cos")
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
     return (
