@@ -366,3 +366,41 @@ def test_choose_lsh_params_validation():
         choose_lsh_params(0.0, 128)
     with pytest.raises(ValueError):
         choose_lsh_params(0.5, 0)
+
+
+def test_lsh_bucket_fast_path_bit_identical_on_ragged_dims(spark):
+    """The literal-coefficient fast path must produce the SAME buckets
+    as the md5-deriving expression for every row — including rows whose
+    length differs from the peeked dim (those route per-row to the
+    fallback branch)."""
+    from news_please_spark.operators.similarity import (
+        lsh_bucket,
+        lsh_buckets,
+        peek_dim,
+    )
+
+    rows = [
+        (1, [0.5, -0.25, 1.0, 0.125]),
+        (2, [0.75, 0.1, -0.9, 0.33]),
+        (3, [1.0, 2.0]),            # shorter than peeked dim
+        (4, [0.1] * 7),             # longer than peeked dim
+        (5, []),                    # empty
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    dim = peek_dim(df, "embedding")
+    assert dim == 4
+    fast = df.select(
+        "vec_id",
+        lsh_bucket(F.col("embedding"), planes=12, dim=dim).alias("b"),
+        lsh_buckets(F.col("embedding"), planes=5, tables=3, dim=dim).alias("tb"),
+    )
+    slow = df.select(
+        "vec_id",
+        lsh_bucket(F.col("embedding"), planes=12, dim=None).alias("b"),
+        lsh_buckets(F.col("embedding"), planes=5, tables=3, dim=None).alias("tb"),
+    )
+    f = {r.vec_id: (r.b, tuple((s.t, s.b) for s in r.tb)) for r in fast.collect()}
+    s = {r.vec_id: (r.b, tuple((s.t, s.b) for s in r.tb)) for r in slow.collect()}
+    assert f == s
+    # table field stays int and table-major ordered
+    assert [t for t, _ in f[1][1]] == [0, 1, 2]
