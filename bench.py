@@ -228,6 +228,23 @@ def _run_with_ext_accounting(fn):
     return out, round(ext, 2)
 
 
+def _cpu_mhz_avg() -> float | None:
+    """Instantaneous mean core frequency from /proc/cpuinfo — a
+    one-line diagnostic for the clean-but-throttled failure mode (a
+    co-tenant burst that ends right before the crawl leaves lowered
+    clocks the external-cores gate cannot see). Recorded per attempt,
+    never used to gate."""
+    try:
+        vals = [
+            float(line.split(":")[1])
+            for line in open("/proc/cpuinfo")
+            if line.startswith("cpu MHz")
+        ]
+        return round(sum(vals) / len(vals), 0) if vals else None
+    except OSError:
+        return None
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import news_please_spark.plans.extraction_queries  # noqa: F401 (registers entries)
@@ -252,20 +269,26 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
 
-    # the crawl dominates the suite and the host is shared: account
-    # in-run external cores and retry ONCE if co-tenants burned more
-    # than EXT_CONTENTION_CORES during our window (both attempts are
-    # reported — the artifact stays auditable either way)
+    # the crawl dominates the suite and the host is shared: ALWAYS run
+    # it twice and headline the min (both attempts recorded — the
+    # artifact stays auditable). The external-cores gate catches
+    # co-tenant CPU during our window, but NOT a clean-but-throttled
+    # run: a co-tenant burst that ends just before the crawl leaves
+    # DVFS/thermal state that measured 72 s for a 22 s crawl with
+    # ext_cores 0.02 — an unconditional second attempt is the only
+    # in-run defense that needs no calibrated band. A third attempt
+    # fires only if both were externally contended.
     attempts = []
-    for _ in range(2):
+    for i in range(3):
         (crawl_sec, crawl_urls), ext = _run_with_ext_accounting(
             lambda: run_crawl(spark, CRAWL_PAGES, CRAWL_WAVES)
         )
         attempts.append(
             {"sec": round(crawl_sec, 3), "urls": crawl_urls,
-             "ext_cores_avg": ext, "contended": ext > EXT_CONTENTION_CORES}
+             "ext_cores_avg": ext, "cpu_mhz_avg": _cpu_mhz_avg(),
+             "contended": ext > EXT_CONTENTION_CORES}
         )
-        if ext <= EXT_CONTENTION_CORES:
+        if i >= 1 and any(not a["contended"] for a in attempts):
             break
     best = min(attempts, key=lambda a: a["sec"])
     crawl_sec, crawl_urls = best["sec"], best["urls"]
