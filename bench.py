@@ -195,37 +195,53 @@ def run_crawl(
     return dt, res.fetched
 
 
-def _run_with_ext_accounting(fn):
-    """Run fn() while measuring EXTERNAL cores: host busy CPU
-    (/proc/stat) minus this process tree's CPU (the same accounting as
-    _instrumented_child, but in-process — root is our own pid, so the
-    Spark JVM and python workers are descendants). Returns
-    (fn_result, ext_cores_avg). Co-tenants that arrive MID-run are the
-    one thing a start-of-run loadavg gate cannot see; this sees them."""
-    import threading
+class _SuiteMonitor:
+    """ONE continuous tree-CPU sampler for the whole bench run: host
+    busy CPU (/proc/stat) minus this process tree's CPU (root is our
+    own pid, so the Spark JVM and python workers are descendants) =
+    external cores, attributable to any sub-window via snap()/
+    ext_since(). Co-tenants that arrive MID-run are the one thing a
+    start-of-run loadavg gate cannot see; this sees them — per QUERY,
+    not just per suite, and without paying a sampler settle sleep per
+    measurement."""
 
-    hz = os.sysconf("SC_CLK_TCK")
-    acc: dict[int, int] = {}
-    stop = threading.Event()
-    th = threading.Thread(
-        target=_tree_cpu_sampler, args=(os.getpid(), stop, acc), daemon=True
-    )
-    th.start()
-    # counters are cumulative since process start: let the sampler see
-    # every live pid once, THEN snapshot both baselines together
-    time.sleep(1.2)
-    tree0 = sum(acc.values()) / hz
-    busy0, _ = _host_busy_jiffies()
-    t0 = time.time()
-    out = fn()
-    wall = time.time() - t0
-    stop.set()
-    th.join(timeout=5)
-    busy1, _ = _host_busy_jiffies()
-    tree_sec = sum(acc.values()) / hz - tree0
-    busy_sec = (busy1 - busy0) / hz
-    ext = max(0.0, (busy_sec - tree_sec) / wall) if wall > 0 else 0.0
-    return out, round(ext, 2)
+    def __init__(self) -> None:
+        import threading
+
+        self._hz = os.sysconf("SC_CLK_TCK")
+        self._acc: dict[int, int] = {}
+        self._stop = threading.Event()
+        self._th = threading.Thread(
+            target=_tree_cpu_sampler,
+            args=(os.getpid(), self._stop, self._acc),
+            daemon=True,
+        )
+
+    def start(self) -> "_SuiteMonitor":
+        self._th.start()
+        # counters are cumulative since process start: let the sampler
+        # see every live pid once before the first snapshot
+        time.sleep(1.2)
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def snap(self) -> tuple[float, float, float]:
+        busy, _ = _host_busy_jiffies()
+        return (
+            sum(self._acc.values()) / self._hz,
+            busy / self._hz,
+            time.time(),
+        )
+
+    def ext_since(self, s0: tuple[float, float, float]) -> float:
+        """Average external cores burned since snapshot s0."""
+        tree1, busy1, t1 = self.snap()
+        wall = t1 - s0[2]
+        if wall <= 0:
+            return 0.0
+        return round(max(0.0, ((busy1 - s0[1]) - (tree1 - s0[0])) / wall), 2)
 
 
 def _cpu_mhz_avg() -> float | None:
@@ -257,17 +273,35 @@ def main() -> None:
     )
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
+    mon = _SuiteMonitor().start()
     timings: dict[str, float] = {}
+    retried: list[str] = []
     runs = [(name, QUERIES[name]) for name in HEADLINE] + list(EXTRA_HEADLINE.items())
     for name, fn in runs:
         # construction INSIDE the timer: iterative/driver-coordinated
         # entries (bpe_merges' training rounds, dsir_select's fit
         # collect) do real work while building the plan — timing only
-        # the noop write would hide it
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        # the noop write would hide it. Per-query external-core
+        # attribution from the suite-long sampler: a query whose window
+        # was externally contended re-runs ONCE and the min is recorded
+        # (sub-2 s windows skip the retry — at the sampler's 0.5 s
+        # cadence their attribution is noise, and their timings don't
+        # move the artifact).
+        best = None
+        for attempt in range(2):
+            s0 = mon.snap()
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            el = time.time() - t0
+            ext = mon.ext_since(s0)
+            if best is None or el < best:
+                best = el
+            if el < 2.0 or ext <= EXT_CONTENTION_CORES:
+                break
+            if attempt == 0:
+                retried.append(name)
+        timings[name] = round(best, 3)
 
     # the crawl dominates the suite and the host is shared: ALWAYS run
     # it twice and headline the min (both attempts recorded — the
@@ -280,9 +314,9 @@ def main() -> None:
     # fires only if both were externally contended.
     attempts = []
     for i in range(3):
-        (crawl_sec, crawl_urls), ext = _run_with_ext_accounting(
-            lambda: run_crawl(spark, CRAWL_PAGES, CRAWL_WAVES)
-        )
+        s0 = mon.snap()
+        crawl_sec, crawl_urls = run_crawl(spark, CRAWL_PAGES, CRAWL_WAVES)
+        ext = mon.ext_since(s0)
         attempts.append(
             {"sec": round(crawl_sec, 3), "urls": crawl_urls,
              "ext_cores_avg": ext, "cpu_mhz_avg": _cpu_mhz_avg(),
@@ -290,6 +324,7 @@ def main() -> None:
         )
         if i >= 1 and any(not a["contended"] for a in attempts):
             break
+    mon.stop()
     best = min(attempts, key=lambda a: a["sec"])
     crawl_sec, crawl_urls = best["sec"], best["urls"]
     timings["crawl_frontier"] = round(crawl_sec, 3)
@@ -307,6 +342,7 @@ def main() -> None:
         "crawl_ext_cores_avg": best["ext_cores_avg"],
         "crawl_contended": best["contended"],
         "crawl_attempts": attempts,
+        "queries_retried_contended": retried,
         "cpus": CPUS,
     }
     print(json.dumps(out))
