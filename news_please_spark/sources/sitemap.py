@@ -30,8 +30,9 @@ def expand_sitemaps(
     visited = frontier.select("sitemap_url")
     leaves = None
     depth = 0
+    pending = len(roots)
     while depth < max_depth:
-        if frontier.isEmpty():
+        if pending == 0:
             break
         joined = frontier.join(sitemaps, "sitemap_url").select(
             "entry_url",
@@ -54,7 +55,16 @@ def expand_sitemaps(
             .join(visited, "sitemap_url", "left_anti")
         )
         frontier = nested.localCheckpoint(eager=True)
-        visited = visited.unionByName(frontier.select("sitemap_url")).localCheckpoint(eager=True)
+        # count on the just-checkpointed blocks is near-free and replaces
+        # next iteration's isEmpty() job (one fewer driver round-trip
+        # per level — iterative operators pay fixed job overhead per
+        # level in local mode, and one job per wave at cluster scale)
+        pending = frontier.count()
+        # visited needs no checkpoint of its own: it is a union of
+        # ALREADY-checkpointed frontiers, so its lineage stays one
+        # union node per level over materialized leaves — no
+        # exponential plan growth, and one fewer eager job per level
+        visited = visited.unionByName(frontier.select("sitemap_url"))
         depth += 1
     if leaves is None:
         return spark.createDataFrame([], "url string, depth int, order_key string")
