@@ -43,8 +43,9 @@ from pyspark.sql import functions as F
 from news_please_spark.operators.decontam import contamination
 from news_please_spark.operators.dedup import (
     exact_dedup,
-    minhash_lsh_candidates,
+    minhash_lsh_candidates_from_grams,
     ngram_jaccard_pairs,
+    ngram_set,
 )
 from news_please_spark.operators.repetition import ngrams, run_stats
 
@@ -112,10 +113,19 @@ def clean_corpus(
     # index + verify consume it from three branches
     kept = _cut(exact_dedup(df, text_col, id_col))
 
-    # 2. near-dup: LSH candidates -> exact Jaccard -> drop doc_b
-    cand = minhash_lsh_candidates(kept, text_col, id_col)
+    # 2. near-dup: LSH candidates -> exact Jaccard -> drop doc_b.
+    # The corpus is shingled ONCE: a lazily-persisted (id, gram-set)
+    # table feeds both the LSH index build and the verify joins —
+    # tokenization is the dominant map-side cost at corpus scale, and
+    # the split plan paid it twice (same fix jaccard_verify carries).
+    grams = (
+        kept.select(F.col(id_col), ngram_set(F.col(text_col)).alias("_g"))
+        .filter(F.size("_g") > 0)
+        .persist()
+    )
+    cand = minhash_lsh_candidates_from_grams(grams, id_col=id_col, gram_col="_g")
     pairs = ngram_jaccard_pairs(
-        kept, cand, text_col, id_col, threshold=jaccard_threshold
+        kept, cand, text_col, id_col, threshold=jaccard_threshold, grams_df=grams
     )
     if transitive_near_dup:
         # cluster semantics: every component keeps only its min id
