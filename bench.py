@@ -98,6 +98,7 @@ HEADLINE = [
     "incremental_near_dups",
     "cdc_lsh_index",
     "dup_clusters",
+    "leakage_safe_split",
     "dup_substring_spans",
     "strip_dup_substrings",
     "decontam_hits",

@@ -298,6 +298,36 @@ def dataset_split(
     return df.withColumn("split", expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    dup_pairs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """dataset_split that can never separate near-duplicates: every
+    verified near-dup CLUSTER (connected components over `dup_pairs`,
+    columns doc_a/doc_b) is assigned to one split as a unit, keyed by
+    the md5 hash of the cluster's min-id root. A naive per-doc split
+    leaks paraphrase-level duplicates across the train/eval boundary
+    in proportion to the corpus near-dup rate — the classic silent
+    eval-inflation bug in LLM data prep; splitting by cluster root
+    makes it impossible by construction. Singletons are their own
+    root, so non-duplicated docs split exactly as dataset_split would.
+
+    Adds (root, split). Scale shape: the label propagation is the
+    dup_clusters plan (per-round hash join + partial-agg min, bounded
+    by cluster diameter); the final assignment is a map-side hash
+    compare — no extra shuffle beyond the root join."""
+    from news_please_spark.operators.graph import connected_components
+
+    labels = connected_components(dup_pairs.select("doc_a", "doc_b"))
+    with_root = (
+        df.join(labels.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("root", F.coalesce(F.col("root"), F.col(id_col)))
+    )
+    return dataset_split(with_root, fractions, id_col="root")
+
+
 def render_packed_chunks(
     packed: DataFrame,
     docs: DataFrame,

@@ -3422,6 +3422,61 @@ ORACLES["dup_clusters"] = f"""
 """
 
 
+@register("leakage_safe_split", None)
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split (operators/sampling.py:
+    leakage_safe_split): every verified near-dup cluster is assigned to
+    ONE split, keyed by the md5 hash of its min-id root — so paraphrase
+    duplicates can never straddle the train/eval boundary (the silent
+    eval-inflation bug a per-doc split carries at the corpus's near-dup
+    rate). Oracle: the dup_clusters recursive-CTE closure left-joined
+    onto documents, split by the same hex thresholds as dataset_split."""
+    from news_please_spark.operators.sampling import leakage_safe_split
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = QUERIES["jaccard_verify"](spark, sf_dir).select("doc_a", "doc_b")
+    return leakage_safe_split(
+        docs, pairs, {"test": 0.1, "val": 0.1, "train": 0.8}
+    )
+
+
+def _leakage_split_oracle() -> str:
+    from news_please_spark.operators.sampling import rate_to_hex8
+
+    t1, t2 = rate_to_hex8(0.1), rate_to_hex8(0.2)
+    return f"""
+    WITH RECURSIVE pairs AS (
+{ORACLES["jaccard_verify"]}
+    ),
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM e)
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN e ON r.node = e.a
+    ),
+    roots AS (
+      SELECT src AS id, CAST(min(node) AS BIGINT) AS root
+      FROM reach GROUP BY src
+    ),
+    base AS (
+      SELECT d.doc_id, COALESCE(r.root, d.doc_id) AS root
+      FROM documents d LEFT JOIN roots r ON d.doc_id = r.id
+    )
+    SELECT doc_id, root,
+           CASE WHEN substr(md5(CAST(root AS VARCHAR)), 1, 8) < '{t1}' THEN 'test'
+                WHEN substr(md5(CAST(root AS VARCHAR)), 1, 8) < '{t2}' THEN 'val'
+                ELSE 'train' END AS split
+    FROM base
+"""
+
+
+ORACLES["leakage_safe_split"] = _leakage_split_oracle()
+
+
 @register(
     "ivf_ann_topk",
     """

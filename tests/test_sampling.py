@@ -643,3 +643,39 @@ def test_length_buckets_single_exchange(spark):
     # the per-batch aggregation must reuse the window's (bucket, shard)
     # hash partitioning — one shuffle total
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark):
+    from news_please_spark.operators.sampling import (
+        dataset_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # two chains: {3,7,150} (via 3-7, 7-150) and {20,21}
+    pairs = spark.createDataFrame(
+        [(3, 7), (7, 150), (20, 21)], "doc_a long, doc_b long"
+    )
+    out = leakage_safe_split(
+        docs, pairs, {"test": 0.1, "val": 0.1, "train": 0.8}
+    )
+    rows = {r.doc_id: (r.root, r.split) for r in out.collect()}
+    assert len(rows) == 200
+    # every cluster member shares the min-id root AND the split
+    assert rows[3] == rows[7] == rows[150]
+    assert rows[3][0] == 3
+    assert rows[20] == rows[21]
+    assert rows[20][0] == 20
+    # singletons split exactly as dataset_split would
+    plain = {
+        r.doc_id: r.split
+        for r in dataset_split(
+            docs, {"test": 0.1, "val": 0.1, "train": 0.8}
+        ).collect()
+    }
+    clustered = {3, 7, 150, 20, 21}
+    for i in range(200):
+        if i not in clustered:
+            assert rows[i] == (i, plain[i])
