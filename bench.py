@@ -60,6 +60,7 @@ HEADLINE = [
     "budget_allocate",
     "host_shards",
     "recrawl_schedule",
+    "fetch_schedule",
     "dedup_exact",
     "fingerprint",
     "minhash_signatures",
@@ -109,6 +110,7 @@ HEADLINE = [
     "interleaved_render",
     "span_boilerplate",
     "caption_pairs",
+    "media_dup_stats",
     "ann_cosine_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",

@@ -494,3 +494,59 @@ def redact_spans(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             kind_total(i).alias(f"n_{kind}") for i, (kind, _) in enumerate(_PII)
         ],
     )
+
+
+def media_dedup(
+    df: DataFrame,
+    content_key=None,
+    id_col: str = "doc_id",
+    min_docs: int = 1,
+) -> DataFrame:
+    """Cross-doc duplicate MEDIA detection over the interleaved span
+    table — the media twin of `boilerplate_spans`: site logos, stock
+    photos, and tracking pixels repeat across documents, and a
+    multimodal sampler wants them deduplicated (or at least counted)
+    before image-text pairs are drawn.
+
+    Media spans (kind != 'text', media_ref set) are keyed by a content
+    identity: ``content_key`` is a callable Column→Column over
+    media_ref (default md5 — in production the media store's content
+    hash, which travels on the ref).  Per key:
+
+        n_docs            distinct documents embedding the asset
+        n_spans           total occurrences
+        canonical_doc/    the lexicographically smallest (doc, offset)
+        canonical_offset  occurrence — the copy a dedup pass keeps
+
+    Scale shape: one explode of per-doc-bounded span arrays, then a
+    single aggregation where only (key, doc, offset) rows cross the
+    shuffle — counts are map-side combinable and the canonical pick is
+    one `min(struct(doc, offset))` in the same aggregate (no window, no
+    self-join).  ``min_docs >= 2`` restricts output to actual
+    cross-doc duplicates, keeping the result at shared-asset
+    cardinality rather than corpus cardinality."""
+    keyfn = content_key or (lambda ref: F.md5(ref))
+    m = df.select(
+        F.col(id_col), F.explode("spans").alias("s")
+    ).filter(
+        (F.col("s.kind") != F.lit("text")) & F.col("s.media_ref").isNotNull()
+    ).select(
+        keyfn(F.col("s.media_ref")).alias("media_key"),
+        F.col(id_col),
+        F.col("s.offset").alias("_off"),
+    )
+    g = m.groupBy("media_key").agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.min(F.struct(F.col(id_col), F.col("_off"))).alias("_c"),
+    )
+    out = g.select(
+        "media_key",
+        "n_docs",
+        "n_spans",
+        F.col(f"_c.{id_col}").alias("canonical_doc"),
+        F.col("_c._off").cast("long").alias("canonical_offset"),
+    )
+    if min_docs > 1:
+        out = out.filter(F.col("n_docs") >= min_docs)
+    return out

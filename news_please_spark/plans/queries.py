@@ -4735,3 +4735,110 @@ def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
         )
     )
+
+
+@register(
+    "fetch_schedule",
+    """
+    WITH u AS (
+      SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) AS host,
+             'https://h' || CAST(doc_id % 97 AS VARCHAR) || '/p/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             CAST(doc_id % 13 AS BIGINT) AS priority
+      FROM documents
+    ),
+    d AS (
+      SELECT DISTINCT 'h' || CAST(doc_id % 97 AS VARCHAR) AS host,
+             CAST(1 + ((doc_id % 97) % 4) * 2 AS BIGINT) AS crawl_delay_s
+      FROM documents WHERE (doc_id % 97) % 3 = 0
+    ),
+    r AS (
+      SELECT u.host, u.url, u.priority,
+             COALESCE(d.crawl_delay_s, 1) AS dly,
+             CAST(row_number() OVER (
+                    PARTITION BY u.host ORDER BY u.priority, u.url
+                  ) - 1 AS BIGINT) AS slot
+      FROM u LEFT JOIN d USING (host)
+    )
+    SELECT host, url, priority, slot,
+           CAST(1000000 + slot * dly AS BIGINT) AS fetch_epoch
+    FROM r
+    """,
+)
+def fetch_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch timetable (operators/ordering.py::fetch_timetable):
+    admitted URLs + robots Crawl-delay directives → deterministic
+    integer fetch epochs, one-at-a-time per host in (priority, url)
+    order.  97 derived hosts, a third of them declaring delays of
+    1/3/5/7 s, the rest on the 1 s default.  ONE data shuffle: the
+    delays join and the slot window share the host hash partitioning."""
+    from news_please_spark.operators.ordering import fetch_timetable
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    hn = (F.col("doc_id") % 97).cast("string")
+    u = docs.select(
+        F.concat(F.lit("h"), hn).alias("host"),
+        F.concat(
+            F.lit("https://h"), hn, F.lit("/p/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        (F.col("doc_id") % 13).cast("long").alias("priority"),
+    )
+    d = (
+        docs.filter((F.col("doc_id") % 97) % 3 == 0)
+        .select(
+            F.concat(F.lit("h"), hn).alias("host"),
+            (1 + ((F.col("doc_id") % 97) % 4) * 2)
+            .cast("long")
+            .alias("crawl_delay_s"),
+        )
+        .distinct()
+    )
+    return fetch_timetable(
+        u, d, default_delay_s=1, start_epoch=1000000,
+        order_cols=("priority", "url"),
+    )
+
+
+@register(
+    "media_dup_stats",
+    _SPAN_ROWS_SQL
+    + """
+    , m AS (
+      SELECT 'm' || CAST((CAST(regexp_extract(media_ref, 'img://([0-9]+)/', 1) AS BIGINT) * 7
+               + CAST(regexp_extract(media_ref, '/([0-9]+)$', 1) AS BIGINT)) % 41
+               AS VARCHAR) AS media_key,
+             doc_id, "offset" AS off
+      FROM span_rows WHERE kind != 'text' AND media_ref IS NOT NULL
+    ),
+    g AS (
+      SELECT media_key,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             min(doc_id) AS canonical_doc
+      FROM m GROUP BY media_key
+      HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT g.media_key, g.n_docs, g.n_spans, g.canonical_doc,
+           CAST(min(m.off) AS BIGINT) AS canonical_offset
+    FROM g JOIN m ON g.media_key = m.media_key AND m.doc_id = g.canonical_doc
+    GROUP BY g.media_key, g.n_docs, g.n_spans, g.canonical_doc
+    """,
+)
+def media_dup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicate media over the interleaved span table
+    (operators/spans.py::media_dedup): media spans keyed by a derived
+    content identity (doc*7+j mod 41 — simulating 41 distinct assets
+    reused corpus-wide, the logo/stock-photo shape), aggregated to
+    (n_docs, n_spans, canonical occurrence).  Only (key, doc, offset)
+    rows cross the one shuffle; canonical pick is min(struct) in the
+    same aggregate."""
+    from news_please_spark.operators.spans import media_dedup
+
+    def _key(ref):
+        doc = F.regexp_extract(ref, r"img://([0-9]+)/", 1).cast("long")
+        j = F.regexp_extract(ref, r"/([0-9]+)$", 1).cast("long")
+        return F.concat(F.lit("m"), ((doc * 7 + j) % 41).cast("string"))
+
+    return media_dedup(
+        _synth_spans_df(spark, sf_dir), content_key=_key, min_docs=2
+    )
