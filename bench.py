@@ -61,6 +61,7 @@ HEADLINE = [
     "host_shards",
     "recrawl_schedule",
     "fetch_schedule",
+    "autothrottle",
     "dedup_exact",
     "fingerprint",
     "minhash_signatures",
@@ -79,6 +80,7 @@ HEADLINE = [
     "script_profile",
     "tfidf_top_terms",
     "lm_score",
+    "ccnet_buckets",
     "bpe_merges",
     "bpe_encode",
     "bm25_search",

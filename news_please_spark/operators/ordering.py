@@ -381,3 +381,84 @@ def fetch_timetable(
         .cast("long")
         .alias("fetch_epoch"),
     )
+
+
+def autothrottle_update(
+    metrics: DataFrame,
+    prev: DataFrame | None = None,
+    *,
+    target_concurrency: int = 2,
+    start_delay_ms: int = 1000,
+    min_delay_ms: int = 100,
+    max_delay_ms: int = 60000,
+    host_col: str = "host",
+    latency_col: str = "latency_ms",
+    ok_col: str = "ok",
+) -> DataFrame:
+    """Per-host adaptive politeness delay — scrapy's AutoThrottle
+    algorithm (the mechanism news-please actually rate-limits with:
+    config.cfg sets AUTOTHROTTLE_*, the reference delegates to scrapy)
+    re-expressed at cycle grain over a wave's fetch metrics:
+
+        avg_ok      = mean latency of this cycle's OK responses
+        target      = avg_ok DIV target_concurrency
+        cand        = (prev_delay + target) DIV 2      (EWMA toward target)
+        new         = max(cand, prev_delay)  if any non-OK response
+                      (errors never DECREASE a delay — scrapy's rule)
+                      cand                   otherwise
+                      prev_delay             if no OK response at all
+        new_delay   = clamp(new, min_delay_ms, max_delay_ms)
+
+    Hosts present in ``prev`` but silent this cycle keep their previous
+    delay (clamped); hosts never seen before start from
+    ``start_delay_ms``.  All arithmetic BIGINT milliseconds (integer
+    DIV) so the delay table is bit-identical across engines and
+    partitionings — it feeds `fetch_timetable` as the next cycle's
+    delays side.
+
+    Scale shape: one map-side-combinable aggregation to host grain
+    (only (host, sums) cross the shuffle), then one per-HOST full-outer
+    equi-join against the previous delay table — both sides host-grain
+    (~10^8 rows worst case), left unhinted so AQE routes the join.
+    Returns (host, n_ok, n_bad, avg_ok_ms, new_delay_ms)."""
+    okc = F.col(ok_col).cast("boolean")
+    lat = F.col(latency_col).cast("long")
+    agg = metrics.groupBy(host_col).agg(
+        F.sum(F.when(okc, 1).otherwise(0)).cast("long").alias("n_ok"),
+        F.sum(F.when(~okc, 1).otherwise(0)).cast("long").alias("n_bad"),
+        F.sum(F.when(okc, lat).otherwise(0)).cast("long").alias("_lat_sum"),
+    )
+    p = (
+        prev.select(
+            F.col(host_col), F.col("delay_ms").cast("long").alias("_prev")
+        )
+        if prev is not None
+        else None
+    )
+    j = agg if p is None else agg.join(p, on=host_col, how="full_outer")
+    start = F.lit(int(start_delay_ms)).cast("long")
+    prev_d = F.coalesce(F.col("_prev"), start) if p is not None else start
+    n_ok = F.coalesce(F.col("n_ok"), F.lit(0)).cast("long")
+    n_bad = F.coalesce(F.col("n_bad"), F.lit(0)).cast("long")
+    avg_ok = F.when(n_ok > 0, F.expr("_lat_sum div n_ok")).cast("long")
+    c = int(target_concurrency)
+    j = j.withColumn("_prev_d", prev_d).withColumn("_avg", avg_ok)
+    # integer DIV end-to-end: (prev + avg/C) / 2 must not round engine-
+    # dependently, so both divisions are BIGINT `div`
+    cand = F.expr(f"(_prev_d + (_avg div {c})) div 2")
+    new0 = (
+        F.when(n_ok == 0, F.col("_prev_d"))
+        .when(n_bad > 0, F.greatest(cand, F.col("_prev_d")))
+        .otherwise(cand)
+    )
+    clamped = F.least(
+        F.greatest(new0, F.lit(int(min_delay_ms)).cast("long")),
+        F.lit(int(max_delay_ms)).cast("long"),
+    )
+    return j.select(
+        F.col(host_col),
+        n_ok.alias("n_ok"),
+        n_bad.alias("n_bad"),
+        F.col("_avg").alias("avg_ok_ms"),
+        clamped.cast("long").alias("new_delay_ms"),
+    )

@@ -166,3 +166,62 @@ def c4_line_filter(df: DataFrame, text: Column | None = None) -> DataFrame:
         F.md5(clean).alias("clean_md5"),
         keep.cast("long").alias("keep"),
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
+    2020 §4.3): score every document with the bigram-LM quality
+    surrogate (`operators/terms.lm_doc_scores` — higher = more fluent,
+    the integer image of lower perplexity), then split each language
+    into terciles by PER-LANGUAGE score thresholds — CCNet's insight is
+    that perplexity distributions differ per language, so a global
+    cutoff over- or under-filters low-resource languages.
+
+        bucket = head    if score >  p66(lang)
+                 middle  if score >  p33(lang)
+                 tail    otherwise
+
+    Thresholds are the exact discrete per-group percentiles
+    (`operators/stats.group_quantiles` — histogram-rank plan, no
+    per-group sort), so the bucketing is bit-reproducible cross-engine.
+    Train the LM on ``model_docs`` (CCNet uses Wikipedia) or corpus-self
+    when omitted.
+
+    Scale shape: scoring is the lm_doc_scores plan (bigram-key
+    equi-joins only); the threshold table is ONE row per language —
+    config-sized — and is explicitly broadcast back onto the corpus.
+    Returns (id, group, score, bucket).  Self-trained, every bigram is
+    in-model, so all >=2-token docs are scored; with an explicit
+    ``model_docs`` out-of-model bigrams score 0 (junk sinks to tail).
+    Sub-2-token docs are unscorable and excluded, as in CCNet, where
+    unscorable lines never reach a bucket."""
+    from news_please_spark.operators.stats import group_quantiles
+    from news_please_spark.operators.terms import lm_doc_scores
+
+    scores = lm_doc_scores(
+        docs.select(F.col(id_col), F.col(text_col)),
+        model_docs,
+        id_col=id_col,
+        text_col=text_col,
+    ).select(id_col, F.col("lm_q").alias("score"))
+    scored = scores.join(
+        docs.select(F.col(id_col), F.col(group_col)), on=id_col, how="inner"
+    )
+    th = group_quantiles(scored, group_col, "score", [33, 66]).select(
+        group_col, "p33", "p66"
+    )
+    return scored.join(F.broadcast(th), on=group_col, how="inner").select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("score"),
+        F.when(F.col("score") > F.col("p66"), F.lit("head"))
+        .when(F.col("score") > F.col("p33"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -4842,3 +4842,145 @@ def media_dup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_dedup(
         _synth_spans_df(spark, sf_dir), content_key=_key, min_docs=2
     )
+
+
+@register(
+    "autothrottle",
+    """
+    WITH m AS (
+      SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS host,
+             CAST(100 + (doc_id % 331) * 3 AS BIGINT) AS latency_ms,
+             (doc_id % 17) <> 0 AS ok
+      FROM documents
+    ),
+    a AS (
+      SELECT host,
+             CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+             CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_bad,
+             CAST(sum(CASE WHEN ok THEN latency_ms ELSE 0 END) AS BIGINT) AS lat_sum
+      FROM m GROUP BY host
+    ),
+    p AS (
+      SELECT DISTINCT 'h' || CAST(doc_id % 23 AS VARCHAR) AS host,
+             CAST(200 + ((doc_id % 23) % 5) * 100 AS BIGINT) AS delay_ms
+      FROM documents WHERE (doc_id % 23) % 2 = 0
+    ),
+    j AS (
+      SELECT COALESCE(a.host, p.host) AS host,
+             COALESCE(n_ok, 0) AS n_ok, COALESCE(n_bad, 0) AS n_bad,
+             lat_sum, COALESCE(p.delay_ms, 1000) AS prev_d
+      FROM a FULL OUTER JOIN p ON a.host = p.host
+    ),
+    c AS (
+      SELECT host, n_ok, n_bad,
+             CASE WHEN n_ok > 0 THEN CAST(lat_sum // n_ok AS BIGINT) END AS avg_ok_ms,
+             prev_d,
+             CASE WHEN n_ok > 0
+                  THEN (prev_d + (lat_sum // n_ok) // 2) // 2 END AS cand
+      FROM j
+    )
+    SELECT host, n_ok, n_bad, avg_ok_ms,
+           CAST(least(greatest(
+             CASE WHEN n_ok = 0 THEN prev_d
+                  WHEN n_bad > 0 THEN greatest(cand, prev_d)
+                  ELSE cand END, 150), 600) AS BIGINT) AS new_delay_ms
+    FROM c
+    """,
+)
+def autothrottle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scrapy-AutoThrottle cycle update (operators/ordering.py::
+    autothrottle_update — the adaptive politeness mechanism the
+    reference inherits from scrapy's AUTOTHROTTLE_* config): per-host
+    fetch latencies + previous delays → next-cycle delay table, errors
+    never decreasing a delay, clamp [150, 600] ms exercising both
+    bounds.  23 derived hosts, even ones carrying a previous delay."""
+    from news_please_spark.operators.ordering import autothrottle_update
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    hn = (F.col("doc_id") % 23).cast("string")
+    metrics = docs.select(
+        F.concat(F.lit("h"), hn).alias("host"),
+        (100 + (F.col("doc_id") % 331) * 3).cast("long").alias("latency_ms"),
+        (F.col("doc_id") % 17 != 0).alias("ok"),
+    )
+    prev = (
+        docs.filter((F.col("doc_id") % 23) % 2 == 0)
+        .select(
+            F.concat(F.lit("h"), hn).alias("host"),
+            (200 + ((F.col("doc_id") % 23) % 5) * 100)
+            .cast("long")
+            .alias("delay_ms"),
+        )
+        .distinct()
+    )
+    return autothrottle_update(
+        metrics,
+        prev,
+        target_concurrency=2,
+        start_delay_ms=1000,
+        min_delay_ms=150,
+        max_delay_ms=600,
+    )
+
+
+@register(
+    "ccnet_buckets",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)), i ->
+             {'w1': toks[i], 'w2': toks[i+1]}), recursive := true)
+      FROM t WHERE len(toks) >= 2
+    ),
+    cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2 FROM bg GROUP BY w1, w2),
+    cp AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM cb GROUP BY w1),
+    model AS (
+      SELECT cb.w1, cb.w2, (cb.n2 * 1000000) // cp.n1 AS pq
+      FROM cb JOIN cp ON cb.w1 = cp.w1
+    ),
+    sc AS (
+      SELECT b.doc_id, CAST(sum(m.pq) // count(*) AS BIGINT) AS score
+      FROM bg b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+      GROUP BY b.doc_id
+    ),
+    sl AS (
+      SELECT sc.doc_id, d.lang, sc.score
+      FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+    ),
+    h AS (SELECT lang, score, CAST(count(*) AS BIGINT) AS cnt FROM sl GROUP BY 1, 2),
+    cum AS (
+      SELECT lang, score,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY score
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY lang) AS n
+      FROM h
+    ),
+    th AS (
+      SELECT lang,
+             CAST(min(CASE WHEN cum >= (n*33 + 99)//100 THEN score END) AS BIGINT) AS p33,
+             CAST(min(CASE WHEN cum >= (n*66 + 99)//100 THEN score END) AS BIGINT) AS p66
+      FROM cum GROUP BY lang
+    )
+    SELECT sl.doc_id, sl.lang, sl.score,
+           CASE WHEN sl.score > th.p66 THEN 'head'
+                WHEN sl.score > th.p33 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sl JOIN th USING (lang)
+    """,
+)
+def ccnet_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (operators/quality.py
+    ::ccnet_buckets): bigram-LM scores split into PER-LANGUAGE terciles
+    via the exact histogram-rank percentiles — the language-aware
+    quality partition CCNet feeds to its filtered crawl.  Threshold
+    table is one row per language (broadcast); scoring joins only on
+    bigram keys."""
+    from news_please_spark.operators.quality import ccnet_buckets
+
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "lang", "text"), spark
+    )
+    return ccnet_buckets(docs)
