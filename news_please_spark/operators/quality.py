@@ -213,6 +213,10 @@ def ccnet_buckets(
     scored = scores.join(
         docs.select(F.col(id_col), F.col(group_col)), on=id_col, how="inner"
     )
+    # two consumers (threshold derivation + the bucket join) would
+    # otherwise each re-evaluate the whole bigram-model subtree — lazy
+    # persist, so the cost lands once, inside the first action
+    scored = scored.persist()
     th = group_quantiles(scored, group_col, "score", [33, 66]).select(
         group_col, "p33", "p66"
     )
