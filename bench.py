@@ -60,6 +60,7 @@ HEADLINE = [
     "budget_allocate",
     "host_shards",
     "recrawl_schedule",
+    "sitemap_stale",
     "fetch_schedule",
     "autothrottle",
     "dedup_exact",
@@ -90,6 +91,7 @@ HEADLINE = [
     "token_budget",
     "dataset_split",
     "priority_sample",
+    "stratified_sample",
     "length_buckets",
     "quality_topfrac",
     "pack_sequences",

@@ -124,3 +124,42 @@ def host_suffixes(host: Column, min_labels: int = 2) -> Column:
             lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."),
         ),
     ).otherwise(F.array(host))
+
+
+# query-parameter names that identify a CLICK, not a resource — the
+# standard strip set for URL dedup keying (utm_* by prefix + the
+# platform click ids). Values are irrelevant; matching is on the name.
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid|ref)$"
+)
+
+
+def canonical_url_with_query(url: Column) -> Column:
+    """Dedup keying for parameterized URLs: scheme + canonical host +
+    path + the query REBUILT with tracking parameters dropped and the
+    survivors sorted by full `name=value` text (URL dedup must not
+    depend on parameter order — /a?x=1&y=2 and /a?y=2&x=1 are one
+    resource).  Fragments never reach the server and are dropped.
+    `canonical_url` (D4) keys path-only; this is the variant for sites
+    that genuinely address content through the query string.
+
+    Pure native Columns (split / filter / array_sort / array_join) —
+    rides the scan, zero shuffle, whole-stage codegen."""
+    base = F.regexp_replace(url, r"#.*$", "")
+    q = url_query(base)
+    kept = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda kv: (kv != "")
+            & ~F.element_at(F.split(kv, "="), 1).rlike(TRACKING_PARAM_RE),
+        )
+    )
+    return F.concat(
+        F.regexp_extract(base, r"^([a-z][a-z0-9+.-]*)://", 1),
+        F.lit("://"),
+        canonical_host(base),
+        url_path(base),
+        F.when(F.size(kept) == 0, F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.array_join(kept, "&"))
+        ),
+    )

@@ -78,3 +78,63 @@ def recrawl_schedule(
         interval.cast("long").alias("interval_us"),
         (F.col("_last") + interval).cast("long").alias("next_due_us"),
     )
+
+
+def sitemap_stale(
+    sitemap: DataFrame,
+    fetch_log: DataFrame | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Sitemap-lastmod-driven refetch seeding: which sitemap URLs does
+    the crawl store need to (re)fetch?  The reference expands sitemaps
+    into a flat fetch list every daemon cycle (sources/sitemap.py);
+    a continuous crawler instead diffs the sitemap's ``lastmod_us``
+    against the store's last successful fetch and refetches only what
+    moved — on news sitemaps (which carry lastmod near-universally)
+    this cuts daemon-cycle fetch volume by the site's non-change rate.
+
+        reason = 'new'    url absent from the fetch log
+                 'stale'  lastmod_us > fetched_us
+                 'nolastmod'  sitemap carries no lastmod — refetch
+                              conservatively (can't prove freshness)
+        fresh URLs (lastmod_us <= fetched_us) are dropped.
+
+    Epoch-microsecond integers end-to-end.  Scale shape: one per-URL
+    equi-join (both sides URL grain, unhinted — AQE routes), no window,
+    no broadcast assumption; output cardinality = changed ∪ new, which
+    on a steady-state news crawl is a sliver of the sitemap.
+
+    ``sitemap`` columns: (url, lastmod_us nullable); ``fetch_log``:
+    (url, fetched_us).  A NULL fetch_log (bootstrap crawl) marks every
+    URL 'new' or 'nolastmod' respectively."""
+    s = sitemap.select(
+        F.col(url_col), F.col("lastmod_us").cast("long").alias("_lm")
+    )
+    if fetch_log is None:
+        return s.select(
+            url_col,
+            F.col("_lm").alias("lastmod_us"),
+            F.lit(None).cast("long").alias("fetched_us"),
+            F.when(F.col("_lm").isNull(), F.lit("nolastmod"))
+            .otherwise(F.lit("new"))
+            .alias("reason"),
+        )
+    fl = fetch_log.select(
+        F.col(url_col), F.col("fetched_us").cast("long").alias("_f")
+    )
+    j = s.join(fl, on=url_col, how="left")
+    reason = (
+        F.when(F.col("_f").isNull(), F.lit("new"))
+        .when(F.col("_lm").isNull(), F.lit("nolastmod"))
+        .when(F.col("_lm") > F.col("_f"), F.lit("stale"))
+    )
+    return (
+        j.withColumn("reason", reason)
+        .filter(F.col("reason").isNotNull())
+        .select(
+            url_col,
+            F.col("_lm").alias("lastmod_us"),
+            F.col("_f").alias("fetched_us"),
+            "reason",
+        )
+    )

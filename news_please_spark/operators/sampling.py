@@ -728,3 +728,76 @@ def plan_token_budget(
     return spark.range(1).select(
         F.explode(F.array(*rows)).alias("r")
     ).select("r.*")
+
+
+def priority_sample_per_group(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Stratified priority sampling: an independent weight-proportional
+    k-sample WITHOUT replacement inside every group (source, language,
+    domain) — the mixture-aware form of `priority_sample`, for building
+    a training subset that keeps per-source representation while still
+    favoring high-weight documents inside each source.
+
+    Same integer-exact estimator (Duffield, Lund & Thorup 2007):
+    q = (w << 32) DIV u with u the md5-derived uniform draw; per group
+    keep the k highest priorities and estimate each kept row's weight
+    as max(w, tau_g) where tau_g is that group's (k+1)-th priority
+    (0 when the group has ≤ k rows — every row kept, weights exact).
+
+    Plan shape: the priority is a map-side Column; per-group (k+1)
+    selection goes through `ordering.mark_top_k_per_key` with salting,
+    so no task ever sorts a whole skewed group — any single task is
+    bounded at ~|group|/salt_buckets rows, and the final per-group rank
+    window sees ≤ k+1 rows per group.  Corpus rows that lose inside a
+    salt bucket never reach phase 2.
+
+    Returns (group, id, w, priority, rk, w_est), rk 1-based within the
+    group; NULL/non-positive weights clamp to 1 as in priority_sample.
+    """
+    from news_please_spark.operators.ordering import mark_top_k_per_key
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    )
+    w = F.greatest(F.coalesce(F.col(weight_col).cast("long"), F.lit(1)), F.lit(1))
+    base = (
+        df.select(F.col(group_col), F.col(id_col), w.alias("w"), u.alias("_u"))
+        .withColumn("priority", F.expr(f"w * {1 << 32}L DIV _u"))
+        .withColumn("_negq", -F.col("priority"))
+    )
+    marked = mark_top_k_per_key(
+        base, group_col, ["_negq", id_col], k + 1,
+        salt_buckets=salt_buckets, salt_on=id_col,
+    )
+    survivors = marked.filter(F.col("_topk"))
+    wg = Window.partitionBy(group_col).orderBy(
+        F.col("priority").desc(), F.col(id_col).asc()
+    )
+    whole = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = survivors.withColumn("rk", F.row_number().over(wg).cast("long"))
+    ranked = ranked.withColumn(
+        "_tau",
+        F.max(
+            F.when(F.col("rk") == k + 1, F.col("priority")).otherwise(F.lit(0))
+        ).over(whole),
+    )
+    return ranked.filter(F.col("rk") <= k).select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col("w"),
+        F.col("priority"),
+        F.col("rk"),
+        F.greatest(F.col("w"), F.col("_tau")).cast("long").alias("w_est"),
+    )

@@ -4984,3 +4984,92 @@ def ccnet_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents").select("doc_id", "lang", "text"), spark
     )
     return ccnet_buckets(docs)
+
+
+@register(
+    "stratified_sample",
+    r"""
+    WITH b AS (
+      SELECT source, doc_id,
+             greatest(COALESCE(CAST(n_chars AS BIGINT), 1), 1) AS w,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1 AS u
+      FROM documents
+    ),
+    p AS (SELECT source, doc_id, w, (w * 4294967296) // u AS priority FROM b),
+    top AS (
+      SELECT source, doc_id, w, priority,
+             CAST(row_number() OVER (
+                    PARTITION BY source ORDER BY priority DESC, doc_id ASC
+                  ) AS BIGINT) AS rk
+      FROM p QUALIFY rk <= 21
+    ),
+    tau AS (
+      SELECT source, CASE WHEN count(*) = 21 THEN min(priority) ELSE 0 END AS tau
+      FROM top GROUP BY source
+    )
+    SELECT t.source, t.doc_id, t.w, t.priority, t.rk,
+           CAST(greatest(t.w, tau.tau) AS BIGINT) AS w_est
+    FROM top t JOIN tau USING (source) WHERE rk <= 20
+    """,
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified priority sampling (operators/sampling.py::
+    priority_sample_per_group): an independent Duffield-Lund-Thorup
+    k=20 weight-proportional sample per source, with per-group
+    Horvitz-Thompson weight estimates — per-group (k+1) selection runs
+    through the salted top-k path, so no task ever sorts a whole
+    source."""
+    from news_please_spark.operators.sampling import priority_sample_per_group
+
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return priority_sample_per_group(docs, "n_chars", 20, "source")
+
+
+@register(
+    "sitemap_stale",
+    """
+    WITH s AS (
+      SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+             CASE WHEN doc_id % 11 = 0 THEN NULL
+                  ELSE 1700000000000000 + doc_id * 1000000 END AS lastmod_us
+      FROM documents
+    ),
+    f AS (
+      SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+             CAST(1700000000000000 + (doc_id - (doc_id % 5) + 2) * 1000000
+                  AS BIGINT) AS fetched_us
+      FROM documents WHERE doc_id % 3 <> 2
+    ),
+    j AS (
+      SELECT s.url, CAST(s.lastmod_us AS BIGINT) AS lastmod_us, f.fetched_us,
+             CASE WHEN f.fetched_us IS NULL THEN 'new'
+                  WHEN s.lastmod_us IS NULL THEN 'nolastmod'
+                  WHEN s.lastmod_us > f.fetched_us THEN 'stale' END AS reason
+      FROM s LEFT JOIN f ON s.url = f.url
+    )
+    SELECT url, lastmod_us, fetched_us, reason FROM j WHERE reason IS NOT NULL
+    """,
+)
+def sitemap_stale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-lastmod refetch seeding (operators/recrawl.py::
+    sitemap_stale): sitemap entries diffed against the store's fetch
+    log — new / stale / no-lastmod URLs survive, provably-fresh ones
+    drop.  Derived mix: a third of URLs never fetched, lastmod NULL on
+    every 11th, staleness decided by exact epoch-microsecond compare."""
+    from news_please_spark.operators.recrawl import sitemap_stale
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    base = F.lit(1700000000000000)
+    sitemap = docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.when(
+            F.col("doc_id") % 11 != 0, base + F.col("doc_id") * 1000000
+        ).cast("long").alias("lastmod_us"),
+    )
+    fetch_log = docs.filter(F.col("doc_id") % 3 != 2).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        (base + (F.col("doc_id") - (F.col("doc_id") % 5) + 2) * 1000000)
+        .cast("long")
+        .alias("fetched_us"),
+    )
+    return sitemap_stale(sitemap, fetch_log)
