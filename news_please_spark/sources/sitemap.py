@@ -17,24 +17,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Above this many open/visited sitemap URLs, stop broadcasting and let the
+# join shuffle: 2M rows of sitemap-index-grain strings is ~150 MB serialized,
+# the ceiling of a comfortable broadcast. Real sitemap trees are far below
+# this (a large site has 10^3-10^5 sitemap FILES even at 10^8 leaf entries).
+_BROADCAST_MAX_SITEMAPS = 2_000_000
+
+
 def expand_sitemaps(
     sitemaps: DataFrame, roots: list[str], max_depth: int = 16
 ) -> DataFrame:
     """Returns (url, depth, order_key) for every leaf URL reachable from
-    the root sitemaps; order_key is lexicographic-by-level."""
+    the root sitemaps; order_key is lexicographic-by-level.
+
+    Scale shape: the per-level join is statistics-routed — the frontier
+    and visited sets are sitemap-index grain (orders of magnitude below
+    leaf-entry grain) and the loop holds their exact counts driver-side,
+    so while they fit they are broadcast and every level is a map-side
+    join against the big ENTRIES table (zero shuffles of it, scan stays
+    in place); past the ceiling the joins fall back to shuffles."""
     spark = sitemaps.sparkSession
     frontier = spark.createDataFrame(
         [(u, 0, str(i).zfill(6)) for i, u in enumerate(sorted(roots))],
         "sitemap_url string, depth int, okey string",
     )
     visited = frontier.select("sitemap_url")
+    visited_n = len(roots)
     leaves = None
     depth = 0
     pending = len(roots)
     while depth < max_depth:
         if pending == 0:
             break
-        joined = frontier.join(sitemaps, "sitemap_url").select(
+        build = (
+            F.broadcast(frontier)
+            if pending <= _BROADCAST_MAX_SITEMAPS
+            else frontier
+        )
+        joined = build.join(sitemaps, "sitemap_url").select(
             "entry_url",
             "is_sitemap",
             (F.col("depth") + 1).alias("depth"),
@@ -52,7 +72,13 @@ def expand_sitemaps(
             .groupBy("sitemap_url")
             .agg(F.min(F.struct("depth", "okey")).alias("m"))  # BFS: level first
             .select("sitemap_url", F.col("m.depth").alias("depth"), F.col("m.okey").alias("okey"))
-            .join(visited, "sitemap_url", "left_anti")
+            .join(
+                F.broadcast(visited)
+                if visited_n <= _BROADCAST_MAX_SITEMAPS
+                else visited,
+                "sitemap_url",
+                "left_anti",
+            )
         )
         frontier = nested.localCheckpoint(eager=True)
         # count on the just-checkpointed blocks is near-free and replaces
@@ -65,6 +91,7 @@ def expand_sitemaps(
         # union node per level over materialized leaves — no
         # exponential plan growth, and one fewer eager job per level
         visited = visited.unionByName(frontier.select("sitemap_url"))
+        visited_n += pending
         depth += 1
     if leaves is None:
         return spark.createDataFrame([], "url string, depth int, order_key string")
