@@ -63,6 +63,7 @@ HEADLINE = [
     "sitemap_stale",
     "fetch_schedule",
     "autothrottle",
+    "url_dedup_key",
     "dedup_exact",
     "fingerprint",
     "minhash_signatures",

@@ -5073,3 +5073,88 @@ def sitemap_stale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fetched_us"),
     )
     return sitemap_stale(sitemap, fetch_log)
+
+
+@register(
+    "url_dedup_key",
+    r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || CASE WHEN doc_id % 6 = 0 THEN 'www.' ELSE '' END ||
+             'ex' || CAST((doc_id // 6) % 7 AS VARCHAR) || '.test/a/' ||
+             CAST(doc_id // 6 AS VARCHAR) ||
+             CASE doc_id % 6
+               WHEN 0 THEN '?x=1&y=2'
+               WHEN 1 THEN '?utm_source=feed&y=2&x=1'
+               WHEN 2 THEN '?x=1&y=2#frag'
+               WHEN 3 THEN '?fbclid=f' || CAST(doc_id AS VARCHAR) || '&x=1&y=2'
+               WHEN 4 THEN ''
+               ELSE '?ref=tw&gclid=g' || CAST(doc_id AS VARCHAR)
+             END AS url
+      FROM documents
+    ),
+    k AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS base FROM u),
+    q AS (
+      SELECT doc_id, url, base,
+             list_sort(list_filter(
+               string_split(regexp_extract(base, '\?([^#]*)', 1), '&'),
+               kv -> kv <> '' AND NOT regexp_matches(
+                 string_split(kv, '=')[1],
+                 '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid|ref)$')
+             )) AS kept
+      FROM k
+    )
+    SELECT doc_id, url,
+           regexp_extract(base, '^([a-z][a-z0-9+.-]*)://', 1) || '://' ||
+           regexp_replace(lower(regexp_extract(base, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') ||
+           COALESCE(NULLIF(regexp_extract(base, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1), ''), '/') ||
+           CASE WHEN len(kept) = 0 THEN '' ELSE '?' || array_to_string(kept, '&') END
+             AS dedup_key
+    FROM q
+    """,
+)
+def url_dedup_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-aware URL dedup keying (functions/urls.py::
+    canonical_url_with_query): tracking parameters (utm_*, fbclid,
+    gclid, ...) stripped, survivors order-normalized, fragment and
+    www. dropped — the keying for sites that genuinely address content
+    through the query string. The derived mix makes 6 surface variants
+    per page: variants 0-3 (param-order swap, utm/fbclid noise,
+    fragment) collapse to one key, variants 4-5 (no query /
+    all-tracking query) to another. Pure native Columns — rides the
+    scan, zero shuffle."""
+    from news_please_spark.functions.urls import canonical_url_with_query
+
+    pid = F.expr("doc_id DIV 6")
+    tail = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("?x=1&y=2"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("?utm_source=feed&y=2&x=1"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("?x=1&y=2#frag"))
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(
+                F.lit("?fbclid=f"),
+                F.col("doc_id").cast("string"),
+                F.lit("&x=1&y=2"),
+            ),
+        )
+        .when(F.col("doc_id") % 6 == 4, F.lit(""))
+        .otherwise(
+            F.concat(
+                F.lit("?ref=tw&gclid=g"), F.col("doc_id").cast("string")
+            )
+        )
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("ex"),
+        (pid % 7).cast("string"),
+        F.lit(".test/a/"),
+        pid.cast("string"),
+        tail,
+    )
+    u = load(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id", "url", canonical_url_with_query(F.col("url")).alias("dedup_key")
+    )

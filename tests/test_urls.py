@@ -64,3 +64,32 @@ def test_redirect_canonical_keying(spark):
         ).collect()
     ]
     assert vals == ["https://a.com/x", "https://b.com/orig"]
+
+
+def test_canonical_url_with_query(spark):
+    from news_please_spark.functions.urls import canonical_url_with_query
+
+    cases = [
+        # tracking stripped, survivors sorted by kv text
+        ("https://a.com/p?utm_source=x&b=2&a=1", "https://a.com/p?a=1&b=2"),
+        # order-insensitive: same key as above
+        ("https://a.com/p?b=2&a=1", "https://a.com/p?a=1&b=2"),
+        # fragment dropped
+        ("https://a.com/p?a=1#sec", "https://a.com/p?a=1"),
+        # all-tracking query -> no '?'
+        ("https://a.com/p?utm_medium=m&fbclid=f1&gclid=g&ref=tw", "https://a.com/p"),
+        # no query, www + case canonicalized, path kept verbatim
+        ("https://WWW.A.com/P/Q", "https://a.com/P/Q"),
+        # bare host -> '/' path
+        ("https://b.com?x=1", "https://b.com/?x=1"),
+        # valueless parameter survives as its name
+        ("https://a.com/p?flag&z=1", "https://a.com/p?flag&z=1"),
+        # utm-PREFIXED only: 'utmost' is not a tracking param
+        ("https://a.com/p?utmost=1", "https://a.com/p?utmost=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r[0]
+        for r in df.select(canonical_url_with_query(F.col("url"))).collect()
+    ]
+    assert got == [want for _, want in cases]
