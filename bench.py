@@ -100,6 +100,7 @@ HEADLINE = [
     "interleaved_pack",
     "repetition_scores",
     "corpus_dup_ngrams",
+    "winnow_fingerprint",
     "jaccard_verify",
     "incremental_near_dups",
     "cdc_lsh_index",

@@ -123,6 +123,63 @@ def rolling_fingerprints(text: Column, window_tokens: int = 32, stride: int = 16
     return rolling_fingerprints_of(tokens(text), window_tokens, stride)
 
 
+def kgram_hashes_of(t: Column, k: int = 5) -> Column:
+    """md5 per k-token shingle at EVERY position of an already-
+    materialized token array (empty array when the doc is shorter than
+    k tokens — the guard matters because sequence(0, n-k) DESCENDS when
+    n < k). One md5 per gram, computed once; winnow_selections_of then
+    only compares/indexes, never re-hashes."""
+    return F.when(
+        F.size(t) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - k),
+            lambda i: F.md5(F.array_join(F.slice(t, i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def winnow_selections_of(grams: Column, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 §4) over an ALREADY-MATERIALIZED k-gram hash array: in
+    every window of w consecutive gram hashes keep the minimum, ties
+    broken by RIGHTMOST position — the robust-winnowing rule that
+    guarantees any match of length >= w + k - 1 tokens shares a selected
+    fingerprint, at expected density 2/(w+1). Docs with fewer than w
+    grams get one window over all their grams. Returns
+    array<struct<pos:int, fp:string>> (positions 0-based, duplicates
+    across overlapping windows NOT yet removed — array_distinct or a
+    downstream DISTINCT does that).
+
+    The fold's zero is ("g", -1): every md5 hex digest is < "g"
+    lexicographically, so the first gram always replaces it — this
+    avoids seeding from element j, whose "iterate from j+1" sequence
+    would DESCEND on single-gram windows. Cost O(g * w) comparisons per
+    doc with w constant; the md5s were paid once in kgram_hashes_of."""
+    ng = F.size(grams)
+    n_win = F.greatest(ng - w + 1, F.lit(1))
+    sel = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda j: F.aggregate(
+            F.sequence(j, F.least(j + w - 1, ng - 1)),
+            F.struct(
+                F.lit("g").alias("fp"), F.lit(-1).cast("int").alias("pos")
+            ),
+            lambda acc, i: F.when(
+                F.element_at(grams, i + 1) <= acc["fp"],
+                F.struct(
+                    F.element_at(grams, i + 1).alias("fp"),
+                    i.cast("int").alias("pos"),
+                ),
+            ).otherwise(acc),
+        ),
+    )
+    # gramless docs (shorter than k tokens) select nothing; without the
+    # guard the single default window would element_at an empty array
+    return F.when(ng > 0, sel).otherwise(
+        F.array().cast("array<struct<fp:string,pos:int>>")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hashed-linear quality classifier (fastText-style inference as a scan)
 

@@ -2336,6 +2336,67 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("win").cast("int").alias("win"), "fp")
 
 
+@register(
+    "winnow_fingerprint",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(0, len(toks) - 5 + 1),
+               i -> md5(array_to_string(list_slice(toks, i + 1, i + 5), ' '))) AS grams
+      FROM t WHERE len(toks) >= 5
+    ),
+    w AS (
+      SELECT doc_id, grams, len(grams) AS ng,
+             unnest(range(0, greatest(len(grams) - 4 + 1, 1))) AS j
+      FROM g
+    ),
+    ws AS (
+      SELECT doc_id, j,
+             list_slice(grams, j + 1, least(j + 4, ng)) AS sl
+      FROM w
+    )
+    SELECT DISTINCT doc_id,
+           CAST(j + len(sl)
+                - list_indexof(list_reverse(sl), list_min(sl)) AS INT) AS pos,
+           list_min(sl) AS fp
+    FROM ws
+    """,
+)
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): md5 per 5-token shingle, window-min over every 4
+    consecutive grams with rightmost tie-break — position-robust local
+    fingerprints (any shared run of >= 8 tokens shares a fingerprint,
+    density 2/(w+1)) vs rolling_fingerprint's fixed-stride sampling,
+    which a one-token insertion desynchronizes. No algorithmic shuffle
+    (the plan's only Exchange is spread()'s round-robin fan-out of the
+    per-row-heavy fold): grams hashed once per doc as a projected
+    column, selection is an O(g*w) array fold, per-doc dedup via
+    array_distinct (no global DISTINCT exchange needed — rows from
+    different docs can't collide)."""
+    from news_please_spark.functions.text import (
+        kgram_hashes_of,
+        tokens,
+        winnow_selections_of,
+    )
+
+    g = (
+        spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+        .select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .select("doc_id", kgram_hashes_of(F.col("_toks"), 5).alias("grams"))
+        .where(F.size("grams") > 0)
+    )
+    return g.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(winnow_selections_of(F.col("grams"), 4))
+        ).alias("_s"),
+    ).select("doc_id", F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp"))
+
+
 # ---------------------------------------------------------------------------
 @register(
     "pq_adc_topk",

@@ -161,3 +161,91 @@ def test_script_profile_zero_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_winnow_matches_python_reference(spark):
+    """Pin winnowing (k-gram md5, window-min, RIGHTMOST tie-break) to a
+    pure-Python reference, covering: docs shorter than k (no output),
+    fewer grams than w (single all-gram window), exact-boundary sizes,
+    and repeated tokens that force hash ties inside one window."""
+    import hashlib
+
+    from news_please_spark.functions.text import (
+        kgram_hashes_of,
+        tokens,
+        winnow_selections_of,
+    )
+
+    K, W = 3, 4
+
+    def py_winnow(text):
+        toks = text.strip().split()
+        grams = [
+            hashlib.md5(" ".join(toks[i : i + K]).encode()).hexdigest()
+            for i in range(len(toks) - K + 1)
+        ]
+        if not grams:
+            return set()
+        out = set()
+        for j in range(max(len(grams) - W + 1, 1)):
+            win = grams[j : j + W]
+            m = min(win)
+            # rightmost occurrence of the min
+            pos = j + len(win) - 1 - win[::-1].index(m)
+            out.add((pos, m))
+        return out
+
+    docs = [
+        ("short", "a b"),                        # < k tokens: no grams
+        ("exact_k", "a b c"),                    # one gram, one window
+        ("under_w", "a b c d e"),                # 3 grams < w: one window
+        ("boundary", "a b c d e f"),             # exactly w grams
+        ("ties", "x x x x x x x x"),             # identical grams: rightmost wins
+        ("mixed", "p q r s p q r s t u v"),      # repeats across windows
+        ("longer", " ".join(f"t{i % 7}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(docs, "id string, text string")
+    got = {
+        r.id: {(s.pos, s.fp) for s in r.sel}
+        for r in df.select(
+            "id", tokens(F.col("text")).alias("_t")
+        )
+        .select("id", kgram_hashes_of(F.col("_t"), K).alias("_g"))
+        .select(
+            "id",
+            F.array_distinct(winnow_selections_of(F.col("_g"), W)).alias("sel"),
+        )
+        .collect()
+    }
+    for doc_id, text in docs:
+        assert got[doc_id] == py_winnow(text), doc_id
+
+
+def test_winnow_survives_single_token_insertion(spark):
+    """The property winnowing buys over fixed-stride sampling: a one-
+    token insertion near the front still leaves shared fingerprints for
+    the long common run (guarantee: any shared run of >= w+k-1 tokens
+    shares at least one selected fingerprint)."""
+    from news_please_spark.functions.text import (
+        kgram_hashes_of,
+        tokens,
+        winnow_selections_of,
+    )
+
+    base = " ".join(f"w{i}" for i in range(60))
+    shifted = "INS " + base
+    df = spark.createDataFrame(
+        [("a", base), ("b", shifted)], "id string, text string"
+    )
+    rows = {
+        r.id: {s.fp for s in r.sel}
+        for r in df.select("id", tokens(F.col("text")).alias("_t"))
+        .select("id", kgram_hashes_of(F.col("_t"), 5).alias("_g"))
+        .select(
+            "id",
+            F.array_distinct(winnow_selections_of(F.col("_g"), 4)).alias("sel"),
+        )
+        .collect()
+    }
+    shared = rows["a"] & rows["b"]
+    assert len(shared) >= 10, f"expected many shared fingerprints, got {len(shared)}"
