@@ -64,6 +64,7 @@ HEADLINE = [
     "fetch_schedule",
     "autothrottle",
     "url_dedup_key",
+    "surt_key",
     "dedup_exact",
     "fingerprint",
     "minhash_signatures",

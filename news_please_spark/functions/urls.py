@@ -163,3 +163,41 @@ def canonical_url_with_query(url: Column) -> Column:
             F.concat(F.lit("?"), F.array_join(kept, "&"))
         ),
     )
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URL Reordering Transform) key — the canonical
+    keying of web-archive CDX indexes (OpenWayback SURT spec; the
+    CommonCrawl URL index news archives are queried by):
+    'HTTP://WWW.News.Example.com:80/Art/7?b=2&a=1#x' →
+    'com,example,news)/art/7?a=1&b=2'. Rules applied, in order:
+    lowercase everything; drop the fragment; drop the scheme; strip one
+    leading 'www.'; drop default ports 80/443 (any other port is kept
+    after the reversed host, 'com,example:8080)'); reverse the host
+    labels joined by commas; ')' then the path ('/' when absent); query
+    parameters sorted bytewise, empty pairs dropped. Same host+content
+    URLs sort adjacently, which is what makes range scans over a
+    10^10-row frontier/index table cluster by site — pair with
+    zorder_cluster or a sort-ordered write. Pure native Columns, rides
+    the scan."""
+    u = F.lower(F.regexp_replace(url, r"#.*$", ""))
+    hostport = F.regexp_replace(
+        F.regexp_extract(u, _HOST_RE, 1), r":(80|443)$", ""
+    )
+    name = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    port = F.regexp_extract(hostport, r"(:[0-9]+)$", 1)
+    rev = F.array_join(
+        F.reverse(F.split(F.regexp_replace(name, r"^www\.", ""), r"\.")), ","
+    )
+    kept = F.array_sort(
+        F.filter(F.split(url_query(u), "&"), lambda kv: kv != "")
+    )
+    return F.concat(
+        rev,
+        port,
+        F.lit(")"),
+        url_path(u),
+        F.when(F.size(kept) == 0, F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.array_join(kept, "&"))
+        ),
+    )

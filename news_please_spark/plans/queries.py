@@ -5219,3 +5219,96 @@ def url_dedup_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.select(
         "doc_id", "url", canonical_url_with_query(F.col("url")).alias("dedup_key")
     )
+
+
+@register(
+    "surt_key",
+    r"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST((doc_id // 5) % 7 AS VARCHAR) AS h,
+             CAST(doc_id // 5 AS VARCHAR) AS p
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'HTTP://WWW.News.Ex' || h || '.test/Art/' || p || '?b=2&a=1'
+               WHEN 1 THEN 'https://news.ex' || h || '.test:443/art/' || p
+               WHEN 2 THEN 'http://ex' || h || '.test:8080/art/' || p
+               WHEN 3 THEN 'https://m.news.ex' || h || '.test/art/' || p || '#frag'
+               ELSE 'http://ex' || h || '.test/art/' || p
+             END AS url
+      FROM b
+    ),
+    l AS (SELECT doc_id, url, regexp_replace(lower(url), '#.*$', '') AS lu FROM u),
+    hp AS (
+      SELECT *, regexp_replace(
+               regexp_extract(lu, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+               ':(80|443)$', '') AS hostport
+      FROM l
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             regexp_extract(hostport, '^([^:]*)', 1) AS name,
+             regexp_extract(hostport, '(:[0-9]+)$', 1) AS port,
+             COALESCE(NULLIF(regexp_extract(lu,
+               '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1), ''), '/') AS path,
+             list_sort(list_filter(
+               string_split(regexp_extract(lu, '\?([^#]*)', 1), '&'),
+               kv -> kv <> '')) AS kept
+      FROM hp
+    )
+    SELECT doc_id, url,
+           array_to_string(
+             list_reverse(string_split(regexp_replace(name, '^www\.', ''), '.')),
+             ',')
+           || port || ')' || path ||
+           CASE WHEN len(kept) = 0 THEN ''
+                ELSE '?' || array_to_string(kept, '&') END AS surt
+    FROM parts
+    """,
+)
+def surt_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT keying (functions/urls.py::surt_key) — the web-archive CDX
+    index canonical key ('com,example,news)/art/7?a=1&b=2'): reversed
+    lowercased host, www./default-port dropped, non-default port kept,
+    query sorted. The derived mix exercises every rule: mixed case +
+    www + unsorted query (variant 0), :443 dropped (1), :8080 kept
+    (2), deep subdomain reversal + fragment (3), bare (4). Keys for the
+    same site sort adjacently — the property that lets a sort-ordered
+    10^10-row index table answer per-site range scans without a
+    shuffle. Pure native Columns, rides the scan."""
+    from news_please_spark.functions.urls import surt_key
+
+    pid = F.expr("doc_id DIV 5")
+    h = (pid % 7).cast("string")
+    p = pid.cast("string")
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("HTTP://WWW.News.Ex"), h, F.lit(".test/Art/"), p,
+                F.lit("?b=2&a=1"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(F.lit("https://news.ex"), h, F.lit(".test:443/art/"), p),
+        )
+        .when(
+            v == 2,
+            F.concat(F.lit("http://ex"), h, F.lit(".test:8080/art/"), p),
+        )
+        .when(
+            v == 3,
+            F.concat(
+                F.lit("https://m.news.ex"), h, F.lit(".test/art/"), p,
+                F.lit("#frag"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("http://ex"), h, F.lit(".test/art/"), p))
+    )
+    u = load(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return u.select("doc_id", "url", surt_key(F.col("url")).alias("surt"))

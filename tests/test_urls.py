@@ -93,3 +93,53 @@ def test_canonical_url_with_query(spark):
         for r in df.select(canonical_url_with_query(F.col("url"))).collect()
     ]
     assert got == [want for _, want in cases]
+
+
+def test_surt_key_rules(spark):
+    """Every SURT rule against literal expected keys: lowercasing,
+    www-strip, host reversal, default-port drop, non-default-port keep,
+    fragment drop, query sort, empty-pair drop, missing path -> '/'."""
+    from news_please_spark.functions.urls import surt_key
+
+    cases = [
+        ("HTTP://WWW.News.Example.com:80/Art/7?b=2&a=1#x",
+         "com,example,news)/art/7?a=1&b=2"),
+        ("https://news.example.com:443/a", "com,example,news)/a"),
+        ("http://example.com:8080/a", "com,example:8080)/a"),
+        ("https://m.news.example.com/a#frag", "com,example,news,m)/a"),
+        ("http://example.com", "com,example)/"),
+        ("http://example.com/a?&&x=1&", "com,example)/a?x=1"),
+        ("http://example.com/a?", "com,example)/a"),
+    ]
+    df = spark.createDataFrame(
+        [(u,) for u, _ in cases], "url string"
+    ).select("url", surt_key(F.col("url")).alias("k"))
+    got = {r.url: r.k for r in df.collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_surt_keys_sort_site_adjacent(spark):
+    """The property SURT buys: one site's URLs (any subdomain/surface
+    form) are a contiguous run under the plain string sort order, so a
+    sort-ordered index table answers per-site range scans."""
+    from news_please_spark.functions.urls import surt_key
+
+    urls = [
+        "http://a.example.com/2",
+        "http://zoo.test/1",
+        "http://www.example.com/1",
+        "http://beta.test/9",
+        "http://example.com/3",
+        "http://b.example.com/0",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    ordered = [
+        r.k
+        for r in df.select(surt_key(F.col("url")).alias("k"))
+        .orderBy("k")
+        .collect()
+    ]
+    site_runs = ["".join("E" if k.startswith("com,example") else "o" for k in ordered)]
+    assert "EoE" not in site_runs[0], ordered  # no interleaving
+    assert site_runs[0].count("E") == 4
