@@ -123,6 +123,7 @@ HEADLINE = [
     "ivf_ann_topk",
     "pq_adc_topk",
     "ivfadc_topk",
+    "kmeans_clusters",
     "semantic_dedup",
     "extract_articles",
     "sitemap_expand",

@@ -5312,3 +5312,85 @@ def surt_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = load(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
     return u.select("doc_id", "url", surt_key(F.col("url")).alias("surt"))
+
+
+# ---------------------------------------------------------------------------
+# k-means codebook training (Lloyd, fixed rounds, integer-exact)
+def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64, scale: int = 1000) -> str:
+    """Unrolled Lloyd rounds as CTEs: cI = codebook entering round I,
+    aI = assignment under cI, mI = per-cluster integer means. Mirrors
+    operators/clustering.py::kmeans_assign exactly (same md5-rank
+    init, same strict-< / smallest-cluster tie rule, same
+    floor(sum/count) mean, same empty-cluster carry-over)."""
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (e.qv[i]-c.cv[i])*(e.qv[i]-c.cv[i])))"
+    )
+    parts = [
+        f"""
+    e AS (
+      SELECT vec_id AS vid,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(floor(x*{scale}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vid AS VARCHAR)), vid) - 1 AS cl,
+             qv AS cv
+      FROM (SELECT vid, qv FROM e
+            ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT {k})
+    )"""
+    ]
+    for it in range(iters + 1):
+        parts.append(f"""
+    a{it} AS (
+      SELECT vid, qv, cl, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d, cl) AS rk
+        FROM (SELECT e.vid, e.qv, c.cl, {dist} AS d
+              FROM e CROSS JOIN c{it} c))
+      WHERE rk = 1
+    )""")
+        if it == iters:
+            break
+        parts.append(f"""
+    m{it} AS (
+      SELECT cl, list_transform(generate_series(1, {dim}),
+        i -> CAST(floor(CAST(list_sum(list_transform(qvs, q -> q[i])) AS DOUBLE)
+                        / len(qvs)) AS BIGINT)) AS cv
+      FROM (SELECT cl, list(qv) AS qvs FROM a{it} GROUP BY cl)
+    ),
+    c{it + 1} AS (
+      SELECT c{it}.cl, COALESCE(m{it}.cv, c{it}.cv) AS cv
+      FROM c{it} LEFT JOIN m{it} ON c{it}.cl = m{it}.cl
+    )""")
+    return "WITH " + ",".join(parts)
+
+
+@register(
+    "kmeans_clusters",
+    _kmeans_ctes(k=8, iters=2)
+    + """
+    SELECT vid AS vec_id, CAST(cl AS INT) AS cluster, CAST(d AS BIGINT) AS dist_q
+    FROM a2
+    """,
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means, 2 rounds, k=8, over integer-quantized
+    embeddings (operators/clustering.py). The iterative codebook
+    trainer behind real IVF/PQ/SemDeDup deployments (Jégou et al. 2011
+    §III-A; Abbas et al. 2023 §3) — the repo's other quantizers use
+    single-shot md5-rank codebooks; this refines them. Integer
+    arithmetic end-to-end so both engines derive identical clusters:
+    quantized elements, exact squared-L2, floor(sum/count) means.
+    Scale: per round one zero-shuffle fold over the k·dim broadcast
+    codebook + one (cluster, dim)-keyed agg (k·dim cells, map-side
+    combinable); driver state is the codebook only."""
+    from news_please_spark.operators.clustering import kmeans_assign
+
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    out = kmeans_assign(e, k=8, iters=2)
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("dist_q").cast("long").alias("dist_q"),
+    )
