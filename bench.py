@@ -110,6 +110,7 @@ HEADLINE = [
     "dup_substring_spans",
     "strip_dup_substrings",
     "decontam_hits",
+    "contam_spans",
     "source_overlap",
     "pii_redact",
     "span_pii_redact",

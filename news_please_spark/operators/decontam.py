@@ -82,6 +82,60 @@ def decontaminate(
     return corpus.join(F.broadcast(hits), id_col, "left_anti")
 
 
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Contamination SPANS, not just per-doc hit counts: the
+    PaLM/GPT-3-style decontamination reports expand each matched
+    benchmark n-gram into the contiguous token range it covers and
+    merge runs of matches into one span — the unit a curation team
+    actually inspects (and the unit surgical span-removal operates
+    on, vs dropping whole documents).
+
+    Semantics: token position p (1-based) is a match when the doc's
+    n-gram starting at p appears anywhere in the benchmark gram set.
+    Two matches belong to the same span when their windows touch or
+    overlap (p2 − p1 ≤ n); each span reports
+    (span_start, span_end = last_match + n − 1, span_tokens, n_grams).
+    All-integer output — exact cross-engine.
+
+    Scale: benchmark grams broadcast (eval sets ARE small); the corpus
+    explodes positional gram hashes map-side and the broadcast
+    left-semi keeps only matched (doc, pos) rows — a sliver, and the
+    ONLY rows that shuffle (for the per-doc island window). The corpus
+    itself is never shuffled, same plan family as contamination()."""
+    bench_grams = F.broadcast(
+        _doc_grams(benchmark, text_col, id_col, n).select("_g").distinct()
+    )
+    matched = (
+        corpus.select(
+            F.col(id_col),
+            F.posexplode(ngrams(F.lower(F.col(text_col)), n)).alias(
+                "_p0", "_g"
+            ),
+        )
+        .select(id_col, (F.col("_p0") + 1).alias("pos"), F.md5("_g").alias("_g"))
+        .join(bench_grams, "_g", "left_semi")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = matched.withColumn(
+        "_brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0),
+    ).withColumn("_island", F.sum("_brk").over(w))
+    return isl.groupBy(id_col, "_island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (n - 1)).alias("span_end"),
+        (F.max("pos") - F.min("pos") + n).alias("span_tokens"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).drop("_island")
+
+
 # ---------------------------------------------------------------------------
 # cross-source contamination matrix
 

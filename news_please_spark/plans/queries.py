@@ -5394,3 +5394,77 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("int").alias("cluster"),
         F.col("dist_q").cast("long").alias("dist_q"),
     )
+
+
+@register(
+    "contam_spans",
+    rf"""
+    WITH nn AS (SELECT count(*) AS c FROM documents),
+    d AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    planted AS (
+      SELECT doc_id + (SELECT c FROM nn) AS doc_id,
+             string_split_regex(trim(lower(text || ' planted trailer')), '\s+') AS toks
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    bench AS (SELECT doc_id, {_G8} AS g8 FROM d WHERE doc_id % 13 = 0),
+    corpus AS (
+      SELECT doc_id, {_G8} AS g8 FROM d WHERE doc_id % 13 != 0
+      UNION ALL
+      SELECT doc_id, {_G8} AS g8 FROM planted
+    ),
+    cgp AS (
+      SELECT doc_id, unnest(generate_series(1, len(g8))) AS pos,
+             unnest(g8) AS gram
+      FROM corpus
+    ),
+    bg AS (SELECT DISTINCT gram FROM (SELECT unnest(list_distinct(g8)) AS gram FROM bench)),
+    m AS (SELECT doc_id, pos FROM cgp JOIN bg USING (gram)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM m
+    ),
+    ids AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM ids GROUP BY doc_id, island
+    """,
+)
+def contam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination span expansion (operators/decontam.py::
+    contamination_spans): matched benchmark 8-grams merged into
+    contiguous token spans per doc — the PaLM-style decontamination
+    report unit. Same derived world as decontam_hits (bench = every
+    13th doc + planted contaminated copies) so spans are non-trivial:
+    planted docs yield one long full-document span, natural overlaps
+    yield short islands. Only matched (doc, pos) rows — a sliver —
+    ever shuffle; benchmark grams broadcast."""
+    from news_please_spark.operators.decontam import contamination_spans
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    n = docs.count()
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    planted = bench.select(
+        (F.col("doc_id") + n).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" planted trailer")).alias("text"),
+    )
+    corpus = docs.filter(F.col("doc_id") % 13 != 0).unionByName(planted)
+    out = contamination_spans(corpus, bench, n=8)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+    )

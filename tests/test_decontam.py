@@ -170,3 +170,74 @@ def test_source_overlap_never_self_joins_corpus(spark):
     plan = source_overlap(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("SortMergeJoin") == 0
     assert plan.count("BroadcastHashJoin") == 2
+
+
+# ---------------------------------------------------------------------------
+# contamination span expansion
+
+
+def _py_spans(corpus_rows, bench_rows, n):
+    def grams(text):
+        toks = text.lower().split()
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    bench = {g for _, t in bench_rows for g in grams(t)}
+    out = set()
+    for did, t in corpus_rows:
+        pos = [i + 1 for i, g in enumerate(grams(t)) if g in bench]
+        if not pos:
+            continue
+        start = prev = pos[0]
+        cnt = 1
+        for p in pos[1:]:
+            if p - prev > n:
+                out.add((did, start, prev + n - 1, prev - start + n, cnt))
+                start, cnt = p, 0
+            prev = p
+            cnt += 1
+        out.add((did, start, prev + n - 1, prev - start + n, cnt))
+    return out
+
+
+def test_contamination_spans_matches_python(spark):
+    from news_please_spark.operators.decontam import contamination_spans
+
+    bench = [(100, "alpha beta gamma delta epsilon zeta")]
+    corpus = [
+        # two disjoint matches separated by > n tokens -> two spans
+        (1, "alpha beta gamma x1 x2 x3 x4 x5 alpha beta gamma y"),
+        # overlapping matches -> one merged span
+        (2, "q alpha beta gamma delta r s"),
+        # full containment of the bench text -> one long span
+        (3, "pre alpha beta gamma delta epsilon zeta post"),
+        # no overlap at all -> no rows
+        (4, "totally unrelated words only here nothing shared"),
+        # adjacent windows exactly n apart -> merged (touching)
+        (5, "alpha beta gamma a b c beta gamma delta"),
+    ]
+    n = 3
+    df_c = spark.createDataFrame(corpus, "doc_id long, text string")
+    df_b = spark.createDataFrame(bench, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_grams)
+        for r in contamination_spans(df_c, df_b, n=n).collect()
+    }
+    assert got == _py_spans(corpus, bench, n)
+    assert not any(d == 4 for d, *_ in got)
+
+
+def test_contamination_spans_plan_broadcasts_bench(spark):
+    from news_please_spark.operators.decontam import contamination_spans
+
+    df_c = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    df_b = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    plan = (
+        contamination_spans(df_c, df_b, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only join is the broadcast semi against bench grams; the
+    # corpus never sort-merge-joins
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
