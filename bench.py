@@ -65,6 +65,7 @@ HEADLINE = [
     "autothrottle",
     "url_dedup_key",
     "surt_key",
+    "cdx_revisit",
     "dedup_exact",
     "fingerprint",
     "minhash_signatures",

@@ -5468,3 +5468,73 @@ def contam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_tokens").cast("long").alias("span_tokens"),
         F.col("n_grams").cast("long").alias("n_grams"),
     )
+
+
+@register(
+    "cdx_revisit",
+    r"""
+    WITH caps AS (
+      SELECT doc_id, c.c AS capture,
+             'http://ex' || CAST(doc_id % 7 AS VARCHAR) || '.test/art/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             20240100000000 + doc_id*10 + c.c AS ts,
+             CASE doc_id % 3
+               WHEN 0 THEN 0
+               WHEN 1 THEN c.c
+               ELSE CASE WHEN c.c = 2 THEN 1 ELSE 0 END
+             END AS version
+      FROM documents, (SELECT unnest([0, 1, 2]) AS c) c
+    ),
+    d AS (
+      SELECT doc_id, capture, url, ts,
+             md5(url || '#v' || CAST(version AS VARCHAR)) AS digest,
+             'test,ex' || CAST(doc_id % 7 AS VARCHAR) || ')/art/'
+               || CAST(doc_id AS VARCHAR) AS urlkey
+      FROM caps
+    )
+    SELECT doc_id, CAST(capture AS INT) AS capture, urlkey,
+           CAST(ts AS BIGINT) AS ts, digest,
+           CAST(CASE WHEN row_number() OVER w > 1 THEN 1 ELSE 0 END AS INT) AS revisit,
+           CAST(min(ts) OVER w AS BIGINT) AS orig_ts
+    FROM d
+    WINDOW w AS (PARTITION BY urlkey, digest ORDER BY ts)
+    """,
+)
+def cdx_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index with revisit payload dedup
+    (operators/cdx.py::cdx_index): three captures per URL with three
+    payload-change classes — never changes (captures 1-2 become
+    revisits of capture 0), changes every capture (no revisits),
+    changes at the last capture (one revisit). revisit rank + orig_ts
+    via ONE window keyed (urlkey, digest) — fixed-width keys, no
+    payload bytes shuffle, no per-URL skew cell."""
+    from news_please_spark.operators.cdx import cdx_index
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"), spark)
+    cap = F.col("capture")
+    did = F.col("doc_id")
+    caps = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("capture")
+    )
+    url = F.concat(
+        F.lit("http://ex"), (did % 7).cast("string"), F.lit(".test/art/"),
+        did.cast("string"),
+    )
+    version = (
+        F.when(did % 3 == 0, F.lit(0))
+        .when(did % 3 == 1, cap)
+        .otherwise(F.when(cap == 2, F.lit(1)).otherwise(F.lit(0)))
+    )
+    d = caps.select(
+        "doc_id",
+        cap.cast("int").alias("capture"),
+        url.alias("url"),
+        (F.lit(20240100000000) + did * 10 + cap).cast("long").alias("ts"),
+        F.md5(F.concat(url, F.lit("#v"), version.cast("string"))).alias("digest"),
+    )
+    out = cdx_index(d)
+    return out.select(
+        "doc_id", "capture", "urlkey", "ts", "digest",
+        F.col("revisit").cast("int").alias("revisit"),
+        F.col("orig_ts").cast("long").alias("orig_ts"),
+    )
