@@ -80,6 +80,7 @@ HEADLINE = [
     "length_quantiles",
     "token_totals",
     "corpus_report",
+    "ngram_diversity",
     "lang_id",
     "script_profile",
     "tfidf_top_terms",

@@ -67,3 +67,57 @@ def group_quantiles(
         for q in percents
     ]
     return hist.groupBy(group_col).agg(*aggs)
+
+
+def ngram_diversity(
+    df: DataFrame,
+    n: int = 2,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group lexical diversity of a corpus slice — the health
+    metric a curation team reads before weighting a source into a
+    training mixture (a templated/spun source shows low diversity long
+    before eyeballing finds it):
+
+      * ``slots``      total n-gram slots in the group
+      * ``types``      distinct n-grams
+      * ``ttr_bp``     type-token ratio in basis points
+        (types·10⁴ DIV slots)
+      * ``simpson_bp`` Simpson diversity 10⁴ − 10⁴·Σc(c−1) DIV T(T−1):
+        the probability (bp) that two random slots hold DIFFERENT
+        grams. Rational in the counts, so exact integer arithmetic
+        end-to-end (the terms.py lesson: no transcendentals inside an
+        oracle-gated score; Shannon entropy's log is the knife-edge
+        this metric family avoids at no analytical cost). A group
+        with a single slot reports 10⁴ (no pair to collide).
+
+    Scale: explode to (group, md5(gram)) counts — map-side combinable,
+    fixed-width keys, ONE data-sized shuffle; the per-group reduce is
+    |distinct grams| rows, never raw text."""
+    from news_please_spark.operators.repetition import ngrams
+
+    counts = (
+        df.select(
+            F.col(group_col),
+            F.explode(ngrams(F.lower(F.col(text_col)), n)).alias("_g"),
+        )
+        .select(group_col, F.md5("_g").alias("_g"))
+        .groupBy(group_col, "_g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = counts.groupBy(group_col).agg(
+        F.sum("c").alias("slots"),
+        F.count(F.lit(1)).alias("types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("_coll"),
+    )
+    t = F.col("slots")
+    return agg.select(
+        group_col,
+        t.alias("slots"),
+        F.col("types"),
+        F.expr("types * 10000 DIV slots").alias("ttr_bp"),
+        F.when(t > 1, 10000 - F.expr("_coll * 10000 DIV (slots * (slots - 1))"))
+        .otherwise(F.lit(10000).cast("long"))
+        .alias("simpson_bp"),
+    )

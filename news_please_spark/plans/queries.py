@@ -5538,3 +5538,50 @@ def cdx_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revisit").cast("int").alias("revisit"),
         F.col("orig_ts").cast("long").alias("orig_ts"),
     )
+
+
+@register(
+    "ngram_diversity",
+    r"""
+    WITH d AS (
+      SELECT source, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT source,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM d
+    ),
+    c AS (SELECT source, gram, count(*) AS c FROM g GROUP BY 1, 2),
+    a AS (
+      SELECT source, sum(c) AS slots, count(*) AS types,
+             sum(c*(c-1)) AS coll
+      FROM c GROUP BY 1
+    )
+    SELECT source, CAST(slots AS BIGINT) AS slots,
+           CAST(types AS BIGINT) AS types,
+           CAST(types * 10000 // slots AS BIGINT) AS ttr_bp,
+           CAST(CASE WHEN slots > 1
+                     THEN 10000 - (coll * 10000 // (slots * (slots - 1)))
+                     ELSE 10000 END AS BIGINT) AS simpson_bp
+    FROM a
+    """,
+)
+def ngram_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram diversity (operators/stats.py::ngram_diversity):
+    type-token ratio + Simpson diversity in basis points, exact integer
+    arithmetic (rational metrics — no transcendental knife-edges in the
+    oracle gate). One map-side-combinable (source, gram) count shuffle;
+    the per-source reduce sees |distinct grams| rows, never raw text."""
+    from news_please_spark.operators.stats import ngram_diversity
+
+    docs = spread(load(spark, sf_dir, "documents").select("source", "text"), spark)
+    out = ngram_diversity(docs, n=2)
+    return out.select(
+        "source",
+        F.col("slots").cast("long").alias("slots"),
+        F.col("types").cast("long").alias("types"),
+        F.col("ttr_bp").cast("long").alias("ttr_bp"),
+        F.col("simpson_bp").cast("long").alias("simpson_bp"),
+    )

@@ -47,3 +47,72 @@ def test_group_quantiles_excludes_nulls(spark):
     df = spark.createDataFrame(rows, "g string, v long")
     r = group_quantiles(df, "g", "v", [50, 100]).first()
     assert (r.n, r.p50, r.p100) == (3, 3, 5)
+
+
+# ---------------------------------------------------------------------------
+# n-gram diversity
+
+
+def _py_diversity(rows, n=2):
+    from collections import Counter
+
+    out = {}
+    per = {}
+    for src, text in rows:
+        toks = text.lower().split()
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        per.setdefault(src, Counter()).update(grams)
+    for src, c in per.items():
+        slots = sum(c.values())
+        if slots == 0:
+            continue
+        types = len(c)
+        coll = sum(v * (v - 1) for v in c.values())
+        simpson = (
+            10000 - (coll * 10000 // (slots * (slots - 1))) if slots > 1 else 10000
+        )
+        out[src] = (slots, types, types * 10000 // slots, simpson)
+    return out
+
+
+def test_ngram_diversity_matches_python(spark):
+    from news_please_spark.operators.stats import ngram_diversity
+
+    rows = [
+        ("tmpl", "buy now buy now buy now buy now"),  # heavy repetition
+        ("tmpl", "buy now buy now"),
+        ("wiki", "the quick brown fox jumps over the lazy dog"),
+        ("wiki", "an entirely different sentence with fresh words"),
+        ("tiny", "word"),  # < n tokens: zero slots, no row
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r.source: (r.slots, r.types, r.ttr_bp, r.simpson_bp)
+        for r in ngram_diversity(df, n=2).collect()
+    }
+    assert got == _py_diversity(rows)
+    # templated source must score below the natural-text source on both
+    assert got["tmpl"][2] < got["wiki"][2]
+    assert got["tmpl"][3] < got["wiki"][3]
+    assert "tiny" not in got
+
+
+def test_ngram_diversity_single_slot_group(spark):
+    from news_please_spark.operators.stats import ngram_diversity
+
+    df = spark.createDataFrame([("one", "exactly two")], "source string, text string")
+    r = ngram_diversity(df, n=2).first()
+    assert (r.slots, r.types, r.ttr_bp, r.simpson_bp) == (1, 1, 10000, 10000)
+
+
+def test_ngram_diversity_one_data_shuffle(spark):
+    from news_please_spark.operators.stats import ngram_diversity
+
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("b", "p q r")], "source string, text string"
+    )
+    plan = ngram_diversity(df)._jdf.queryExecution().executedPlan().toString()
+    # (source, gram) count + per-source reduce: two hash exchanges, both
+    # post-aggregation (map-side combined); no join anywhere
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
