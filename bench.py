@@ -127,6 +127,7 @@ HEADLINE = [
     "pq_adc_topk",
     "ivfadc_topk",
     "kmeans_clusters",
+    "rp_project",
     "semantic_dedup",
     "extract_articles",
     "sitemap_expand",

@@ -5585,3 +5585,39 @@ def ngram_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ttr_bp").cast("long").alias("ttr_bp"),
         F.col("simpson_bp").cast("long").alias("simpson_bp"),
     )
+
+
+@register(
+    "rp_project",
+    r"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(floor(x*1000) AS BIGINT)) AS qv
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(j.j AS INT) AS dim,
+           CAST(list_sum(list_transform(generate_series(1, 64),
+             i -> qv[i] * CASE WHEN substr(md5(CAST(j.j AS VARCHAR) || '_'
+                                            || CAST(i AS VARCHAR)), 1, 1) < '8'
+                          THEN 1 ELSE -1 END)) AS BIGINT) AS y
+    FROM e, (SELECT unnest(generate_series(0, 15)) AS j) j
+    """,
+)
+def rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rademacher random projection 64→16
+    (operators/similarity.py::random_project, Achlioptas 2001):
+    integer-exact JL reduction — signs from md5 hex (first char < '8'
+    is exactly half the alphabet), quantized inputs, so both engines
+    derive identical projections. Sign matrix is 16·64 literals in
+    the plan (bounded at any corpus size); projection rides the scan,
+    zero shuffle."""
+    from news_please_spark.operators.similarity import random_project
+
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    out = random_project(e, out_dim=16, in_dim=64)
+    return out.select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.col("y").cast("long").alias("y"),
+    )

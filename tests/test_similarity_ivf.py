@@ -346,3 +346,84 @@ def test_ivfadc_bad_args(spark):
         ivfadc_topk(emb, emb, dim=63)
     with _pytest.raises(ValueError):
         ivfadc_topk(emb, emb, dim=64, k=0)
+
+
+# ---------------------------------------------------------------------------
+# Rademacher random projection (JL)
+
+
+def _np_project(vecs, out_dim, in_dim, scale=1000):
+    import hashlib
+
+    import numpy as np
+
+    qv = np.floor(np.asarray(vecs, dtype=np.float64) * scale).astype(np.int64)
+    signs = np.array(
+        [
+            [
+                1 if hashlib.md5(f"{j}_{i}".encode()).hexdigest()[0] < "8" else -1
+                for i in range(1, in_dim + 1)
+            ]
+            for j in range(out_dim)
+        ],
+        dtype=np.int64,
+    )
+    return qv @ signs.T
+
+
+def test_random_project_matches_numpy(spark):
+    import numpy as np
+
+    from news_please_spark.operators.similarity import random_project
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(30, 12).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {}
+    for r in random_project(df, out_dim=6, in_dim=12).collect():
+        got.setdefault(r.vec_id, {})[r.dim] = r.y
+    want = _np_project(vecs, 6, 12)
+    for vid in range(30):
+        assert [got[vid][d] for d in range(6)] == list(want[vid])
+
+
+def test_random_project_preserves_distance_ordering(spark):
+    """JL property smoke: with a 64->16 projection, the NEAREST of two
+    candidates (one close, one far) stays nearest in projected space."""
+    import numpy as np
+
+    from news_please_spark.operators.similarity import random_project
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(64)
+    close = base + 0.01 * rng.randn(64)
+    far = rng.randn(64) * 3
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in base]),
+         (1, [float(x) for x in close]),
+         (2, [float(x) for x in far])],
+        "vec_id long, embedding array<float>",
+    )
+    y = {}
+    for r in random_project(df, out_dim=16, in_dim=64).collect():
+        y.setdefault(r.vec_id, [0] * 16)[r.dim] = r.y
+    d = lambda a, b: sum((x - z) ** 2 for x, z in zip(a, b))
+    assert d(y[0], y[1]) < d(y[0], y[2])
+
+
+def test_random_project_zero_shuffle(spark):
+    from news_please_spark.operators.similarity import random_project
+
+    df = spark.createDataFrame(
+        [(0, [0.5] * 8)], "vec_id long, embedding array<float>"
+    )
+    plan = (
+        random_project(df, out_dim=4, in_dim=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
