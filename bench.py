@@ -94,6 +94,7 @@ HEADLINE = [
     "dsir_select",
     "token_budget",
     "dataset_split",
+    "curriculum_order",
     "priority_sample",
     "stratified_sample",
     "length_buckets",

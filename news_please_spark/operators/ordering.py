@@ -462,3 +462,28 @@ def autothrottle_update(
         F.col("_avg").alias("avg_ok_ms"),
         clamped.cast("long").alias("new_delay_ms"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+    out: str = "epoch_pos",
+) -> DataFrame:
+    """Deterministic epoch-shuffle ordering — the materialized training
+    schedule a data loader consumes. Sorting the corpus by
+    md5(seed|id) is a reproducible full shuffle: every source's docs
+    are uniform over the hash space, so ANY contiguous reader window
+    sees sources in mixture proportion (no source clumping, the
+    property that makes per-shard sequential reads unbiased), and a
+    new seed string re-deals the next epoch without RNG state.
+
+    The global position is attached with the two-phase with_global_seq
+    (range shuffle + per-partition row_number + broadcast offsets) —
+    NOT a single-task global window — so the plan survives 10^10 docs.
+    Output: input columns + epoch_pos (dense, 0-based)."""
+    keyed = df.withColumn(
+        "_h", F.md5(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string")))
+    )
+    res, _ = with_global_seq(keyed, ["_h", id_col], out=out)
+    return res.drop("_h")

@@ -5621,3 +5621,29 @@ def rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("int").alias("dim"),
         F.col("y").cast("long").alias("y"),
     )
+
+
+@register(
+    "curriculum_order",
+    """
+    SELECT doc_id, source,
+           CAST(row_number() OVER (
+             ORDER BY md5('epoch0|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+             AS BIGINT) AS epoch_pos
+    FROM documents
+    """,
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle training order
+    (operators/ordering.py::epoch_shuffle): md5(seed|id) sort key =
+    reproducible full shuffle, so any reader prefix sees sources in
+    mixture proportion; position attached via the two-phase numbering
+    (range shuffle + broadcast offsets), never a one-task window."""
+    from news_please_spark.operators.ordering import epoch_shuffle
+
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "source"), spark
+    )
+    return epoch_shuffle(docs).select(
+        "doc_id", "source", F.col("epoch_pos").cast("long").alias("epoch_pos")
+    )

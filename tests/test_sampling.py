@@ -679,3 +679,59 @@ def test_leakage_safe_split_keeps_clusters_whole(spark):
     for i in range(200):
         if i not in clustered:
             assert rows[i] == (i, plain[i])
+
+
+# ---------------------------------------------------------------------------
+# epoch shuffle ordering
+
+
+def test_epoch_shuffle_matches_python_and_is_dense(spark):
+    import hashlib
+
+    from news_please_spark.operators.ordering import epoch_shuffle
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r.doc_id: r.epoch_pos for r in epoch_shuffle(df).collect()}
+    want_order = sorted(
+        rows, key=lambda r: (hashlib.md5(f"epoch0|{r[0]}".encode()).hexdigest(), r[0])
+    )
+    assert got == {did: pos for pos, (did, _) in enumerate(want_order)}
+    assert sorted(got.values()) == list(range(200))
+
+
+def test_epoch_shuffle_prefix_proportionality(spark):
+    """Any reader prefix sees sources near mixture proportion — the
+    anti-clumping property the hash sort buys."""
+    from news_please_spark.operators.ordering import epoch_shuffle
+
+    rows = [(i, "a" if i % 4 else "b") for i in range(400)]  # 75% a / 25% b
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    ordered = sorted(
+        ((r.epoch_pos, r.source) for r in epoch_shuffle(df).collect())
+    )
+    for prefix in (100, 200, 300):
+        share_a = sum(1 for p, s in ordered[:prefix] if s == "a") / prefix
+        assert abs(share_a - 0.75) < 0.12
+
+
+def test_epoch_shuffle_new_seed_new_deal(spark):
+    from news_please_spark.operators.ordering import epoch_shuffle
+
+    rows = [(i, "s") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    e0 = {r.doc_id: r.epoch_pos for r in epoch_shuffle(df, seed="epoch0").collect()}
+    e1 = {r.doc_id: r.epoch_pos for r in epoch_shuffle(df, seed="epoch1").collect()}
+    assert e0 != e1
+    assert sorted(e0.values()) == sorted(e1.values()) == list(range(100))
+
+
+def test_epoch_shuffle_no_single_task_window(spark):
+    from news_please_spark.operators.ordering import epoch_shuffle
+
+    df = spark.createDataFrame([(i, "s") for i in range(10)], "doc_id long, source string")
+    plan = epoch_shuffle(df)._jdf.queryExecution().executedPlan().toString()
+    # two-phase numbering: range partition + per-partition window; a
+    # global ordering would show Exchange SinglePartition
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
