@@ -63,6 +63,7 @@ HEADLINE = [
     "sitemap_stale",
     "fetch_schedule",
     "autothrottle",
+    "politeness_audit",
     "url_dedup_key",
     "surt_key",
     "cdx_revisit",

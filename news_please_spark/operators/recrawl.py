@@ -138,3 +138,45 @@ def sitemap_stale(
             "reason",
         )
     )
+
+
+def crawl_delay_audit(
+    fetch_log: DataFrame,
+    delays: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    delay_col: str = "crawl_delay",
+) -> DataFrame:
+    """Politeness conformance audit: did the crawler honor each host's
+    robots Crawl-delay? The report an operator pulls when a webmaster
+    complains — and the regression gate a scheduler change runs
+    against its own fetch timetable (fetch_schedule/autothrottle
+    produce one; this closes the loop by auditing it).
+
+    Per host: fetches, declared delay, gaps below it (violations),
+    and the worst (minimum) observed gap. A host with a single fetch
+    has no gap: min_gap NULL, violations 0. A host absent from the
+    delay table audits with delay NULL and violations 0 (nothing
+    declared, nothing violated).
+
+    Plan: ONE lag() window keyed by host (the only data-sized
+    shuffle), one AQE-routed join against the robots-sized delay
+    table, one map-side-combinable agg (the per-host delay is a
+    constant, echoed via min). All-integer timestamps."""
+    w = Window.partitionBy(host_col).orderBy(ts_col)
+    gaps = fetch_log.select(
+        F.col(host_col),
+        (F.col(ts_col) - F.lag(ts_col).over(w)).alias("_gap"),
+    )
+    return (
+        gaps.join(delays, host_col, "left")
+        .groupBy(host_col)
+        .agg(
+            F.count(F.lit(1)).alias("fetches"),
+            F.sum(
+                F.when(F.col("_gap") < F.col(delay_col), 1).otherwise(0)
+            ).cast("long").alias("violations"),
+            F.min("_gap").alias("min_gap"),
+            F.min(delay_col).alias(delay_col),
+        )
+    )

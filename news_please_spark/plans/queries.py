@@ -5647,3 +5647,61 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_shuffle(docs).select(
         "doc_id", "source", F.col("epoch_pos").cast("long").alias("epoch_pos")
     )
+
+
+@register(
+    "politeness_audit",
+    """
+    WITH f AS (
+      SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+             doc_id*3 + (doc_id % 5) AS ts
+      FROM documents
+    ),
+    d AS (
+      SELECT DISTINCT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+             20 + ((doc_id % 7) % 5)*2 AS crawl_delay
+      FROM documents WHERE doc_id % 7 != 6
+    ),
+    g AS (
+      SELECT host, ts - lag(ts) OVER (PARTITION BY host ORDER BY ts) AS gap
+      FROM f
+    )
+    SELECT g.host, CAST(count(*) AS BIGINT) AS fetches,
+           CAST(sum(CASE WHEN gap < crawl_delay THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           CAST(min(gap) AS BIGINT) AS min_gap,
+           CAST(min(crawl_delay) AS BIGINT) AS crawl_delay
+    FROM g LEFT JOIN d USING (host) GROUP BY g.host
+    """,
+)
+def politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay conformance audit (operators/recrawl.py::
+    crawl_delay_audit): per-host inter-fetch gaps vs the robots
+    Crawl-delay — the report that closes the loop on
+    fetch_schedule/autothrottle output. Derived world: 7 hosts with
+    gaps straddling their declared delays; one host (h6) has no
+    declared delay and must audit clean. ONE host-keyed lag window,
+    one AQE-routed join to the robots-sized delay table."""
+    from news_please_spark.operators.recrawl import crawl_delay_audit
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"), spark)
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 7).cast("string"))
+    log = docs.select(
+        host.alias("host"), (did * 3 + did % 5).cast("long").alias("ts")
+    )
+    delays = (
+        docs.filter(did % 7 != 6)
+        .select(
+            host.alias("host"),
+            (20 + (did % 7 % 5) * 2).cast("long").alias("crawl_delay"),
+        )
+        .distinct()
+    )
+    out = crawl_delay_audit(log, delays)
+    return out.select(
+        "host",
+        F.col("fetches").cast("long").alias("fetches"),
+        F.col("violations").cast("long").alias("violations"),
+        F.col("min_gap").cast("long").alias("min_gap"),
+        F.col("crawl_delay").cast("long").alias("crawl_delay"),
+    )

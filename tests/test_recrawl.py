@@ -81,3 +81,51 @@ def test_recrawl_schedule_single_exchange(spark):
     # the groupBy reuses the window's hash partitioning on url: one
     # Exchange in the whole plan
     assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# crawl-delay conformance audit
+
+
+def test_crawl_delay_audit_semantics(spark):
+    from news_please_spark.operators.recrawl import crawl_delay_audit
+
+    log = spark.createDataFrame(
+        [
+            # gaps 5, 15 vs delay 10 -> one violation, min_gap 5
+            ("a", 100), ("a", 105), ("a", 120),
+            # gaps 10 vs delay 10 -> gap == delay is NOT a violation
+            ("b", 0), ("b", 10),
+            # single fetch -> no gap, no violation
+            ("c", 7),
+            # no declared delay -> audits clean whatever the gaps
+            ("d", 0), ("d", 1),
+        ],
+        "host string, ts long",
+    )
+    delays = spark.createDataFrame(
+        [("a", 10), ("b", 10), ("c", 10)], "host string, crawl_delay long"
+    )
+    got = {
+        r.host: (r.fetches, r.violations, r.min_gap, r.crawl_delay)
+        for r in crawl_delay_audit(log, delays).collect()
+    }
+    assert got == {
+        "a": (3, 1, 5, 10),
+        "b": (2, 0, 10, 10),
+        "c": (1, 0, None, 10),
+        "d": (2, 0, 1, None),
+    }
+
+
+def test_crawl_delay_audit_plan_single_window(spark):
+    from news_please_spark.operators.recrawl import crawl_delay_audit
+
+    log = spark.createDataFrame([("a", 1)], "host string, ts long")
+    delays = spark.createDataFrame([("a", 5)], "host string, crawl_delay long")
+    df = crawl_delay_audit(log, delays)
+    df.collect()  # let AQE finalize the join strategy
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
+    assert plan.count("Window [") == 1
+    assert "SortMergeJoin" not in plan  # AQE/broadcast routes the tiny delay side
