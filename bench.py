@@ -100,6 +100,7 @@ HEADLINE = [
     "stratified_sample",
     "length_buckets",
     "quality_topfrac",
+    "quality_calibrate",
     "pack_sequences",
     "packed_chunks",
     "interleaved_pack",

@@ -229,3 +229,44 @@ def ccnet_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def rank_calibrate(
+    df: DataFrame,
+    group_col: str = "source",
+    score_col: str = "score",
+    out: str = "pct_bp",
+) -> DataFrame:
+    """Per-group rank normalization of a quality score — the
+    calibration step that makes one threshold mean the same thing
+    across sources whose raw score DISTRIBUTIONS differ (a classifier
+    scores Wikipedia systematically higher than forums; "keep top 30%"
+    must mean top 30% OF EACH source, or the mixture silently tilts).
+
+    pct_bp = 10⁴ · (#rows in the group with a strictly smaller score)
+    DIV group size — integer basis points, ties share a value, exact
+    cross-engine. This is the empirical-CDF transform; filtering
+    pct_bp ≥ 7000 afterwards is exactly quality_topfrac's "top 30%"
+    with a reusable calibrated column instead of a one-shot filter.
+
+    Plan shape (the group_quantiles/topfrac histogram trick): ONE
+    map-side-combinable (group, score) count — the only data-sized
+    shuffle; both windows run over the HISTOGRAM (bounded by distinct
+    scores, not rows); the data rejoins the histogram on
+    (group, score), AQE-routed. Never a per-row window."""
+    from pyspark.sql import Window
+
+    h = df.groupBy(group_col, score_col).agg(F.count(F.lit(1)).alias("_c"))
+    w_ord = Window.partitionBy(group_col).orderBy(score_col)
+    w_all = Window.partitionBy(group_col)
+    cum = h.select(
+        group_col,
+        score_col,
+        (F.sum("_c").over(w_ord) - F.col("_c")).alias("_below"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    return (
+        df.join(cum, [group_col, score_col])
+        .withColumn(out, F.expr("_below * 10000 DIV _n"))
+        .drop("_below", "_n")
+    )

@@ -5705,3 +5705,41 @@ def politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_gap").cast("long").alias("min_gap"),
         F.col("crawl_delay").cast("long").alias("crawl_delay"),
     )
+
+
+@register(
+    "quality_calibrate",
+    """
+    WITH d AS (SELECT doc_id, source, n_chars AS score FROM documents),
+    h AS (SELECT source, score, count(*) AS c FROM d GROUP BY 1, 2),
+    cum AS (
+      SELECT source, score,
+             sum(c) OVER (PARTITION BY source ORDER BY score) - c AS below,
+             sum(c) OVER (PARTITION BY source) AS n
+      FROM h
+    )
+    SELECT d.doc_id, d.source, CAST(d.score AS BIGINT) AS score,
+           CAST(below * 10000 // n AS BIGINT) AS pct_bp
+    FROM d JOIN cum USING (source, score)
+    """,
+)
+def quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source empirical-CDF calibration of a quality score
+    (operators/quality.py::rank_calibrate) — one threshold, same
+    meaning per source. Histogram-trick plan: the only data-sized
+    shuffle is the (source, score) count; windows run over the
+    histogram; data rejoins it AQE-routed."""
+    from news_please_spark.operators.quality import rank_calibrate
+
+    d = spread(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "source", F.col("n_chars").cast("long").alias("score")
+        ),
+        spark,
+    )
+    out = rank_calibrate(d, "source", "score")
+    return out.select(
+        "doc_id", "source",
+        F.col("score").cast("long").alias("score"),
+        F.col("pct_bp").cast("long").alias("pct_bp"),
+    )

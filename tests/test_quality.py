@@ -119,3 +119,71 @@ def test_quality_empty_input(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert gopher_quality(empty).count() == 0
     assert c4_line_filter(empty).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# per-group rank calibration
+
+
+def test_rank_calibrate_matches_python(spark):
+    from news_please_spark.operators.quality import rank_calibrate
+
+    rows = [
+        ("a", 1, 10), ("a", 2, 20), ("a", 3, 20), ("a", 4, 30),  # tie at 20
+        ("b", 5, 100), ("b", 6, 200),
+        ("c", 7, 5),  # singleton group -> below=0 -> 0 bp
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, score long")
+    got = {
+        r.doc_id: r.pct_bp for r in rank_calibrate(df, "source", "score").collect()
+    }
+    want = {}
+    for src, did, s in rows:
+        grp = [x[2] for x in rows if x[0] == src]
+        want[did] = sum(1 for v in grp if v < s) * 10000 // len(grp)
+    assert got == want
+    assert got[2] == got[3]  # ties share a percentile
+    assert got[7] == 0
+
+
+def test_rank_calibrate_makes_thresholds_comparable(spark):
+    """Same cut (pct_bp >= 5000) keeps the top half of EACH source even
+    when raw score ranges differ by 100x — the calibration contract."""
+    from news_please_spark.operators.quality import rank_calibrate
+
+    rows = [("lo", i, i) for i in range(10)] + [("hi", 100 + i, 1000 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, score long")
+    kept = (
+        rank_calibrate(df, "source", "score")
+        .filter(F.col("pct_bp") >= 5000)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    assert {r.source: r["count"] for r in kept} == {"lo": 5, "hi": 5}
+
+
+def test_rank_calibrate_windows_run_over_histogram(spark):
+    from news_please_spark.operators.quality import rank_calibrate
+
+    df = spark.createDataFrame(
+        [("a", 1, 10)], "source string, doc_id long, score long"
+    )
+    plan = (
+        rank_calibrate(df, "source", "score")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # both windows sit ABOVE the aggregate (histogram side), never on raw rows
+    agg_pos = plan.find("Aggregate")
+    assert agg_pos != -1
+    assert all(p < agg_pos for p in _find_all(plan, "Window"))
+
+
+def _find_all(s, needle):
+    out, i = [], s.find(needle)
+    while i != -1:
+        out.append(i)
+        i = s.find(needle, i + 1)
+    return out
