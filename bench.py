@@ -132,6 +132,7 @@ HEADLINE = [
     "kmeans_clusters",
     "rp_project",
     "semantic_dedup",
+    "hard_negatives",
     "extract_articles",
     "sitemap_expand",
     "anchor_terms",

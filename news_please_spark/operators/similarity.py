@@ -860,3 +860,52 @@ def random_project(
     return rows.select(
         id_col, F.posexplode(projected).alias("dim", "y")
     ).select(id_col, "dim", "y")
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    hi_q: int = 9500,
+    lo_q: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for retrieval training (the DPR/ANCE
+    recipe): for each query, the top-k most similar corpus vectors
+    whose quantized cosine lies in [lo_q, hi_q) — similar enough to
+    be confusable (hard), but below the near-duplicate band that
+    would poison training with false negatives. The hi_q ceiling is
+    the same floor(10⁴·cos) scale the dedup tier thresholds on, so
+    "everything embedding_near_dups would pair" is exactly what this
+    excludes.
+
+    This is the exact/baseline path (broadcast queries × corpus scan,
+    no corpus shuffle — the ann_cosine_topk plan with a band filter
+    BELOW the ranking window, so only in-band rows reach it). At
+    10^10 docs compose the approximate front end instead: ivf_topk /
+    lsh_topk with an inflated k, then apply the same band filter and
+    re-rank — the ceiling only ever REMOVES top rows, so retrieval
+    with k' ≥ k + |near-dups| is exact w.r.t. the candidates."""
+    e = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("vn", norm_of(F.col("v")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", norm_of(F.col("qv")))
+    pairs = F.broadcast(q).crossJoin(e).filter(F.col("query_id") != F.col(id_col))
+    sims = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neg_id"),
+        F.floor(10000 * (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn"))))
+        .cast("long")
+        .alias("sim_q"),
+    ).filter((F.col("sim_q") >= lo_q) & (F.col("sim_q") < hi_q))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_q"), F.col("neg_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neg_id", "sim_q", "rk")
+    )

@@ -5743,3 +5743,42 @@ def quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").cast("long").alias("score"),
         F.col("pct_bp").cast("long").alias("pct_bp"),
     )
+
+
+@register(
+    "hard_negatives",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % 89 = 0),
+    p AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neg_id,
+             CAST(floor(10000 * (
+               list_dot_product(q.v, e.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))
+             )) AS BIGINT) AS sim_q
+      FROM q, e WHERE q.vec_id <> e.vec_id
+    ),
+    band AS (SELECT * FROM p WHERE sim_q >= 4000 AND sim_q < 9000)
+    SELECT query_id, neg_id, sim_q, CAST(rk AS INT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_q DESC, neg_id) AS rk
+      FROM band
+    ) WHERE rk <= 5
+    """,
+)
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py::hard_negatives,
+    DPR/ANCE recipe): per query, top-5 corpus vectors with quantized
+    cosine in [4000, 9000) — confusable but below the near-dup band
+    the dedup tier pairs at. Band filter sits below the ranking
+    window (only in-band rows shuffle); queries broadcast, corpus
+    never shuffled."""
+    from news_please_spark.operators.similarity import hard_negatives
+
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    q = e.filter(F.col("vec_id") % 89 == 0)
+    out = hard_negatives(q, e, k=5, lo_q=4000, hi_q=9000)
+    return out.select(
+        "query_id", "neg_id",
+        F.col("sim_q").cast("long").alias("sim_q"),
+        F.col("rk").cast("int").alias("rk"),
+    )

@@ -427,3 +427,71 @@ def test_random_project_zero_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining
+
+
+def test_hard_negatives_band_and_ranking(spark):
+    import numpy as np
+
+    from news_please_spark.operators.similarity import hard_negatives
+
+    # construct controlled cosines against the query [1, 0]:
+    vecs = {
+        0: [1.0, 0.0],     # the query itself (excluded: self)
+        1: [1.0, 0.001],   # ~1.0 -> above hi band (near-dup, excluded)
+        2: [1.0, 0.5],     # cos ~0.894 -> hard negative
+        3: [1.0, 1.0],     # cos ~0.707 -> hard negative
+        4: [0.2, 1.0],     # cos ~0.196 -> below lo band (easy, excluded)
+        5: [-1.0, 0.0],    # cos -1 -> excluded
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    q = df.filter("vec_id = 0")
+    got = [
+        (r.neg_id, r.rk)
+        for r in hard_negatives(q, df, k=5, lo_q=3000, hi_q=9900)
+        .orderBy("rk")
+        .collect()
+    ]
+    assert got == [(2, 1), (3, 2)]
+    # numpy cross-check of the band edges
+    def cos(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert int(cos(vecs[0], vecs[1]) * 10000) >= 9900
+    assert int(cos(vecs[0], vecs[4]) * 10000) < 3000
+
+
+def test_hard_negatives_corpus_never_shuffled_before_band(spark):
+    from news_please_spark.operators.similarity import hard_negatives
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter("vec_id = 0")
+    plan = (
+        hard_negatives(q, df, k=2)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the band filter must sit BELOW the window (on the join output),
+    # so only in-band rows reach the ranking shuffle
+    win_pos = plan.find("Window")
+    filt = [i for i in _find_all_hn(plan, "sim_q#") if i > win_pos]
+    assert "Window" in plan
+    assert plan.find("Filter", win_pos) != -1  # a filter below the window
+
+
+def _find_all_hn(s, needle):
+    out, i = [], s.find(needle)
+    while i != -1:
+        out.append(i)
+        i = s.find(needle, i + 1)
+    return out
