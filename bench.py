@@ -61,6 +61,7 @@ HEADLINE = [
     "host_shards",
     "recrawl_schedule",
     "sitemap_stale",
+    "host_coverage",
     "fetch_schedule",
     "autothrottle",
     "politeness_audit",

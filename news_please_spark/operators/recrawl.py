@@ -180,3 +180,49 @@ def crawl_delay_audit(
             F.min(delay_col).alias(delay_col),
         )
     )
+
+
+def host_coverage(
+    sitemap: DataFrame,
+    crawled: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-host crawl completeness vs the site's own inventory — the
+    "did we actually get everything the sitemap lists?" report, and
+    its inverse (URLs we fetched that the sitemap never declared —
+    calendar traps and infinite facets show up here first, next to
+    crawl_traps' pattern detector).
+
+    Output per host: known (sitemap URLs), crawled_known (their
+    fetched subset), coverage_bp (10⁴·crawled_known DIV known),
+    missing (known − crawled_known), extra (fetched URLs not in the
+    inventory). A host that appears only in the crawl log reports
+    known = 0, coverage_bp NULL (no inventory to cover).
+
+    Plan: ONE full-outer equi-join on (host, url) — both sides
+    pre-distinct map-side — then a map-side-combinable per-host agg.
+    No window, no skew cell (a hot host's URLs hash across
+    partitions; only the agg sees the host key)."""
+    s = sitemap.select(host_col, url_col).distinct().withColumn("_s", F.lit(1))
+    c = crawled.select(host_col, url_col).distinct().withColumn("_c", F.lit(1))
+    j = s.join(c, [host_col, url_col], "full_outer")
+    agg = j.groupBy(host_col).agg(
+        F.sum(F.coalesce("_s", F.lit(0))).alias("known"),
+        F.sum(
+            F.when(F.col("_s").isNotNull() & F.col("_c").isNotNull(), 1).otherwise(0)
+        ).alias("crawled_known"),
+        F.sum(
+            F.when(F.col("_s").isNull() & F.col("_c").isNotNull(), 1).otherwise(0)
+        ).alias("extra"),
+    )
+    return agg.select(
+        host_col,
+        F.col("known").cast("long").alias("known"),
+        F.col("crawled_known").cast("long").alias("crawled_known"),
+        F.when(F.col("known") > 0, F.expr("crawled_known * 10000 DIV known"))
+        .cast("long")
+        .alias("coverage_bp"),
+        (F.col("known") - F.col("crawled_known")).cast("long").alias("missing"),
+        F.col("extra").cast("long").alias("extra"),
+    )

@@ -5782,3 +5782,76 @@ def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sim_q").cast("long").alias("sim_q"),
         F.col("rk").cast("int").alias("rk"),
     )
+
+
+@register(
+    "host_coverage",
+    """
+    WITH nn AS (SELECT count(*) AS c FROM documents),
+    sm AS (
+      SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
+             'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.test/' ||
+               CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ),
+    cr AS (
+      SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
+             'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.test/' ||
+               CAST(doc_id AS VARCHAR) AS url
+      FROM documents WHERE doc_id % 4 != 3
+      UNION ALL
+      SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
+             'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.test/x' ||
+               CAST(doc_id + (SELECT c FROM nn) AS VARCHAR) AS url
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT 'h9' AS host, 'http://h9.test/only' AS url
+    ),
+    s AS (SELECT DISTINCT host, url, 1 AS _s FROM sm),
+    c AS (SELECT DISTINCT host, url, 1 AS _c FROM cr),
+    j AS (SELECT COALESCE(s.host, c.host) AS host, s._s, c._c
+          FROM s FULL OUTER JOIN c ON s.host = c.host AND s.url = c.url)
+    SELECT host,
+           CAST(sum(COALESCE(_s, 0)) AS BIGINT) AS known,
+           CAST(sum(CASE WHEN _s IS NOT NULL AND _c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS crawled_known,
+           CAST(CASE WHEN sum(COALESCE(_s, 0)) > 0
+                THEN sum(CASE WHEN _s IS NOT NULL AND _c IS NOT NULL THEN 1 ELSE 0 END) * 10000
+                     // sum(COALESCE(_s, 0))
+                END AS BIGINT) AS coverage_bp,
+           CAST(sum(COALESCE(_s, 0))
+                - sum(CASE WHEN _s IS NOT NULL AND _c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing,
+           CAST(sum(CASE WHEN _s IS NULL AND _c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS extra
+    FROM j GROUP BY host
+    """,
+)
+def host_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl completeness vs sitemap inventory
+    (operators/recrawl.py::host_coverage): known / crawled_known /
+    coverage_bp / missing / extra, with an uninventoried host (h9)
+    reporting known=0 and NULL coverage. One full-outer (host, url)
+    equi-join + map-side-combinable agg."""
+    from news_please_spark.operators.recrawl import host_coverage
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"), spark)
+    n = docs.count()
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 5).cast("string"))
+    url = F.concat(F.lit("http://h"), (did % 5).cast("string"), F.lit(".test/"),
+                   did.cast("string"))
+    sitemap = docs.select(host.alias("host"), url.alias("url"))
+    crawled = (
+        docs.filter(did % 4 != 3).select(host.alias("host"), url.alias("url"))
+        .unionByName(
+            docs.filter(did % 10 == 0).select(
+                host.alias("host"),
+                F.concat(F.lit("http://h"), (did % 5).cast("string"),
+                         F.lit(".test/x"), (did + n).cast("string")).alias("url"),
+            )
+        )
+        .unionByName(
+            docs.limit(1).select(
+                F.lit("h9").alias("host"), F.lit("http://h9.test/only").alias("url")
+            )
+        )
+    )
+    return host_coverage(sitemap, crawled)

@@ -129,3 +129,44 @@ def test_crawl_delay_audit_plan_single_window(spark):
     plan = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
     assert plan.count("Window [") == 1
     assert "SortMergeJoin" not in plan  # AQE/broadcast routes the tiny delay side
+
+
+# ---------------------------------------------------------------------------
+# host coverage vs sitemap inventory
+
+
+def test_host_coverage_semantics(spark):
+    from news_please_spark.operators.recrawl import host_coverage
+
+    sitemap = spark.createDataFrame(
+        [("a", "u1"), ("a", "u2"), ("a", "u3"), ("a", "u4"),
+         ("b", "v1"),
+         ("c", "w1"), ("c", "w1")],  # duplicate inventory rows collapse
+        "host string, url string",
+    )
+    crawled = spark.createDataFrame(
+        [("a", "u1"), ("a", "u2"), ("a", "u2"),  # refetches collapse
+         ("a", "zz"),                            # uninventoried fetch
+         ("d", "q1")],                           # host with no sitemap at all
+        "host string, url string",
+    )
+    got = {
+        r.host: (r.known, r.crawled_known, r.coverage_bp, r.missing, r.extra)
+        for r in host_coverage(sitemap, crawled).collect()
+    }
+    assert got == {
+        "a": (4, 2, 5000, 2, 1),
+        "b": (1, 0, 0, 1, 0),
+        "c": (1, 0, 0, 1, 0),
+        "d": (0, 0, None, 0, 1),
+    }
+
+
+def test_host_coverage_no_window_one_join(spark):
+    from news_please_spark.operators.recrawl import host_coverage
+
+    s = spark.createDataFrame([("a", "u")], "host string, url string")
+    c = spark.createDataFrame([("a", "u")], "host string, url string")
+    plan = host_coverage(s, c)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Join FullOuter") == 1
