@@ -87,6 +87,7 @@ HEADLINE = [
     "script_profile",
     "tfidf_top_terms",
     "lm_score",
+    "readability_scores",
     "ccnet_buckets",
     "bpe_merges",
     "bpe_encode",

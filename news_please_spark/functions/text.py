@@ -273,3 +273,42 @@ def dominant_script(text: Column) -> Column:
     for name, c in reversed(list(zip(SCRIPT_NAMES, counts))):
         expr = F.when((m > 0) & (c == m), F.lit(name)).otherwise(expr)
     return expr
+
+
+def readability_cols(text: Column) -> list[Column]:
+    """Integer readability surrogates — the Flesch-family signals in
+    the repo's rational form (no float constants, no syllable
+    guessing; the terms.py no-transcendentals rule):
+
+      * n_words            whitespace tokens
+      * n_sents            [.!?]+ sentence terminators (min 1: a
+                           fragment is one sentence)
+      * words_per_sent_c   centiwords: n_words·100 DIV n_sents
+      * chars_per_word_c   centichars over LETTERS only (digits and
+                           punctuation don't make prose harder the
+                           way long words do): letters·100 DIV words
+
+    Long sentences and long words are the two axes every readability
+    formula (Flesch, ARI, Coleman-Liau) weighs; keeping them separate
+    and integer lets a curation rule threshold each axis exactly and
+    portably. All pure Columns riding the scan — zero shuffle."""
+    toks = tokens(text)
+    n_words = F.greatest(F.size(toks), F.lit(1))
+    n_sents = F.greatest(
+        F.size(F.filter(F.split(text, r"[.!?]+"), lambda s: F.trim(s) != "")),
+        F.lit(1),
+    )
+    letters = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    # floor(double-div) == integer floor-div here (exact: operands far
+    # below 2^53, quotient either exact or >= 1/denominator from an
+    # integer — the kmeans_assign mean argument)
+    return [
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sents"),
+        F.floor((n_words * 100).cast("double") / n_sents)
+        .cast("long")
+        .alias("words_per_sent_c"),
+        F.floor((letters * 100).cast("double") / n_words)
+        .cast("long")
+        .alias("chars_per_word_c"),
+    ]

@@ -5855,3 +5855,47 @@ def host_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return host_coverage(sitemap, crawled)
+
+
+@register(
+    "readability_scores",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 4 = 0
+                          THEN '. Short one! Ok? Sentence ends.' ELSE '' END AS txt
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             greatest(len(string_split_regex(trim(lower(txt)), '\s+')), 1) AS n_words,
+             greatest(len(list_filter(string_split_regex(txt, '[.!?]+'),
+                                      s -> trim(s) <> '')), 1) AS n_sents,
+             len(regexp_replace(txt, '[^A-Za-z]', '', 'g')) AS letters
+      FROM t
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sents AS BIGINT) AS n_sents,
+           CAST(floor(CAST(n_words*100 AS DOUBLE)/n_sents) AS BIGINT) AS words_per_sent_c,
+           CAST(floor(CAST(letters*100 AS DOUBLE)/n_words) AS BIGINT) AS chars_per_word_c
+    FROM m
+    """,
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer readability surrogates (functions/text.py::
+    readability_cols): words/sentences + centiword sentence length +
+    centichar word length — the two axes every readability formula
+    weighs, kept rational so curation thresholds are exact
+    cross-engine. Sentence punctuation planted on every 4th doc so
+    n_sents varies. Pure Columns riding the scan, zero shuffle."""
+    from news_please_spark.functions.text import readability_cols
+
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit(". Short one! Ok? Sentence ends.")).otherwise(F.lit("")),
+        ).alias("txt"),
+    )
+    return t.select("doc_id", *readability_cols(F.col("txt")))

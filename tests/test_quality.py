@@ -187,3 +187,51 @@ def _find_all(s, needle):
         out.append(i)
         i = s.find(needle, i + 1)
     return out
+
+
+# ---------------------------------------------------------------------------
+# readability surrogates
+
+
+def test_readability_cols_matches_python(spark):
+    import re
+
+    from news_please_spark.functions.text import readability_cols
+
+    rows = [
+        (1, "The cat sat. The dog ran! Did it? Yes."),
+        (2, "one two three"),                      # no terminator: 1 sentence
+        (3, ""),                                   # empty: clamps to 1/1
+        (4, "Numbers 123 and punct ,;: only!!"),   # letters-only char axis
+        (5, "Trailing terminator stays clean..."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_words, r.n_sents, r.words_per_sent_c, r.chars_per_word_c)
+        for r in df.select("doc_id", *readability_cols(F.col("text"))).collect()
+    }
+    for did, text in rows:
+        n_words = max(len(text.strip().lower().split()), 1) if text.strip() else 1
+        sents = [s for s in re.split(r"[.!?]+", text) if s.strip()]
+        n_sents = max(len(sents), 1)
+        letters = len(re.sub(r"[^A-Za-z]", "", text))
+        want = (
+            n_words,
+            n_sents,
+            n_words * 100 // n_sents,
+            letters * 100 // n_words,
+        )
+        assert got[did] == want, (did, got[did], want)
+
+
+def test_readability_zero_shuffle(spark):
+    from news_please_spark.functions.text import readability_cols
+
+    df = spark.createDataFrame([(1, "a b. c!")], "doc_id long, text string")
+    plan = (
+        df.select("doc_id", *readability_cols(F.col("text")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
