@@ -88,6 +88,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "lm_score",
     "readability_scores",
+    "quote_extract",
     "ccnet_buckets",
     "bpe_merges",
     "bpe_encode",

@@ -312,3 +312,19 @@ def readability_cols(text: Column) -> list[Column]:
         .cast("long")
         .alias("chars_per_word_c"),
     ]
+
+
+def quotes_of(text: Column, min_len: int = 10, max_len: int = 400) -> Column:
+    """Direct-quotation spans — the classic news-NLP extraction (who
+    said what): every double-quoted span whose inner text is
+    min_len..max_len chars. The length floor drops scare-quotes and
+    quoted single words; the ceiling drops markup accidents that
+    would otherwise swallow paragraphs when a closing quote is lost.
+
+    Deliberately RE2-compatible (no lookaround/backreference — the
+    redact_pii rule) so the same pattern text runs on Spark and
+    DuckDB, and a negated-class body ([^"]) so matching is linear and
+    non-overlapping in one pass. Returns the array of quote bodies
+    (quotes stripped), document order; pure Column, rides the scan."""
+    pat = '"([^"]{%d,%d})"' % (min_len, max_len)
+    return F.regexp_extract_all(text, F.lit(pat), 1)

@@ -5899,3 +5899,65 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("txt"),
     )
     return t.select("doc_id", *readability_cols(F.col("txt")))
+
+
+@register(
+    "quote_extract",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             text || CASE
+               WHEN doc_id % 5 = 0 THEN
+                 ' He said "planted statement number ' || CAST(doc_id AS VARCHAR)
+                 || ' for the record" and left. She replied "no further comment'
+                 || ' on doc ' || CAST(doc_id AS VARCHAR) || '" firmly. A "no" came last.'
+               ELSE '' END AS txt
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(qs))) AS quote_pos,
+             unnest(qs) AS quote
+      FROM (SELECT doc_id,
+                   regexp_extract_all(txt, '"([^"]{10,400})"', 1) AS qs
+            FROM t)
+    )
+    SELECT doc_id, CAST(quote_pos AS INT) AS quote_pos,
+           CAST(length(quote) AS BIGINT) AS quote_len, quote
+    FROM q
+    """,
+)
+def quote_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct-quotation extraction (functions/text.py::quotes_of) —
+    the news-NLP primitive behind who-said-what analytics. Planted
+    two real quotes + one below-floor scare-quote on every 5th doc;
+    the floor keeps the real quotes, drops the '"no"'. RE2-compatible
+    group-1 extraction, linear negated-class body, zero shuffle
+    (exploded to (doc, pos, quote) rows on the scan)."""
+    from news_please_spark.functions.text import quotes_of
+
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(' He said "planted statement number '),
+                    F.col("doc_id").cast("string"),
+                    F.lit(' for the record" and left. She replied "no further'
+                          ' comment on doc '),
+                    F.col("doc_id").cast("string"),
+                    F.lit('" firmly. A "no" came last.'),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("txt"),
+    )
+    return t.select(
+        "doc_id", F.posexplode(quotes_of(F.col("txt"))).alias("_p", "quote")
+    ).select(
+        "doc_id",
+        (F.col("_p") + 1).cast("int").alias("quote_pos"),
+        F.length("quote").cast("long").alias("quote_len"),
+        "quote",
+    )

@@ -235,3 +235,40 @@ def test_readability_zero_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# quotation extraction
+
+
+def test_quotes_of_semantics(spark):
+    from news_please_spark.functions.text import quotes_of
+
+    rows = [
+        (1, 'He said "a quote long enough here" then "no" and "another quote of size".'),
+        (2, 'An unclosed " quote never ends'),
+        (3, 'Nothing quoted at all'),
+        (4, '"' + "x" * 500 + '"'),  # above ceiling: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.q
+        for r in df.select("doc_id", quotes_of(F.col("text")).alias("q")).collect()
+    }
+    assert got[1] == ["a quote long enough here", "another quote of size"]
+    assert got[2] == []
+    assert got[3] == []
+    assert got[4] == []
+
+
+def test_quotes_of_zero_shuffle(spark):
+    from news_please_spark.functions.text import quotes_of
+
+    df = spark.createDataFrame([(1, 'x "a quote of length" y')], "id long, t string")
+    plan = (
+        df.select(quotes_of(F.col("t")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
