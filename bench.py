@@ -114,6 +114,7 @@ HEADLINE = [
     "incremental_near_dups",
     "cdc_lsh_index",
     "dup_clusters",
+    "dup_canonical",
     "leakage_safe_split",
     "dup_substring_spans",
     "strip_dup_substrings",

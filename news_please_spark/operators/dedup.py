@@ -749,3 +749,41 @@ def choose_lsh_params(
             best = (err, bands, rows)
     assert best is not None
     return best[1], best[2]
+
+
+def canonical_per_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    root_col: str = "root",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware exemplar selection: keep the BEST member of each
+    near-dup cluster, not the smallest-id one. SemDeDup/RefinedWeb
+    keep an arbitrary exemplar; real curation keeps the member the
+    quality signal ranks highest (the longest/cleanest mirror of a
+    syndicated article), which measurably improves the surviving
+    corpus at the same dedup rate.
+
+    Deterministic rule: max score, ties to the SMALLEST id. Output:
+    (root, canonical_id, score, members). One AQE-routed join of the
+    cluster map to the per-doc score table and one map-side-combinable
+    agg — max(struct(score, -id)) is a semigroup, so no window, no
+    per-cluster skew cell even for a boilerplate cluster with 10^7
+    members."""
+    j = clusters.join(scores, id_col)
+    best = F.max(
+        F.struct(
+            F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid")
+        )
+    )
+    return (
+        j.groupBy(root_col)
+        .agg(best.alias("_b"), F.count(F.lit(1)).alias("members"))
+        .select(
+            root_col,
+            (-F.col("_b.nid")).alias("canonical_id"),
+            F.col("_b.s").alias(score_col),
+            "members",
+        )
+    )

@@ -5961,3 +5961,49 @@ def quote_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("quote").cast("long").alias("quote_len"),
         "quote",
     )
+
+
+@register("dup_canonical", None)
+def dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exemplar per near-dup cluster
+    (operators/dedup.py::canonical_per_cluster): keep the member the
+    quality signal (n_chars here) ranks highest, ties to the smallest
+    id — not the arbitrary min-id exemplar. max(struct) semigroup
+    agg: no window, no per-cluster skew cell. Oracle: the
+    dup_clusters reachability closure joined to n_chars with the same
+    argmax rule."""
+    from news_please_spark.operators.dedup import canonical_per_cluster
+
+    clusters = QUERIES["dup_clusters"](spark, sf_dir)
+    scores = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("score")
+    )
+    out = canonical_per_cluster(clusters, scores)
+    return out.select(
+        F.col("root").cast("long").alias("root"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.col("score").cast("long").alias("score"),
+        F.col("members").cast("long").alias("members"),
+    )
+
+
+ORACLES["dup_canonical"] = f"""
+    WITH RECURSIVE clusters AS (
+{ORACLES["dup_clusters"]}
+    ),
+    j AS (
+      SELECT c.root, c.doc_id, d.n_chars AS score
+      FROM clusters c JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT root, doc_id, score,
+             row_number() OVER (PARTITION BY root ORDER BY score DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY root) AS members
+      FROM j
+    )
+    SELECT CAST(root AS BIGINT) AS root,
+           CAST(doc_id AS BIGINT) AS canonical_id,
+           CAST(score AS BIGINT) AS score,
+           CAST(members AS BIGINT) AS members
+    FROM ranked WHERE rk = 1
+"""

@@ -404,3 +404,44 @@ def test_lsh_bucket_fast_path_bit_identical_on_ragged_dims(spark):
     assert f == s
     # table field stays int and table-major ordered
     assert [t for t, _ in f[1][1]] == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# canonical exemplar per cluster
+
+
+def test_canonical_per_cluster_argmax_and_ties(spark):
+    from news_please_spark.operators.dedup import canonical_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)],
+        "doc_id long, root long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (7, 10), (8, 10), (9, 5)],
+        "doc_id long, score long",
+    )
+    got = {
+        r.root: (r.canonical_id, r.score, r.members)
+        for r in canonical_per_cluster(clusters, scores).collect()
+    }
+    # cluster 1: 2 and 3 tie at 90 -> smallest id wins
+    # cluster 7: 7 and 8 tie at 10 -> 7 wins
+    # singleton keeps itself
+    assert got == {1: (2, 90, 3), 7: (7, 10, 2), 9: (9, 5, 1)}
+
+
+def test_canonical_per_cluster_no_window(spark):
+    from news_please_spark.operators.dedup import canonical_per_cluster
+
+    clusters = spark.createDataFrame([(1, 1)], "doc_id long, root long")
+    scores = spark.createDataFrame([(1, 5)], "doc_id long, score long")
+    plan = (
+        canonical_per_cluster(clusters, scores)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # semigroup agg, not a ranking window: survives 10^7-member clusters
+    assert "Window" not in plan
+    assert "Aggregate" in plan
