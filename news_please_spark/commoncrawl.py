@@ -81,6 +81,34 @@ class CompletedWarcLog:
         return snap
 
 
+class CdxLog:
+    """The archive's CDX index as append-only snapshot deltas, the
+    same layout discipline as CompletedWarcLog: each pass commits only
+    its batch's index rows; rows() unions every committed delta.
+    cdx_index_incremental consults rows() so a payload that appeared
+    in ANY earlier pass is marked revisit in later deltas."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.catalog = SnapshotCatalog(path, prefix="cdx=")
+
+    def rows(self) -> DataFrame | None:
+        snaps = self.catalog.snapshots()
+        dirs = [
+            os.path.join(self.catalog.snapshot_dir(s), "cdx")
+            for s in snaps
+        ]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)
+
+    def append(self, delta: DataFrame) -> int:
+        tx = self.catalog.begin()
+        delta.write.mode("overwrite").parquet(tx.path("cdx"))
+        return tx.commit({"n_delta": delta.count()})
+
+
 def extract_commoncrawl(
     spark: SparkSession,
     warc_glob: str,
@@ -89,9 +117,16 @@ def extract_commoncrawl(
     start_date: str | None = None,
     end_date: str | None = None,
     fused: bool = True,
+    cdx: "CdxLog | None" = None,
 ) -> dict:
     """One incremental pass: extract every not-yet-done WARC matching
     the glob (and date window) into `store`, then mark them done.
+
+    With `cdx` given, the pass also commits a CDX index delta for the
+    batch's response records (operators/cdx.py): revisit marking
+    consults every previously committed delta, so recrawled payloads
+    are flagged across passes — the write-side payload-dedup record
+    the reference's CommonCrawl reader consumes.
 
     Returns {"files": n_processed, "articles": n_merged, "snapshot":
     store snapshot id or None when nothing was new}.
@@ -116,6 +151,20 @@ def extract_commoncrawl(
         "date_download", F.current_timestamp()
     )
     snap = store.merge(articles)
+    if cdx is not None:
+        from news_please_spark.operators.cdx import (
+            cdx_from_warc_records,
+            cdx_index_incremental,
+        )
+        from news_please_spark.sources.warc import split_warc_records
+
+        recs = split_warc_records(
+            spark.read.format("binaryFile").load(paths)
+        )
+        delta = cdx_index_incremental(
+            cdx_from_warc_records(recs), cdx.rows(), tiebreak_col="record_index"
+        )
+        cdx.append(delta)
     # log exactly what was processed: the collected `paths` list, NOT a
     # re-execution of the lazy `todo` plan — a refreshed file listing on
     # the mutable WARC directory (or a racing writer) could otherwise

@@ -69,3 +69,65 @@ def revisit_stats(index: DataFrame) -> DataFrame:
         F.count_distinct("digest").alias("payloads"),
         F.sum("revisit").alias("revisits"),
     )
+
+
+def cdx_index_incremental(
+    captures: DataFrame,
+    history: DataFrame | None,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Index a NEW batch of captures against the archive's existing
+    index: a capture is a revisit when its digest matched an earlier
+    capture of the same urlkey either IN THIS BATCH or anywhere in
+    `history` (rows carrying urlkey, digest, orig_ts — e.g. the union
+    of previously committed index deltas). orig_ts points at the
+    earliest capture across both.
+
+    This is how CDX shards are actually built: per-fetch-batch deltas
+    that consult the merged prior index, so payload storage can be
+    skipped at WRITE time. Only the new batch is windowed; history
+    contributes one aggregated (urlkey, digest) row per group to an
+    equi-join — the archive's full capture list is never re-shuffled."""
+    idx = cdx_index(captures, url_col, ts_col, digest_col, tiebreak_col)
+    if history is None:
+        return idx
+    h = history.groupBy("urlkey", digest_col).agg(
+        F.min("orig_ts").alias("_hist_ts")
+    )
+    return (
+        idx.join(h, ["urlkey", digest_col], "left")
+        .withColumn(
+            "revisit",
+            F.when(F.col("_hist_ts").isNotNull(), F.lit(1)).otherwise(
+                F.col("revisit")
+            ),
+        )
+        .withColumn(
+            "orig_ts",
+            F.when(
+                F.col("_hist_ts").isNotNull(),
+                F.least("_hist_ts", "orig_ts"),
+            ).otherwise(F.col("orig_ts")),
+        )
+        .drop("_hist_ts")
+    )
+
+
+def cdx_from_warc_records(records: DataFrame) -> DataFrame:
+    """WARC response records (sources/warc.py::split_warc_records
+    schema) → CDX capture rows ready for indexing: urlkey source =
+    target_uri, ts = the WARC-Date header (ISO-8601 strings order
+    lexicographically; record_index breaks same-second ties within a
+    file), digest = md5 of the decoded payload."""
+    return records.filter(
+        (F.col("warc_type") == "response") & F.col("body").isNotNull()
+    ).select(
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("ts"),
+        F.md5(F.col("body")).alias("digest"),
+        "path",
+        "record_index",
+    )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 
 RECORD_SCHEMA = (
     "path string, record_index int, warc_type string, target_uri string, "
-    "http_status int, content_type string, body string"
+    "warc_date string, http_status int, content_type string, body string"
 )
 
 
@@ -57,6 +57,7 @@ def parse_warc_bytes(raw: bytes) -> list[dict]:
             "record_index": idx,
             "warc_type": headers.get("warc-type", ""),
             "target_uri": headers.get("warc-target-uri", ""),
+            "warc_date": headers.get("warc-date", ""),
             "http_status": None,
             "content_type": None,
             "body": None,
@@ -96,26 +97,31 @@ def split_warc_records(binary_files: DataFrame) -> DataFrame:
                 rows,
                 columns=[
                     "path", "record_index", "warc_type", "target_uri",
-                    "http_status", "content_type", "body",
+                    "warc_date", "http_status", "content_type", "body",
                 ],
             )
 
     return binary_files.select("path", "content").mapInPandas(split, RECORD_SCHEMA)
 
 
-def write_warc(path: str, records: list[tuple[str, int, str, bytes]], compress: bool = True) -> None:
+def write_warc(path: str, records: list, compress: bool = True) -> None:
     """Minimal WARC writer for tests/fixtures:
-    records = [(url, status, content_type, body_bytes)]."""
+    records = [(url, status, content_type, body_bytes)] or the same
+    tuple with a 5th element, the WARC-Date string."""
     buf = io.BytesIO()
-    for url, status, ctype, body in records:
+    for rec in records:
+        url, status, ctype, body = rec[:4]
+        wdate = rec[4] if len(rec) > 4 else ""
         http = (
             f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
             f"Content-Length: {len(body)}\r\n\r\n"
         ).encode("ascii") + body
+        date_line = f"WARC-Date: {wdate}\r\n" if wdate else ""
         head = (
             "WARC/1.0\r\n"
             "WARC-Type: response\r\n"
             f"WARC-Target-URI: {url}\r\n"
+            f"{date_line}"
             f"Content-Length: {len(http)}\r\n"
             "\r\n"
         ).encode("ascii")

@@ -93,3 +93,55 @@ def test_completed_log_is_append_only_and_compactable(spark, tmp_path):
     # appends keep working after compaction
     log.append(spark.createDataFrame([("e",)], "path string"))
     assert log.paths().count() == 5
+
+
+def test_cdx_log_cross_pass_revisits(spark, tmp_path):
+    from news_please_spark.commoncrawl import CdxLog
+
+    world = DocWorld(2 * N)
+    store = VersionedArticleStore(spark, str(tmp_path / "store"), buckets=4)
+    log = CompletedWarcLog(spark, str(tmp_path / "done"))
+    cdx = CdxLog(spark, str(tmp_path / "cdx"))
+    glob = str(tmp_path / "*.warc.gz")
+
+    # pass 1: one file, docs 0..N-1, explicit WARC-Dates
+    p1 = tmp_path / "CC-NEWS-20230115120000-00000.warc.gz"
+    write_warc(
+        str(p1),
+        [
+            (world.spec(d).url, 200, "text/html",
+             world.html(d).encode("utf-8"), f"2023-01-15T12:00:{d:02d}Z")
+            for d in range(N)
+        ],
+    )
+    r1 = extract_commoncrawl(spark, glob, store, log, cdx=cdx)
+    assert r1["files"] == 1
+    rows1 = cdx.rows().collect()
+    assert len(rows1) == N
+    assert all(r.revisit == 0 for r in rows1)  # first sight of every payload
+
+    # pass 2: a LATER file refetches doc 0 unchanged (revisit of pass 1)
+    # and doc 1 with changed bytes (new payload), plus fresh docs
+    p2 = tmp_path / "CC-NEWS-20230116120000-00001.warc.gz"
+    write_warc(
+        str(p2),
+        [
+            (world.spec(0).url, 200, "text/html",
+             world.html(0).encode("utf-8"), "2023-01-16T12:00:00Z"),
+            (world.spec(1).url, 200, "text/html",
+             (world.html(1) + "<!-- edited -->").encode("utf-8"),
+             "2023-01-16T12:00:01Z"),
+        ],
+    )
+    r2 = extract_commoncrawl(spark, glob, store, log, cdx=cdx)
+    assert r2["files"] == 1
+    by_pass = {}
+    for r in cdx.rows().collect():
+        by_pass.setdefault(r.path, []).append(r)
+    new_rows = {r.url: r for r in by_pass[[p for p in by_pass if "00001" in p][0]]}
+    u0, u1 = world.spec(0).url, world.spec(1).url
+    assert new_rows[u0].revisit == 1            # unchanged payload, later pass
+    assert new_rows[u0].orig_ts == "2023-01-15T12:00:00Z"
+    assert new_rows[u1].revisit == 0            # edited payload is an original
+    # pass-1 rows were committed first and stay untouched
+    assert sum(r.revisit for r in rows1) == 0
