@@ -135,6 +135,7 @@ HEADLINE = [
     "ivfadc_topk",
     "kmeans_clusters",
     "rp_project",
+    "vec_quantize",
     "semantic_dedup",
     "hard_negatives",
     "extract_articles",

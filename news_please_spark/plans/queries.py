@@ -6007,3 +6007,57 @@ ORACLES["dup_canonical"] = f"""
            CAST(members AS BIGINT) AS members
     FROM ranked WHERE rk = 1
 """
+
+
+@register(
+    "vec_quantize",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             CAST(floor(1000000 * list_aggregate(
+               list_transform(v, x -> abs(x)), 'max')) AS BIGINT) AS scale_q
+      FROM e
+    ),
+    c AS (
+      SELECT vec_id, scale_q, v,
+             list_transform(v, x -> CASE WHEN scale_q > 0 THEN
+               CAST(greatest(-127.0, least(127.0,
+                 floor(x * 127 * 1000000 / scale_q + 0.5))) AS INT)
+               ELSE 0 END) AS codes
+      FROM s
+    ),
+    err AS (
+      SELECT vec_id, scale_q, codes,
+             CAST(floor(1000000 * list_sum(list_transform(
+               generate_series(1, 64),
+               i -> abs(v[i] - CAST(codes[i] AS DOUBLE) * scale_q
+                               / (127 * 1000000))))) AS BIGINT) AS err_q
+      FROM c
+    )
+    SELECT vec_id, CAST(j.j AS INT) AS dim, codes[j.j] AS code,
+           scale_q, err_q
+    FROM err, (SELECT unnest(generate_series(1, 64)) AS j) j
+    """,
+)
+def vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization
+    (operators/similarity.py::vec_quantize_int8, the faiss-SQ8
+    scheme): per-vector max-abs scale, clamped round-half-up codes,
+    L1 reconstruction-error audit column — the 4× storage cut before
+    ANN at 10^10 vectors. Fixed-operation-order double arithmetic
+    floored to integers, so both engines derive identical codes.
+    Zero shuffle; exploded to (vec_id, dim, code) rows."""
+    from news_please_spark.operators.similarity import vec_quantize_int8
+
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    out = vec_quantize_int8(e)
+    return out.select(
+        "vec_id", F.posexplode("codes").alias("_p", "code"), "scale_q", "err_q"
+    ).select(
+        "vec_id",
+        (F.col("_p") + 1).cast("int").alias("dim"),
+        F.col("code").cast("int").alias("code"),
+        F.col("scale_q").cast("long").alias("scale_q"),
+        F.col("err_q").cast("long").alias("err_q"),
+    )

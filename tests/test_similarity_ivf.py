@@ -495,3 +495,62 @@ def _find_all_hn(s, needle):
         out.append(i)
         i = s.find(needle, i + 1)
     return out
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+
+
+def test_vec_quantize_matches_numpy(spark):
+    import math
+
+    import numpy as np
+
+    from news_please_spark.operators.similarity import vec_quantize_int8
+
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(40, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in vec_quantize_int8(df).collect()}
+    for i, v in enumerate(vecs):
+        v = v.astype(np.float64)
+        scale_q = math.floor(1e6 * float(np.abs(v).max()))
+        codes = [
+            int(max(-127.0, min(127.0, math.floor(x * 127 * 1e6 / scale_q + 0.5))))
+            for x in v
+        ]
+        err = math.floor(
+            1e6 * sum(abs(x - c * scale_q / (127 * 1e6)) for x, c in zip(v, codes))
+        )
+        r = got[i]
+        assert (r.scale_q, list(r.codes), r.err_q) == (scale_q, codes, err)
+        assert all(-127 <= c <= 127 for c in r.codes)
+
+
+def test_vec_quantize_zero_vector_and_reconstruction(spark):
+    import numpy as np
+
+    from news_please_spark.operators.similarity import vec_quantize_int8
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -0.5, 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in vec_quantize_int8(df).collect()}
+    assert got[0].scale_q == 0 and list(got[0].codes) == [0, 0, 0]
+    assert got[0].err_q == 0
+    # reconstruction of a clean power-of-two vector is near-exact
+    r = got[1]
+    recon = [c * r.scale_q / (127 * 1e6) for c in r.codes]
+    assert np.allclose(recon, [1.0, -0.5, 0.25], atol=0.01)
+
+
+def test_vec_quantize_zero_shuffle(spark):
+    from news_please_spark.operators.similarity import vec_quantize_int8
+
+    df = spark.createDataFrame([(0, [0.5, 1.0])], "vec_id long, embedding array<float>")
+    plan = vec_quantize_int8(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
