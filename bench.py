@@ -50,6 +50,7 @@ HEADLINE = [
     "frontier_bfs3",
     "pagerank3",
     "spam_mass",
+    "reciprocal_links",
     "hits_scores",
     "authority_order",
     "url_canonicalize",

@@ -476,3 +476,34 @@ def anchor_terms(
         .filter(F.col("rk") <= top_k)
         .select(F.col("dst").alias("dst_id"), "term", "cnt", "rk")
     )
+
+
+def reciprocal_links(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Mutual-link detection — the classic link-farm / link-exchange
+    signal (TrustRank-era spam features count reciprocal edges
+    explicitly; organic web linking is overwhelmingly one-way). One
+    row (a, b) with a < b per mutual pair.
+
+    Plan: NOT a self-join. Each directed edge maps to its canonical
+    unordered key (least, greatest) plus a direction bit; one
+    map-side-combinable aggregation per key then keeps keys where
+    both bits appeared. The edge table shuffles ONCE by the canonical
+    key (fixed-width, no skew pile-up beyond the true pair degree) —
+    a self-join would shuffle it twice and build a join hash table.
+    Self-loops are dropped (a loop is not a mutual pair)."""
+    s, d = F.col(src_col), F.col(dst_col)
+    keyed = (
+        edges.filter(s != d)
+        .select(
+            F.least(s, d).alias("a"),
+            F.greatest(s, d).alias("b"),
+            F.when(s < d, 1).otherwise(2).alias("_dir"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count_distinct("_dir").alias("_dirs"))
+    )
+    return keyed.filter(F.col("_dirs") == 2).select("a", "b")

@@ -6061,3 +6061,50 @@ def vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("scale_q").cast("long").alias("scale_q"),
         F.col("err_q").cast("long").alias("err_q"),
     )
+
+
+@register(
+    "reciprocal_links",
+    f"""
+    WITH base AS ({_EDGES_SQL}),
+    planted AS (
+      SELECT doc_id AS src,
+             (doc_id*11 + 5) % (SELECT max(doc_id)+1 FROM documents) AS dst
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    edges AS (
+      SELECT src, dst FROM base
+      UNION ALL SELECT src, dst FROM planted
+      UNION ALL SELECT dst, src FROM planted
+    ),
+    keyed AS (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+             CASE WHEN src < dst THEN 1 ELSE 2 END AS dir
+      FROM edges WHERE src <> dst
+    )
+    SELECT a, b FROM (
+      SELECT a, b, count(DISTINCT dir) AS dirs FROM keyed GROUP BY a, b
+    ) WHERE dirs = 2
+    """,
+)
+def reciprocal_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-link (link-exchange) detection
+    (operators/graph.py::reciprocal_links) over the derived webgraph
+    plus planted mutual pairs on every 97th doc (the arithmetic graph
+    has no organic reciprocity — verified: every m,a chain is
+    unsolvable mod N). Canonical-key single-shuffle plan, no
+    self-join."""
+    from news_please_spark.operators.graph import reciprocal_links
+
+    edges = derived_edges(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    seeds = docs.filter(F.col("doc_id") % 97 == 0)
+    fwd = seeds.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 11 + 5) % n).alias("dst"),
+    )
+    all_edges = edges.unionByName(fwd).unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return reciprocal_links(all_edges)

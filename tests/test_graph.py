@@ -294,3 +294,32 @@ def test_seeded_pagerank_zero_seed_set_is_all_zero(spark):
     empty = ndf.limit(0)
     out = pagerank_scaled(edf, ndf, 1, iters=2, teleport_nodes=empty)
     assert [r.r for r in out.collect()] == [0, 0, 0, 0, 0]
+
+
+# ---------------------------------------------------------------------------
+# reciprocal links
+
+
+def test_reciprocal_links_semantics(spark):
+    from news_please_spark.operators.graph import reciprocal_links
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 1),          # mutual
+            (3, 4),                  # one-way
+            (5, 5),                  # self-loop: never mutual
+            (6, 7), (6, 7), (7, 6),  # duplicate directed edges collapse
+            (8, 9), (9, 8), (8, 9),  # mutual with dup
+        ],
+        "src long, dst long",
+    )
+    got = sorted((r.a, r.b) for r in reciprocal_links(edges).collect())
+    assert got == [(1, 2), (6, 7), (8, 9)]
+
+
+def test_reciprocal_links_no_self_join(spark):
+    from news_please_spark.operators.graph import reciprocal_links
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    plan = reciprocal_links(edges)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan  # canonical-key aggregation, not a self-join
