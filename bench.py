@@ -51,6 +51,7 @@ HEADLINE = [
     "pagerank3",
     "spam_mass",
     "reciprocal_links",
+    "kcore_peel",
     "hits_scores",
     "authority_order",
     "url_canonicalize",

@@ -507,3 +507,51 @@ def reciprocal_links(
         .agg(F.count_distinct("_dir").alias("_dirs"))
     )
     return keyed.filter(F.col("_dirs") == 2).select("a", "b")
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core peeling with a FIXED round budget: repeatedly drop nodes
+    with fewer than k distinct undirected neighbors, then the edges
+    touching them. The k-core is the fixpoint; a fixed number of
+    peels converges to it from above and is the scale-friendly form —
+    every round is the same static plan (one degree aggregation + two
+    semi-joins), no data-dependent convergence polling, and 2-3 peels
+    remove the overwhelming mass of the shell in real web graphs
+    (degree-1 tendrils die in round 1, their newly-exposed parents in
+    round 2). The dense cores that survive are where link farms and
+    genuine hub communities live — the structural complement to
+    spam_mass's propagation signal.
+
+    Returns (node, deg): survivors after `rounds` peels with their
+    degree in the SURVIVING subgraph. A survivor's degree can dip
+    back below k when the final round's removals exposed it — the
+    size of that set is exactly the remaining fixpoint gap, the
+    signal for choosing the round budget. Self-loops ignored; edge direction ignored;
+    parallel edges collapse (degree = distinct neighbors)."""
+    s, d = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.filter(s != d)
+        .select(s.alias("a"), d.alias("b"))
+        .unionByName(
+            edges.filter(s != d).select(d.alias("a"), s.alias("b"))
+        )
+        .distinct()
+    )
+    for _ in range(rounds):
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        und = (
+            und.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+        )
+    return (
+        und.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("a").alias("node"), "deg")
+    )

@@ -6108,3 +6108,46 @@ def reciprocal_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return reciprocal_links(all_edges)
+
+
+def _kcore_ctes(k: int, rounds: int) -> str:
+    parts = [f"""
+    base AS ({_EDGES_SQL}),
+    u0 AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM base WHERE src <> dst
+        UNION ALL
+        SELECT dst AS a, src AS b FROM base WHERE src <> dst)
+    )"""]
+    for r in range(rounds):
+        parts.append(f"""
+    d{r} AS (SELECT a, count(*) AS deg FROM u{r} GROUP BY a),
+    k{r} AS (SELECT a FROM d{r} WHERE deg >= {k}),
+    u{r + 1} AS (
+      SELECT u.a, u.b FROM u{r} u
+      JOIN k{r} x ON u.a = x.a JOIN k{r} y ON u.b = y.a
+    )""")
+    return "WITH" + ",".join(parts)
+
+
+@register(
+    "kcore_peel",
+    _kcore_ctes(k=6, rounds=3)
+    + """
+    SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+    FROM u3 GROUP BY a
+    """,
+)
+def kcore_peel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-core peeling (operators/graph.py::kcore_peel,
+    k=6, 3 peels) over the derived webgraph — the dense-core
+    structural signal next to spam_mass. The arithmetic graph's
+    undirected degrees straddle 6 (out-degree 3 + in-degree 2 or 7 by
+    residue class), so each peel cascades non-trivially. Per round:
+    one map-side-combinable degree agg + two semi-joins; static plan,
+    no convergence polling."""
+    from news_please_spark.operators.graph import kcore_peel
+
+    edges = derived_edges(spark, sf_dir)
+    out = kcore_peel(edges, k=6, rounds=3)
+    return out.select("node", F.col("deg").cast("long").alias("deg"))

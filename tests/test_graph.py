@@ -323,3 +323,55 @@ def test_reciprocal_links_no_self_join(spark):
     edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
     plan = reciprocal_links(edges)._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan  # canonical-key aggregation, not a self-join
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling
+
+
+def _py_kcore(edges, k, rounds):
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    for _ in range(rounds):
+        deg = {}
+        for a, _b in und:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {n for n, c in deg.items() if c >= k}
+        und = {(a, b) for a, b in und if a in keep and b in keep}
+    out = {}
+    for a, _b in und:
+        out[a] = out.get(a, 0) + 1
+    return out
+
+
+def test_kcore_peel_matches_python(spark):
+    from news_please_spark.operators.graph import kcore_peel
+
+    # triangle core {1,2,3} + a tendril 4-5 + a self-loop + parallels
+    edges = [
+        (1, 2), (2, 3), (3, 1),
+        (1, 4), (4, 5),
+        (6, 6),
+        (2, 3), (3, 2),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.deg for r in kcore_peel(df, k=2, rounds=3).collect()}
+    assert got == _py_kcore(edges, 2, 3)
+    # the tendril and self-loop peel away; the triangle survives at deg 2
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_peel_round_budget_converges_from_above(spark):
+    from news_please_spark.operators.graph import kcore_peel
+
+    # a chain: each peel removes the exposed endpoints only
+    edges = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for rounds in (1, 2, 3):
+        got = {r.node for r in kcore_peel(df, k=2, rounds=rounds).collect()}
+        assert got == set(_py_kcore(edges, 2, rounds))
+    # the 2-core of a chain is empty: enough rounds reach the fixpoint
+    assert kcore_peel(df, k=2, rounds=3).count() == 0
