@@ -146,6 +146,7 @@ HEADLINE = [
     "events_hourly",
     "events_sessionize",
     "funnel_steps",
+    "event_transitions",
     "cohort_retention",
     "asof_last_purchase",
     "purchase_click_attribution",

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -104,4 +104,45 @@ def funnel_counts(per_user: DataFrame, n: int) -> DataFrame:
         per_user.select(F.explode(F.sequence(F.lit(1), F.col("steps"))).alias("step"))
         .groupBy("step")
         .agg(F.count(F.lit(1)).cast("long").alias("users"))
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams — the "where do users go next" table behind every product
+    flow diagram, and (for the crawl tier) the same shape as
+    page-type transition analysis on a browsing/fetch log.
+
+    Per ordered user stream, each consecutive pair contributes one
+    (from_type, to_type) observation; output rows carry n (the count)
+    and p_bp (row-normalized probability in basis points:
+    n·10⁴ DIV Σ_to n — integer-exact). One lag() window keyed by user
+    (the only data-sized shuffle; a user's stream is one cell), one
+    map-side-combinable pair count, and the normalizing totals join
+    is |event types|² at most — broadcast-sized by construction."""
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col is not None else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.lag(type_col).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .withColumn("p_bp", F.expr("n * 10000 DIV _tot"))
+        .drop("_tot")
     )

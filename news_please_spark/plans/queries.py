@@ -6151,3 +6151,43 @@ def kcore_peel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = derived_edges(spark, sf_dir)
     out = kcore_peel(edges, k=6, rounds=3)
     return out.select("node", F.col("deg").cast("long").alias("deg"))
+
+
+@register(
+    "event_transitions",
+    """
+    WITH p AS (
+      SELECT user_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type,
+             event_type AS to_type
+      FROM events
+    ),
+    c AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+           CAST(c.n * 10000 // t.tot AS BIGINT) AS p_bp
+    FROM c JOIN t USING (from_type)
+    """,
+)
+def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions over per-user event streams
+    (operators/funnel.py::event_transitions): (from, to, n, p_bp)
+    with integer row-normalized probabilities. One user-keyed lag
+    window + map-side pair counts + a broadcast totals join
+    (|types|² rows at most)."""
+    from news_please_spark.operators.funnel import event_transitions
+
+    ev = spread(
+        load(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id"),
+        spark,
+    )
+    out = event_transitions(ev, tiebreak_col="event_id")
+    return out.select(
+        "from_type", "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("p_bp").cast("long").alias("p_bp"),
+    )

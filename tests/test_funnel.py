@@ -140,3 +140,48 @@ def test_rejects_bad_steps(ev_df):
         funnel_steps(ev_df, ("view",))
     with pytest.raises(ValueError):
         funnel_steps(ev_df, ("view", "view"))
+
+
+# ---------------------------------------------------------------------------
+# event transition matrix
+
+
+def test_event_transitions_counts_and_probabilities(spark):
+    from news_please_spark.operators.funnel import event_transitions
+
+    rows = [
+        # user 1: a -> b -> a -> c
+        (1, 10, "a", 1), (1, 20, "b", 2), (1, 30, "a", 3), (1, 40, "c", 4),
+        # user 2: a -> b (streams never cross users)
+        (2, 10, "a", 5), (2, 20, "b", 6),
+        # user 3: single event contributes nothing
+        (3, 10, "z", 7),
+        # equal timestamps tie-broken by event_id: b -> a, not a -> b
+        (4, 10, "b", 8), (4, 10, "a", 9),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string, event_id long")
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p_bp)
+        for r in event_transitions(df, tiebreak_col="event_id").collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 6666),   # a -> b twice, a -> c once
+        ("a", "c"): (1, 3333),
+        ("b", "a"): (2, 10000),  # user 1's b->a and user 4's tie-broken b->a
+    }
+    assert ("z", "z") not in got
+
+
+def test_event_transitions_single_window_broadcast_totals(spark):
+    from news_please_spark.operators.funnel import event_transitions
+
+    df = spark.createDataFrame(
+        [(1, 10, "a", 1), (1, 20, "b", 2)],
+        "user_id long, ts long, event_type string, event_id long",
+    )
+    d = event_transitions(df, tiebreak_col="event_id")
+    d.collect()
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Window [") == 1
+    assert "BroadcastHashJoin" in plan
