@@ -130,6 +130,7 @@ HEADLINE = [
     "span_boilerplate",
     "caption_pairs",
     "media_dup_stats",
+    "frame_sample",
     "ann_cosine_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",

@@ -6191,3 +6191,38 @@ def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("p_bp").cast("long").alias("p_bp"),
     )
+
+
+@register(
+    "frame_sample",
+    """
+    WITH vids AS (
+      SELECT doc_id, 'vid://' || CAST(doc_id AS VARCHAR) AS media_ref,
+             (doc_id % 10 + 1) * 2500 AS duration_ms
+      FROM documents WHERE doc_id % 6 = 0
+    )
+    SELECT doc_id, media_ref, CAST(f.f AS BIGINT) AS frame_ms
+    FROM vids, unnest(generate_series(0, greatest(duration_ms - 1, 0), 1000)) AS f(f)
+    """,
+)
+def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan
+    (operators/multimodal.py::frame_sample_refs): one row per sampled
+    timestamp at a fixed stride — the multimodal tier's plan stage;
+    the frame grab itself stays the documented codec stub. Derived
+    media world: every 6th doc is a video with duration
+    (doc%10+1)·2.5 s so strides truncate at varied remainders.
+    sequence + explode, zero shuffle."""
+    from news_please_spark.operators.multimodal import frame_sample_refs
+
+    did = F.col("doc_id")
+    media = load(spark, sf_dir, "documents").filter(did % 6 == 0).select(
+        "doc_id",
+        F.concat(F.lit("vid://"), did.cast("string")).alias("media_ref"),
+        F.lit("video").alias("kind"),
+        F.struct(((did % 10 + 1) * 2500).cast("long").alias("duration_ms")).alias("meta"),
+    )
+    out = frame_sample_refs(media, every_ms=1000)
+    return out.select(
+        "doc_id", "media_ref", F.col("frame_ms").cast("long").alias("frame_ms")
+    )
