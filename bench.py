@@ -58,6 +58,7 @@ HEADLINE = [
     "crawl_traps",
     "blocklist_hosts",
     "robots_gate",
+    "robots_diff",
     "politeness_topk",
     "budget_allocate",
     "host_shards",

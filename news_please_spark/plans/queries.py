@@ -6244,3 +6244,64 @@ def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "media_ref", F.col("frame_ms").cast("long").alias("frame_ms")
     )
+
+
+@register(
+    "robots_diff",
+    """
+    WITH u AS (
+      SELECT doc_id, doc_id % 7 AS k,
+             'h' || CAST(doc_id % 7 AS VARCHAR) || '.test' AS host,
+             CASE WHEN doc_id % 2 = 0
+                  THEN '/sec/p' || CAST(doc_id AS VARCHAR)
+                  ELSE '/pub/p' || CAST(doc_id AS VARCHAR) END AS path
+      FROM documents
+    ),
+    v AS (
+      SELECT host, k,
+             NOT (k % 2 = 0 AND path LIKE '/sec%') AS old_ok,
+             NOT (k % 3 = 0 AND path LIKE '/sec%') AS new_ok
+      FROM u
+    )
+    SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(CASE WHEN old_ok AND NOT new_ok THEN 1 ELSE 0 END) AS BIGINT) AS to_deny,
+           CAST(sum(CASE WHEN NOT old_ok AND new_ok THEN 1 ELSE 0 END) AS BIGINT) AS to_allow
+    FROM v GROUP BY host
+    """,
+)
+def robots_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots policy drift (sources/robots.py::robots_diff): two
+    robots snapshots — old denies /sec on even hosts, new on
+    hosts ≡ 0 (mod 3) — evaluated through the REAL RFC 9309
+    parser+longest-match engine, then flip counts per host; the
+    oracle states the verdicts arithmetically (the parser itself is
+    oracled by robots_gate). Hosts 2, 4 flip /sec URLs to allow,
+    host 3 flips them to deny."""
+    from news_please_spark.sources.robots import parse_robots, robots_diff
+
+    did = F.col("doc_id")
+    urls = load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (did % 7).cast("string"), F.lit(".test")).alias("host"),
+        F.when(did % 2 == 0,
+               F.concat(F.lit("/sec/p"), did.cast("string")))
+        .otherwise(F.concat(F.lit("/pub/p"), did.cast("string"))).alias("path"),
+    )
+    hosts = spark.range(7).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".test")).alias("host"),
+        F.col("id").alias("k"),
+    )
+    txt_old = F.when(
+        F.col("k") % 2 == 0, F.lit("User-agent: *\nDisallow: /sec")
+    ).otherwise(F.lit("User-agent: *\nDisallow:"))
+    txt_new = F.when(
+        F.col("k") % 3 == 0, F.lit("User-agent: *\nDisallow: /sec")
+    ).otherwise(F.lit("User-agent: *\nDisallow:"))
+    rules_old = parse_robots(hosts.select("host", txt_old.alias("robots_txt")))
+    rules_new = parse_robots(hosts.select("host", txt_new.alias("robots_txt")))
+    out = robots_diff(urls, rules_old, rules_new)
+    return out.select(
+        "host",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("to_deny").cast("long").alias("to_deny"),
+        F.col("to_allow").cast("long").alias("to_allow"),
+    )

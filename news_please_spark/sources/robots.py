@@ -278,3 +278,41 @@ def sitemaps_of(
         .select("host", F.col("val").alias("sitemap_url"))
         .distinct()
     )
+
+
+def robots_diff(
+    urls: DataFrame,
+    rules_old: DataFrame,
+    rules_new: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Robots policy drift between two snapshots — the report a crawl
+    operator reads after a refetch sweep of robots.txt: per host, how
+    many of OUR known URLs flipped verdict (newly denied URLs must
+    leave the frontier and the store's serving set; newly allowed
+    ones become crawl candidates). Evaluates BOTH rule snapshots with
+    the same RFC 9309 longest-match engine (robots_allowed) and
+    aggregates flips per host.
+
+    Output: (host, n_urls, to_deny, to_allow). Plan: two
+    rule-table joins (rules are robots-sized, AQE/broadcast-routed) +
+    one map-side-combinable per-host agg; the URL table shuffles only
+    for the verdict regroup robots_allowed already performs."""
+    a = robots_allowed(urls, rules_old, agent, host_col, path_col).withColumnRenamed(
+        "allowed", "_old"
+    )
+    b = robots_allowed(urls, rules_new, agent, host_col, path_col).withColumnRenamed(
+        "allowed", "_new"
+    )
+    j = a.join(b, list(urls.columns))
+    return j.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(
+            F.when(F.col("_old") & ~F.col("_new"), 1).otherwise(0)
+        ).cast("long").alias("to_deny"),
+        F.sum(
+            F.when(~F.col("_old") & F.col("_new"), 1).otherwise(0)
+        ).cast("long").alias("to_allow"),
+    )

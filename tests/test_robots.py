@@ -240,3 +240,39 @@ def test_sitemaps_are_cross_group(spark):
         ("a.example.com", "https://a.example.com/news.xml"),
         ("a.example.com", "https://a.example.com/sm.xml"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# robots policy drift
+
+
+def test_robots_diff_flip_semantics(spark):
+    from news_please_spark.sources.robots import parse_robots, robots_diff
+
+    urls = spark.createDataFrame(
+        [
+            ("a.test", "/sec/1"), ("a.test", "/sec/2"), ("a.test", "/pub/1"),
+            ("b.test", "/sec/1"), ("b.test", "/pub/1"),
+            ("c.test", "/anything"),  # no robots at all in either snapshot
+        ],
+        "host string, path string",
+    )
+    old = parse_robots(spark.createDataFrame(
+        [("a.test", "User-agent: *\nDisallow: /sec"),
+         ("b.test", "User-agent: *\nDisallow:")],
+        "host string, robots_txt string",
+    ))
+    new = parse_robots(spark.createDataFrame(
+        [("a.test", "User-agent: *\nDisallow:"),
+         ("b.test", "User-agent: *\nDisallow: /sec")],
+        "host string, robots_txt string",
+    ))
+    got = {
+        r.host: (r.n_urls, r.to_deny, r.to_allow)
+        for r in robots_diff(urls, old, new).collect()
+    }
+    assert got == {
+        "a.test": (3, 0, 2),  # /sec urls freed, /pub unchanged
+        "b.test": (2, 1, 0),  # /sec url newly denied
+        "c.test": (1, 0, 0),  # absent rules: allowed both times
+    }
