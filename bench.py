@@ -79,6 +79,7 @@ HEADLINE = [
     "doc_quality",
     "gopher_rules",
     "c4_clean",
+    "text_normalize",
     "quality_classifier",
     "heavy_hitters_cms",
     "hll_distinct",

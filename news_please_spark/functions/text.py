@@ -328,3 +328,33 @@ def quotes_of(text: Column, min_len: int = 10, max_len: int = 400) -> Column:
     (quotes stripped), document order; pure Column, rides the scan."""
     pat = '"([^"]{%d,%d})"' % (min_len, max_len)
     return F.regexp_extract_all(text, F.lit(pat), 1)
+
+
+def normalize_text(text: Column) -> Column:
+    """Portable text normalization — the C4-style preprocessing pass a
+    corpus gets before tokenization/hashing so cosmetic variants stop
+    defeating exact dedup:
+
+      * curly quotes → ASCII quotes, en/em dashes → '-',
+        ellipsis char → '...', NBSP → space (explicit per-char
+        translate — deliberately NOT full NFKC: the mapping is pinned,
+        engine-portable, and auditable, where NFKC output depends on
+        the runtime's Unicode table version)
+      * C0 control chars (except \\t \\n) dropped
+      * horizontal whitespace runs collapse to one space, per line
+      * trailing/leading whitespace stripped per line; blank-line runs
+        collapse to one newline
+
+    Pure Column chain (translate + RE2-compatible regexp_replace),
+    rides the scan."""
+    t = F.translate(
+        text,
+        "‘’“”–— ",
+        "''\"\"--  ",
+    )
+    t = F.regexp_replace(t, "…", "...")
+    t = F.regexp_replace(t, r"[\x00-\x08\x0B-\x1F]", "")
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{2,}", "\n")
+    return F.regexp_replace(t, r"^\s+|\s+$", "")

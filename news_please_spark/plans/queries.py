@@ -6305,3 +6305,53 @@ def robots_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("to_deny").cast("long").alias("to_deny"),
         F.col("to_allow").cast("long").alias("to_allow"),
     )
+
+
+@register(
+    "text_normalize",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0 THEN
+               ' “quoted” — it’s…' || chr(7) ||
+               '  big   gap' || chr(10) || chr(10) || chr(10) || ' end '
+             ELSE '' END AS txt
+      FROM documents
+    ),
+    n0 AS (
+      SELECT doc_id,
+             translate(txt, '‘’“”–— ',
+                       '''''"\"--  ') AS s
+      FROM t
+    ),
+    n1 AS (SELECT doc_id, regexp_replace(s, '…', '...', 'g') AS s FROM n0),
+    n2 AS (SELECT doc_id, regexp_replace(s, '[\\x00-\\x08\\x0B-\\x1F]', '', 'g') AS s FROM n1),
+    n3 AS (SELECT doc_id, regexp_replace(s, '[ \\t]+', ' ', 'g') AS s FROM n2),
+    n4 AS (SELECT doc_id, regexp_replace(s, ' ?\\n ?', chr(10), 'g') AS s FROM n3),
+    n5 AS (SELECT doc_id, regexp_replace(s, '\\n{2,}', chr(10), 'g') AS s FROM n4)
+    SELECT doc_id, regexp_replace(s, '^\\s+|\\s+$', '', 'g') AS norm
+    FROM n5
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable text normalization (functions/text.py::normalize_text):
+    pinned punctuation folding (curly quotes/dashes/ellipsis/NBSP),
+    control-char drop, whitespace canonicalization — the C4-style
+    pass that stops cosmetic variants defeating exact dedup;
+    deliberately a pinned translate map rather than runtime-versioned
+    NFKC. Messy decorations planted on every 3rd doc. Pure Column
+    chain, zero shuffle."""
+    from news_please_spark.functions.text import normalize_text
+
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" “quoted” — it’s…\x07"
+                      "  big   gap\n\n\n end "),
+            ).otherwise(F.lit("")),
+        ).alias("txt"),
+    )
+    return t.select("doc_id", normalize_text(F.col("txt")).alias("norm"))

@@ -272,3 +272,41 @@ def test_quotes_of_zero_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# text normalization
+
+
+def test_normalize_text_semantics(spark):
+    from news_please_spark.functions.text import normalize_text
+
+    rows = [
+        (1, "“Hi” — it’s… fine"),
+        (2, "a\x07b\x00c"),              # control chars drop, letters keep
+        (3, "  lots\t of   space  "),
+        (4, "line1   \n\n\n   line2"),
+        (5, "tabs\tand\nnewlines\nsurvive"),
+        (6, "nb sp"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n for r in df.select(
+        "doc_id", normalize_text(F.col("text")).alias("n")).collect()}
+    assert got[1] == "\"Hi\" - it's... fine"
+    assert got[2] == "abc"
+    assert got[3] == "lots of space"
+    assert got[4] == "line1\nline2"
+    assert got[5] == "tabs and\nnewlines\nsurvive"
+    assert got[6] == "nb sp"
+
+
+def test_normalize_text_makes_cosmetic_variants_dedup_equal(spark):
+    from news_please_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "“breaking” – news  today"),
+         (2, '"breaking" - news today')],
+        "doc_id long, text string",
+    )
+    out = df.select(normalize_text(F.col("text")).alias("n")).distinct()
+    assert out.count() == 1
