@@ -14,7 +14,7 @@ identical to a global `row_number` but every heavy step is distributed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -309,6 +309,59 @@ def host_shards(
         .cast("long")
         .alias("shard"),
     )
+
+
+def hrw_shard(key: Column, n_shards: int) -> Column:
+    """Rendezvous (highest-random-weight) shard id for ``key`` as one
+    map-side Column — no join, no shuffle, no state table.
+
+    score(key, s) = first 8 md5 hex chars of ``key#s`` as an int64;
+    the shard is the argmax over s in [0, n_shards) (ties, which md5
+    makes astronomically rare, break toward the smaller s via
+    array_position's first-match rule).  md5 keeps the placement
+    engine-portable, so the DuckDB oracle re-derives identical shards.
+
+    Why HRW beside the snake-draft `host_shards`: the snake placement
+    re-ranks EVERY host when the weight census changes, so a shard
+    resize reassigns nearly all hosts (each reassignment strands that
+    host's politeness clock and per-host queue on the old worker).
+    HRW's argmax-over-supersets property means growing K→K+1 moves
+    exactly the hosts whose new-shard score wins — E[1/(K+1)] of them
+    — and every mover lands on the NEW shard; shrinking only
+    redistributes the removed shard's hosts.  That is the property a
+    10^10-URL frontier needs to resize its crawler fleet without a
+    global re-shuffle of politeness state.
+
+    Cost: n_shards md5 evaluations per row, inside the scan stage
+    (n_shards is fleet-sized — tens to thousands — and the transform
+    lambda touches only its own element, so there is no
+    interpreted-HOF re-evaluation blowup)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    scores = F.transform(
+        F.sequence(F.lit(0), F.lit(int(n_shards) - 1)),
+        lambda s: F.conv(
+            F.substring(
+                F.md5(F.concat(key, F.lit("#"), s.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("long")
+
+
+def rendezvous_shards(
+    hosts: DataFrame,
+    n_shards: int,
+    key: str = "host",
+    out: str = "shard",
+) -> DataFrame:
+    """DataFrame wrapper over `hrw_shard`: input columns pass through
+    plus an ``out`` int64 shard column.  Zero shuffle — placement is a
+    pure function of the key, computed inside whatever stage reads
+    ``hosts``."""
+    return hosts.withColumn(out, hrw_shard(F.col(key), n_shards))
 
 
 def fetch_timetable(

@@ -6355,3 +6355,66 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("txt"),
     )
     return t.select("doc_id", normalize_text(F.col("txt")).alias("norm"))
+
+
+@register(
+    "rendezvous_shards",
+    """
+    WITH h AS (
+      SELECT DISTINCT 'h' || CAST(doc_id % 97 AS VARCHAR) || '.test' AS host
+      FROM documents
+    ),
+    sh AS (SELECT unnest(range(9)) AS s),
+    sc AS (
+      SELECT host, s,
+             ('0x' || substr(md5(host || '#' || CAST(s AS VARCHAR)), 1, 8))::BIGINT
+               AS score
+      FROM h CROSS JOIN sh
+    ),
+    r8 AS (
+      SELECT host, s,
+             row_number() OVER (PARTITION BY host ORDER BY score DESC, s) AS rn
+      FROM sc WHERE s < 8
+    ),
+    r9 AS (
+      SELECT host, s,
+             row_number() OVER (PARTITION BY host ORDER BY score DESC, s) AS rn
+      FROM sc
+    )
+    SELECT a.host,
+           CAST(a.s AS BIGINT) AS shard8,
+           CAST(b.s AS BIGINT) AS shard9,
+           CAST(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END AS BIGINT) AS moved
+    FROM (SELECT * FROM r8 WHERE rn = 1) a
+    JOIN (SELECT * FROM r9 WHERE rn = 1) b USING (host)
+    """,
+)
+def rendezvous_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) host->shard placement
+    (operators/ordering.py::hrw_shard): consistent crawler-fleet
+    placement where resizing K -> K+1 moves only the hosts whose new
+    shard's score wins — every mover lands on the NEW shard, E[1/(K+1)]
+    of hosts move, nobody else's politeness state is disturbed (the
+    resize story the snake-draft host_shards placement cannot offer).
+    Entry computes the placement at K=8 and K=9 side by side plus the
+    moved flag; both are map-side argmax folds over md5 scores — zero
+    shuffle after the host distinct."""
+    from news_please_spark.operators.ordering import hrw_shard
+
+    hosts = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 97).cast("string"), F.lit(".test")
+            ).alias("host")
+        )
+        .distinct()
+    )
+    s8 = hrw_shard(F.col("host"), 8)
+    s9 = hrw_shard(F.col("host"), 9)
+    return hosts.select(
+        "host",
+        s8.alias("shard8"),
+        s9.alias("shard9"),
+        (s8 != s9).cast("long").alias("moved"),
+    )

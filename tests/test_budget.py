@@ -101,3 +101,52 @@ def test_host_shards_separates_head_hosts_and_balances(spark):
     # determinism under repartitioning
     again = {r.host: r.shard for r in host_shards(df.repartition(9), 4).collect()}
     assert again == shard_of
+
+
+# ---------------------------------------------------------------------------
+# rendezvous (HRW) host -> shard placement
+
+
+def _py_hrw(host, k):
+    import hashlib
+
+    def score(s):
+        return int(hashlib.md5(f"{host}#{s}".encode()).hexdigest()[:8], 16)
+
+    return max(range(k), key=lambda s: (score(s), -s))
+
+
+def test_rendezvous_matches_python_oracle(spark):
+    from news_please_spark.operators.ordering import rendezvous_shards
+
+    hosts = [f"site{i}.example" for i in range(150)]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {r.host: r.shard for r in rendezvous_shards(df, 7).collect()}
+    assert got == {h: _py_hrw(h, 7) for h in hosts}
+
+
+def test_rendezvous_minimal_movement_on_grow(spark):
+    from news_please_spark.operators.ordering import rendezvous_shards
+
+    hosts = [f"site{i}.example" for i in range(400)]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    at6 = {r.host: r.shard for r in rendezvous_shards(df, 6).collect()}
+    at7 = {r.host: r.shard for r in rendezvous_shards(df, 7).collect()}
+    movers = {h for h in hosts if at6[h] != at7[h]}
+    # HRW invariant: growing K only ever moves hosts ONTO the new shard
+    assert all(at7[h] == 6 for h in movers)
+    # expected movement is 1/7 of hosts; assert well under a reshuffle
+    assert len(movers) / len(hosts) < 0.30
+    # shrink is the mirror: only the removed shard's hosts move
+    back = {h for h in hosts if at7[h] != at6[h]}
+    assert back == movers and all(at7[h] == 6 for h in back)
+
+
+def test_rendezvous_rejects_bad_shard_count(spark):
+    import pytest as _pytest
+
+    from news_please_spark.operators.ordering import rendezvous_shards
+
+    df = spark.createDataFrame([("a",)], "host string")
+    with _pytest.raises(ValueError):
+        rendezvous_shards(df, 0).collect()
