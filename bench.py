@@ -72,6 +72,7 @@ HEADLINE = [
     "url_dedup_key",
     "surt_key",
     "cdx_revisit",
+    "redirect_chains",
     "dedup_exact",
     "fingerprint",
     "minhash_signatures",

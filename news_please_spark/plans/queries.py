@@ -6418,3 +6418,62 @@ def rendezvous_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         s9.alias("shard9"),
         (s8 != s9).cast("long").alias("moved"),
     )
+
+
+@register(
+    "redirect_chains",
+    """
+    WITH e AS (
+      SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+             'u' || CAST(doc_id - 1 AS VARCHAR) AS dst
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    s0 AS (SELECT src AS u, dst AS cur, CAST(1 AS BIGINT) AS hops FROM e),
+    s1 AS (
+      SELECT a.u, coalesce(b.cur, a.cur) AS cur,
+             a.hops + coalesce(b.hops, 0) AS hops
+      FROM s0 a LEFT JOIN s0 b ON a.cur = b.u
+    ),
+    s2 AS (
+      SELECT a.u, coalesce(b.cur, a.cur) AS cur,
+             a.hops + coalesce(b.hops, 0) AS hops
+      FROM s1 a LEFT JOIN s1 b ON a.cur = b.u
+    ),
+    s3 AS (
+      SELECT a.u, coalesce(b.cur, a.cur) AS cur,
+             a.hops + coalesce(b.hops, 0) AS hops
+      FROM s2 a LEFT JOIN s2 b ON a.cur = b.u
+    )
+    SELECT u AS src, cur AS final_url, CAST(hops AS BIGINT) AS hops,
+           CAST(CASE WHEN o.src IS NULL THEN 1 ELSE 0 END AS BIGINT) AS resolved
+    FROM s3 LEFT JOIN (SELECT DISTINCT src FROM e) o ON s3.cur = o.src
+    """,
+)
+def redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop redirect resolution
+    (operators/graph.py::resolve_redirects): pointer doubling collapses
+    every redirect chain to (src, final_url, hops, resolved) in
+    ceil(log2 L) equi-join rounds — the set-oriented form of the
+    reference's one-hop-per-response scrapy redirect keying (D4).
+    Derived world: u(5k+j) -> u(5k+j-1) for j=1..4, so chains of length
+    1-4 end at the u(5k) terminals; rounds=3 (covers 8 hops) shows the
+    doubling is idempotent past convergence. The DuckDB oracle runs the
+    SAME three doubling steps as self-join CTEs."""
+    from news_please_spark.operators.graph import resolve_redirects
+
+    did = F.col("doc_id")
+    edges = (
+        load(spark, sf_dir, "documents")
+        .filter(did % 5 != 0)
+        .select(
+            F.concat(F.lit("u"), did.cast("string")).alias("src"),
+            F.concat(F.lit("u"), (did - 1).cast("string")).alias("dst"),
+        )
+    )
+    out = resolve_redirects(edges, rounds=3)
+    return out.select(
+        "src",
+        "final_url",
+        F.col("hops").cast("long").alias("hops"),
+        F.col("resolved").cast("long").alias("resolved"),
+    )

@@ -375,3 +375,77 @@ def test_kcore_peel_round_budget_converges_from_above(spark):
         assert got == set(_py_kcore(edges, 2, rounds))
     # the 2-core of a chain is empty: enough rounds reach the fixpoint
     assert kcore_peel(df, k=2, rounds=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# multi-hop redirect resolution (pointer doubling)
+
+
+def _py_resolve(edges, max_hops):
+    nxt = dict(edges)
+    out = {}
+    for u in nxt:
+        cur, hops = u, 0
+        seen = {u}
+        while cur in nxt and hops < max_hops:
+            cur = nxt[cur]
+            hops += 1
+            if cur in seen:
+                break
+            seen.add(cur)
+        out[u] = (cur, hops, cur not in nxt)
+    return out
+
+
+def test_resolve_redirects_matches_python_walk(spark):
+    from news_please_spark.operators.graph import resolve_redirects
+
+    # three chains of different lengths sharing a terminal, plus a fan-in
+    edges = [
+        ("a1", "a2"), ("a2", "a3"), ("a3", "end"),
+        ("b1", "end"),
+        ("c1", "c2"), ("c2", "a3"),  # fan-in onto the a-chain
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.src: (r.final_url, r.hops, r.resolved)
+        for r in resolve_redirects(df, rounds=3).collect()
+    }
+    assert got == _py_resolve(edges, 1 << 3)
+
+
+def test_resolve_redirects_long_chain_needs_log_rounds(spark):
+    from news_please_spark.operators.graph import resolve_redirects
+
+    edges = [(f"n{i}", f"n{i+1}") for i in range(20)]  # 20-hop chain
+    df = spark.createDataFrame(edges, "src string, dst string")
+    # rounds=5 covers 32 hops: everything resolves to the terminal
+    done = resolve_redirects(df, rounds=5).collect()
+    assert all(r.final_url == "n20" and r.resolved for r in done)
+    assert {r.hops for r in done} == set(range(1, 21))
+    # rounds=4 covers only 16 hops: the head of the chain is short
+    part = {r.src: r.resolved for r in resolve_redirects(df, rounds=4).collect()}
+    assert part["n19"] and not part["n0"]
+
+
+def test_resolve_redirects_cycle_flagged_unresolved(spark):
+    from news_please_spark.operators.graph import resolve_redirects
+
+    edges = [("a", "b"), ("b", "c"), ("x", "y"), ("y", "x"), ("t", "x")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.src: (r.final_url, r.resolved) for r in resolve_redirects(df, rounds=4).collect()}
+    assert got["a"] == ("c", True)
+    # cycle members and anything draining INTO the cycle never resolve
+    assert not got["x"][1] and not got["y"][1] and not got["t"][1]
+
+
+def test_resolve_redirects_materialize_matches_lazy(spark):
+    from news_please_spark.operators.graph import resolve_redirects
+
+    edges = [(f"m{i}", f"m{i+1}") for i in range(9)] + [("q1", "q2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    lazy = sorted(tuple(r) for r in resolve_redirects(df, rounds=4).collect())
+    mat = sorted(
+        tuple(r) for r in resolve_redirects(df, rounds=4, materialize=True).collect()
+    )
+    assert lazy == mat
