@@ -63,6 +63,7 @@ HEADLINE = [
     "budget_allocate",
     "host_shards",
     "recrawl_schedule",
+    "retry_schedule",
     "rendezvous_shards",
     "sitemap_stale",
     "host_coverage",

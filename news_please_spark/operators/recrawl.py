@@ -226,3 +226,67 @@ def host_coverage(
         (F.col("known") - F.col("crawled_known")).cast("long").alias("missing"),
         F.col("extra").cast("long").alias("extra"),
     )
+
+
+# HTTP statuses worth another attempt: transient server errors,
+# rate-limits, and timeouts (scrapy's RETRY_HTTP_CODES, the middleware
+# the reference crawls through — reference newsplease/config/config.cfg
+# scrapy defaults; 4xx client errors are permanent by definition).
+RETRYABLE_STATUSES = (408, 429, 500, 502, 503, 504, 522, 524)
+
+
+def retry_schedule(
+    fetch_log: DataFrame,
+    max_retries: int = 2,
+    base_delay_ms: int = 1_000,
+    max_delay_ms: int = 60_000,
+    url_col: str = "url",
+    attempt_col: str = "attempt",
+    status_col: str = "status",
+) -> DataFrame:
+    """Exponential-backoff retry planner over a fetch-attempt log — the
+    set-oriented image of scrapy's RetryMiddleware (RETRY_TIMES /
+    RETRY_HTTP_CODES), which the reference relies on per-response.
+
+    Per url: n_attempts, the status of the LATEST attempt, and a
+    verdict --
+      * done     — last status 2xx/3xx,
+      * retry    — last status retryable AND retries so far
+                   (n_attempts - 1) < max_retries; next_delay_ms =
+                   min(base_delay_ms << retries_so_far, max_delay_ms),
+      * give_up  — permanent 4xx, or retry budget exhausted.
+    next_delay_ms is NULL except on retry rows.  All integer shift/
+    compare arithmetic — bit-identical cross-engine.
+
+    Scale shape: one groupBy(url) whose aggregates (count + max_by)
+    are map-side combinable; attempt history per url is bounded by
+    max_retries + 1 rows, so there is no key skew by construction.
+    The frontier left_semi-joins the retry rows back on url when the
+    per-host politeness tier admits the next wave."""
+    n_att = F.count(F.lit(1)).alias("n_attempts")
+    last = F.max_by(status_col, attempt_col).alias("last_status")
+    per = fetch_log.groupBy(F.col(url_col).alias("url")).agg(n_att, last)
+    ok = (F.col("last_status") >= 200) & (F.col("last_status") < 400)
+    retryable = F.col("last_status").isin(*RETRYABLE_STATUSES)
+    may_retry = retryable & (F.col("n_attempts") <= F.lit(int(max_retries)))
+    delay = F.least(
+        # python F.shiftleft insists on a literal shift amount; the SQL
+        # form takes a column
+        F.expr(
+            f"shiftleft(cast({int(base_delay_ms)} as bigint), "
+            "cast(n_attempts - 1 as int))"
+        ),
+        F.lit(int(max_delay_ms)).cast("long"),
+    ).cast("long")
+    action = (
+        F.when(ok, F.lit("done"))
+        .when(may_retry, F.lit("retry"))
+        .otherwise(F.lit("give_up"))
+    )
+    return per.select(
+        "url",
+        F.col("n_attempts").cast("long").alias("n_attempts"),
+        F.col("last_status").cast("long").alias("last_status"),
+        action.alias("action"),
+        F.when(action == "retry", delay).alias("next_delay_ms"),
+    )

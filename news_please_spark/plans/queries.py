@@ -6477,3 +6477,85 @@ def redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hops").cast("long").alias("hops"),
         F.col("resolved").cast("long").alias("resolved"),
     )
+
+
+@register(
+    "retry_schedule",
+    """
+    WITH log AS (
+      SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, att.attempt,
+             CASE WHEN att.attempt < (doc_id % 3) + 1 THEN 503
+                  ELSE CASE doc_id % 6
+                    WHEN 0 THEN 200 WHEN 1 THEN 500 WHEN 2 THEN 503
+                    WHEN 3 THEN 404 WHEN 4 THEN 429 ELSE 302 END
+             END AS status
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, (doc_id % 3) + 2)) AS attempt) att
+    ),
+    per AS (
+      SELECT url, CAST(count(*) AS BIGINT) AS n_attempts,
+             CAST(max_by(status, attempt) AS BIGINT) AS last_status
+      FROM log GROUP BY url
+    ),
+    v AS (
+      SELECT *,
+             last_status BETWEEN 200 AND 399 AS ok,
+             last_status IN (408, 429, 500, 502, 503, 504, 522, 524)
+               AND n_attempts <= 2 AS may_retry
+      FROM per
+    )
+    SELECT url, n_attempts, last_status,
+           CASE WHEN ok THEN 'done'
+                WHEN may_retry THEN 'retry'
+                ELSE 'give_up' END AS action,
+           CASE WHEN NOT ok AND may_retry
+                THEN CAST(least(500 * (1 << (n_attempts - 1)), 1500) AS BIGINT)
+           END AS next_delay_ms
+    FROM v
+    """,
+)
+def retry_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-backoff retry planner
+    (operators/recrawl.py::retry_schedule): the set-oriented image of
+    scrapy's RetryMiddleware the reference fetches through — per-url
+    done/retry/give_up verdicts with min(base << retries, cap) delays.
+    Derived log: 1-3 attempts per url (earlier attempts 503), final
+    status cycling {200,500,503,404,429,302} — exercises every verdict
+    branch AND the delay cap (n_attempts=3 would owe 2000ms, capped at
+    1500). One map-side-combinable groupBy; integer shift arithmetic
+    both engines."""
+    from news_please_spark.operators.recrawl import retry_schedule
+
+    did = F.col("doc_id")
+    final_status = (
+        F.when(did % 6 == 0, 200)
+        .when(did % 6 == 1, 500)
+        .when(did % 6 == 2, 503)
+        .when(did % 6 == 3, 404)
+        .when(did % 6 == 4, 429)
+        .otherwise(302)
+    )
+    log = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.concat(F.lit("u"), did.cast("string")).alias("url"),
+            (did % 3 + 1).alias("_n"),
+            final_status.alias("_fs"),
+        )
+        .select(
+            "url",
+            F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("attempt"),
+            "_n",
+            "_fs",
+        )
+        .select(
+            "url",
+            "attempt",
+            F.when(F.col("attempt") < F.col("_n"), 503)
+            .otherwise(F.col("_fs"))
+            .alias("status"),
+        )
+    )
+    return retry_schedule(
+        log, max_retries=2, base_delay_ms=500, max_delay_ms=1_500
+    )

@@ -170,3 +170,70 @@ def test_host_coverage_no_window_one_join(spark):
     plan = host_coverage(s, c)._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan
     assert plan.count("Join FullOuter") == 1
+
+
+# ---------------------------------------------------------------------------
+# exponential-backoff retry planner
+
+
+def _py_retry(log, max_retries, base, cap):
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for url, att, st in log:
+        per[url].append((att, st))
+    out = {}
+    for url, atts in per.items():
+        n = len(atts)
+        last = max(atts)[1]
+        retryable = last in (408, 429, 500, 502, 503, 504, 522, 524)
+        if 200 <= last < 400:
+            out[url] = (n, last, "done", None)
+        elif retryable and n <= max_retries:
+            out[url] = (n, last, "retry", min(base << (n - 1), cap))
+        else:
+            out[url] = (n, last, "give_up", None)
+    return out
+
+
+def test_retry_schedule_matches_python_oracle(spark):
+    from news_please_spark.operators.recrawl import retry_schedule
+
+    log = []
+    statuses = [200, 500, 503, 404, 429, 302, 408, 403, 522]
+    for i in range(90):
+        n = i % 4 + 1
+        for a in range(1, n + 1):
+            st = 503 if a < n else statuses[i % len(statuses)]
+            log.append((f"u{i}", a, st))
+    df = spark.createDataFrame(log, "url string, attempt int, status int")
+    got = {
+        r.url: (r.n_attempts, r.last_status, r.action, r.next_delay_ms)
+        for r in retry_schedule(df, max_retries=3, base_delay_ms=250,
+                                max_delay_ms=1_000).collect()
+    }
+    assert got == _py_retry(log, 3, 250, 1_000)
+
+
+def test_retry_schedule_delay_doubles_then_caps(spark):
+    from news_please_spark.operators.recrawl import retry_schedule
+
+    rows = [("u", a, 503) for a in range(1, 5)]
+    for n, want in [(1, 100), (2, 200), (3, 400), (4, 800)]:
+        df = spark.createDataFrame(rows[:n], "url string, attempt int, status int")
+        got = retry_schedule(df, max_retries=9, base_delay_ms=100,
+                             max_delay_ms=500).collect()[0]
+        assert got.action == "retry"
+        assert got.next_delay_ms == min(want, 500)
+
+
+def test_retry_schedule_unordered_attempts_pick_latest_status(spark):
+    from news_please_spark.operators.recrawl import retry_schedule
+
+    # rows arrive out of order; max_by(status, attempt) must pick attempt 3
+    df = spark.createDataFrame(
+        [("u", 3, 200), ("u", 1, 503), ("u", 2, 500)],
+        "url string, attempt int, status int",
+    )
+    got = retry_schedule(df).collect()[0]
+    assert (got.action, got.last_status, got.n_attempts) == ("done", 200, 3)
