@@ -116,6 +116,7 @@ HEADLINE = [
     "interleaved_pack",
     "repetition_scores",
     "corpus_dup_ngrams",
+    "line_dedup",
     "winnow_fingerprint",
     "jaccard_verify",
     "incremental_near_dups",

@@ -236,3 +236,71 @@ def corpus_dup_ngrams(
             ).alias("dup_frac_q"),
         )
     )
+
+
+def corpus_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style corpus-level paragraph/line deduplication (Wenzek et
+    al. 2020 §3.1): across the WHOLE corpus, every occurrence of a
+    (lowercased, trimmed) line except the globally first one — ordered
+    by (doc id, line position) — is removed; whitespace-only lines are
+    never hashed and always kept.  Web boilerplate ("subscribe to our
+    newsletter", cookie banners) appears verbatim in millions of docs,
+    so this single pass removes most of it without any per-site rules.
+
+    Returns (id, text, n_removed) with surviving lines rejoined in
+    their original order.
+
+    Scale plan — deliberately NOT a broadcast of the duplicate-line
+    set (at 100 TB that set is corpus-sized):
+      1. posexplode lines; only (doc, pos, md5(norm)) fixed-width rows
+         carry into the shuffle, never twice the text;
+      2. the canonical copy per hash is min(struct(doc, pos)) — a
+         map-side-combinable aggregate, so a line occurring 10^9 times
+         ("Subscribe") partial-aggregates inside each task instead of
+         skewing one reducer the way a PARTITION BY hash window would;
+      3. winners join back on the hash key (co-keyed hash join), and
+         docs reassemble with one groupBy(id) ordered concat.
+    Three shuffles total (hash agg, hash join, doc re-agg), each on
+    fixed-width keys."""
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    lines = base.select(
+        "_id",
+        F.posexplode(F.split(F.col("_t"), "\n")).alias("_pos", "_line"),
+    ).withColumn("_norm", F.trim(F.lower(F.col("_line"))))
+    hashed = lines.withColumn(
+        "_h", F.when(F.col("_norm") != "", F.md5("_norm"))
+    )
+    winners = (
+        hashed.filter(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.min(F.struct("_id", "_pos")).alias("_w"))
+    )
+    marked = hashed.join(winners, "_h", "left").withColumn(
+        "_keep",
+        F.col("_h").isNull()
+        | ((F.col("_w._id") == F.col("_id")) & (F.col("_w._pos") == F.col("_pos"))),
+    )
+    return (
+        marked.groupBy("_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("_pos", "_line"))
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+            ).alias(text_col),
+            F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .select(F.col("_id").alias(id_col), text_col, "n_removed")
+    )

@@ -6559,3 +6559,76 @@ def retry_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retry_schedule(
         log, max_retries=2, base_delay_ms=500, max_delay_ms=1_500
     )
+
+
+@register(
+    "line_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             text || chr(10) || 'Subscribe to our newsletter.' ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN chr(10) || 'Share   on social media.' ELSE '' END ||
+             CASE WHEN doc_id % 3 = 1
+                  THEN chr(10) || '  share on SOCIAL media.' ELSE '' END ||
+             chr(10) || 'ref ' || CAST(doc_id AS VARCHAR) AS txt
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, i AS pos, ls[i] AS line, trim(lower(ls[i])) AS norm
+      FROM (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM t),
+           LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i)
+    ),
+    m AS (SELECT *, CASE WHEN norm <> '' THEN md5(norm) END AS h FROM l),
+    r AS (
+      SELECT doc_id, pos, line,
+             CASE WHEN h IS NULL THEN 1
+                  ELSE row_number() OVER (PARTITION BY h ORDER BY doc_id, pos)
+             END AS rn
+      FROM m
+    )
+    SELECT doc_id,
+           md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+                                   chr(10) ORDER BY pos), '')) AS clean_md5,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM r GROUP BY doc_id
+    """,
+)
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus paragraph dedup
+    (operators/repetition.py::corpus_line_dedup): across the whole
+    corpus, every occurrence of a normalized (lower+trim) line except
+    the globally first by (doc, pos) is removed — the single pass that
+    strips web boilerplate without per-site rules. Planted lines: a
+    subscribe banner on EVERY doc plus two cosmetic variants of a
+    share banner (case/whitespace differences dedupe via trim+lower —
+    note '   ' inner runs do NOT fold, so the two share variants stay
+    distinct lines). No broadcast of the duplicate set anywhere: the
+    canonical copy per hash is a map-side-combinable min(struct)
+    aggregate + co-keyed hash join (the 100-TB-safe shape; a
+    PARTITION BY hash window would put one banner's 10^9 occurrences
+    on one reducer)."""
+    from news_please_spark.operators.repetition import corpus_line_dedup
+
+    did = F.col("doc_id")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nSubscribe to our newsletter."),
+            F.when(did % 3 == 0, F.lit("\nShare   on social media.")).otherwise(
+                F.lit("")
+            ),
+            F.when(did % 3 == 1, F.lit("\n  share on SOCIAL media.")).otherwise(
+                F.lit("")
+            ),
+            F.lit("\nref "),
+            did.cast("string"),
+        ).alias("text"),
+    )
+    out = corpus_line_dedup(docs)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("clean_md5"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )

@@ -183,3 +183,71 @@ def test_repetition_large_doc_is_linearithmic(spark):
     assert row["top_bigram_q"] == _py_top_frac(big2)
     assert row["top_trigram_q"] == _py_top_frac(big3)
     assert row["dup_line_q"] == 0  # single line occurs once: no dup lines
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style corpus line dedup (keep globally-first occurrence)
+
+
+def _py_line_dedup(docs):
+    first = {}
+    for did, text in sorted(docs):
+        for pos, line in enumerate(text.split("\n")):
+            norm = line.strip().lower()
+            if norm and norm not in first:
+                first[norm] = (did, pos)
+    out = {}
+    for did, text in docs:
+        kept, removed = [], 0
+        for pos, line in enumerate(text.split("\n")):
+            norm = line.strip().lower()
+            if norm == "" or first[norm] == (did, pos):
+                kept.append(line)
+            else:
+                removed += 1
+        out[did] = ("\n".join(kept), removed)
+    return out
+
+
+def test_corpus_line_dedup_matches_python_oracle(spark):
+    from news_please_spark.operators.repetition import corpus_line_dedup
+
+    docs = [
+        (1, "alpha\ncommon banner\nbody one"),
+        (2, "COMMON BANNER\nbody two\n  common banner  "),
+        (3, "body three\ncommon banner\nalpha"),
+        (4, "\n\nonly here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in corpus_line_dedup(df).collect()
+    }
+    assert got == _py_line_dedup(docs)
+    # the canonical copy survives exactly once, in doc 1
+    assert "common banner" in got[1][0]
+    assert "banner" not in got[2][0].lower() and "banner" not in got[3][0].lower()
+
+
+def test_corpus_line_dedup_keeps_blank_lines_and_order(spark):
+    from news_please_spark.operators.repetition import corpus_line_dedup
+
+    docs = [(7, "a\n\n\nb\na"), (8, "z")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in corpus_line_dedup(df).collect()}
+    # in-doc repeat of 'a' is ALSO a duplicate (global semantics);
+    # blank lines pass through untouched and order is preserved
+    assert got[7] == "a\n\n\nb"
+    assert got[8] == "z"
+
+
+def test_corpus_line_dedup_repartition_invariant(spark):
+    from news_please_spark.operators.repetition import corpus_line_dedup
+
+    docs = [(i, f"shared line\nuniq {i}") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(tuple(r) for r in corpus_line_dedup(df).collect())
+    b = sorted(tuple(r) for r in corpus_line_dedup(df.repartition(13)).collect())
+    assert a == b
+    # exactly one survivor of the shared line
+    assert sum(1 for (_, t, _) in a if "shared line" in t) == 1
