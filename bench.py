@@ -137,6 +137,7 @@ HEADLINE = [
     "caption_pairs",
     "media_dup_stats",
     "frame_sample",
+    "mime_sniff",
     "ann_cosine_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",

@@ -140,3 +140,77 @@ def frame_sample_refs(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ms"),
     )
+
+
+# Magic-number table: (hex prefix to match at offset 0, sniffed type).
+# Longest-prefix-first so e.g. WEBP (RIFF....WEBP) wins over plain RIFF.
+# Public file-signature knowledge (the same table wget/file/WARC tooling
+# carries); the WARC standard calls this the "identified payload type"
+# (WARC-Identified-Payload-Type) as opposed to the server-declared
+# Content-Type the reference trusts at fetch time (F1).
+_MAGIC = [
+    ("89504E470D0A1A0A", "image/png"),
+    ("474946383761", "image/gif"),
+    ("474946383961", "image/gif"),
+    ("FFD8FF", "image/jpeg"),
+    ("255044462D", "application/pdf"),
+    ("1F8B", "application/gzip"),
+    ("504B0304", "application/zip"),
+    ("494433", "audio/mpeg"),
+    ("FFFB", "audio/mpeg"),
+    ("4F676753", "audio/ogg"),
+    ("3C21444F43545950", "text/html"),   # "<!DOCTYP"
+    ("3C68746D6C", "text/html"),          # "<html"
+]
+_RIFF = "52494646"  # RIFF container: bytes 9-12 discriminate WAVE/WEBP/AVI
+
+
+def sniff_mime(data) -> "F.Column":
+    """Magic-byte payload-type detection as ONE native Column — hex the
+    first 16 bytes once, then a longest-prefix-first CASE chain (plus
+    the RIFF container's byte-9..12 discriminator). No UDF, zero
+    shuffle: at 100 TB this rides the same scan that reads the binary
+    column, and only 32 hex chars per row ever reach the expression.
+    Unknown prefixes sniff as 'application/octet-stream'; NULL/empty
+    payloads as NULL."""
+    col = F.col(data) if isinstance(data, str) else data
+    hx = F.upper(F.hex(F.substring(col, 1, 16)))
+    out = None
+    for prefix, mime in _MAGIC:
+        cond = hx.startswith(prefix)
+        out = F.when(cond, mime) if out is None else out.when(cond, mime)
+    riff = F.substring(hx, 17, 8)  # bytes 9-12 (2 hex chars per byte)
+    out = (
+        out.when(
+            hx.startswith(_RIFF),
+            F.when(riff == "57415645", "audio/wav")      # WAVE
+            .when(riff == "57454250", "image/webp")       # WEBP
+            .when(riff == "41564920", "video/x-msvideo")  # AVI
+            .otherwise("application/octet-stream"),
+        )
+        # ISO-BMFF (mp4/mov): 'ftyp' at byte 5
+        .when(F.substring(hx, 9, 8) == "66747970", "video/mp4")
+        .otherwise("application/octet-stream")
+    )
+    return F.when(col.isNotNull() & (F.length(col) > 0), out)
+
+
+def sniff_media(
+    media: DataFrame,
+    data_col: str = "data",
+    declared_col: str | None = None,
+) -> DataFrame:
+    """Attach `sniffed_mime` (and, when a declared content-type column
+    is given, a `mime_mismatch` flag — declared != sniffed on non-null
+    pairs, the WARC-Identified-Payload-Type audit that catches servers
+    mislabeling payloads before a decode UDF wastes batch slots on
+    them)."""
+    out = media.withColumn("sniffed_mime", sniff_mime(data_col))
+    if declared_col is not None:
+        out = out.withColumn(
+            "mime_mismatch",
+            F.col(declared_col).isNotNull()
+            & F.col("sniffed_mime").isNotNull()
+            & (F.col(declared_col) != F.col("sniffed_mime")),
+        )
+    return out

@@ -6632,3 +6632,97 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("clean_md5"),
         F.col("n_removed").cast("long").alias("n_removed"),
     )
+
+
+@register(
+    "mime_sniff",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 8
+               WHEN 0 THEN '89504E470D0A1A0A'
+               WHEN 1 THEN 'FFD8FFE0'
+               WHEN 2 THEN '474946383961'
+               WHEN 3 THEN '52494646AABBCCDD57454250'
+               WHEN 4 THEN '52494646AABBCCDD57415645'
+               WHEN 5 THEN '0000001866747970'
+               WHEN 6 THEN '494433'
+               ELSE 'DEADBEEF' END AS prefix
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             upper(substr(prefix || upper(md5(CAST(doc_id AS VARCHAR))), 1, 32))
+               AS hx
+      FROM p
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE
+               WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'image/png'
+               WHEN starts_with(hx, '474946383761') THEN 'image/gif'
+               WHEN starts_with(hx, '474946383961') THEN 'image/gif'
+               WHEN starts_with(hx, 'FFD8FF') THEN 'image/jpeg'
+               WHEN starts_with(hx, '255044462D') THEN 'application/pdf'
+               WHEN starts_with(hx, '1F8B') THEN 'application/gzip'
+               WHEN starts_with(hx, '504B0304') THEN 'application/zip'
+               WHEN starts_with(hx, '494433') THEN 'audio/mpeg'
+               WHEN starts_with(hx, 'FFFB') THEN 'audio/mpeg'
+               WHEN starts_with(hx, '4F676753') THEN 'audio/ogg'
+               WHEN starts_with(hx, '3C21444F43545950') THEN 'text/html'
+               WHEN starts_with(hx, '3C68746D6C') THEN 'text/html'
+               WHEN starts_with(hx, '52494646') THEN
+                 CASE substr(hx, 17, 8)
+                   WHEN '57415645' THEN 'audio/wav'
+                   WHEN '57454250' THEN 'image/webp'
+                   WHEN '41564920' THEN 'video/x-msvideo'
+                   ELSE 'application/octet-stream' END
+               WHEN substr(hx, 9, 8) = '66747970' THEN 'video/mp4'
+               ELSE 'application/octet-stream'
+             END AS sniffed_mime
+      FROM h
+    )
+    SELECT doc_id, sniffed_mime,
+           CAST(CASE WHEN sniffed_mime <> 'image/png' THEN 1 ELSE 0 END
+                AS BIGINT) AS mime_mismatch
+    FROM s
+    """,
+)
+def mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte payload-type sniffing
+    (operators/multimodal.py::sniff_media): the WARC
+    Identified-Payload-Type audit — detect the REAL media type from
+    leading bytes and flag disagreement with the server-declared
+    Content-Type the reference trusts at fetch time. Spark runs the
+    operator on REAL binary payloads (unhex of a per-doc magic prefix
+    + md5 filler — 8 signature classes incl. both RIFF discriminators,
+    ISO-BMFF ftyp at offset 5, and an unknown class); the DuckDB
+    oracle rebuilds the identical 32-hex-char stream and applies the
+    same longest-prefix-first rules, so the match logic itself crosses
+    engines. Zero shuffle — one hex + CASE chain riding the scan."""
+    from news_please_spark.operators.multimodal import sniff_media
+
+    did = F.col("doc_id")
+    prefix = (
+        F.when(did % 8 == 0, "89504E470D0A1A0A")
+        .when(did % 8 == 1, "FFD8FFE0")
+        .when(did % 8 == 2, "474946383961")
+        .when(did % 8 == 3, "52494646AABBCCDD57454250")
+        .when(did % 8 == 4, "52494646AABBCCDD57415645")
+        .when(did % 8 == 5, "0000001866747970")
+        .when(did % 8 == 6, "494433")
+        .otherwise("DEADBEEF")
+    )
+    media = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.unhex(F.concat(prefix, F.upper(F.md5(did.cast("string"))))).alias(
+            "data"
+        ),
+        F.lit("image/png").alias("declared"),
+    )
+    out = sniff_media(media, declared_col="declared")
+    return out.select(
+        "doc_id",
+        "sniffed_mime",
+        F.col("mime_mismatch").cast("long").alias("mime_mismatch"),
+    )

@@ -445,3 +445,50 @@ def test_canonical_per_cluster_no_window(spark):
     # semigroup agg, not a ranking window: survives 10^7-member clusters
     assert "Window" not in plan
     assert "Aggregate" in plan
+
+
+def test_mime_sniff_magic_bytes(spark):
+    from news_please_spark.operators.multimodal import sniff_media
+
+    rows = [
+        ("png", bytes.fromhex("89504E470D0A1A0A") + b"xx", "image/png"),
+        ("jpg", bytes.fromhex("FFD8FFE1") + b"Exif", "image/jpeg"),
+        ("gif87", b"GIF87a--", "image/gif"),
+        ("gif89", b"GIF89a--", "image/gif"),
+        ("pdf", b"%PDF-1.4", "application/pdf"),
+        ("gz", b"\x1f\x8b\x08", "application/gzip"),
+        ("zip", b"PK\x03\x04", "application/zip"),
+        ("mp3id3", b"ID3\x04", "audio/mpeg"),
+        ("mp3raw", b"\xff\xfbsync", "audio/mpeg"),
+        ("ogg", b"OggS\x00", "audio/ogg"),
+        ("html1", b"<!DOCTYPE html>", "text/html"),
+        ("html2", b"<html><head>", "text/html"),
+        ("wav", b"RIFF\x01\x02\x03\x04WAVEfmt", "audio/wav"),
+        ("webp", b"RIFF\x01\x02\x03\x04WEBPVP8", "image/webp"),
+        ("avi", b"RIFF\x01\x02\x03\x04AVI LIST", "video/x-msvideo"),
+        ("riff_other", b"RIFF\x01\x02\x03\x04XXXX", "application/octet-stream"),
+        ("mp4", b"\x00\x00\x00\x18ftypisom", "video/mp4"),
+        ("unknown", b"\x00\x01\x02\x03", "application/octet-stream"),
+        ("empty", b"", None),
+        ("nul", None, None),
+    ]
+    df = spark.createDataFrame(
+        [(n, d, "image/png") for n, d, _ in rows],
+        "name string, data binary, ct string",
+    )
+    out = {r.name: (r.sniffed_mime, r.mime_mismatch)
+           for r in sniff_media(df, declared_col="ct").collect()}
+    for name, _, want in rows:
+        assert out[name][0] == want, (name, out[name][0], want)
+    # mismatch only fires on non-null disagreements
+    assert out["png"] == ("image/png", False)
+    assert out["jpg"][1] is True
+    assert out["empty"][1] is False and out["nul"][1] is False
+
+
+def test_mime_sniff_is_shuffle_free(spark):
+    from news_please_spark.operators.multimodal import sniff_media
+
+    df = spark.createDataFrame([("a", b"GIF89a")], "name string, data binary")
+    plan = sniff_media(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
