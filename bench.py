@@ -93,6 +93,7 @@ HEADLINE = [
     "lang_id",
     "script_profile",
     "tfidf_top_terms",
+    "collocations",
     "lm_score",
     "readability_scores",
     "quote_extract",

@@ -60,16 +60,22 @@ def doc_bigrams(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, w1, w2) — one row per adjacent token pair, corpus
-    tokenization (trim + lower + split \\s+).  Derived with an array
-    transform over 1-based element_at, so pair extraction is a
-    zero-shuffle scan stage; docs with < 2 tokens yield no rows."""
+    tokenization (trim + lower + split \\s+).  Zero-shuffle scan
+    stage; docs with < 2 tokens yield no rows.
+
+    zip_with over two shifted slices, NOT transform over element_at:
+    a HOF lambda body runs once per element in interpreted mode and
+    re-evaluates every outer expression it references, so the old
+    element_at(toks, i) form re-ran the \\s+ split per PAIR — O(L²)
+    regex work per row (the repetition-module lesson, BENCH.md r4).
+    Here the token array appears only as a HOF argument (evaluated
+    once per row) and the lambda touches its element values alone."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"),
-            F.element_at(toks, i + 1).alias("w2"),
-        ),
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     return (
         docs.filter(F.trim(F.col(text_col)) != "")
@@ -258,4 +264,102 @@ def bm25_topk(
         scores.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", id_col, "score_q", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def cooccurrence_counts(
+    docs: DataFrame,
+    window: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Directional token co-occurrence counts within a ±window token
+    distance — the corpus statistic GloVe/word2vec-style embedding
+    training consumes (Pennington et al. 2014 build exactly this
+    matrix).  Returns (w1, w2, n_pair) where w1 precedes w2 by at most
+    `window` positions.
+
+    Pair extraction is `window` zip_with's over shifted slices (the
+    interpreted-HOF-safe shape — no element_at re-evaluation), unioned
+    INSIDE the array domain with concat before one explode, so the
+    whole build rides the scan; the only shuffle is the final
+    (w1, w2) count, map-side combinable with fixed-width-ish keys.
+    Distance weighting (GloVe's 1/d) is deliberately left to the
+    consumer: counts stay integers and oracle-exact."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    arrays = []
+    for d in range(1, int(window) + 1):
+        m = F.greatest(F.size(toks) - d, F.lit(0))
+        arrays.append(
+            F.zip_with(
+                F.slice(toks, 1, m),
+                F.slice(toks, 1 + d, m),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        )
+    pairs = arrays[0] if len(arrays) == 1 else F.concat(*arrays)
+    return (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(F.explode(pairs).alias("_p"))
+        .groupBy(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+
+
+def phrase_scores(
+    docs: DataFrame,
+    delta: int = 5,
+    min_pair: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """word2phrase collocation mining (Mikolov et al. 2013 §4): score
+    adjacent pairs by the discounted lift
+
+        score_q = max(n_pair - delta, 0) * n_tokens * 10^4
+                  div (n_w1 * n_w2)
+
+    — the integer-quantized form of (c_ab - δ) / (c_a · c_b) · N.
+    Ranking by lift is ranking by PMI (log is monotone); the log
+    itself is deliberately avoided so the score is BIGINT-exact
+    cross-engine (the tfidf_top_terms convention).  The max(…, 0)
+    clamp both matches word2phrase (below-discount pairs never
+    promote) and keeps the integer division floor/truncate-agnostic.
+    Pairs seen < min_pair times are dropped before scoring.
+
+    Scale shape: pair counts from `cooccurrence_counts(window=1)`;
+    unigram counts via one combinable explode-count; the two unigram
+    joins are equi-joins on the token key (vocab-sized side, spills
+    fine); the corpus token total rides a 1-row broadcast crossJoin.
+    At 10^12-token scale the quantized surrogate is the GATE — a
+    production ranker would keep doubles after the same joins."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = docs.filter(F.trim(F.col(text_col)) != "")
+    pairs = cooccurrence_counts(base, window=1, id_col=id_col, text_col=text_col)
+    pairs = pairs.filter(F.col("n_pair") >= int(min_pair))
+    uni = (
+        base.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    total = uni.agg(F.sum("c").cast("long").alias("n_tok"))
+    ca = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.expr(
+                f"(greatest(n_pair - {int(delta)}, 0) * n_tok * 10000) "
+                "div (c_a * c_b)"
+            )
+            .cast("long")
+            .alias("score_q"),
+        )
     )

@@ -6726,3 +6726,65 @@ def mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sniffed_mime",
         F.col("mime_mismatch").cast("long").alias("mime_mismatch"),
     )
+
+
+@register(
+    "collocations",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(
+               text ||
+               CASE WHEN doc_id % 2 = 0 THEN ' New York attracts tourists'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 4 = 1 THEN ' new york again' ELSE '' END
+             )), '\s+') AS ts
+      FROM documents WHERE trim(text) <> ''
+    ),
+    pairs AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+    ),
+    pc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM pairs GROUP BY w1, w2 HAVING count(*) >= 3
+    ),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(ts) AS w FROM t) GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni)
+    SELECT pc.w1, pc.w2, pc.n_pair,
+           CAST((greatest(pc.n_pair - 5, 0) * tot.n_tok * 10000)
+                // (ca.c * cb.c) AS BIGINT) AS score_q
+    FROM pc
+    JOIN uni ca ON pc.w1 = ca.w
+    JOIN uni cb ON pc.w2 = cb.w
+    CROSS JOIN tot
+    """,
+)
+def collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2phrase collocation mining
+    (operators/terms.py::phrase_scores, Mikolov et al. 2013 §4):
+    discounted-lift scores max(c_ab-δ,0)·N·10^4 div (c_a·c_b) over
+    adjacent pairs — the phrase-vocabulary step before tokenizer/
+    embedding training. 'new york' planted on half the docs (plus a
+    lowercase variant on a quarter) so a true collocation dominates;
+    the numerator clamp keeps the integer division floor/truncate-
+    agnostic so DuckDB's / with CAST matches Spark's div exactly.
+    Pair and unigram counts are map-side combinable; the unigram
+    joins are vocab-sized equi-joins; N rides a 1-row broadcast."""
+    from news_please_spark.operators.terms import phrase_scores
+
+    did = F.col("doc_id")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 2 == 0, F.lit(" New York attracts tourists")).otherwise(
+                F.lit("")
+            ),
+            F.when(did % 4 == 1, F.lit(" new york again")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return phrase_scores(docs, delta=5, min_pair=3)

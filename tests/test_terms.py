@@ -241,3 +241,69 @@ def test_bm25_corpus_never_join_shuffles(spark):
     qdf = spark.createDataFrame([(0, "quick fox")], "query_id long, text string")
     plan = bm25_topk(qdf, ddf)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# windowed co-occurrence + word2phrase collocation scores
+
+
+def _py_cooc(docs, window):
+    from collections import Counter
+
+    c = Counter()
+    for _, text in docs:
+        ts = text.strip().lower().split()
+        for i, a in enumerate(ts):
+            for d in range(1, window + 1):
+                if i + d < len(ts):
+                    c[(a, ts[i + d])] += 1
+    return dict(c)
+
+
+def test_cooccurrence_counts_matches_python(spark):
+    from news_please_spark.operators.terms import cooccurrence_counts
+
+    docs = [(i, f"w{i%3} shared w{(i+1)%3} shared tail{i}") for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for w in (1, 2, 3):
+        got = {
+            (r.w1, r.w2): r.n_pair
+            for r in cooccurrence_counts(df, window=w).collect()
+        }
+        assert got == _py_cooc(docs, w), w
+
+
+def test_phrase_scores_promotes_collocation(spark):
+    from news_please_spark.operators.terms import phrase_scores
+
+    docs = [(i, f"head{i} new york tail{i} end{i}") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = phrase_scores(df, delta=2, min_pair=3).collect()
+    scores = {(r.w1, r.w2): r.score_q for r in rows}
+    top = max(scores, key=scores.get)
+    assert top == ("new", "york")
+    # exact integer check against the formula on one pair
+    n_tok = sum(len(t.strip().split()) for _, t in docs)
+    c_ab = 40
+    assert scores[("new", "york")] == (c_ab - 2) * n_tok * 10_000 // (40 * 40)
+
+
+def test_phrase_scores_clamps_below_discount(spark):
+    from news_please_spark.operators.terms import phrase_scores
+
+    # pair seen 3 times with delta=5 -> clamped numerator -> score 0
+    docs = [(i, "rare pair") for i in range(3)] + [(9, "x y z")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {(r.w1, r.w2): r.score_q
+            for r in phrase_scores(df, delta=5, min_pair=3).collect()}
+    assert rows[("rare", "pair")] == 0
+
+
+def test_cooccurrence_rejects_bad_window(spark):
+    import pytest as _pytest
+
+    from news_please_spark.operators.terms import cooccurrence_counts
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        cooccurrence_counts(df, window=0)
