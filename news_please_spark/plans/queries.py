@@ -6788,3 +6788,84 @@ def collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return phrase_scores(docs, delta=5, min_pair=3)
+
+
+@register(
+    "sitemap_xml_parse",
+    """
+    SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/sitemap.xml'
+             AS sitemap_url,
+           'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/p/'
+             || CAST(doc_id AS VARCHAR) AS entry_url,
+           CAST(row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) - 1
+                AS INT) AS entry_index,
+           '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+           'Story ' || CAST(doc_id AS VARCHAR) AS news_title,
+           '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             || 'T0' || CAST(doc_id % 10 AS VARCHAR) || ':00:00Z' AS news_pub_date
+    FROM documents
+    """,
+)
+def sitemap_xml_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 XML→rows step (sources/sitemap.parse_sitemap_xml) gated as a
+    ROUND-TRIP: per-host Google-News sitemap XML is rendered from
+    `documents` with native concat/aggregate Columns, the Arrow-batched
+    xml.etree UDF parses it back, and the recovered rows must be
+    value-identical to DuckDB deriving the same rows arithmetically
+    (no XML on the oracle side — the parse is what's under test).
+    Scale shape: one shuffle to group entries per sitemap file (the
+    grain a fetcher naturally delivers), the parse itself is per-file
+    map-only."""
+    from news_please_spark.sources.sitemap import parse_sitemap_xml
+
+    did = F.col("doc_id")
+    host = F.concat(F.lit("https://h"), (did % 50).cast("string"), F.lit(".example.com"))
+    lastmod = F.concat(
+        F.lit("2026-01-"), F.lpad((did % 28 + 1).cast("string"), 2, "0")
+    )
+    frag = F.concat(
+        F.lit("<url><loc>"),
+        host,
+        F.lit("/p/"),
+        did.cast("string"),
+        F.lit("</loc><lastmod>"),
+        lastmod,
+        F.lit("</lastmod><news:news><news:title>Story "),
+        did.cast("string"),
+        F.lit("</news:title><news:publication_date>"),
+        lastmod,
+        F.lit("T0"),
+        (did % 10).cast("string"),
+        F.lit(":00:00Z</news:publication_date></news:news></url>"),
+    )
+    bodies = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.concat(host, F.lit("/sitemap.xml")).alias("sitemap_url"),
+            F.struct(did.alias("doc_id"), frag.alias("frag")).alias("e"),
+        )
+        .groupBy("sitemap_url")
+        .agg(
+            F.concat(
+                F.lit(
+                    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+                    ' xmlns:news="http://www.google.com/schemas/sitemap-news/0.9">'
+                ),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list("e")), lambda x: x["frag"]
+                    ),
+                ),
+                F.lit("</urlset>"),
+            ).alias("body")
+        )
+    )
+    return parse_sitemap_xml(bodies).select(
+        "sitemap_url",
+        "entry_url",
+        "entry_index",
+        "lastmod",
+        "news_title",
+        "news_pub_date",
+    )

@@ -13,6 +13,7 @@ cycles in the wild) vs leaf URLs. Leaf ordering is deterministic:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -100,4 +101,112 @@ def expand_sitemaps(
         leaves.groupBy("url")
         .agg(F.min(F.struct("depth", "order_key")).alias("m"))
         .select("url", F.col("m.depth").alias("depth"), F.col("m.order_key").alias("order_key"))
+    )
+
+
+# --------------------------------------------------------------------------
+# XML → rows (the step the tree walk above consumes) + robots.txt discovery
+# --------------------------------------------------------------------------
+
+_SITEMAP_NS = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+_NEWS_NS = "{http://www.google.com/schemas/sitemap-news/0.9}"
+
+_SITEMAP_ENTRY = "array<struct<entry_url:string,is_sitemap:boolean,lastmod:string,news_title:string,news_pub_date:string,news_keywords:string>>"
+
+
+def discover_sitemap_urls(robots: DataFrame, body_col: str = "body") -> DataFrame:
+    """(url, body) of fetched robots.txt files → (url, sitemap_url,
+    line_index), one row per `Sitemap:` line in file order (reference
+    helper_classes/url_extractor.py:31 `re_sitemap` — scrapy's
+    SitemapSpider feeds these into the recursive walk).
+
+    Pure native plan: regexp_extract_all + posexplode, zero shuffle,
+    rides the scan at any corpus size."""
+    lines = F.regexp_extract_all(F.col(body_col), F.lit(r"Sitemap:\s([^\r\n#]*)"), 1)
+    return (
+        robots.select("url", F.posexplode(lines).alias("line_index", "sitemap_url"))
+        .select("url", F.trim("sitemap_url").alias("sitemap_url"), F.col("line_index").cast("int"))
+        .filter(F.col("sitemap_url") != "")
+    )
+
+
+def parse_sitemap_xml(bodies: DataFrame, url_col: str = "sitemap_url", body_col: str = "body") -> DataFrame:
+    """(sitemap_url, body) of fetched sitemap XML → the `sitemaps` table
+    expand_sitemaps consumes: (sitemap_url, entry_url, is_sitemap,
+    entry_index) plus lastmod and the Google News extension columns
+    (news_title, news_pub_date, news_keywords) that the reference's
+    SitemapSpider sees via scrapy's sitemap parser
+    (crawler/spiders/recursive_sitemap_crawler.py:10-79; news extension
+    namespace http://www.google.com/schemas/sitemap-news/0.9).
+
+    Arrow-batched pandas UDF (one xml.etree parse per sitemap FILE — the
+    per-row unit is a whole file, never a per-entry Python loop across
+    rows), exploded to one row per <url>/<sitemap> entry in document
+    order. A <sitemapindex> root yields is_sitemap=true rows, a <urlset>
+    root is_sitemap=false; malformed XML yields zero rows (scrapy's
+    sitemap parser likewise skips unparseable documents)."""
+    @F.pandas_udf(_SITEMAP_ENTRY)
+    def _parse(body: pd.Series) -> pd.Series:
+        import xml.etree.ElementTree as ET
+
+        out = []
+        for xml in body:
+            entries = []
+            if xml:
+                try:
+                    root = ET.fromstring(xml)
+                    tag = root.tag
+                    is_index = tag.endswith("sitemapindex")
+                    child_tag = (
+                        (_SITEMAP_NS if tag.startswith(_SITEMAP_NS) else "")
+                        + ("sitemap" if is_index else "url")
+                    )
+                    loc_tag = (_SITEMAP_NS if tag.startswith(_SITEMAP_NS) else "") + "loc"
+                    mod_tag = (_SITEMAP_NS if tag.startswith(_SITEMAP_NS) else "") + "lastmod"
+                    for el in root.iter(child_tag):
+                        loc = el.findtext(loc_tag)
+                        if not loc or not loc.strip():
+                            continue
+                        news = el.find(_NEWS_NS + "news")
+                        entries.append(
+                            {
+                                "entry_url": loc.strip(),
+                                "is_sitemap": is_index,
+                                "lastmod": (el.findtext(mod_tag) or "").strip() or None,
+                                "news_title": (
+                                    news.findtext(_NEWS_NS + "title").strip()
+                                    if news is not None and news.findtext(_NEWS_NS + "title")
+                                    else None
+                                ),
+                                "news_pub_date": (
+                                    news.findtext(_NEWS_NS + "publication_date").strip()
+                                    if news is not None
+                                    and news.findtext(_NEWS_NS + "publication_date")
+                                    else None
+                                ),
+                                "news_keywords": (
+                                    news.findtext(_NEWS_NS + "keywords").strip()
+                                    if news is not None and news.findtext(_NEWS_NS + "keywords")
+                                    else None
+                                ),
+                            }
+                        )
+                except ET.ParseError:
+                    pass
+            out.append(entries)
+        return pd.Series(out)
+
+    parsed = bodies.select(
+        F.col(url_col).alias("sitemap_url"),
+        F.posexplode(_parse(F.col(body_col))).alias("entry_index", "e"),
+    )
+    return parsed.select(
+        "sitemap_url",
+        F.col("e.entry_url").alias("entry_url"),
+        F.col("e.is_sitemap").alias("is_sitemap"),
+        F.col("entry_index").cast("int").alias("entry_index"),
+        F.col("e.lastmod").alias("lastmod"),
+        F.col("e.news_title").alias("news_title"),
+        F.col("e.news_pub_date").alias("news_pub_date"),
+        F.col("e.news_keywords").alias("news_keywords"),
     )

@@ -142,3 +142,122 @@ def test_warc_index_window_and_completed(spark):
     assert [r.path for r in out.collect()] == [
         "s3://cc/CC-NEWS-20230401120000-00003.warc.gz"
     ]
+
+
+# --- sitemap XML parsing + robots.txt discovery -------------------------
+
+_URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"
+        xmlns:news="http://www.google.com/schemas/sitemap-news/0.9">
+  <url>
+    <loc>https://s.com/a</loc>
+    <lastmod>2026-01-02</lastmod>
+    <news:news>
+      <news:title>Story A</news:title>
+      <news:publication_date>2026-01-02T03:04:05Z</news:publication_date>
+      <news:keywords>alpha, beta</news:keywords>
+    </news:news>
+  </url>
+  <url><loc> https://s.com/b </loc></url>
+  <url><lastmod>2026-01-03</lastmod></url>
+</urlset>"""
+
+_INDEX = """<?xml version="1.0" encoding="UTF-8"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://s.com/news.xml</loc><lastmod>2026-02-01</lastmod></sitemap>
+  <sitemap><loc>https://s.com/archive.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_sitemap_xml_urlset_with_news_extension(spark):
+    from news_please_spark.sources.sitemap import parse_sitemap_xml
+
+    bodies = spark.createDataFrame(
+        [("https://s.com/news.xml", _URLSET)], "sitemap_url string, body string"
+    )
+    rows = parse_sitemap_xml(bodies).orderBy("entry_index").collect()
+    # the loc-less <url> is skipped (scrapy's parser requires loc)
+    assert [r.entry_url for r in rows] == ["https://s.com/a", "https://s.com/b"]
+    assert all(r.is_sitemap is False for r in rows)
+    assert rows[0].lastmod == "2026-01-02"
+    assert rows[0].news_title == "Story A"
+    assert rows[0].news_pub_date == "2026-01-02T03:04:05Z"
+    assert rows[0].news_keywords == "alpha, beta"
+    assert rows[1].news_title is None and rows[1].lastmod is None
+    assert [r.entry_index for r in rows] == [0, 1]
+
+
+def test_parse_sitemap_xml_index_and_malformed(spark):
+    from news_please_spark.sources.sitemap import parse_sitemap_xml
+
+    bodies = spark.createDataFrame(
+        [
+            ("https://s.com/sitemap.xml", _INDEX),
+            ("https://s.com/broken.xml", "<urlset><url><loc>x"),
+            ("https://s.com/empty.xml", None),
+        ],
+        "sitemap_url string, body string",
+    )
+    rows = parse_sitemap_xml(bodies).orderBy("sitemap_url", "entry_index").collect()
+    assert len(rows) == 2  # broken + empty yield nothing
+    assert all(r.sitemap_url == "https://s.com/sitemap.xml" for r in rows)
+    assert [r.entry_url for r in rows] == [
+        "https://s.com/news.xml",
+        "https://s.com/archive.xml",
+    ]
+    assert all(r.is_sitemap is True for r in rows)
+    assert rows[0].lastmod == "2026-02-01"
+
+
+def test_discover_sitemap_urls_from_robots(spark):
+    from news_please_spark.sources.sitemap import discover_sitemap_urls
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "https://s.com/robots.txt",
+                "User-agent: *\nDisallow: /tmp\n"
+                "Sitemap: https://s.com/sitemap.xml  \r\n"
+                "sitemap-like: not a line\n"
+                "Sitemap: https://s.com/news.xml # trailing comment\n",
+            ),
+            ("https://t.com/robots.txt", "User-agent: *\nDisallow:\n"),
+        ],
+        "url string, body string",
+    )
+    rows = discover_sitemap_urls(robots).orderBy("url", "line_index").collect()
+    assert [(r.url, r.sitemap_url) for r in rows] == [
+        ("https://s.com/robots.txt", "https://s.com/sitemap.xml"),
+        ("https://s.com/robots.txt", "https://s.com/news.xml"),
+    ]
+    assert [r.line_index for r in rows] == [0, 1]
+
+
+def test_sitemap_xml_to_expand_end_to_end(spark):
+    """robots.txt → discover → parse XML bodies → recursive expansion:
+    the full S6 chain over real XML."""
+    from news_please_spark.sources.sitemap import (
+        discover_sitemap_urls,
+        expand_sitemaps,
+        parse_sitemap_xml,
+    )
+
+    news = """<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <url><loc>https://s.com/n1</loc></url>
+      <url><loc>https://s.com/n2</loc></url>
+    </urlset>"""
+    robots = spark.createDataFrame(
+        [("https://s.com/robots.txt", "Sitemap: https://s.com/sitemap.xml\n")],
+        "url string, body string",
+    )
+    roots = [r.sitemap_url for r in discover_sitemap_urls(robots).collect()]
+    bodies = spark.createDataFrame(
+        [("https://s.com/sitemap.xml", _INDEX), ("https://s.com/news.xml", news)],
+        "sitemap_url string, body string",
+    )
+    table = parse_sitemap_xml(bodies).select(
+        "sitemap_url", "entry_url", "is_sitemap", "entry_index"
+    )
+    out = expand_sitemaps(table, roots, max_depth=4).orderBy("order_key").collect()
+    assert [r.url for r in out] == ["https://s.com/n1", "https://s.com/n2"]
+    assert [r.depth for r in out] == [2, 2]
