@@ -621,3 +621,71 @@ def resolve_redirects(
         "hops",
         F.col("_o").isNull().alias("resolved"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, "Near
+    linear time algorithm to detect community structures in large-scale
+    networks") with a FIXED round budget and deterministic
+    tie-breaking: every node starts labeled with its own id; each round
+    every node simultaneously adopts the label carried by the most of
+    its undirected neighbors, ties broken toward the SMALLEST label.
+    Communities = nodes sharing a label after `rounds` rounds.
+
+    Crawl use: partition the HOST graph into link communities so a
+    crawl shard keeps site clusters together (politeness state and
+    frontier locality both improve when a community maps to one
+    shard) — the companion to rendezvous_shards' stateless placement.
+
+    Determinism is the design constraint: classic ASYNC LPA is
+    run-order dependent (its result depends on node visit order), so
+    this is the synchronous variant with total-order tie-breaks — the
+    same fixed-round discipline as kcore_peel/pagerank here, making the
+    result reproducible and oracle-derivable cross-engine. Synchronous
+    LPA can oscillate on bipartite structures; a fixed round budget
+    (not convergence polling) is therefore also the semantics, not just
+    the scale concession.
+
+    Scale shape per round: one hash join of the undirected edge table
+    against the (node, label) table on the neighbor key, a map-side-
+    combinable (node, label) vote count, and a per-node argmax as a
+    max(struct(votes, -label)) semigroup aggregate — no Window, no
+    driver-side state beyond the loop counter. Self-loops ignored,
+    parallel edges collapse (one vote per distinct neighbor).
+    Requires non-negative integer node ids (the -label tie-break)."""
+    s, d = F.col(src_col), F.col(dst_col)
+    half = edges.filter(s != d).select(s.alias("a"), d.alias("b"))
+    und = half.unionByName(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    und = und.localCheckpoint()
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(rounds):
+            votes = (
+                und.join(labels, und["b"] == labels["id"])
+                .groupBy("a", "label")
+                .agg(F.count(F.lit(1)).alias("votes"))
+            )
+            stepped = (
+                votes.groupBy("a")
+                .agg(F.max(F.struct(F.col("votes"), (-F.col("label")).alias("nl"))).alias("w"))
+                .select(F.col("a").alias("id"), (-F.col("w.nl")).alias("label"))
+                .localCheckpoint()
+            )
+            prev = labels
+            labels = stepped
+            release_df(prev)
+        return labels
+    finally:
+        release_df(und)

@@ -6869,3 +6869,51 @@ def sitemap_xml_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "news_title",
         "news_pub_date",
     )
+
+
+def _lpa_ctes(rounds: int) -> str:
+    parts = [
+        f"WITH edges AS ({_EDGES_SQL}),",
+        "h AS (SELECT src AS a, dst AS b FROM edges WHERE src <> dst),",
+        "und AS (SELECT a, b FROM h UNION SELECT b, a FROM h),",
+        "l0 AS (SELECT DISTINCT a AS id, a AS label FROM und),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"v{r} AS (SELECT u.a, l.label, count(*) AS n"
+            f" FROM und u JOIN l{r - 1} l ON l.id = u.b GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"l{r} AS (SELECT a AS id, min(label) AS label FROM ("
+            f"SELECT a, label, n, max(n) OVER (PARTITION BY a) AS mx FROM v{r}"
+            f") WHERE n = mx GROUP BY a),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts)
+
+
+@register(
+    "lpa_communities",
+    _lpa_ctes(rounds=3)
+    + """
+    SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
+    FROM l3
+    """,
+)
+def lpa_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities
+    (operators/graph.py::label_propagation, 3 rounds, min-label
+    tie-breaks) over the derived webgraph — the crawl-shard
+    partitioning signal (keep a link community on one shard) next to
+    rendezvous_shards' stateless placement. The DuckDB oracle unrolls
+    the same three rounds as CTEs with a window-max argmax; Spark's
+    per-round argmax is a max(struct(votes, -label)) semigroup
+    aggregate, no Window anywhere."""
+    from news_please_spark.operators.graph import label_propagation
+
+    edges = derived_edges(spark, sf_dir)
+    out = label_propagation(edges, rounds=3)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("label").cast("long").alias("label"),
+    )

@@ -449,3 +449,34 @@ def test_resolve_redirects_materialize_matches_lazy(spark):
         tuple(r) for r in resolve_redirects(df, rounds=4, materialize=True).collect()
     )
     assert lazy == mat
+
+
+def test_label_propagation_two_triangles(spark):
+    """Two triangles bridged by one edge resolve to two communities;
+    the exact labels are the hand-traced synchronous-LPA fixture
+    (min-label tie-breaks, 3 rounds)."""
+    from news_please_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)],
+        "src long, dst long",
+    )
+    out = {r.id: r.label for r in label_propagation(edges, rounds=3).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 2, 4: 2, 5: 2}
+
+
+def test_label_propagation_star_and_self_loop(spark):
+    """A star collapses to the hub's ... min-label community in one
+    round from the leaves' side; self-loops and duplicate edges are
+    ignored."""
+    from news_please_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(10, 11), (10, 12), (10, 13), (10, 10), (11, 10)],
+        "src long, dst long",
+    )
+    out = {r.id: r.label for r in label_propagation(edges, rounds=2).collect()}
+    # round 1: leaves adopt 10, hub adopts min leaf 11;
+    # round 2: leaves adopt 11 (hub is their only neighbor), hub sees
+    # {10,10,10} -> 10
+    assert out == {10: 10, 11: 11, 12: 11, 13: 11}
