@@ -52,6 +52,7 @@ HEADLINE = [
     "spam_mass",
     "reciprocal_links",
     "kcore_peel",
+    "lpa_communities",
     "hits_scores",
     "authority_order",
     "url_canonicalize",
@@ -92,6 +93,7 @@ HEADLINE = [
     "ngram_diversity",
     "lang_id",
     "script_profile",
+    "mojibake_audit",
     "tfidf_top_terms",
     "collocations",
     "lm_score",
@@ -151,6 +153,7 @@ HEADLINE = [
     "hard_negatives",
     "extract_articles",
     "sitemap_expand",
+    "sitemap_xml_parse",
     "anchor_terms",
     "events_hourly",
     "events_sessionize",

@@ -358,3 +358,32 @@ def normalize_text(text: Column) -> Column:
     t = F.regexp_replace(t, r" ?\n ?", "\n")
     t = F.regexp_replace(t, r"\n{2,}", "\n")
     return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+
+# --- mojibake / encoding-artifact detection -------------------------------
+# Double-encoding fingerprints: the UTF-8 byte sequences of common
+# non-ASCII chars re-decoded as cp1252/latin-1. 'A-tilde'+tail is the
+# 0xC3 lead byte of the Latin-1 letter block (e->"Ã©",
+# u-umlaut->"Ã¼", ...), 'â€'+tail is the 0xE2 0x80
+# lead pair of the general-punctuation block (right quote ->
+# "â€™", left dquote -> "â€œ", em dash ->
+# "â€”"), and a stray 'Â' before punctuation is the
+# 0xC2 lead of NBSP/guillemets/degree. The reference avoids creating
+# this class by trusting the HTTP charset then falling back through a
+# codec cascade (reference newsplease/crawler/simple_crawler.py:34-52;
+# our S3 tree sources/fetch.py:31); this column-level detector is the
+# corpus-side AUDIT for text that arrived already damaged upstream.
+_MOJI_LATIN = "Ã[©¨ª«¼±³¶¤ºµ§¡¢£]"
+_MOJI_PUNCT = "â€[™œ”“˜¦¹]"
+_MOJI_C2 = "Â[ «»°·]"
+
+
+def mojibake_counts(text: Column) -> list[Column]:
+    """Three integer artifact counts (latin-letter block, punctuation
+    block, stray-C2 block) — native regexp_extract_all sizes, zero
+    shuffle, rides the scan."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(_MOJI_LATIN), 0)).alias("moji_latin"),
+        F.size(F.regexp_extract_all(text, F.lit(_MOJI_PUNCT), 0)).alias("moji_punct"),
+        F.size(F.regexp_extract_all(text, F.lit(_MOJI_C2), 0)).alias("moji_c2"),
+    ]

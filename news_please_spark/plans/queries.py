@@ -6917,3 +6917,71 @@ def lpa_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("long").alias("id"),
         F.col("label").cast("long").alias("label"),
     )
+
+
+# mojibake fixtures: real cp1252-double-decode artifacts planted on
+# fixed residue classes (the characters below ARE the damage)
+_MOJI_PLANT_LATIN = " cafÃ© Ã¼ber"
+_MOJI_PLANT_PUNCT = " itâ€™s â€œq"
+_MOJI_PLANT_C2 = " Â«qÂ»"
+
+
+def _mojibake_sql() -> str:
+    from news_please_spark.functions.text import (
+        _MOJI_C2,
+        _MOJI_LATIN,
+        _MOJI_PUNCT,
+    )
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 5 = 0 THEN '{_MOJI_PLANT_LATIN}' ELSE '' END
+             || CASE WHEN doc_id % 7 = 1 THEN '{_MOJI_PLANT_PUNCT}' ELSE '' END
+             || CASE WHEN doc_id % 11 = 2 THEN '{_MOJI_PLANT_C2}' ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_MOJI_LATIN}')) AS INT) AS moji_latin,
+           CAST(len(regexp_extract_all(t, '{_MOJI_PUNCT}')) AS INT) AS moji_punct,
+           CAST(len(regexp_extract_all(t, '{_MOJI_C2}')) AS INT) AS moji_c2,
+           len(regexp_extract_all(t, '{_MOJI_LATIN}'))
+             + len(regexp_extract_all(t, '{_MOJI_PUNCT}'))
+             + len(regexp_extract_all(t, '{_MOJI_C2}')) > 0 AS damaged
+    FROM t
+    """
+
+
+@register("mojibake_audit", _mojibake_sql())
+def mojibake_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact audit (functions/text.py::mojibake_counts):
+    per-doc counts of cp1252-double-decode fingerprints (latin-letter
+    block, punctuation block, stray C2) plus a damaged verdict, with
+    real artifacts planted on fixed residue classes so every pattern
+    class fires. The corpus-side complement of the S3 decode cascade
+    (reference crawler/simple_crawler.py charset handling; our tree at
+    sources/fetch.py:31): S3 prevents the damage at fetch time, this
+    audits text that arrived already damaged. Zero shuffle — three
+    regexp_extract_all sizes riding the scan."""
+    from news_please_spark.functions.text import mojibake_counts
+
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(did % 5 == 0, F.lit(_MOJI_PLANT_LATIN)).otherwise(F.lit("")),
+        F.when(did % 7 == 1, F.lit(_MOJI_PLANT_PUNCT)).otherwise(F.lit("")),
+        F.when(did % 11 == 2, F.lit(_MOJI_PLANT_C2)).otherwise(F.lit("")),
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", t.alias("t"))
+    c_lat, c_pun, c_c2 = mojibake_counts(F.col("t"))
+    out = docs.select(
+        "doc_id",
+        c_lat.cast("int").alias("moji_latin"),
+        c_pun.cast("int").alias("moji_punct"),
+        c_c2.cast("int").alias("moji_c2"),
+    )
+    return out.withColumn(
+        "damaged",
+        (F.col("moji_latin") + F.col("moji_punct") + F.col("moji_c2")) > 0,
+    )

@@ -249,3 +249,22 @@ def test_winnow_survives_single_token_insertion(spark):
     }
     shared = rows["a"] & rows["b"]
     assert len(shared) >= 10, f"expected many shared fingerprints, got {len(shared)}"
+
+
+def test_mojibake_counts(spark):
+    from news_please_spark.functions.text import mojibake_counts
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("caf\u00c3\u00a9 and \u00c3\u00bcber", 2, 0, 0),  # latin block, twice
+        ("it\u00e2\u20ac\u2122s \u00e2\u20ac\u0153quoted ok", 0, 2, 0),  # curly + left dquote
+        ("\u00c2\u00a0lead and \u00c2\u00ab guillemet", 0, 0, 2),  # stray C2 (nbsp + guillemet)
+        ("clean ascii text", 0, 0, 0),
+        ("caf\u00e9 na\u00efve \u2014 real unicode is NOT damage", 0, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        [(t,) for t, *_ in rows], "text string"
+    ).select("text", *mojibake_counts(F.col("text")))
+    got = {r.text: (r.moji_latin, r.moji_punct, r.moji_c2) for r in df.collect()}
+    for t, a, b, c in rows:
+        assert got[t] == (a, b, c), (t, got[t])
