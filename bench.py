@@ -49,6 +49,7 @@ def pretouch_conf() -> dict[str, str]:
 HEADLINE = [
     "frontier_bfs3",
     "pagerank3",
+    "opic_scores",
     "spam_mass",
     "reciprocal_links",
     "kcore_peel",

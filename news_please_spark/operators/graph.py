@@ -689,3 +689,84 @@ def label_propagation(
         return labels
     finally:
         release_df(und)
+
+
+def opic_scores(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """OPIC — Adaptive On-line Page Importance Computation (Abiteboul,
+    Preda & Cobena, WWW 2003): the page-importance estimator real
+    crawlers use to PRIORITIZE THE FRONTIER, because unlike PageRank it
+    needs no global iteration-to-convergence — importance accumulates
+    as the crawl proceeds. Every page starts with equal cash; each
+    round a page distributes its cash equally along its out-edges and
+    records what it spent in its history; importance ~ history + cash.
+
+    Integer-exact fixed-round form (the cross-engine contract): cash
+    starts at `scale`; a node with out-degree d (edge multiplicity
+    counts) sends floor(cash/d) per edge, spends d*floor(cash/d), and
+    KEEPS the division remainder; a node with no out-edges keeps all
+    its cash (the virtual-sink node of the paper is the caller's
+    modeling choice — add explicit edges to a sink id if wanted).
+    Total cash is conserved every round (tested), so the scores are
+    directly comparable across rounds and engines.
+
+    Scale shape per round: one src-keyed hash join of the static
+    (edge, outdeg) table against the cash table + one dst-keyed
+    map-side-combinable sum — two shuffles, no Window, driver state is
+    the loop counter only. The static edge+degree table is checkpointed
+    once and reused every round (an Iceberg-cached image at cluster
+    scale)."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e.join(deg, "src").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    state = nodes.select(
+        "id",
+        F.lit(scale).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("history"),
+    ).localCheckpoint()
+    try:
+        for _ in range(rounds):
+            # one src-keyed join, consumed by BOTH aggregations below
+            # (long/long "/" is double division in Spark — floor makes
+            # the integer semantics explicit and engine-portable)
+            flows = ed.join(state, ed["src"] == state["id"]).select(
+                state["id"].alias("giver"),
+                "dst",
+                F.floor(F.col("cash") / F.col("outdeg")).cast("long").alias("amt"),
+            )
+            incoming = flows.groupBy("dst").agg(F.sum("amt").alias("inflow"))
+            spent = flows.groupBy("giver").agg(F.sum("amt").alias("give"))
+            stepped = (
+                state.join(spent, state["id"] == spent["giver"], "left")
+                .join(incoming, state["id"] == incoming["dst"], "left")
+                .select(
+                    "id",
+                    (
+                        F.col("cash")
+                        - F.coalesce(F.col("give"), F.lit(0))
+                        + F.coalesce(F.col("inflow"), F.lit(0))
+                    ).alias("cash"),
+                    (
+                        F.col("history") + F.coalesce(F.col("give"), F.lit(0))
+                    ).alias("history"),
+                )
+                .localCheckpoint()
+            )
+            prev = state
+            state = stepped
+            release_df(prev)
+        return state.select(
+            "id", "cash", "history", (F.col("cash") + F.col("history")).alias("importance")
+        )
+    finally:
+        release_df(ed)

@@ -6985,3 +6985,74 @@ def mojibake_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "damaged",
         (F.col("moji_latin") + F.col("moji_punct") + F.col("moji_c2")) > 0,
     )
+
+
+_OPIC_EDGES_SQL = (
+    _EDGES_SQL
+    + " UNION ALL SELECT doc_id AS src,"
+    " (doc_id*11 + 5) % (SELECT max(doc_id)+1 FROM documents) AS dst"
+    " FROM documents WHERE doc_id % 3 = 0"
+)
+
+
+def _opic_ctes(rounds: int, scale: int = 1_000_000) -> str:
+    parts = [
+        f"WITH edges AS ({_OPIC_EDGES_SQL}),",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),",
+        "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),",
+        f"s0 AS (SELECT id, CAST({scale} AS BIGINT) AS cash,"
+        " CAST(0 AS BIGINT) AS hist FROM nodes),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"f{r} AS (SELECT e.src, e.dst, s.cash // d.d AS amt"
+            f" FROM edges e JOIN deg d USING (src)"
+            f" JOIN s{r - 1} s ON s.id = e.src),"
+        )
+        parts.append(
+            f"s{r} AS (SELECT n.id,"
+            " n.cash - COALESCE(g.give, 0) + COALESCE(i.inflow, 0) AS cash,"
+            " n.hist + COALESCE(g.give, 0) AS hist"
+            f" FROM s{r - 1} n"
+            f" LEFT JOIN (SELECT src, sum(amt) AS give FROM f{r} GROUP BY 1) g"
+            " ON g.src = n.id"
+            f" LEFT JOIN (SELECT dst, sum(amt) AS inflow FROM f{r} GROUP BY 1) i"
+            " ON i.dst = n.id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts)
+
+
+@register(
+    "opic_scores",
+    _opic_ctes(rounds=3)
+    + """
+    SELECT id, CAST(cash AS BIGINT) AS cash, CAST(hist AS BIGINT) AS history,
+           CAST(cash + hist AS BIGINT) AS importance
+    FROM s3
+    """,
+)
+def opic_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC frontier prioritization (operators/graph.py::opic_scores,
+    3 rounds, integer cash) over the derived webgraph with a fourth
+    edge on every third node so out-degrees vary and floor-division
+    remainders actually exercise. Cash conservation makes the scores
+    engine-comparable; the DuckDB oracle unrolls the rounds with //
+    floor division. Per round: one src-keyed join + two map-side
+    combinable sums."""
+    from news_please_spark.operators.graph import opic_scores
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    extra = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 11 + 5) % n).alias("dst"),
+    )
+    edges = derived_edges(spark, sf_dir).unionByName(extra)
+    out = opic_scores(edges, rounds=3)
+    return out.select(
+        "id",
+        F.col("cash").cast("long").alias("cash"),
+        F.col("history").cast("long").alias("history"),
+        F.col("importance").cast("long").alias("importance"),
+    )

@@ -480,3 +480,41 @@ def test_label_propagation_star_and_self_loop(spark):
     # round 2: leaves adopt 11 (hub is their only neighbor), hub sees
     # {10,10,10} -> 10
     assert out == {10: 10, 11: 11, 12: 11, 13: 11}
+
+
+def test_opic_star_hand_traced(spark):
+    """0->1, 0->2, 1->0, 2->0 with scale 1e6: hand-traced two rounds
+    (see docstring semantics: floor division, remainder kept)."""
+    from news_please_spark.operators.graph import opic_scores
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 0), (2, 0)], "src long, dst long"
+    )
+    out = {r.id: (r.cash, r.history) for r in opic_scores(edges, rounds=2).collect()}
+    assert out == {
+        0: (1_000_000, 3_000_000),
+        1: (1_000_000, 1_500_000),
+        2: (1_000_000, 1_500_000),
+    }
+    # conservation
+    assert sum(c for c, _ in out.values()) == 3_000_000
+
+
+def test_opic_conservation_and_sink(spark):
+    """Cash is conserved every round; a sink node hoards (keeps) cash;
+    remainders from floor division stay with the giver."""
+    from news_please_spark.operators.graph import opic_scores
+
+    # 0 -> 1,2,3 (outdeg 3: floor(1e6/3) leaves remainder 1); 1 -> 0;
+    # 2,3 are sinks
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 0)], "src long, dst long"
+    )
+    for rounds in (1, 3):
+        rows = opic_scores(edges, rounds=rounds).collect()
+        assert sum(r.cash for r in rows) == 4_000_000, rounds
+    one = {r.id: r.cash for r in opic_scores(edges, rounds=1).collect()}
+    # node0: kept remainder 1 + 1e6 incoming from node1
+    assert one[0] == 1_000_001
+    # sinks received floor(1e6/3) on top of their own hoarded cash
+    assert one[2] == one[3] == 1_000_000 + 333_333
