@@ -54,6 +54,7 @@ HEADLINE = [
     "reciprocal_links",
     "kcore_peel",
     "lpa_communities",
+    "triangle_counts",
     "hits_scores",
     "authority_order",
     "url_canonicalize",

@@ -770,3 +770,62 @@ def opic_scores(
         )
     finally:
         release_df(ed)
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation
+    (the MapReduce triangle pattern of Cohen 2009 / Suri &
+    Vassilvitskii WWW 2011): orient every undirected edge from the
+    endpoint with the SMALLER (degree, id) key to the larger, generate
+    wedges only from each node's oriented out-neighbors, and close a
+    wedge (u; v, w) iff the oriented edge v->w exists. Orientation
+    bounds oriented out-degree by O(sqrt(m)) on real graphs, so wedge
+    generation — the quadratic step — is per-node-bounded: a
+    10^7-degree hub generates NO wedges from its own adjacency (its
+    edges all point INTO it), which is exactly why this survives
+    power-law webgraphs where the naive neighbor-intersection join
+    explodes. Triangle density is the link-farm/community signal next
+    to kcore_peel.
+
+    Self-loops ignored, edge direction ignored, parallel edges
+    collapse. Returns (node, n_tri) for nodes in >= 1 triangle (join
+    against your node table for zeros). Plan: degree agg + orientation
+    join + ONE wedge self-join + ONE closing equi-join + explode/agg —
+    no Window, every aggregate map-side combinable."""
+    s, d = F.col(src_col), F.col(dst_col)
+    half = edges.filter(s != d).select(
+        F.least(s, d).alias("a"), F.greatest(s, d).alias("b")
+    ).distinct()
+    und = half.unionByName(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    keyed = (
+        und.join(deg.withColumnsRenamed({"a": "_ka", "deg": "dega"}), F.col("a") == F.col("_ka"))
+        .join(deg.withColumnsRenamed({"a": "_kb", "deg": "degb"}), F.col("b") == F.col("_kb"))
+        .select("a", "b", "dega", "degb")
+    )
+    oriented = keyed.filter(
+        F.struct(F.col("dega"), F.col("a")) < F.struct(F.col("degb"), F.col("b"))
+    ).select(
+        F.col("a").alias("u"),
+        F.col("b").alias("v"),
+        F.struct(F.col("degb"), F.col("b")).alias("vkey"),
+    ).localCheckpoint()
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.u") == F.col("y.u")) & (F.col("x.vkey") < F.col("y.vkey")),
+    ).select(
+        F.col("x.u").alias("u"), F.col("x.v").alias("p"), F.col("y.v").alias("q")
+    )
+    closing = oriented.select(F.col("u").alias("p"), F.col("v").alias("q"))
+    tris = wedges.join(closing, ["p", "q"], "left_semi")
+    out = (
+        tris.select(F.explode(F.array("u", "p", "q")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return out

@@ -7056,3 +7056,55 @@ def opic_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("history").cast("long").alias("history"),
         F.col("importance").cast("long").alias("importance"),
     )
+
+
+_TRI_EDGES_SQL = (
+    _EDGES_SQL
+    + " UNION ALL SELECT doc_id AS src,"
+    " (doc_id + 1) % (SELECT max(doc_id)+1 FROM documents) AS dst FROM documents"
+    " UNION ALL SELECT doc_id AS src,"
+    " (doc_id + 2) % (SELECT max(doc_id)+1 FROM documents) AS dst FROM documents"
+)
+
+
+@register(
+    "triangle_counts",
+    f"""
+    WITH edges AS ({_TRI_EDGES_SQL}),
+    h AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst GROUP BY 1, 2),
+    und AS (SELECT a, b FROM h UNION ALL SELECT b, a FROM h),
+    deg AS (SELECT a, count(*) AS d FROM und GROUP BY 1),
+    o AS (SELECT u.a AS u, u.b AS v, db.d AS dv
+          FROM und u JOIN deg da ON da.a = u.a JOIN deg db ON db.a = u.b
+          WHERE (da.d < db.d) OR (da.d = db.d AND u.a < u.b)),
+    w AS (SELECT x.u, x.v AS p, y.v AS q
+          FROM o x JOIN o y ON x.u = y.u
+          AND ((x.dv < y.dv) OR (x.dv = y.dv AND x.v < y.v))),
+    t AS (SELECT w.u, w.p, w.q FROM w
+          WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.p AND o.v = w.q)),
+    n AS (SELECT u AS node FROM t
+          UNION ALL SELECT p FROM t UNION ALL SELECT q FROM t)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM n GROUP BY 1
+    """,
+)
+def triangle_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle counting
+    (operators/graph.py::triangle_counts) over the derived webgraph
+    plus two ring edges (doc_id+1, doc_id+2) so {x, x+1, x+2}
+    triangles exist everywhere at any SF. Wedges only from the
+    min-(deg,id) apex — the hub-safe orientation; the DuckDB oracle
+    mirrors it with an EXISTS closing check."""
+    from news_please_spark.operators.graph import triangle_counts
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    ring = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array((F.col("doc_id") + 1) % n, (F.col("doc_id") + 2) % n)
+        ).alias("dst"),
+    )
+    edges = derived_edges(spark, sf_dir).unionByName(ring)
+    out = triangle_counts(edges)
+    return out.select("node", F.col("n_tri").cast("long").alias("n_tri"))

@@ -518,3 +518,27 @@ def test_opic_conservation_and_sink(spark):
     assert one[0] == 1_000_001
     # sinks received floor(1e6/3) on top of their own hoarded cash
     assert one[2] == one[3] == 1_000_000 + 333_333
+
+
+def test_triangle_counts_k4_square_tail(spark):
+    from news_please_spark.operators.graph import triangle_counts
+
+    # K4 on {0,1,2,3}: every node sits in C(3,2)=3 triangles
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    out = {r.node: r.n_tri for r in triangle_counts(
+        spark.createDataFrame(k4, "src long, dst long")).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # square 0-1-2-3-0: no triangles
+    sq = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    assert triangle_counts(sq).count() == 0
+
+    # one triangle + pendant tail; duplicate/reversed/self edges collapse
+    g = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0), (2, 2), (2, 3)],
+        "src long, dst long",
+    )
+    out = {r.node: r.n_tri for r in triangle_counts(g).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}
