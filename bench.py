@@ -124,6 +124,7 @@ HEADLINE = [
     "line_dedup",
     "winnow_fingerprint",
     "jaccard_verify",
+    "containment_pairs",
     "incremental_near_dups",
     "cdc_lsh_index",
     "dup_clusters",

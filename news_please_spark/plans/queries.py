@@ -7108,3 +7108,84 @@ def triangle_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = derived_edges(spark, sf_dir).unionByName(ring)
     out = triangle_counts(edges)
     return out.select("node", F.col("n_tri").cast("long").alias("n_tri"))
+
+
+@register(
+    "containment_pairs",
+    r"""
+    WITH aug AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 10 = 7 AND s.doc_id IS NOT NULL
+                  THEN array_to_string(list_slice(
+                         string_split_regex(trim(lower(s.text)), '\s+'), 1, 60), ' ')
+                  ELSE d.text END AS text
+      FROM documents d LEFT JOIN documents s ON s.doc_id = d.doc_id - 5
+    ),
+    t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM aug),
+    w AS (SELECT doc_id,
+                 CAST(greatest(ceil((len(toks) - 32) / 16.0) + 1, 1) AS INT) AS n_win,
+                 toks
+          FROM t),
+    fps AS (SELECT DISTINCT doc_id,
+                   md5(array_to_string(list_slice(toks, win * 16 + 1, win * 16 + 32), ' ')) AS fp
+            FROM w, LATERAL (SELECT unnest(range(0, n_win)) AS win)),
+    keepfp AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM fps a
+             JOIN keepfp k ON k.fp = a.fp
+             JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+    g0 AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+           FROM t WHERE len(toks) >= 3),
+    gr AS (SELECT doc_id, md5(gx) AS g FROM g0, LATERAL (SELECT unnest(gs) AS gx)),
+    sz AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY 1),
+    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN gr ga ON ga.doc_id = c.doc_a
+              JOIN gr gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+              GROUP BY 1, 2),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(floor(10000 * COALESCE(i.i, 0) / sa.n) AS BIGINT) AS cont_a_q,
+             CAST(floor(10000 * COALESCE(i.i, 0) / sb.n) AS BIGINT) AS cont_b_q
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sz sa ON sa.doc_id = c.doc_a
+      JOIN sz sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, cont_a_q, cont_b_q,
+           CASE WHEN cont_a_q >= 8000 AND cont_b_q >= 8000 THEN 'mutual'
+                WHEN cont_a_q >= 8000 THEN 'a_in_b'
+                WHEN cont_b_q >= 8000 THEN 'b_in_a' END AS relation
+    FROM scored
+    WHERE cont_a_q >= 8000 OR cont_b_q >= 8000
+    """,
+)
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment / syndication detection
+    (operators/dedup.py::containment_pairs): every tenth doc becomes a
+    60-token snippet of another doc — Jaccard-invisible (0.03-ish) but
+    containment-10000 pairs the near-dup tier must NOT be trusted to
+    catch. Candidates from shared rolling 32-token fingerprints with a
+    stop-fingerprint cap; exact 3-gram containment both directions,
+    basis points."""
+    from news_please_spark.operators.dedup import containment_pairs
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    src = docs.select(
+        (F.col("doc_id") + 5).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 60), " "
+        ).alias("_snip"),
+    )
+    aug = docs.join(src, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 10 == 7) & F.col("_snip").isNotNull(),
+            F.col("_snip"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return containment_pairs(aug)

@@ -492,3 +492,45 @@ def test_mime_sniff_is_shuffle_free(spark):
     df = spark.createDataFrame([("a", b"GIF89a")], "name string, data binary")
     plan = sniff_media(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- asymmetric containment ------------------------------------------------
+
+def test_containment_pairs_snippet_and_mutual(spark):
+    from news_please_spark.operators.dedup import containment_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(100))
+    snippet = " ".join(f"w{i}" for i in range(40))  # 40-token prefix
+    other = " ".join(f"z{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [
+            (1, long_text),
+            (2, snippet),
+            (3, other),
+            (10, "dup " + other),
+            (11, "dup " + other),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_a, r.doc_b): r for r in containment_pairs(df).collect()}
+    # snippet (2) fully contained in long (1): 38 of its 38 3-grams hit
+    assert set(rows) == {(1, 2), (10, 11)}
+    r = rows[(1, 2)]
+    assert r.cont_b_q == 10000          # all snippet grams in the long doc
+    assert r.cont_a_q == 10000 * 38 // 98  # 38 shared of 98 long-doc grams
+    assert r.relation == "b_in_a"
+    m = rows[(10, 11)]
+    assert (m.cont_a_q, m.cont_b_q, m.relation) == (10000, 10000, "mutual")
+
+
+def test_containment_pairs_stop_fingerprint_cap(spark):
+    """A fingerprint shared by more docs than max_fp_docs generates no
+    candidate pairs (the boilerplate-banner guard)."""
+    from news_please_spark.operators.dedup import containment_pairs
+
+    t = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(i, t) for i in range(4)], "doc_id long, text string"
+    )
+    assert containment_pairs(df, max_fp_docs=2).count() == 0
+    assert containment_pairs(df, max_fp_docs=10).count() == 6  # all pairs
