@@ -837,6 +837,11 @@ def containment_pairs(
             )
         ).alias("_fp"),
     )
+    # fps feeds the degree cap AND both pair sides; grams feed sizes AND
+    # both intersection sides — lazy persist so tokenize/fingerprint/
+    # shingle (the dominant map cost) is paid once, not 3x (the
+    # jaccard_verify sharing discipline)
+    fps = fps.persist()
     keep_fp = (
         fps.groupBy("_fp")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -853,7 +858,7 @@ def containment_pairs(
     )
     grams = df.select(
         F.col(id_col), F.explode(ngram_set(F.col(text_col), n)).alias("_gx")
-    ).select(id_col, F.md5("_gx").alias("_g"))
+    ).select(id_col, F.md5("_gx").alias("_g")).persist()
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     inter = (
         cand.join(grams.select(F.col(id_col).alias("doc_a"), "_g"), "doc_a")
