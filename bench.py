@@ -89,6 +89,7 @@ HEADLINE = [
     "quality_classifier",
     "heavy_hitters_cms",
     "hll_distinct",
+    "kmv_overlap",
     "length_quantiles",
     "token_totals",
     "corpus_report",

@@ -229,3 +229,119 @@ def hll_estimate(
         *group_cols,
         F.expr(f"CAST({numer} AS BIGINT) div ({denom_c} * _s)").alias(out),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k (theta) sketch — mergeable distinct-count AND
+# set-intersection estimation (Bar-Yossef et al. 2002; Beyer et al.
+# SIGMOD 2007 "On synopses for distinct-value estimation under multiset
+# operations").  The family member HLL cannot supply: HLL unions by
+# register-max but intersections only via unstable inclusion-exclusion;
+# a KMV sketch of the k smallest hashes supports DIRECT Jaccard /
+# intersection estimates over the combined sketch — the cross-source
+# content-overlap primitive at 10^10-doc scale.
+#
+# Engine-portable arithmetic: hash = first 15 hex chars of md5 as a
+# 60-bit non-negative long (conv-safe, no sign wrap); estimates use the
+# k-th smallest of the merged sketch as theta.
+
+_KMV_M = 1 << 60
+
+
+def kmv_hash60(item: Column) -> Column:
+    return F.conv(F.substring(F.md5(item), 1, 15), 16, 10).cast("long")
+
+
+def kmv_sketches(
+    df: DataFrame,
+    item_col: str,
+    group_col: str,
+    k: int = 256,
+    safety: int = 8,
+) -> DataFrame:
+    """(group, ks, nd): per group the k smallest distinct item hashes
+    (ascending array, fewer when the group has < k distinct items) and
+    the exact distinct count nd.
+
+    Scale shape: NO per-group sort of the full item set. The items
+    dedupe once on md5 keys (the corpus_dup_ngrams cost class), the
+    distinct count is a map-side-combinable agg, and a hash THRESHOLD
+    pass keeps ~k*safety expected survivors per group (hashes are
+    uniform, so P[h < M*k*safety/nd] ~ k*safety/nd) — only that tiny
+    candidate set is collected and sorted per group. Deterministic:
+    the threshold is a pure function of (k, safety, nd), so the same
+    input always yields the same sketch; safety=8 makes
+    fewer-than-k-survivors a < 10^-40 Chernoff event for k=256 (and
+    groups with nd <= k*safety keep everything — exact mode)."""
+    items = df.select(
+        F.col(group_col).alias("g"), kmv_hash60(F.col(item_col)).alias("h")
+    ).distinct()
+    counts = items.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    # threshold as ONE double literal divided by nd — the identical IEEE
+    # op in any engine; the nd <= k*safety arm keeps everything (exact
+    # mode) and dodges the near-2^71 threshold that would overflow an
+    # integer representation
+    keep = (F.col("nd") <= F.lit(k * safety)) | (
+        F.col("h").cast("double")
+        < F.lit(float(_KMV_M * k * safety)) / F.col("nd")
+    )
+    cand = items.join(counts, "g").filter(keep)
+    return cand.groupBy("g", "nd").agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("ks")
+    ).select("g", "ks", "nd")
+
+
+def kmv_overlap_pairs(sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Pairwise overlap estimates from KMV sketches: for each group
+    pair (g_a < g_b) merge the two sketches, take theta = the kk-th
+    smallest of the union (kk = min(k, |merged|)), and estimate
+
+      union_est    = floor((kk-1) * 2^60 / theta)
+      jaccard_q    = floor(10000 * c / kk),  c = |shared hashes <= theta|
+      inter_est    = floor(union_est * c / kk)
+
+    EXACT mode: when BOTH groups fit in their sketches (nd <= k) the
+    sketches are exhaustive, so the true values are returned instead
+    of estimates — union_est = |merged|, inter_est = |intersect|,
+    jaccard_q = floor(10000*inter/union). kk/shared still report the
+    estimator's inputs.
+
+    Sketch rows are <= k longs, so the pair join moves tiny arrays;
+    with S sources this is S^2 sketch-sized work, never corpus-sized."""
+    a = sketches.select(
+        F.col("g").alias("g_a"), F.col("ks").alias("ka"), F.col("nd").alias("nd_a")
+    )
+    b = sketches.select(
+        F.col("g").alias("g_b"), F.col("ks").alias("kb"), F.col("nd").alias("nd_b")
+    )
+    pairs = a.join(b, F.col("g_a") < F.col("g_b"))
+    u = F.array_sort(F.array_distinct(F.concat(F.col("ka"), F.col("kb"))))
+    kk = F.least(F.lit(k), F.size(u))
+    theta = F.element_at(u, kk)
+    shared = F.size(
+        F.filter(
+            F.array_intersect(F.col("ka"), F.col("kb")), lambda x: x <= theta
+        )
+    )
+    exhaustive = (F.col("nd_a") <= F.lit(k)) & (F.col("nd_b") <= F.lit(k))
+    inter_ex = F.size(F.array_intersect(F.col("ka"), F.col("kb")))
+    union_est = F.when(exhaustive, F.size(u).cast("long")).otherwise(
+        F.floor(
+            (kk - 1).cast("double") * F.lit(float(_KMV_M)) / theta.cast("double")
+        ).cast("long")
+    )
+    jaccard_q = F.when(
+        exhaustive, F.floor(F.lit(10000) * inter_ex / F.size(u)).cast("long")
+    ).otherwise(F.floor(F.lit(10000) * shared / kk).cast("long"))
+    inter_est = F.when(exhaustive, inter_ex.cast("long")).otherwise(
+        F.floor(union_est * shared / kk).cast("long")
+    )
+    return pairs.select(
+        "g_a",
+        "g_b",
+        kk.cast("int").alias("kk"),
+        shared.cast("int").alias("shared"),
+        union_est.alias("union_est"),
+        jaccard_q.alias("jaccard_q"),
+        inter_est.alias("inter_est"),
+    )

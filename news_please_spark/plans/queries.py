@@ -7189,3 +7189,68 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return containment_pairs(aug)
+
+
+@register(
+    "kmv_overlap",
+    r"""
+    WITH t AS (
+      SELECT source, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    g0 AS (SELECT source,
+                  list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+           FROM t WHERE len(toks) >= 3),
+    items AS (SELECT DISTINCT source AS g,
+                     CAST(('0x' || substr(md5(gx), 1, 15)) AS BIGINT) AS h
+              FROM g0, LATERAL (SELECT unnest(gs) AS gx)),
+    counts AS (SELECT g, count(*) AS nd FROM items GROUP BY 1),
+    cand AS (SELECT i.g, i.h, c.nd FROM items i JOIN counts c USING (g)
+             WHERE c.nd <= 2048
+                OR CAST(i.h AS DOUBLE) < 2361183241434822606848.0 / c.nd),
+    sk AS (SELECT g, nd, list_slice(list_sort(list(h)), 1, 256) AS ks
+           FROM cand GROUP BY 1, 2),
+    p AS (SELECT a.g AS g_a, b.g AS g_b, a.ks AS ka, b.ks AS kb,
+                 a.nd AS nd_a, b.nd AS nd_b
+          FROM sk a JOIN sk b ON a.g < b.g),
+    m AS (SELECT *, list_sort(list_distinct(list_concat(ka, kb))) AS u FROM p),
+    m2 AS (SELECT *, least(256, len(u)) AS kk FROM m),
+    m3 AS (SELECT *, u[kk] AS theta,
+                  len(list_filter(list_intersect(ka, kb), x -> x <= u[kk])) AS shared,
+                  len(list_intersect(ka, kb)) AS inter_ex,
+                  (nd_a <= 256 AND nd_b <= 256) AS exh
+           FROM m2),
+    m4 AS (SELECT *,
+                  CASE WHEN exh THEN CAST(len(u) AS BIGINT)
+                       ELSE CAST(floor((kk - 1) * 1152921504606846976.0 / theta)
+                                 AS BIGINT) END AS union_est
+           FROM m3)
+    SELECT g_a, g_b, CAST(kk AS INT) AS kk, CAST(shared AS INT) AS shared,
+           union_est,
+           CASE WHEN exh THEN CAST(floor(10000 * inter_ex / len(u)) AS BIGINT)
+                ELSE CAST(floor(10000 * shared / kk) AS BIGINT) END AS jaccard_q,
+           CASE WHEN exh THEN CAST(inter_ex AS BIGINT)
+                ELSE CAST(floor(union_est * shared / kk) AS BIGINT) END AS inter_est
+    FROM m4
+    """,
+)
+def kmv_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap estimation from KMV/bottom-k
+    sketches (operators/sketch.py::kmv_sketches + kmv_overlap_pairs,
+    k=256) over per-source 3-gram shingle sets — the mergeable
+    set-INTERSECTION estimator HLL cannot provide (register-max unions
+    only). The corpus dedupes once on md5 gram keys, a threshold pass
+    keeps ~2k survivors per source, and all pairwise math happens on
+    <= 256-long arrays. Deterministic end to end, so the DuckDB oracle
+    reproduces every estimate bit-for-bit."""
+    from news_please_spark.operators.sketch import kmv_overlap_pairs, kmv_sketches
+
+    docs = spread(load(spark, sf_dir, "documents").select("source", "text"), spark)
+    from news_please_spark.operators.dedup import ngram_set
+
+    items = docs.select(
+        "source", F.explode(ngram_set(F.col("text"), 3)).alias("item")
+    )
+    sk = kmv_sketches(items, "item", "source", k=256)
+    return kmv_overlap_pairs(sk, k=256)

@@ -146,3 +146,48 @@ def test_hll_grouped_registers_bounded(spark):
     }
     assert set(per_group) == {"s0", "s1", "s2"}
     assert all(n <= 256 for n in per_group.values())
+
+
+# --- KMV / bottom-k -------------------------------------------------------
+
+def test_kmv_exact_mode_small_groups(spark):
+    """Groups below k are exhaustive: overlap output equals ground
+    truth exactly."""
+    from news_please_spark.operators.sketch import kmv_overlap_pairs, kmv_sketches
+
+    rows = [("a", f"x{i}") for i in range(30)] + [
+        ("b", f"x{i}") for i in range(20, 50)
+    ]
+    df = spark.createDataFrame(rows, "g string, item string")
+    sk = kmv_sketches(df, "item", "g", k=256)
+    got = {r.g: (len(r.ks), r.nd) for r in sk.collect()}
+    assert got == {"a": (30, 30), "b": (30, 30)}
+    out = kmv_overlap_pairs(sk, k=256).collect()[0]
+    assert (out.g_a, out.g_b) == ("a", "b")
+    assert out.union_est == 50 and out.inter_est == 10
+    assert out.jaccard_q == 10000 * 10 // 50
+
+
+def test_kmv_estimates_within_tolerance(spark):
+    """Large disjoint-plus-shared groups: estimates land within ~25%
+    of truth at k=128 (deterministic — same input, same sketch)."""
+    from news_please_spark.operators.sketch import kmv_overlap_pairs, kmv_sketches
+
+    shared = [f"s{i}" for i in range(2000)]
+    rows = (
+        [("a", f"a{i}") for i in range(4000)]
+        + [("b", f"b{i}") for i in range(4000)]
+        + [("a", s) for s in shared]
+        + [("b", s) for s in shared]
+    )
+    df = spark.createDataFrame(rows, "g string, item string").repartition(8)
+    sk = kmv_sketches(df, "item", "g", k=128)
+    skd = {r.g: r for r in sk.collect()}
+    assert skd["a"].nd == 6000 and len(skd["a"].ks) == 128
+    out = kmv_overlap_pairs(sk, k=128).collect()[0]
+    # truth: union 10000, intersection 2000, jaccard 0.2
+    assert abs(out.union_est - 10000) / 10000 < 0.25, out.union_est
+    assert abs(out.jaccard_q - 2000) < 1200, out.jaccard_q
+    # determinism: rebuilding the sketch yields identical output
+    out2 = kmv_overlap_pairs(kmv_sketches(df, "item", "g", k=128), k=128).collect()[0]
+    assert out == out2
