@@ -139,6 +139,7 @@ HEADLINE = [
     "pii_redact",
     "span_pii_redact",
     "span_stats",
+    "span_integrity",
     "interleaved_render",
     "span_boilerplate",
     "caption_pairs",

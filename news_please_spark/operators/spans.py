@@ -550,3 +550,52 @@ def media_dedup(
     if min_docs > 1:
         out = out.filter(F.col("n_docs") >= min_docs)
     return out
+
+
+def span_integrity(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Span-sequence integrity audit — the per-row invariant the engine
+    contracts to preserve (BASELINE.json input_hint: span-sequence
+    equality on kind, text, media_ref, order) checked as data-quality
+    counters per document over the spans ARRAY:
+
+      dup_offsets   spans sharing an offset slot (n_spans − distinct
+                    offsets) — order is undefined under duplicates
+      gaps          missing slots in 0..max(offset) — a dangling
+                    offset far beyond the sequence shows up here
+      media_no_ref  media-kind spans with a NULL/empty media_ref
+      text_with_ref text spans carrying a media_ref
+      empty_text    text spans with NULL/empty text
+      ok            every counter zero
+
+    Zero shuffle — size/filter/array_distinct folds riding the scan
+    (the spans table arrives array-shaped; no explode, no groupBy).
+    Run it before pack/render: both assume well-formed offset order."""
+    offs = F.transform("spans", lambda s: s["offset"])
+    nd = F.size(F.array_distinct(offs))
+    blank = lambda c: c.isNull() | (F.length(c) == 0)  # noqa: E731
+    out = df.select(
+        F.col(id_col),
+        F.size("spans").cast("long").alias("n_spans"),
+        (F.size("spans") - nd).cast("long").alias("dup_offsets"),
+        F.when(F.size("spans") > 0, F.array_max(offs) + 1 - nd)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("gaps"),
+        F.size(
+            F.filter("spans", lambda s: (s["kind"] != "text") & blank(s["media_ref"]))
+        ).cast("long").alias("media_no_ref"),
+        F.size(
+            F.filter("spans", lambda s: (s["kind"] == "text") & ~blank(s["media_ref"]))
+        ).cast("long").alias("text_with_ref"),
+        F.size(
+            F.filter("spans", lambda s: (s["kind"] == "text") & blank(s["text"]))
+        ).cast("long").alias("empty_text"),
+    )
+    ok = (
+        (F.col("dup_offsets") == 0)
+        & (F.col("gaps") == 0)
+        & (F.col("media_no_ref") == 0)
+        & (F.col("text_with_ref") == 0)
+        & (F.col("empty_text") == 0)
+    )
+    return out.withColumn("ok", ok)

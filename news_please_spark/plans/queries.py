@@ -7254,3 +7254,75 @@ def kmv_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = kmv_sketches(items, "item", "source", k=256)
     return kmv_overlap_pairs(sk, k=256)
+
+
+@register(
+    "span_integrity",
+    _SPAN_ROWS_SQL
+    + """
+    , planted AS (
+      SELECT doc_id, 'text' AS kind, 'dup span' AS text,
+             CAST(NULL AS VARCHAR) AS media_ref, 0 AS "offset"
+      FROM sc WHERE doc_id % 6 = 1
+      UNION ALL
+      SELECT doc_id, 'image', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 900
+      FROM sc WHERE doc_id % 6 = 2
+      UNION ALL
+      SELECT doc_id, 'text', 'x', 'img://bad', 901
+      FROM sc WHERE doc_id % 6 = 3
+    ),
+    allr AS (SELECT * FROM span_rows UNION ALL SELECT * FROM planted),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(count(*) - count(DISTINCT "offset") AS BIGINT) AS dup_offsets,
+             CAST(max("offset") + 1 - count(DISTINCT "offset") AS BIGINT) AS gaps,
+             CAST(sum(CASE WHEN kind <> 'text'
+                            AND (media_ref IS NULL OR len(media_ref) = 0)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS media_no_ref,
+             CAST(sum(CASE WHEN kind = 'text'
+                            AND media_ref IS NOT NULL AND len(media_ref) > 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS text_with_ref,
+             CAST(sum(CASE WHEN kind = 'text'
+                            AND (text IS NULL OR len(text) = 0)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS empty_text
+      FROM allr GROUP BY doc_id
+    )
+    SELECT *, (dup_offsets = 0 AND gaps = 0 AND media_no_ref = 0
+               AND text_with_ref = 0 AND empty_text = 0) AS ok
+    FROM agg
+    """,
+)
+def span_integrity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-sequence integrity audit
+    (operators/spans.py::span_integrity) over the synthetic interleave
+    with violations planted per residue class: a duplicate offset-0
+    span (%6==1), a ref-less media span at a dangling offset (%6==2 —
+    fires media_no_ref AND gaps), a media_ref-carrying text span at a
+    dangling offset (%6==3). Every other doc must audit clean — the
+    negative control that synth_spans itself emits well-formed
+    sequences. Zero shuffle: array folds riding the scan."""
+    from news_please_spark.operators.spans import SPAN_SCHEMA, span_integrity
+
+    sp = _synth_spans_df(spark, sf_dir)
+    did = F.col("doc_id")
+    ns = F.lit(None).cast("string")
+
+    def one(kind, text, ref, off):
+        return F.array(
+            F.struct(
+                F.lit(kind).alias("kind"),
+                (F.lit(text) if text is not None else ns).alias("text"),
+                (F.lit(ref) if ref is not None else ns).alias("media_ref"),
+                F.lit(off).cast("int").alias("offset"),
+            )
+        )
+
+    extra = (
+        F.when(did % 6 == 1, one("text", "dup span", None, 0))
+        .when(did % 6 == 2, one("image", None, None, 900))
+        .when(did % 6 == 3, one("text", "x", "img://bad", 901))
+        .otherwise(F.array().cast(SPAN_SCHEMA))
+    )
+    aug = sp.select("doc_id", F.concat("spans", extra).alias("spans"))
+    return span_integrity(aug)

@@ -310,3 +310,37 @@ def test_redact_spans_zero_shuffle(spark):
     )
     # the spread() test-input repartition is the only allowed exchange
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_span_integrity_clean_and_violations(spark):
+    from news_please_spark.operators.spans import span_integrity
+
+    rows = [
+        # doc 1: clean interleave
+        (1, "text", "hello world", None, 0),
+        (1, "image", None, "img://1/1", 1),
+        (1, "text", "more", None, 2),
+        # doc 2: duplicate offset + gap (offset 3 missing) + empty text
+        (2, "text", "a", None, 0),
+        (2, "text", "b", None, 0),
+        (2, "text", "", None, 1),
+        (2, "image", None, "img://2/1", 2),
+        (2, "text", "tail", None, 4),
+        # doc 3: media without ref, text with ref
+        (3, "image", None, None, 0),
+        (3, "text", "x", "img://3/9", 1),
+    ]
+    rows_df = spark.createDataFrame(
+        rows, "doc_id long, kind string, text string, media_ref string, offset int"
+    )
+    df = rows_df.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct("kind", "text", "media_ref", "offset")
+        ).alias("spans")
+    )
+    got = {r.doc_id: r for r in span_integrity(df).collect()}
+    assert got[1].ok and got[1].n_spans == 3
+    r2 = got[2]
+    assert (r2.dup_offsets, r2.gaps, r2.empty_text, r2.ok) == (1, 1, 1, False)
+    r3 = got[3]
+    assert (r3.media_no_ref, r3.text_with_ref, r3.ok) == (1, 1, False)
