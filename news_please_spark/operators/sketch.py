@@ -273,9 +273,11 @@ def kmv_sketches(
     input always yields the same sketch; safety=8 makes
     fewer-than-k-survivors a < 10^-40 Chernoff event for k=256 (and
     groups with nd <= k*safety keep everything — exact mode)."""
+    # items feeds the distinct-count agg AND the threshold pass — lazy
+    # persist so the dedupe shuffle is paid once
     items = df.select(
         F.col(group_col).alias("g"), kmv_hash60(F.col(item_col)).alias("h")
-    ).distinct()
+    ).distinct().persist()
     counts = items.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
     # threshold as ONE double literal divided by nd — the identical IEEE
     # op in any engine; the nd <= k*safety arm keeps everything (exact
