@@ -310,6 +310,10 @@ def kmv_overlap_pairs(sketches: DataFrame, k: int = 256) -> DataFrame:
 
     Sketch rows are <= k longs, so the pair join moves tiny arrays;
     with S sources this is S^2 sketch-sized work, never corpus-sized."""
+    # both join sides reference the same sketch table — persist so the
+    # upstream dedupe/threshold/collect pipeline runs once, not twice
+    # (S rows of <=k longs: negligible memory)
+    sketches = sketches.persist()
     a = sketches.select(
         F.col("g").alias("g_a"), F.col("ks").alias("ka"), F.col("nd").alias("nd_a")
     )
