@@ -351,3 +351,33 @@ def kmv_overlap_pairs(sketches: DataFrame, k: int = 256) -> DataFrame:
         jaccard_q.alias("jaccard_q"),
         inter_est.alias("inter_est"),
     )
+
+
+def kmv_merge(sketches: DataFrame, out_group, k: int = 256) -> DataFrame:
+    """Merge per-group KMV sketches UP a hierarchy (per-partition →
+    per-source → corpus; per-day → per-month) without touching raw
+    data — the property that makes bottom-k a sketch rather than a
+    sample: the k smallest of a union are always contained in the
+    union of each part's k smallest, so
+
+        sketch(A ∪ B) == kmv_merge(sketch(A), sketch(B))
+
+    exactly (tested as a property in test_sketch.py). `out_group` is a
+    Column (or name) giving each input row's target group. nd sums —
+    parts of one hierarchy level partition their items, so distinct
+    counts add; for OVERLAPPING parts the summed nd only steers the
+    (conservative) threshold and exact-mode flag, never the hashes.
+    One map-side-combinable agg: flatten + re-sort of <= k-long arrays."""
+    g = F.col(out_group) if isinstance(out_group, str) else out_group
+    return (
+        sketches.select(g.alias("g"), "ks", "nd")
+        .groupBy("g")
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("ks")))),
+                1,
+                k,
+            ).alias("ks"),
+            F.sum("nd").alias("nd"),
+        )
+    )

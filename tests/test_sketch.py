@@ -191,3 +191,25 @@ def test_kmv_estimates_within_tolerance(spark):
     # determinism: rebuilding the sketch yields identical output
     out2 = kmv_overlap_pairs(kmv_sketches(df, "item", "g", k=128), k=128).collect()[0]
     assert out == out2
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """The mergeability property: per-part sketches merged == the
+    sketch built from the union, hash-for-hash (k smallest of a union
+    live inside the union of per-part k-smallest sets)."""
+    from news_please_spark.operators.sketch import kmv_merge, kmv_sketches
+    import pyspark.sql.functions as F
+
+    rows = (
+        [("p1", f"x{i}") for i in range(3000)]
+        + [("p2", f"y{i}") for i in range(3000)]
+        + [("p3", f"z{i}") for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, "part string, item string")
+    per_part = kmv_sketches(df, "item", "part", k=64)
+    merged = kmv_merge(per_part, F.lit("all"), k=64).collect()[0]
+    direct = kmv_sketches(
+        df.select(F.lit("all").alias("g"), "item"), "item", "g", k=64
+    ).collect()[0]
+    assert merged.ks == direct.ks
+    assert merged.nd == direct.nd == 7000  # disjoint parts: nd adds
