@@ -106,6 +106,7 @@ HEADLINE = [
     "bpe_merges",
     "bpe_encode",
     "bm25_search",
+    "phrase_search",
     "mixture_sample",
     "temperature_sample",
     "dsir_select",

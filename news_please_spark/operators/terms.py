@@ -363,3 +363,71 @@ def phrase_scores(
             .alias("score_q"),
         )
     )
+
+
+def positional_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, id, pos) positional postings — one row per token
+    occurrence, 0-based position. The phrase-query companion of
+    inverted_index's impact postings (at scale, bucket by term like
+    the tf index and phrase joins are shuffle-free)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col), F.posexplode(toks).alias("pos", "term")
+        )
+        .select("term", id_col, F.col("pos").cast("int").alias("pos"))
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-token phrase search over positional postings with the
+    ANCHOR-ALIGNMENT join: a phrase [t_0..t_{n-1}] matches doc d at
+    anchor a iff the postings contain (t_i, d, a+i) for every slot i —
+    so every posting hit projects anchor = pos − i and a match is a
+    (query, doc, anchor) group covering all n DISTINCT slots. ONE
+    postings join + ONE combinable aggregate for phrases of ANY
+    length — no per-term join chain (the naive plan shuffles once per
+    phrase word; this shape's cost is independent of n), no Window.
+    Repeated words in a phrase are handled by the distinct-slot count
+    (each slot must be witnessed at its own offset).
+
+    `phrases`: (query_id, phrase) with exactly n whitespace tokens per
+    phrase (validated). Returns (query_id, doc_id, n_hits, first_pos):
+    distinct match anchors per doc and the earliest one."""
+    ptoks = F.split(F.trim(F.lower(F.col("phrase"))), r"\s+")
+    terms = phrases.select(
+        "query_id", F.posexplode(ptoks).alias("i", "term")
+    )
+    bad = terms.groupBy("query_id").agg(F.max("i").alias("_m")).filter(
+        F.col("_m") != n - 1
+    )
+    if bad.limit(1).count() > 0:
+        raise ValueError(f"every phrase must have exactly {n} tokens")
+    post = positional_index(docs, id_col, text_col)
+    hits = post.join(terms, "term").select(
+        "query_id",
+        F.col(id_col),
+        "i",
+        (F.col("pos") - F.col("i")).alias("anchor"),
+    )
+    full = (
+        hits.groupBy("query_id", id_col, "anchor")
+        .agg(F.countDistinct("i").alias("_slots"))
+        .filter((F.col("_slots") == n) & (F.col("anchor") >= 0))
+    )
+    return (
+        full.groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.min("anchor").cast("int").alias("first_pos"),
+        )
+    )

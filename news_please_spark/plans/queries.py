@@ -7326,3 +7326,56 @@ def span_integrity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = sp.select("doc_id", F.concat("spans", extra).alias("spans"))
     return span_integrity(aug)
+
+
+@register(
+    "phrase_search",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    post AS (
+      SELECT doc_id, i AS pos, toks[i + 1] AS term
+      FROM t, LATERAL (SELECT unnest(range(0, len(toks))) AS i)
+    ),
+    qt AS (
+      SELECT doc_id AS query_id, j AS i, toks[3 + j] AS term
+      FROM t, LATERAL (SELECT unnest(range(0, 3)) AS j)
+      WHERE doc_id % 97 = 0 AND len(toks) >= 5
+    ),
+    hits AS (
+      SELECT qt.query_id, post.doc_id, qt.i, post.pos - qt.i AS anchor
+      FROM post JOIN qt ON qt.term = post.term
+    ),
+    full_m AS (
+      SELECT query_id, doc_id, anchor
+      FROM hits GROUP BY query_id, doc_id, anchor
+      HAVING count(DISTINCT i) = 3 AND anchor >= 0
+    )
+    SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(min(anchor) AS INT) AS first_pos
+    FROM full_m GROUP BY query_id, doc_id
+    """,
+)
+def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-token phrase search (operators/terms.py::phrase_search)
+    with the anchor-alignment join — every 97th doc's tokens 3-5
+    become a query phrase, searched across the whole corpus (the
+    query doc itself guarantees >= 1 hit; shared phrasing yields
+    cross-doc hits). ONE postings join + ONE combinable aggregate
+    regardless of phrase length — no per-term join chain, no Window."""
+    from news_please_spark.operators.terms import phrase_search
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    phrases = (
+        docs.filter((F.col("doc_id") % 97 == 0) & (F.trim("text") != ""))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            toks.alias("_toks"),
+        )
+        .filter(F.size("_toks") >= 5)
+        .select("query_id", F.array_join(F.slice("_toks", 3, 3), " ").alias("phrase"))
+    )
+    return phrase_search(docs, phrases, n=3)

@@ -307,3 +307,39 @@ def test_cooccurrence_rejects_bad_window(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         cooccurrence_counts(df, window=0)
+
+
+def test_phrase_search_alignment_and_repeats(spark):
+    from news_please_spark.operators.terms import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the quick brown dog"),
+            (2, "quick brown quick brown quick"),
+            (3, "brown quick nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [(100, "quick brown quick"), (200, "the quick brown")],
+        "query_id long, phrase string",
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.n_hits, r.first_pos)
+        for r in phrase_search(docs, phrases, n=3).collect()
+    }
+    # "quick brown quick" occurs in doc2 at anchors 0 and 2 only
+    assert got[(100, 2)] == (2, 0)
+    # "the quick brown" occurs in doc1 at anchors 0 and 6
+    assert got[(200, 1)] == (2, 0)
+    assert (100, 1) not in got and (100, 3) not in got and (200, 2) not in got
+
+
+def test_phrase_search_validates_length(spark):
+    import pytest
+    from news_please_spark.operators.terms import phrase_search
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    phrases = spark.createDataFrame([(1, "a b")], "query_id long, phrase string")
+    with pytest.raises(ValueError):
+        phrase_search(docs, phrases, n=3)
