@@ -316,3 +316,107 @@ def test_fifth_session_operators_handle_empty_inputs(spark):
     assert dedup_ledger_batch(
         spark.createDataFrame([], "fp string, doc_id string")
     ).count() == 0
+
+
+# --- ninth-session operator invariants --------------------------------------
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges=edges_strategy, rounds=st.sampled_from([1, 3]))
+@SET
+def test_opic_conserves_cash(spark, edges, rounds):
+    """Total cash is invariant under any graph and round count, and
+    histories are non-negative and non-decreasing in rounds."""
+    from news_please_spark.operators.graph import opic_scores
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    out = opic_scores(df, rounds=rounds).collect()
+    assert {r.id for r in out} == nodes
+    assert sum(r.cash for r in out) == 1_000_000 * len(nodes)
+    assert all(r.cash >= 0 and r.history >= 0 for r in out)
+    assert all(r.importance == r.cash + r.history for r in out)
+
+
+@given(edges=edges_strategy)
+@SET
+def test_triangle_total_divisible_by_three_and_oracle(spark, edges):
+    """Per-node triangle counts sum to 3 x the number of triangles; the
+    whole output matches a brute-force python count."""
+    from itertools import combinations
+
+    from news_please_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({x for e in und for x in e})
+    truth = {}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            for x in (a, b, c):
+                truth[x] = truth.get(x, 0) + 1
+    got = {r.node: r.n_tri for r in triangle_counts(df).collect()}
+    assert got == truth
+    assert sum(got.values()) % 3 == 0
+
+
+@given(edges=edges_strategy, rounds=st.sampled_from([1, 2]))
+@SET
+def test_lpa_matches_python_sync_oracle(spark, edges, rounds):
+    """Synchronous LPA with min-label tie-breaks equals a direct
+    python simulation on any graph."""
+    from collections import Counter
+
+    from news_please_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    if not adj:
+        assert label_propagation(df, rounds=rounds).count() == 0
+        return
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n in adj:
+            votes = Counter(labels[m] for m in adj[n])
+            top = max(votes.values())
+            nxt[n] = min(l for l, v in votes.items() if v == top)
+        labels = nxt
+    got = {r.id: r.label for r in label_propagation(df, rounds=rounds).collect()}
+    assert got == labels
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=8),
+        min_size=2,
+        max_size=8,
+    )
+)
+@SET
+def test_containment_bounds_and_symmetry(spark, texts):
+    """Containment scores stay in [0, 10000]; relation is consistent
+    with the scores; candidates always satisfy doc_a < doc_b."""
+    from news_please_spark.operators.dedup import containment_pairs
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in containment_pairs(df, threshold_q=1).collect():
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.cont_a_q <= 10000 and 0 <= r.cont_b_q <= 10000
+        if r.relation == "mutual":
+            assert r.cont_a_q >= 1 and r.cont_b_q >= 1
+        elif r.relation == "a_in_b":
+            assert r.cont_a_q >= 1 > r.cont_b_q
+        elif r.relation == "b_in_a":
+            assert r.cont_b_q >= 1 > r.cont_a_q
