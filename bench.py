@@ -119,6 +119,7 @@ HEADLINE = [
     "quality_topfrac",
     "quality_calibrate",
     "pack_sequences",
+    "span_corruption",
     "packed_chunks",
     "interleaved_pack",
     "repetition_scores",

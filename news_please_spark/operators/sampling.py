@@ -801,3 +801,123 @@ def priority_sample_per_group(
         F.col("rk"),
         F.greatest(F.col("w"), F.col("_tau")).cast("long").alias("w_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption (deterministic masking plan + sentinel render)
+
+
+def _pos_hash32(id_col, pos) -> "F.Column":
+    """Engine-portable per-(doc, position) uint32: first 8 md5 hex chars
+    of 'doc:pos' (DuckDB image: ('0x'||substr(md5(...),1,8))::BIGINT)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(id_col.cast("string"), F.lit(":"), pos.cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def span_corruption(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stride: int = 4,
+    keep_mod: int = 5,
+    keep_lt: int = 2,
+    max_span: int = 3,
+) -> DataFrame:
+    """T5-style span-corruption preprocessing (Raffel et al. 2020 §3.1.4
+    "span corruption" objective) as a DETERMINISTIC masking plan: mask
+    spans start only at stride-aligned positions (so spans of length
+    <= max_span < stride can NEVER overlap — the property that makes
+    every token's mask state a pure per-position function instead of a
+    left-to-right sequential scan), a slot becomes a start when its
+    (doc, pos) hash mod keep_mod < keep_lt, and the span length is
+    1 + (hash >> 8) % max_span. Defaults mask ~20% of tokens in spans
+    of mean length 2.
+
+    Returns (id, n_spans, n_masked, inputs, targets): `inputs` is the
+    text with each masked span replaced by its <extra_id_K> sentinel
+    (K = span order), `targets` the T5 decoder string
+    '<extra_id_0> masked toks <extra_id_1> ...'. Real T5 draws the plan
+    from an RNG; pinning it to hash arithmetic makes the plan
+    reproducible across engines and runs — the same determinism
+    contract as mixture_sample/dataset_split.
+
+    Zero shuffle: token array + HOF folds per row, rides the scan.
+    Every lambda touches only element values over materialized columns
+    (the repetition.py HOF discipline)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = df.select(F.col(id_col), F.col(text_col)).withColumn("_toks", toks)
+    L = F.size("_toks")
+    idc = F.col(id_col)
+    # candidate span starts: stride-aligned slots whose hash elects them
+    starts = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest((L - 1) / stride, F.lit(0)).cast("int")),
+            lambda i: F.struct(
+                (i * stride).alias("s"),
+                (1 + F.shiftright(_pos_hash32(idc, i * stride), 8) % max_span)
+                .cast("int")
+                .alias("len"),
+                (_pos_hash32(idc, i * stride) % keep_mod < keep_lt).alias("on"),
+            ),
+        ),
+        lambda st: st["on"] & (st["s"] < L),
+    )
+    d = d.withColumn("_starts", starts)
+    sts = F.col("_starts")
+    # per-token piece: sentinel at a span start, dropped inside a span,
+    # the token itself otherwise (span index = starts strictly before p)
+    def _covering(p):
+        return F.filter(
+            sts, lambda st: (st["s"] <= p) & (p < st["s"] + st["len"])
+        )
+
+    pieces = F.transform(
+        F.sequence(F.lit(0), L - 1),
+        lambda p: F.when(
+            F.exists(sts, lambda st: st["s"] == p),
+            F.concat(
+                F.lit("<extra_id_"),
+                F.size(F.filter(sts, lambda st: st["s"] < p)).cast("string"),
+                F.lit(">"),
+            ),
+        )
+        .when(F.size(_covering(p)) > 0, F.lit(None).cast("string"))
+        .otherwise(F.element_at("_toks", p + 1)),
+    )
+    inputs = F.array_join(F.filter(pieces, lambda x: x.isNotNull()), " ")
+    # targets: '<extra_id_K> tok tok <extra_id_K+1> ...' in span order
+    tgt_parts = F.transform(
+        sts,
+        lambda st, k: F.concat(
+            F.lit("<extra_id_"),
+            k.cast("string"),
+            F.lit("> "),
+            F.array_join(
+                F.slice(
+                    F.col("_toks"),
+                    st["s"] + 1,
+                    F.least(st["len"], L - st["s"]).cast("int"),
+                ),
+                " ",
+            ),
+        ),
+    )
+    n_masked = F.aggregate(
+        sts,
+        F.lit(0),
+        lambda acc, st: acc + F.least(st["len"], L - st["s"]).cast("int"),
+    )
+    return d.select(
+        id_col,
+        F.size(sts).cast("long").alias("n_spans"),
+        n_masked.cast("long").alias("n_masked"),
+        inputs.alias("inputs"),
+        F.array_join(tgt_parts, " ").alias("targets"),
+    )

@@ -7379,3 +7379,66 @@ def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.array_join(F.slice("_toks", 3, 3), " ").alias("phrase"))
     )
     return phrase_search(docs, phrases, n=3)
+
+
+@register(
+    "span_corruption",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, toks, len(toks) AS L,
+             list_filter(
+               list_transform(range(0, (len(toks) - 1) // 4 + 1), i -> {
+                 's': i * 4,
+                 'len': CAST(1 + ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i * 4 AS VARCHAR)), 1, 8)) AS BIGINT) >> 8) % 3) AS INT),
+                 'on': (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i * 4 AS VARCHAR)), 1, 8)) AS BIGINT) % 5) < 2
+               }),
+               st -> st."on"
+             ) AS starts
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, L, starts,
+             list_transform(range(0, L), p ->
+               CASE
+                 WHEN len(list_filter(starts, st -> st.s = p)) > 0
+                   THEN '<extra_id_' || CAST(len(list_filter(starts, st -> st.s < p)) AS VARCHAR) || '>'
+                 WHEN len(list_filter(starts, st -> st.s <= p AND p < st.s + st."len")) > 0
+                   THEN NULL
+                 ELSE toks[p + 1]
+               END) AS pieces,
+             list_transform(range(1, len(starts) + 1), k ->
+               '<extra_id_' || CAST(k - 1 AS VARCHAR) || '> ' ||
+               array_to_string(
+                 list_slice(toks, starts[k].s + 1,
+                            starts[k].s + least(starts[k]."len", L - starts[k].s)), ' ')
+             ) AS tparts,
+             list_aggregate(
+               list_transform(starts, st -> least(st."len", L - st.s)), 'sum'
+             ) AS nm
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(len(starts) AS BIGINT) AS n_spans,
+           CAST(COALESCE(nm, 0) AS BIGINT) AS n_masked,
+           array_to_string(list_filter(pieces, x -> x IS NOT NULL), ' ') AS inputs,
+           COALESCE(array_to_string(tparts, ' '), '') AS targets
+    FROM r
+    """,
+)
+def span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption preprocessing
+    (operators/sampling.py::span_corruption): deterministic hash-
+    arithmetic masking plan (stride-aligned starts so spans never
+    overlap and mask state is per-position computable — no sequential
+    scan), sentinel-rendered encoder inputs + decoder targets. The
+    substitute-back roundtrip invariant is pinned in pytest; the
+    DuckDB oracle re-derives plan AND rendering from the same
+    arithmetic. Zero shuffle."""
+    from news_please_spark.operators.sampling import span_corruption
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    return span_corruption(docs)

@@ -735,3 +735,49 @@ def test_epoch_shuffle_no_single_task_window(spark):
     # global ordering would show Exchange SinglePartition
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan
+
+
+# --- span corruption --------------------------------------------------------
+
+def test_span_corruption_roundtrip_and_plan(spark):
+    """Substituting each <extra_id_K> in `inputs` with its span from
+    `targets` reconstructs the original text exactly — the invariant
+    that the plan masks what it says it masks and nothing else."""
+    import re
+
+    from news_please_spark.operators.sampling import span_corruption
+
+    rows = [
+        (i, " ".join(f"w{i}t{j}" for j in range(n)))
+        for i, n in [(0, 1), (1, 3), (2, 17), (3, 40), (4, 100)]
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in span_corruption(df).collect()}
+    texts = dict(rows)
+    for did, r in out.items():
+        # parse targets into span_k -> tokens
+        parts = re.split(r"<extra_id_(\d+)> ?", r.targets)
+        spans = {}
+        for k, chunk in zip(parts[1::2], parts[2::2]):
+            spans[int(k)] = chunk.strip()
+        assert sorted(spans) == list(range(r.n_spans))
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>", lambda m: spans[int(m.group(1))], r.inputs
+        )
+        assert re.sub(r"\s+", " ", rebuilt).strip() == texts[did]
+        assert r.n_masked == sum(len(s.split()) for s in spans.values() if s)
+        # masking stays in a sane band on long docs
+        if len(texts[did].split()) >= 40:
+            frac = r.n_masked / len(texts[did].split())
+            assert 0.0 <= frac <= 0.6
+
+
+def test_span_corruption_deterministic(spark):
+    from news_please_spark.operators.sampling import span_corruption
+
+    df = spark.createDataFrame(
+        [(7, " ".join(f"x{j}" for j in range(50)))], "doc_id long, text string"
+    )
+    a = span_corruption(df).collect()[0]
+    b = span_corruption(df).collect()[0]
+    assert a == b
