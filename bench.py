@@ -120,6 +120,7 @@ HEADLINE = [
     "quality_calibrate",
     "pack_sequences",
     "span_corruption",
+    "fim_transform",
     "packed_chunks",
     "interleaved_pack",
     "repetition_scores",

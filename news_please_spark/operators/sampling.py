@@ -921,3 +921,58 @@ def span_corruption(
         inputs.alias("inputs"),
         F.array_join(tgt_parts, " ").alias("targets"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rate_mod: int = 2,
+    spm_mod: int = 3,
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022, "FIM"):
+    elected documents are split at two hash-chosen token boundaries
+    into (prefix, middle, suffix) and re-serialized for infilling
+    training — PSM order '<PRE> p <SUF> s <MID> m' by default, SPM
+    '<PRE> <SUF> s <MID> m p' for a hash-chosen subset (the paper
+    trains on a PSM/SPM mixture). Non-elected docs pass through
+    verbatim (fim = false). Docs under 3 tokens cannot split and pass
+    through.
+
+    Deterministic: election (doc hash % rate_mod == 0), SPM choice,
+    and both split points derive from md5(doc_id) arithmetic — the
+    same no-RNG contract as span_corruption/mixture_sample, so runs
+    and engines agree exactly. 1 <= p1 < p2 <= L-1 guarantees all
+    three parts are non-empty. Zero shuffle: per-row token slices."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = df.select(F.col(id_col), F.col(text_col)).withColumn("_toks", toks)
+    L = F.size("_toks")
+    idc = F.col(id_col)
+    h1 = _pos_hash32(idc, F.lit(1))
+    h2 = _pos_hash32(idc, F.lit(2))
+    elected = (_pos_hash32(idc, F.lit(0)) % rate_mod == 0) & (L >= 3)
+    spm = _pos_hash32(idc, F.lit(3)) % spm_mod == 0
+    # two distinct interior boundaries in [1, L-1]
+    p1 = (h1 % (L - 2)) + 1                     # 1 .. L-2
+    p2 = p1 + 1 + (h2 % (L - 1 - p1))           # p1+1 .. L-1
+    pre = F.array_join(F.slice("_toks", 1, p1), " ")
+    mid = F.array_join(F.slice("_toks", p1 + 1, p2 - p1), " ")
+    suf = F.array_join(F.slice("_toks", p2 + 1, L - p2), " ")
+    psm = F.concat(
+        F.lit("<PRE> "), pre, F.lit(" <SUF> "), suf, F.lit(" <MID> "), mid
+    )
+    spm_txt = F.concat(
+        F.lit("<PRE> <SUF> "), suf, F.lit(" <MID> "), mid, F.lit(" "), pre
+    )
+    out_text = F.when(~elected, F.col(text_col)).otherwise(
+        F.when(spm, spm_txt).otherwise(psm)
+    )
+    return d.select(
+        id_col,
+        elected.alias("fim"),
+        F.when(elected & spm, F.lit("spm"))
+        .when(elected, F.lit("psm"))
+        .otherwise(F.lit("raw"))
+        .alias("mode"),
+        out_text.alias("text_out"),
+    )

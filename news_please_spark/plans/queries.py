@@ -7442,3 +7442,54 @@ def span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     return span_corruption(docs)
+
+
+@register(
+    "fim_transform",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, text, toks, len(toks) AS L,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8)) AS BIGINT) AS h0,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 8)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':2'), 1, 8)) AS BIGINT) AS h2,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':3'), 1, 8)) AS BIGINT) AS h3
+      FROM t
+    ),
+    s AS (
+      SELECT *, (h0 % 2 = 0 AND L >= 3) AS elected, (h3 % 3 = 0) AS spm,
+             CASE WHEN L >= 3 THEN h1 % (L - 2) + 1 END AS p1
+      FROM h
+    ),
+    s2 AS (SELECT *, CASE WHEN L >= 3 THEN p1 + 1 + h2 % (L - 1 - p1) END AS p2 FROM s),
+    parts AS (
+      SELECT *,
+             array_to_string(list_slice(toks, 1, p1), ' ') AS pre,
+             array_to_string(list_slice(toks, p1 + 1, p2), ' ') AS mid,
+             array_to_string(list_slice(toks, p2 + 1, L), ' ') AS suf
+      FROM s2
+    )
+    SELECT doc_id, elected AS fim,
+           CASE WHEN elected AND spm THEN 'spm'
+                WHEN elected THEN 'psm' ELSE 'raw' END AS mode,
+           CASE WHEN NOT elected THEN text
+                WHEN spm THEN '<PRE> <SUF> ' || suf || ' <MID> ' || mid || ' ' || pre
+                ELSE '<PRE> ' || pre || ' <SUF> ' || suf || ' <MID> ' || mid
+           END AS text_out
+    FROM parts
+    """,
+)
+def fim_transform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle serialization
+    (operators/sampling.py::fim_transform, Bavarian et al. 2022):
+    hash-elected docs split at two hash-chosen boundaries into
+    PSM/SPM infilling order, the rest pass through verbatim —
+    no-RNG determinism so the DuckDB oracle re-derives election,
+    split points, and serialization exactly. Zero shuffle."""
+    from news_please_spark.operators.sampling import fim_transform
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    return fim_transform(docs)

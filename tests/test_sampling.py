@@ -781,3 +781,50 @@ def test_span_corruption_deterministic(spark):
     a = span_corruption(df).collect()[0]
     b = span_corruption(df).collect()[0]
     assert a == b
+
+
+def test_fim_roundtrip_and_modes(spark):
+    """Every transformed doc reconstructs its original text from the
+    serialized parts; raw docs pass through verbatim."""
+    import re
+
+    from news_please_spark.operators.sampling import fim_transform
+
+    rows = [(i, " ".join(f"t{i}x{j}" for j in range(n)))
+            for i, n in [(0, 1), (1, 2), (2, 3), (3, 10), (4, 50), (5, 51),
+                         (6, 7), (7, 8), (8, 9), (9, 30)]]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in fim_transform(df).collect()}
+    texts = dict(rows)
+    n_fim = 0
+    for did, r in out.items():
+        if not r.fim:
+            assert r.mode == "raw" and r.text_out == texts[did]
+            continue
+        n_fim += 1
+        if r.mode == "psm":
+            m = re.fullmatch(r"<PRE> (.*) <SUF> (.*) <MID> (.*)", r.text_out, re.S)
+            pre, suf, mid = m.groups()
+        else:
+            m = re.fullmatch(r"<PRE> <SUF> (.*) <MID> (.*)", r.text_out, re.S)
+            suf, rest = m.groups()
+            # SPM: '... <MID> mid pre' — mid and pre are separated by a
+            # space; recover via token counts
+            total = texts[did].split()
+            rest_toks = rest.split()
+            suf_toks = suf.split()
+            n_mid_pre = len(total) - len(suf_toks)
+            assert len(rest_toks) == n_mid_pre
+            # pre is a prefix of the original; find the split where
+            # pre + mid + suf == original
+            ok = False
+            for cut in range(1, len(rest_toks)):
+                mid_t, pre_t = rest_toks[:cut], rest_toks[cut:]
+                if pre_t + mid_t + suf_toks == total:
+                    ok = True
+                    break
+            assert ok, (did, r.text_out)
+            continue
+        assert (pre + " " + mid + " " + suf).split() == texts[did].split()
+        assert pre and mid and suf  # all three parts non-empty
+    assert n_fim >= 2  # election rate ~1/2 over 8 eligible docs
