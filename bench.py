@@ -121,6 +121,7 @@ HEADLINE = [
     "pack_sequences",
     "span_corruption",
     "fim_transform",
+    "ul2_mixture",
     "packed_chunks",
     "interleaved_pack",
     "repetition_scores",

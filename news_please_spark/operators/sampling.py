@@ -976,3 +976,75 @@ def fim_transform(
         .alias("mode"),
         out_text.alias("text_out"),
     )
+
+
+def ul2_plan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """UL2 mixture-of-denoisers plan (Tay et al. 2022): each doc is
+    hash-assigned one denoiser —
+
+      R (h%4 in {0,1}): regular span corruption (stride 4, mean span 2,
+        ~20% masked), inputs prefixed '[NLU]'
+      X (h%4 == 2): extreme corruption (stride 8, spans up to 7, ~30%
+        masked), prefixed '[NLG]'
+      S (h%4 == 3): sequential/prefix-LM split at a hash-chosen
+        boundary (suffix becomes the single target span), prefixed
+        '[S2S]'
+
+    — the paper's paradigm-token + mixture recipe, under the same
+    no-RNG determinism as span_corruption/fim_transform. Returns
+    (id, denoiser, n_spans, n_masked, inputs, targets); R/X delegate
+    to span_corruption, so the roundtrip invariant holds per branch.
+    Zero shuffle (three filtered scans unioned; at scale this is one
+    pass with a mode column — kept as a union here so each branch IS
+    the already-tested operator)."""
+    idc = F.col(id_col)
+    dmode = _pos_hash32(idc, F.lit("ul2")) % 4
+
+    def _tag(sdf, denoiser, prefix):
+        return sdf.select(
+            id_col,
+            F.lit(denoiser).alias("denoiser"),
+            "n_spans",
+            "n_masked",
+            F.concat(F.lit(prefix + " "), F.col("inputs")).alias("inputs"),
+            "targets",
+        )
+
+    r = _tag(
+        span_corruption(df.filter(dmode < 2), text_col, id_col), "R", "[NLU]"
+    )
+    x = _tag(
+        span_corruption(
+            df.filter(dmode == 2),
+            text_col,
+            id_col,
+            stride=8,
+            keep_mod=5,
+            keep_lt=3,
+            max_span=7,
+        ),
+        "X",
+        "[NLG]",
+    )
+    sdocs = df.filter(dmode == 3).select(idc, F.col(text_col)).withColumn(
+        "_toks", F.split(F.trim(F.col(text_col)), r"\s+")
+    )
+    L = F.size("_toks")
+    p = 1 + _pos_hash32(idc, F.lit("ul2-s")) % F.greatest(L - 1, F.lit(1))
+    s = sdocs.select(
+        id_col,
+        F.lit("S").alias("denoiser"),
+        F.lit(1).cast("long").alias("n_spans"),
+        (L - p).cast("long").alias("n_masked"),
+        F.concat(
+            F.lit("[S2S] "),
+            F.array_join(F.slice("_toks", 1, p), " "),
+            F.lit(" <extra_id_0>"),
+        ).alias("inputs"),
+        F.concat(
+            F.lit("<extra_id_0> "), F.array_join(F.slice("_toks", p + 1, F.greatest(L - p, F.lit(0))), " ")
+        ).alias("targets"),
+    )
+    return r.unionByName(x).unionByName(s)

@@ -7382,69 +7382,6 @@ def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "span_corruption",
-    r"""
-    WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-      FROM documents
-    ),
-    w AS (
-      SELECT doc_id, toks, len(toks) AS L,
-             list_filter(
-               list_transform(range(0, (len(toks) - 1) // 4 + 1), i -> {
-                 's': i * 4,
-                 'len': CAST(1 + ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i * 4 AS VARCHAR)), 1, 8)) AS BIGINT) >> 8) % 3) AS INT),
-                 'on': (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i * 4 AS VARCHAR)), 1, 8)) AS BIGINT) % 5) < 2
-               }),
-               st -> st."on"
-             ) AS starts
-      FROM t
-    ),
-    r AS (
-      SELECT doc_id, L, starts,
-             list_transform(range(0, L), p ->
-               CASE
-                 WHEN len(list_filter(starts, st -> st.s = p)) > 0
-                   THEN '<extra_id_' || CAST(len(list_filter(starts, st -> st.s < p)) AS VARCHAR) || '>'
-                 WHEN len(list_filter(starts, st -> st.s <= p AND p < st.s + st."len")) > 0
-                   THEN NULL
-                 ELSE toks[p + 1]
-               END) AS pieces,
-             list_transform(range(1, len(starts) + 1), k ->
-               '<extra_id_' || CAST(k - 1 AS VARCHAR) || '> ' ||
-               array_to_string(
-                 list_slice(toks, starts[k].s + 1,
-                            starts[k].s + least(starts[k]."len", L - starts[k].s)), ' ')
-             ) AS tparts,
-             list_aggregate(
-               list_transform(starts, st -> least(st."len", L - st.s)), 'sum'
-             ) AS nm
-      FROM w
-    )
-    SELECT doc_id,
-           CAST(len(starts) AS BIGINT) AS n_spans,
-           CAST(COALESCE(nm, 0) AS BIGINT) AS n_masked,
-           array_to_string(list_filter(pieces, x -> x IS NOT NULL), ' ') AS inputs,
-           COALESCE(array_to_string(tparts, ' '), '') AS targets
-    FROM r
-    """,
-)
-def span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5 span-corruption preprocessing
-    (operators/sampling.py::span_corruption): deterministic hash-
-    arithmetic masking plan (stride-aligned starts so spans never
-    overlap and mask state is per-position computable — no sequential
-    scan), sentinel-rendered encoder inputs + decoder targets. The
-    substitute-back roundtrip invariant is pinned in pytest; the
-    DuckDB oracle re-derives plan AND rendering from the same
-    arithmetic. Zero shuffle."""
-    from news_please_spark.operators.sampling import span_corruption
-
-    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
-    return span_corruption(docs)
-
-
-@register(
     "fim_transform",
     r"""
     WITH t AS (
@@ -7493,3 +7430,124 @@ def fim_transform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     return fim_transform(docs)
+
+
+def _h32_sql(suffix: str) -> str:
+    """DuckDB image of sampling._pos_hash32(doc_id, <suffix>)."""
+    return (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':" + suffix
+        + "'), 1, 8)) AS BIGINT)"
+    )
+
+
+def _span_corr_sql(stride: int, keep_mod: int, keep_lt: int, max_span: int, where: str) -> str:
+    """Parameterized DuckDB image of operators/sampling.span_corruption
+    over `documents` rows matching `where`: yields (doc_id, n_spans,
+    n_masked, inputs, targets)."""
+    h = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+        f"CAST(i * {stride} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE {where}
+    ),
+    w AS (
+      SELECT doc_id, toks, len(toks) AS L,
+             list_filter(
+               list_transform(range(0, (len(toks) - 1) // {stride} + 1), i -> {{
+                 's': i * {stride},
+                 'len': CAST(1 + (({h} >> 8) % {max_span}) AS INT),
+                 'on': ({h} % {keep_mod}) < {keep_lt}
+               }}),
+               st -> st."on"
+             ) AS starts
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, L, starts,
+             list_transform(range(0, L), p ->
+               CASE
+                 WHEN len(list_filter(starts, st -> st.s = p)) > 0
+                   THEN '<extra_id_' || CAST(len(list_filter(starts, st -> st.s < p)) AS VARCHAR) || '>'
+                 WHEN len(list_filter(starts, st -> st.s <= p AND p < st.s + st."len")) > 0
+                   THEN NULL
+                 ELSE toks[p + 1]
+               END) AS pieces,
+             list_transform(range(1, len(starts) + 1), k ->
+               '<extra_id_' || CAST(k - 1 AS VARCHAR) || '> ' ||
+               array_to_string(
+                 list_slice(toks, starts[k].s + 1,
+                            starts[k].s + least(starts[k]."len", L - starts[k].s)), ' ')
+             ) AS tparts,
+             list_aggregate(
+               list_transform(starts, st -> least(st."len", L - st.s)), 'sum'
+             ) AS nm
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(len(starts) AS BIGINT) AS n_spans,
+           CAST(COALESCE(nm, 0) AS BIGINT) AS n_masked,
+           array_to_string(list_filter(pieces, x -> x IS NOT NULL), ' ') AS inputs,
+           COALESCE(array_to_string(tparts, ' '), '') AS targets
+    FROM r
+    """
+
+
+@register("span_corruption", _span_corr_sql(4, 5, 2, 3, "TRUE"))
+def span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption preprocessing
+    (operators/sampling.py::span_corruption): deterministic hash-
+    arithmetic masking plan (stride-aligned starts so spans never
+    overlap and mask state is per-position computable — no sequential
+    scan), sentinel-rendered encoder inputs + decoder targets. The
+    substitute-back roundtrip invariant is pinned in pytest; the
+    DuckDB oracle re-derives plan AND rendering from the same
+    arithmetic. Zero shuffle."""
+    from news_please_spark.operators.sampling import span_corruption
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    return span_corruption(docs)
+
+
+_UL2_MODE = _h32_sql("ul2") + " % 4"
+
+
+@register(
+    "ul2_mixture",
+    f"""
+    SELECT doc_id, 'R' AS denoiser, n_spans, n_masked,
+           '[NLU] ' || inputs AS inputs, targets
+    FROM ({_span_corr_sql(4, 5, 2, 3, _UL2_MODE + " < 2")})
+    UNION ALL
+    SELECT doc_id, 'X', n_spans, n_masked, '[NLG] ' || inputs, targets
+    FROM ({_span_corr_sql(8, 5, 3, 7, _UL2_MODE + " = 2")})
+    UNION ALL
+    SELECT doc_id, 'S', CAST(1 AS BIGINT),
+           CAST(L - p AS BIGINT),
+           '[S2S] ' || array_to_string(list_slice(toks, 1, p), ' ')
+             || ' <extra_id_0>',
+           '<extra_id_0> ' || COALESCE(
+             array_to_string(list_slice(toks, p + 1, L), ' '), '')
+    FROM (
+      SELECT doc_id, toks, L,
+             1 + {_h32_sql("ul2-s")} % greatest(L - 1, 1) AS p
+      FROM (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+               len(string_split_regex(trim(text), '\\s+')) AS L
+        FROM documents WHERE {_UL2_MODE} = 3
+      )
+    )
+    """,
+)
+def ul2_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UL2 mixture-of-denoisers plan (operators/sampling.py::ul2_plan,
+    Tay et al. 2022): hash-assigned R/X/S denoisers with paradigm
+    tokens — R and X re-derive through the parameterized
+    span-corruption oracle, S as a prefix-LM split. Zero shuffle per
+    branch."""
+    from news_please_spark.operators.sampling import ul2_plan
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    return ul2_plan(docs)

@@ -828,3 +828,31 @@ def test_fim_roundtrip_and_modes(spark):
         assert (pre + " " + mid + " " + suf).split() == texts[did].split()
         assert pre and mid and suf  # all three parts non-empty
     assert n_fim >= 2  # election rate ~1/2 over 8 eligible docs
+
+
+def test_ul2_plan_partition_and_branches(spark):
+    """Every doc lands in exactly one denoiser; S-branch targets are
+    the doc's suffix; R/X inputs carry their paradigm tokens."""
+    from news_please_spark.operators.sampling import ul2_plan
+
+    rows = [(i, " ".join(f"u{i}w{j}" for j in range(20))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ul2_plan(df).collect()
+    assert sorted(r.doc_id for r in out) == list(range(40))
+    by_mode = {}
+    for r in out:
+        by_mode.setdefault(r.denoiser, []).append(r)
+    assert set(by_mode) == {"R", "X", "S"}
+    texts = dict(rows)
+    for r in by_mode["S"]:
+        assert r.inputs.startswith("[S2S] ") and r.inputs.endswith(" <extra_id_0>")
+        prefix = r.inputs[len("[S2S] "):-len(" <extra_id_0>")]
+        suffix = r.targets[len("<extra_id_0> "):]
+        assert (prefix + " " + suffix).split() == texts[r.doc_id].split()
+        assert r.n_masked == len(suffix.split()) and r.n_spans == 1
+    for r in by_mode["R"]:
+        assert r.inputs.startswith("[NLU] ")
+    for r in by_mode["X"]:
+        assert r.inputs.startswith("[NLG] ")
+        # X uses stride 8 / max_span 7: span count bounded by ceil(20/8)=3
+        assert r.n_spans <= 3
