@@ -86,6 +86,7 @@ HEADLINE = [
     "gopher_rules",
     "c4_clean",
     "text_normalize",
+    "unwrap_text",
     "quality_classifier",
     "heavy_hitters_cms",
     "hll_distinct",

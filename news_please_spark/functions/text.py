@@ -387,3 +387,32 @@ def mojibake_counts(text: Column) -> list[Column]:
         F.size(F.regexp_extract_all(text, F.lit(_MOJI_PUNCT), 0)).alias("moji_punct"),
         F.size(F.regexp_extract_all(text, F.lit(_MOJI_C2), 0)).alias("moji_c2"),
     ]
+
+
+def unwrap_text(text: Column) -> Column:
+    """Hard-wrap repair for digitized/OCR/PDF-extracted text — the
+    cleanup pass normalize_text deliberately does NOT do (that one
+    folds unicode/whitespace; this one restores logical lines):
+
+      1. de-hyphenate line-break hyphens: a letter, '-', newline,
+         lowercase letter  ->  the two word halves joined ("exam-\\nple"
+         -> "example"; "state-\\nof-the-art" keeps its interior
+         hyphens). Uppercase after the break is left alone (likely a
+         real compound or proper noun, the conservative choice).
+      2. unwrap newlines inside a paragraph: split on blank-line runs
+         (2+ newlines), replace every remaining newline with a space
+         inside each paragraph, rejoin with exactly one blank line.
+         (The paragraph-domain formulation — a sequential
+         "[^\\n]\\n[^\\n]" replace skips alternating one-char lines
+         because the match consumes its right neighbor.) Blank-line
+         runs longer than 2 collapse to one blank line.
+
+    Order matters (de-hyphenate BEFORE unwrap, or the hyphen's newline
+    is already a space). RE2-compatible regexps + one array HOF, zero
+    shuffle."""
+    t = F.regexp_replace(text, r"([A-Za-z])-\n([a-z])", r"$1$2")
+    paras = F.split(t, r"\n{2,}")
+    return F.array_join(
+        F.transform(paras, lambda p: F.regexp_replace(p, r"\n", " ")),
+        "\n\n",
+    )

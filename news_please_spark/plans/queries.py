@@ -7551,3 +7551,73 @@ def ul2_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     return ul2_plan(docs)
+
+
+@register(
+    "unwrap_text",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    wrapped AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(range(1, len(toks) + 1), i ->
+                 toks[i] || CASE
+                   WHEN i = len(toks) THEN ''
+                   WHEN i % 13 = 0 THEN '-' || chr(10)
+                   WHEN i % 11 = 0 THEN chr(10) || chr(10)
+                   WHEN i % 7 = 0 THEN chr(10)
+                   ELSE ' ' END), '') AS w
+      FROM t
+    ),
+    fixed AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(
+                 string_split_regex(
+                   regexp_replace(w, '([A-Za-z])-\n([a-z])', '\1\2', 'g'),
+                   '\n{2,}'),
+                 p -> regexp_replace(p, '\n', ' ', 'g')),
+               chr(10) || chr(10)) AS clean
+      FROM wrapped
+    )
+    SELECT doc_id, clean,
+           CAST(len(string_split_regex(clean, '\n\n')) AS BIGINT) AS n_paras
+    FROM fixed
+    """,
+)
+def unwrap_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-wrap repair (functions/text.py::unwrap_text) over
+    deterministically re-wrapped documents: every 13th token boundary
+    becomes a hyphen line break, every 11th a paragraph break, every
+    7th a plain hard wrap — the OCR/PDF text shape. De-hyphenation +
+    paragraph-domain unwrapping must reproduce DuckDB's image of the
+    same chain exactly. Zero shuffle."""
+    from news_please_spark.functions.text import unwrap_text
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    d = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
+    )
+    L = F.size("_toks")
+    wrapped = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), L),
+            lambda i: F.concat(
+                F.element_at("_toks", i),
+                F.when(i == L, F.lit(""))
+                .when(i % 13 == 0, F.lit("-\n"))
+                .when(i % 11 == 0, F.lit("\n\n"))
+                .when(i % 7 == 0, F.lit("\n"))
+                .otherwise(F.lit(" ")),
+            ),
+        ),
+        "",
+    )
+    w = d.select("doc_id", wrapped.alias("_w"))
+    out = w.select("doc_id", unwrap_text(F.col("_w")).alias("clean"))
+    return out.withColumn(
+        "n_paras", F.size(F.split("clean", r"\n\n")).cast("long")
+    )

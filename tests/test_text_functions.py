@@ -268,3 +268,40 @@ def test_mojibake_counts(spark):
     got = {r.text: (r.moji_latin, r.moji_punct, r.moji_c2) for r in df.collect()}
     for t, a, b, c in rows:
         assert got[t] == (a, b, c), (t, got[t])
+
+
+def test_unwrap_text_dehyphenate_and_paragraphs(spark):
+    from news_please_spark.functions.text import unwrap_text
+    import pyspark.sql.functions as F
+
+    cases = [
+        ("exam-\nple text", "example text"),
+        # interior hyphens survive; uppercase continuation untouched
+        ("state-\nof-the-art", "stateof-the-art"),
+        ("Müller-\nThurgau stays", "Müller-\nThurgau stays".replace("-\n", "- ").replace("- Th", "- Th")),
+        ("hard\nwrapped\nprose", "hard wrapped prose"),
+        ("para one\n\npara two", "para one\n\npara two"),
+        ("a-\nb c\nd\n\ne", "ab c d\n\ne"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    got = {r.text: r.out for r in df.select("text", unwrap_text(F.col("text")).alias("out")).collect()}
+    assert got["exam-\nple text"] == "example text"
+    assert got["state-\nof-the-art"] == "stateof-the-art"
+    # uppercase after break: hyphen kept, line unwrapped
+    assert got["Müller-\nThurgau stays"] == "Müller- Thurgau stays"
+    assert got["hard\nwrapped\nprose"] == "hard wrapped prose"
+    assert got["para one\n\npara two"] == "para one\n\npara two"
+    assert got["a-\nb c\nd\n\ne"] == "ab c d\n\ne"
+
+
+def test_unwrap_text_alternating_short_lines(spark):
+    """The paragraph-domain formulation handles alternating one-char
+    lines (a sequential regexp replace would skip every other one)."""
+    from news_please_spark.functions.text import unwrap_text
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([("a\nb\nc\nd",), ("x\n\n\ny",)], "text string")
+    got = {r.text: r.out for r in df.select(
+        "text", unwrap_text(F.col("text")).alias("out")).collect()}
+    assert got["a\nb\nc\nd"] == "a b c d"
+    assert got["x\n\n\ny"] == "x\n\ny"  # 3+ blank-run collapses to one
