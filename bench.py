@@ -161,6 +161,7 @@ HEADLINE = [
     "vec_quantize",
     "semantic_dedup",
     "hard_negatives",
+    "margin_mine",
     "extract_articles",
     "sitemap_expand",
     "sitemap_xml_parse",

@@ -974,3 +974,68 @@ def vec_quantize_int8(
         .withColumn("err_q", F.floor(1000000 * recon_err).cast("long"))
         .select(id_col, "scale_q", "codes", "err_q")
     )
+
+
+def margin_mine(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 4,
+    threshold_q: int = 10500,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based candidate mining (Artetxe & Schwenk, ACL 2019
+    "Margin-based parallel corpus mining", ratio margin, forward
+    variant): a query's best neighbor is accepted only when its
+    similarity stands OUT of the query's neighborhood —
+    margin = cos(x, y1) / mean(cos(x, NN_k(x))) — the criterion that
+    suppresses hubness false positives absolute-threshold mining
+    suffers (a hub vector is near everything, so its margin ~1).
+    The bitext-mining / cross-corpus alignment primitive (CCMatrix).
+
+    Integer-exact contract: per-pair cosines are quantized to basis
+    points FIRST, so the k-neighborhood sum is an integer sum
+    (order-independent — a raw double sum would be accumulation-order
+    sensitive and engine-divergent at floor boundaries); then
+    margin_q = 10000 * n * cos_q(top1) // sum(cos_q over n <= k NNs).
+    Queries whose neighborhood sum is <= 0 are dropped (an
+    anti-correlated neighborhood has no meaningful margin).
+
+    Returns (query_id, neighbor_id, cos_q, margin_q, accepted).
+    Scale shape: inherits brute_force_topk's broadcast-queries ×
+    corpus scan (zero corpus shuffle); swap in lsh_topk/ivf_topk
+    candidates for the 10^10 point — the margin math is agnostic to
+    the top-k source."""
+    topk = brute_force_topk(queries, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    scored = topk.select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.lit(10000) * F.col("cos")).cast("long").alias("cos_q"),
+    )
+    agg = scored.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("cos_q").alias("_sum"),
+        F.max(F.struct(F.col("cos_q"), (-F.col("neighbor_id")).alias("_nn"))).alias("_top"),
+    )
+    out = (
+        agg.filter(F.col("_sum") > 0)
+        .select(
+            "query_id",
+            (-F.col("_top._nn")).alias("neighbor_id"),
+            F.col("_top.cos_q").alias("cos_q"),
+            # floor (not cast-truncation) so negative top-1 cosines
+            # round the same way as the oracle's floor()
+            F.floor(
+                (F.lit(10000) * F.col("_n") * F.col("_top.cos_q"))
+                / F.col("_sum")
+            ).cast("long").alias("_m"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_q",
+            F.col("_m").alias("margin_q"),
+            (F.col("_m") >= threshold_q).alias("accepted"),
+        )
+    )
+    return out

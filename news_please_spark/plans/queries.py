@@ -7621,3 +7621,52 @@ def unwrap_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "n_paras", F.size(F.split("clean", r"\n\n")).cast("long")
     )
+
+
+@register(
+    "margin_mine",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % 2 = 0 AND vec_id % 53 = 0),
+    c AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+    p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(floor(10000 * (
+               list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+             )) AS BIGINT) AS cos_q
+      FROM q, c
+    ),
+    nn AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_q DESC, neighbor_id) AS rk
+        FROM p
+      ) WHERE rk <= 4
+    ),
+    agg AS (
+      SELECT query_id, count(*) AS n, sum(cos_q) AS s,
+             max({'cq': cos_q, 'nn': -neighbor_id}) AS top
+      FROM nn GROUP BY query_id
+    )
+    SELECT query_id, -(top.nn) AS neighbor_id, top.cq AS cos_q,
+           CAST(floor((10000 * n * top.cq) / s) AS BIGINT) AS margin_q,
+           CAST(floor((10000 * n * top.cq) / s) AS BIGINT) >= 10500 AS accepted
+    FROM agg WHERE s > 0
+    """,
+)
+def margin_mine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based cross-corpus mining
+    (operators/similarity.py::margin_mine, Artetxe & Schwenk 2019
+    ratio margin, forward variant) between the even- and odd-id halves
+    of the embeddings table (the two-language shape): top-1 per query
+    accepted only when it stands out of the query's k=4 neighborhood.
+    Cosines quantize BEFORE the neighborhood sum so the margin is
+    integer-exact cross-engine; hub queries (uniform neighborhoods)
+    land at ~10000 and are rejected."""
+    from news_please_spark.operators.similarity import margin_mine
+
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    qs = e.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") % 53 == 0))
+    corpus = e.filter(F.col("vec_id") % 2 == 1)
+    return margin_mine(qs, corpus, k=4, threshold_q=10500)

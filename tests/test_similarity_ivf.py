@@ -554,3 +554,47 @@ def test_vec_quantize_zero_shuffle(spark):
     df = spark.createDataFrame([(0, [0.5, 1.0])], "vec_id long, embedding array<float>")
     plan = vec_quantize_int8(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_margin_mine_hub_suppression_and_exactness(spark):
+    """A sharp match gets a high margin; a hub-like query whose
+    neighborhood is uniformly similar hovers near 10000 and is
+    rejected at threshold 10500."""
+    from news_please_spark.operators.similarity import margin_mine
+
+    # query 0: one strong match (cos 1.0) among weak ones
+    # query 100: everything equally similar (hub) -> margin ~ 10000
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (100, [0.5, 0.5, 0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),      # exact match for q0
+            (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+            (3, [0.5, 0.5, 0.5, 0.5]),      # hub direction
+            (4, [0.5, 0.5, 0.5, 0.49]),     # near-hub
+            (5, [0.49, 0.5, 0.5, 0.5]),     # near-hub
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.query_id: r for r in margin_mine(qs, corpus, k=3).collect()}
+    r0 = out[0]
+    assert r0.neighbor_id == 1 and r0.cos_q == 10000 and r0.accepted
+    assert r0.margin_q > 10500
+    rh = out[100]
+    assert not rh.accepted
+    assert abs(rh.margin_q - 10000) < 200  # uniform neighborhood -> ratio ~1
+
+
+def test_margin_mine_drops_nonpositive_neighborhoods(spark):
+    from news_please_spark.operators.similarity import margin_mine
+
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(1, [-1.0, 0.0]), (2, [-1.0, -0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    assert margin_mine(qs, corpus, k=2).count() == 0
