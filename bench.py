@@ -131,6 +131,7 @@ HEADLINE = [
     "winnow_fingerprint",
     "jaccard_verify",
     "containment_pairs",
+    "lsh_recall_audit",
     "incremental_near_dups",
     "cdc_lsh_index",
     "dup_clusters",

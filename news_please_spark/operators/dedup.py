@@ -894,3 +894,65 @@ def containment_pairs(
         .when(F.col("cont_b_q") >= thr, F.lit("b_in_a"))
     )
     return scored.withColumn("relation", rel).filter(F.col("relation").isNotNull())
+
+
+def lsh_recall_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    n: int = 3,
+    min_q: int = 5000,
+    bucket_q: int = 1000,
+) -> DataFrame:
+    """EMPIRICAL recall of the banded-MinHash candidate generator,
+    measured against exact all-pairs n-gram Jaccard on the given
+    (sampled) docs: per similarity bucket [min_q + i*bucket_q, ...),
+    how many truly-similar pairs exist and how many the LSH banding
+    surfaced. choose_lsh_params predicts the S-curve from theory; this
+    measures it on YOUR corpus — the calibration audit that catches a
+    shingle/band misconfiguration before a 100-TB dedup run silently
+    under-recalls.
+
+    Run it on a SAMPLE (the exact side is all-pairs within the input:
+    O(|sample|²) gram intersections — that is the point; the audit's
+    cost contract is sample-sized, never corpus-sized). Returns
+    (bucket_q, n_true_pairs, n_candidates, recall_q) with bucket_q =
+    the bucket's lower bound in basis points."""
+    grams = df.select(
+        F.col(id_col), ngram_set(F.col(text_col), n).alias("_g")
+    ).filter(F.size("_g") > 0).persist()
+    a = grams.select(F.col(id_col).alias("doc_a"), F.col("_g").alias("_ga"))
+    b = grams.select(F.col(id_col).alias("doc_b"), F.col("_g").alias("_gb"))
+    exact = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(jaccard(F.col("_ga"), F.col("_gb")) * 10000)
+            .cast("long")
+            .alias("jq"),
+        )
+        .filter(F.col("jq") >= min_q)
+    )
+    cand = minhash_lsh_candidates_from_grams(
+        grams, id_col=id_col, gram_col="_g", bands=bands
+    ).withColumn("_found", F.lit(1))
+    joined = exact.join(cand, ["doc_a", "doc_b"], "left")
+    bucket = (F.floor((F.col("jq") - min_q) / bucket_q) * bucket_q + min_q).cast(
+        "long"
+    )
+    out = (
+        joined.groupBy(bucket.alias("bucket_q"))
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum(F.coalesce("_found", F.lit(0))).cast("long").alias("n_candidates"),
+        )
+        .withColumn(
+            "recall_q",
+            F.floor(
+                F.lit(10000) * F.col("n_candidates") / F.col("n_true_pairs")
+            ).cast("long"),
+        )
+    )
+    return out

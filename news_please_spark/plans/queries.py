@@ -7670,3 +7670,62 @@ def margin_mine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = e.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") % 53 == 0))
     corpus = e.filter(F.col("vec_id") % 2 == 1)
     return margin_mine(qs, corpus, k=4, threshold_q=10500)
+
+
+@register(
+    "lsh_recall_audit",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE doc_id % 29 = 0
+    ),
+    s AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+      FROM t WHERE len(toks) >= 3
+    ),
+    sets AS (SELECT doc_id, list_distinct(sh) AS gs FROM s),
+    ex AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(floor((CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.gs, b.gs)))) * 10000) AS BIGINT) AS jq
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    ),
+    tru AS (SELECT * FROM ex WHERE jq >= 5000),
+    sig AS (
+      SELECT doc_id, band,
+             list_aggregate(list_transform(sh, x -> md5(CAST(band AS VARCHAR) || '|' || x)), 'min') AS sig
+      FROM s, (SELECT unnest([0, 1, 2, 3]) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    j AS (
+      SELECT tru.jq, CASE WHEN cand.doc_a IS NULL THEN 0 ELSE 1 END AS found
+      FROM tru LEFT JOIN cand ON cand.doc_a = tru.doc_a AND cand.doc_b = tru.doc_b
+    )
+    SELECT CAST(floor((jq - 5000) / 1000) * 1000 + 5000 AS BIGINT) AS bucket_q,
+           CAST(count(*) AS BIGINT) AS n_true_pairs,
+           CAST(sum(found) AS BIGINT) AS n_candidates,
+           CAST(floor(10000 * sum(found) / count(*)) AS BIGINT) AS recall_q
+    FROM j GROUP BY 1
+    """,
+)
+def lsh_recall_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical LSH recall calibration
+    (operators/dedup.py::lsh_recall_audit): exact all-pairs 3-gram
+    Jaccard on the doc_id%29 sample vs the 4-band MinHash candidate
+    set, recall per similarity bucket — measures on data what
+    choose_lsh_params predicts from theory. All-pairs cost is
+    sample-sized by contract, never corpus-sized."""
+    from news_please_spark.operators.dedup import lsh_recall_audit
+
+    docs = spread(
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 29 == 0),
+        spark,
+    )
+    return lsh_recall_audit(docs)

