@@ -95,6 +95,7 @@ HEADLINE = [
     "token_totals",
     "corpus_report",
     "ngram_diversity",
+    "vocab_drift",
     "lang_id",
     "script_profile",
     "mojibake_audit",

@@ -121,3 +121,64 @@ def ngram_diversity(
         .otherwise(F.lit(10000).cast("long"))
         .alias("simpson_bp"),
     )
+
+
+def vocab_drift(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Distribution-shift audit between two corpus snapshots (last
+    month's crawl vs this month's): per-term occurrence RATES (parts
+    per million of each side's token mass) and their difference,
+    top_k terms by |drift| — the cheap early-warning that a source
+    changed template, language mix, or topic profile before a
+    training run bakes the shift in. Integer-exact: rates are
+    floor(1e6 * count / total) so the ranking reproduces cross-engine
+    (no log-ratio floats); terms below min_count on BOTH sides are
+    noise and dropped.
+
+    Scale shape: one map-side-combinable term count per side (the
+    vocab-sized shuffle every corpus stat here pays), totals ride a
+    1-row broadcast, final top-k is a global sort of the
+    min_count-filtered vocab (vocab-sized, not corpus-sized)."""
+    from news_please_spark.functions.text import tokens
+
+    def counts(df):
+        return (
+            df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    old_c = counts(old_docs)
+    new_c = counts(new_docs)
+    tot_old = old_c.agg(F.sum("n").alias("t_old"))
+    tot_new = new_c.agg(F.sum("n").alias("t_new"))
+    joined = (
+        old_c.withColumnsRenamed({"n": "n_old"})
+        .join(new_c.withColumnsRenamed({"n": "n_new"}), "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .filter((F.col("n_old") >= min_count) | (F.col("n_new") >= min_count))
+        .crossJoin(F.broadcast(tot_old))
+        .crossJoin(F.broadcast(tot_new))
+    )
+    rate_old = F.floor(F.lit(1_000_000) * F.col("n_old") / F.col("t_old")).cast("long")
+    rate_new = F.floor(F.lit(1_000_000) * F.col("n_new") / F.col("t_new")).cast("long")
+    scored = joined.select(
+        "term",
+        F.col("n_old").cast("long").alias("n_old"),
+        F.col("n_new").cast("long").alias("n_new"),
+        rate_old.alias("rate_old_ppm"),
+        rate_new.alias("rate_new_ppm"),
+        (rate_new - rate_old).alias("drift_ppm"),
+    )
+    return scored.orderBy(
+        F.abs(F.col("drift_ppm")).desc(), F.col("term")
+    ).limit(top_k)

@@ -7729,3 +7729,52 @@ def lsh_recall_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
     )
     return lsh_recall_audit(docs)
+
+
+@register(
+    "vocab_drift",
+    r"""
+    WITH oc AS (
+      SELECT t AS term, count(*) AS n FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        FROM documents WHERE doc_id % 3 <> 0
+      ) GROUP BY 1
+    ),
+    nc AS (
+      SELECT t AS term, count(*) AS n FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        FROM documents WHERE doc_id % 3 = 0
+      ) GROUP BY 1
+    ),
+    j AS (
+      SELECT COALESCE(oc.term, nc.term) AS term,
+             COALESCE(oc.n, 0) AS n_old, COALESCE(nc.n, 0) AS n_new
+      FROM oc FULL OUTER JOIN nc ON oc.term = nc.term
+      WHERE COALESCE(oc.n, 0) >= 5 OR COALESCE(nc.n, 0) >= 5
+    ),
+    s AS (
+      SELECT term, n_old, n_new,
+             CAST(floor(1000000 * n_old / (SELECT sum(n) FROM oc)) AS BIGINT) AS rate_old_ppm,
+             CAST(floor(1000000 * n_new / (SELECT sum(n) FROM nc)) AS BIGINT) AS rate_new_ppm
+      FROM j
+    )
+    SELECT term, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+           rate_old_ppm, rate_new_ppm,
+           rate_new_ppm - rate_old_ppm AS drift_ppm
+    FROM s
+    ORDER BY abs(rate_new_ppm - rate_old_ppm) DESC, term
+    LIMIT 100
+    """,
+)
+def vocab_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot vocabulary drift
+    (operators/stats.py::vocab_drift): doc_id%3 splits documents into
+    'old' and 'new' crawls; per-term ppm rates and their difference,
+    top-100 by |drift| with a total ordering (unique term tiebreak) so
+    the LIMIT reproduces cross-engine."""
+    from news_please_spark.operators.stats import vocab_drift
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    return vocab_drift(old, new, min_count=5, top_k=100)

@@ -116,3 +116,24 @@ def test_ngram_diversity_one_data_shuffle(spark):
     # post-aggregation (map-side combined); no join anywhere
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Join" not in plan
+
+
+def test_vocab_drift_detects_planted_shift(spark):
+    from news_please_spark.operators.stats import vocab_drift
+
+    old = spark.createDataFrame(
+        [(i, "common words here plus legacy token legacy") for i in range(10)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(i, "common words here plus novel token novel") for i in range(10)],
+        "doc_id long, text string",
+    )
+    rows = vocab_drift(old, new, min_count=5, top_k=10).collect()
+    by_term = {r.term: r for r in rows}
+    assert by_term["legacy"].drift_ppm < 0 and by_term["legacy"].n_new == 0
+    assert by_term["novel"].drift_ppm > 0 and by_term["novel"].n_old == 0
+    # stable terms have zero drift (same rates both sides)
+    assert by_term["common"].drift_ppm == 0
+    # ranking: the two shifted terms outrank the stable ones
+    assert {rows[0].term, rows[1].term} == {"legacy", "novel"}
