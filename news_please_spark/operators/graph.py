@@ -829,3 +829,149 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
     return out
+
+
+def salsa_scaled(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """Integer-exact fixed-iteration SALSA (Lempel & Moran 2000, "The
+    Stochastic Approach for Link-Structure Analysis") — the random-walk
+    cousin of HITS: instead of summing raw neighbor scores (which lets
+    one mega-hub dominate), each step DIVIDES a node's score equally
+    among its links, so authority flows like PageRank mass over the
+    co-citation graph.  The crawl-scheduling use is the same as
+    hits_scaled (hub recrawls vs authority fetches) but with built-in
+    resistance to the TKC effect — a tightly-knit link farm saturates
+    HITS yet gains nothing under SALSA's degree normalization, which
+    is why it sits next to spam_mass in the frontier's signal set.
+
+    Integer-exact form: a_0 = `scale` for every node with indeg >= 1;
+    per iteration
+        h[u] = SUM over u->v of (a[v] DIV indeg(v)),
+        a[w] = SUM over u->w of (h[u] DIV outdeg(u)).
+    Every step is a BIGINT floor-division + sum, so the result
+    hash-compares cross-engine (DuckDB `//`).  Floors only ever SHED
+    mass, so values are bounded by n*scale — no overflow headroom
+    needed beyond 2^52 (exactness bound for the DIV operands).  The
+    true SALSA stationary solution is indeg/total (authority chain);
+    the fixed-iteration form is what a frontier actually materializes
+    per snapshot, and planted-structure ranking agrees (tests).
+
+    Distribution: degree tables are one map-side-combinable aggregate
+    each, reused across iterations via localCheckpoint-free lazy reuse
+    (they ride the same scan); per iteration two equi-joins on node id
+    + two map-side-combinable SUMs — pagerank_scaled's exact shuffle
+    story, AQE skew-join/salting apply unchanged.  Score vectors stay
+    sparse between iterations (zero rows are dropped, absent = 0).
+
+    Output: (id, authority, hub) BIGINTs for every node in `nodes`."""
+    if iters <= 0:
+        raise ValueError("iters must be positive")
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    ids = nodes.select(F.col(id_col).alias("id"))
+    indeg = e.groupBy(F.col("_dst").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("indeg")
+    )
+    outdeg = e.groupBy(F.col("_src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+
+    # a_0 = scale on every authority-side node (indeg >= 1)
+    a = indeg.select("id", F.lit(int(scale)).cast("long").alias("a"))
+    h = None
+    for _ in range(iters):
+        # hub step: h[u] = sum over u->v of a[v] DIV indeg(v)
+        h = (
+            e.join(a.join(indeg, "id"), e["_dst"] == F.col("id"))
+            .select("_src", F.expr("a DIV indeg").alias("share"))
+            .groupBy(F.col("_src").alias("id"))
+            .agg(F.sum("share").cast("long").alias("h"))
+        )
+        # authority step: a[w] = sum over u->w of h[u] DIV outdeg(u)
+        a = (
+            e.join(h.join(outdeg, "id"), e["_src"] == F.col("id"))
+            .select("_dst", F.expr("h DIV outdeg").alias("share"))
+            .groupBy(F.col("_dst").alias("id"))
+            .agg(F.sum("share").cast("long").alias("a"))
+        )
+    return (
+        ids.join(a, "id", "left")
+        .join(h, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("authority"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub"),
+        )
+    )
+
+
+def ball_sizes(
+    edges: DataFrame,
+    nodes: DataFrame,
+    radius: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """Exact per-node neighborhood function |B(v, r)| for r = 1..radius
+    — the all-sources generalization of the frontier's single BFS, and
+    the exact twin of HyperBall (Boldi & Vigna 2013, "In-Core
+    Computation of Geometric Centralities with HyperBall").  Ball
+    growth rates are the crawl-planning signal for seed selection
+    (a seed whose 2-ball is tiny wastes a politeness slot) and the
+    input to effective-diameter / harmonic-centrality estimates.
+
+    Exact form: the reached set is a distinct (root, node) pair table,
+    expanded radius times through the edge list with an anti-join
+    against already-reached pairs (the frontier_bfs3 wave loop, keyed
+    by composite (root, node)).  Cost is SUM over r of |B(r)| pairs —
+    fine for bounded radius on sparse graphs and THE oracle-checkable
+    reference.  At 10^10 nodes the pair table is the scale hazard; the
+    production swap is HyperBall proper: one HLL register array per
+    node (operators/sketch.py::hll_registers), unioned along in-edges
+    per round — O(n * 2^p) state instead of O(sum of balls), same loop
+    shape.  This function is the exact small/medium-scale path and the
+    calibration oracle for that swap.
+
+    Distribution: per round one equi-join on node id + one distinct +
+    one anti-join, all hash-partitioned on the (root, node) composite;
+    counts are map-side-combinable conditional sums at the end.
+
+    Output: (id, ball_1 .. ball_radius) BIGINTs, root itself EXCLUDED
+    from its own ball counts' complement — i.e. ball_r INCLUDES the
+    root (|B(v,0)| = 1), matching the neighborhood-function
+    convention N(v, r) = #{u : d(v,u) <= r}."""
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    ids = nodes.select(F.col(id_col).alias("id"))
+    reached = ids.select(
+        F.col("id").alias("root"), F.col("id").alias("node"), F.lit(0).alias("d")
+    )
+    frontier = reached.select("root", "node")
+    for r in range(1, radius + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_src"])
+            .select("root", F.col("_dst").alias("node"))
+            .distinct()
+            .join(reached.select("root", "node"), ["root", "node"], "left_anti")
+            .withColumn("d", F.lit(r))
+        )
+        reached = reached.unionByName(nxt)
+        frontier = nxt.select("root", "node")
+    aggs = [
+        F.sum(F.when(F.col("d") <= r, 1).otherwise(0))
+        .cast("long")
+        .alias(f"ball_{r}")
+        for r in range(1, radius + 1)
+    ]
+    return (
+        reached.groupBy(F.col("root").alias("id"))
+        .agg(*aggs)
+    )

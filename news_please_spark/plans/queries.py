@@ -7778,3 +7778,86 @@ def vocab_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = docs.filter(F.col("doc_id") % 3 != 0)
     new = docs.filter(F.col("doc_id") % 3 == 0)
     return vocab_drift(old, new, min_count=5, top_k=100)
+
+
+@register(
+    "salsa_scores",
+    f"""
+    WITH edges AS ({_EDGES_SQL}),
+    ind AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS indeg FROM edges GROUP BY dst),
+    outd AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+    a0 AS (SELECT id, CAST(1000000 AS BIGINT) AS a FROM ind),
+    h1 AS (
+      SELECT e.src AS id, CAST(sum(a0.a // ind.indeg) AS BIGINT) AS h
+      FROM edges e JOIN a0 ON a0.id = e.dst JOIN ind ON ind.id = e.dst
+      GROUP BY e.src
+    ),
+    a1 AS (
+      SELECT e.dst AS id, CAST(sum(h1.h // outd.outdeg) AS BIGINT) AS a
+      FROM edges e JOIN h1 ON h1.id = e.src JOIN outd ON outd.id = e.src
+      GROUP BY e.dst
+    ),
+    h2 AS (
+      SELECT e.src AS id, CAST(sum(a1.a // ind.indeg) AS BIGINT) AS h
+      FROM edges e JOIN a1 ON a1.id = e.dst JOIN ind ON ind.id = e.dst
+      GROUP BY e.src
+    ),
+    a2 AS (
+      SELECT e.dst AS id, CAST(sum(h2.h // outd.outdeg) AS BIGINT) AS a
+      FROM edges e JOIN h2 ON h2.id = e.src JOIN outd ON outd.id = e.src
+      GROUP BY e.dst
+    )
+    SELECT n.doc_id AS doc_id,
+           CAST(coalesce(a2.a, 0) AS BIGINT) AS authority,
+           CAST(coalesce(h2.h, 0) AS BIGINT) AS hub
+    FROM documents n
+    LEFT JOIN a2 ON a2.id = n.doc_id LEFT JOIN h2 ON h2.id = n.doc_id
+    """,
+)
+def salsa_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration integer-exact SALSA (operators/graph.py::
+    salsa_scaled): HITS' random-walk cousin — every step divides a
+    node's score among its links (BIGINT floor division), so link
+    farms can't saturate the ranking (the TKC effect HITS suffers).
+    Same two-joins-two-sums-per-iteration shuffle shape as pagerank3;
+    sits next to spam_mass in the frontier's prioritization signals."""
+    from news_please_spark.operators.graph import salsa_scaled
+
+    edges = derived_edges(spark, sf_dir)
+    nodes = load(spark, sf_dir, "documents").select("doc_id")
+    return salsa_scaled(edges, nodes, iters=2, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "authority", "hub"
+    )
+
+
+@register(
+    "graph_balls",
+    f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    walk(root, node, d) AS (
+      SELECT doc_id, doc_id, 0 FROM documents
+      UNION ALL
+      SELECT w.root, e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 2
+    ),
+    dist AS (SELECT root, node, min(d) AS d FROM walk GROUP BY 1, 2)
+    SELECT root AS doc_id,
+           CAST(sum(CASE WHEN d <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS ball_1,
+           CAST(count(*) AS BIGINT) AS ball_2
+    FROM dist GROUP BY 1
+    """,
+)
+def graph_balls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node neighborhood function |B(v, r)| for r = 1, 2
+    (operators/graph.py::ball_sizes) — HyperBall's exact twin: ball
+    growth is the seed-selection / effective-diameter signal, computed
+    as an all-sources wave loop on distinct (root, node) pairs. The
+    10^10-node swap (HLL registers per node, same loop) is documented
+    in the operator; this exact path is its calibration oracle."""
+    from news_please_spark.operators.graph import ball_sizes
+
+    edges = derived_edges(spark, sf_dir)
+    nodes = load(spark, sf_dir, "documents").select("doc_id")
+    return ball_sizes(edges, nodes, radius=2, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "ball_1", "ball_2"
+    )

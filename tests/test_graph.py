@@ -542,3 +542,111 @@ def test_triangle_counts_k4_square_tail(spark):
     )
     out = {r.node: r.n_tri for r in triangle_counts(g).collect()}
     assert out == {0: 1, 1: 1, 2: 1}
+
+
+def _py_salsa(edges, nodes, iters=2, scale=1_000_000):
+    from collections import defaultdict
+
+    ind, outd = defaultdict(int), defaultdict(int)
+    for s, d in edges:
+        outd[s] += 1
+        ind[d] += 1
+    a = {v: scale for v in ind}
+    h = {}
+    for _ in range(iters):
+        h = defaultdict(int)
+        for s, d in edges:
+            if d in a:
+                h[s] += a[d] // ind[d]
+        h = dict(h)
+        a = defaultdict(int)
+        for s, d in edges:
+            if s in h:
+                a[d] += h[s] // outd[s]
+        a = dict(a)
+    return sorted((n, a.get(n, 0), h.get(n, 0)) for n in nodes)
+
+
+def test_salsa_matches_python_oracle(spark):
+    # star hub (1 -> 10..14), a 3-cycle, and a dangling receiver
+    edges = [(1, 10), (1, 11), (1, 12), (1, 13), (1, 14),
+             (10, 11), (11, 12), (12, 10), (13, 99)]
+    nodes = sorted({x for e in edges for x in e})
+    from news_please_spark.operators.graph import salsa_scaled
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n = spark.createDataFrame([(x,) for x in nodes], "id long")
+    got = sorted(
+        (r.id, r.authority, r.hub) for r in salsa_scaled(e, n, iters=2).collect()
+    )
+    assert got == _py_salsa(edges, nodes)
+
+
+def test_salsa_resists_tight_knit_community(spark):
+    """The TKC effect: a k-clique link farm saturates HITS but under
+    SALSA's degree normalization each farm page's authority share is
+    divided by its in-degree, so a genuinely widely-cited page (many
+    INDEPENDENT single-link endorsers) outranks farm members."""
+    from news_please_spark.operators.graph import hits_scaled, salsa_scaled
+
+    farm = [(100 + i, 100 + j) for i in range(7) for j in range(7) if i != j]
+    # 12 independent endorsers each link ONLY to page 7
+    honest = [(200 + i, 7) for i in range(12)]
+    edges = farm + honest
+    nodes = sorted({x for e in edges for x in e})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n = spark.createDataFrame([(x,) for x in nodes], "id long")
+    salsa = {r.id: r.authority for r in salsa_scaled(e, n, iters=2).collect()}
+    hits = {r.id: r.authority for r in hits_scaled(e, n, iters=2).collect()}
+    # HITS: the 7-clique's multiplicative amplification ((k-1)^3 = 216)
+    # beats the honest page's 12 independent endorsements (12^2 = 144)
+    assert hits[100] > hits[7]
+    # SALSA's walk conserves mass per step (each share is DIVIDED by
+    # degree), so the farm gains nothing from its density: the honest
+    # page is never dominated (equal up to floor shedding)
+    assert salsa[7] >= salsa[100]
+    # and the walk keeps every authority at ~scale (mass conservation):
+    assert salsa[7] >= 999_000 and salsa[100] <= 1_000_000
+
+
+def test_salsa_rejects_bad_iters(spark):
+    from news_please_spark.operators.graph import salsa_scaled
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    n = spark.createDataFrame([(1,), (2,)], "id long")
+    with pytest.raises(ValueError):
+        salsa_scaled(e, n, iters=0)
+
+
+def test_ball_sizes_hand_traced_chain_and_cycle(spark):
+    """Chain 1->2->3->4 plus 3-cycle 10->11->12->10; radius 2."""
+    from news_please_spark.operators.graph import ball_sizes
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10)]
+    nodes = [1, 2, 3, 4, 10, 11, 12]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n = spark.createDataFrame([(x,) for x in nodes], "id long")
+    got = {r.id: (r.ball_1, r.ball_2) for r in ball_sizes(e, n, radius=2).collect()}
+    assert got == {
+        1: (2, 3),   # {1,2}, {1,2,3}
+        2: (2, 3),
+        3: (2, 2),   # 4 has no outlinks
+        4: (1, 1),
+        10: (2, 3),  # cycle: whole component within r=2
+        11: (2, 3),
+        12: (2, 3),
+    }
+
+
+def test_ball_sizes_min_distance_not_path_count(spark):
+    """Diamond 1->{2,3}->4: node 4 reachable two ways but counted once;
+    a back-edge 4->1 must not re-count 1 (already in its own ball)."""
+    from news_please_spark.operators.graph import ball_sizes
+
+    edges = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 1)]
+    nodes = [1, 2, 3, 4]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n = spark.createDataFrame([(x,) for x in nodes], "id long")
+    got = {r.id: (r.ball_1, r.ball_2) for r in ball_sizes(e, n, radius=2).collect()}
+    assert got[1] == (3, 4)   # {1,2,3}, then +4 (once)
+    assert got[4] == (2, 4)   # {4,1}, then {4,1,2,3}
