@@ -1,0 +1,173 @@
+"""DUST rule mining — "Different URLs with Similar Text" (Bar-Yossef,
+Keidar & Schonfeld, WWW 2009, "Do Not Crawl in the DUST").
+
+A crawler that canonicalizes only syntax (lowercase host, strip
+fragments — functions/urls.py) still fetches the same page many times
+through session ids, tracking params, and mirror paths.  DUST mining
+learns the SITE-SPECIFIC rewrite rules from evidence the crawl already
+collected: if URLs that differ ONLY in parameter p consistently carry
+the SAME content fingerprint, then "strip p on this host" is a safe
+canonicalization rule — every future fetch it saves is a politeness
+slot returned to the frontier.  The reference engine has no such
+learner (its ignore rules are hand-written regexes per site,
+config/sitelist.hjson); this operator produces those rules from data.
+
+This implementation mines the highest-value rule class, irrelevant
+QUERY PARAMETERS, which subsumes the session-id/tracking-param traps
+operators/traps.py flags heuristically:
+
+  1. every URL is parsed to (host, path, [name=value...] params);
+  2. each param occurrence becomes a candidate: the row is keyed by
+     its RESIDUAL — md5(host | path | the other params, sorted) — so
+     URLs that agree on everything but the candidate land in one group;
+  3. a residual group where the candidate takes >= 2 distinct values
+     is an experiment: all content fingerprints equal -> the param
+     provably didn't matter there (support); fingerprints differ ->
+     the param carries content (conflict);
+  4. per (host, param): is_dust = support groups >= min_support AND
+     zero conflict groups.
+
+Determinism: groups are sets, counts are exact; no sampling, no RNG.
+
+Scale shape: one hash shuffle on the fixed-width md5 residual key
+(partial aggregation applies; URL strings themselves never shuffle —
+only (residual, value-hash, fp) triples), then a host+param-sized
+aggregate.  Per-URL work is linear in its param count.  Skewed hosts
+spread across residual keys by construction (the residual embeds the
+path), so a 10^8-URL host does not become one reduce cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)"
+QUERY_RE = r"\?([^#]*)"
+
+
+def dust_param_rules(
+    urls: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "content_fp",
+    min_support: int = 2,
+) -> DataFrame:
+    """Mine per-(host, param) DUST verdicts from (url, content_fp)
+    observations.  Input rows: one per fetched URL with a content
+    fingerprint (e.g. fingerprint() over the extracted main text —
+    NOT the raw HTML, which embeds the session id being tested).
+
+    Returns (host, param, n_support, n_conflict, is_dust):
+      n_support  — residual groups where the param varied (>= 2
+                   values) and content did not (1 fingerprint);
+      n_conflict — residual groups where the param varied AND content
+                   varied with it;
+      is_dust    — n_support >= min_support and n_conflict == 0:
+                   safe to strip `param` on `host`.
+
+    Params that never vary within any residual group produce a row
+    with n_support = n_conflict = 0 (no evidence, not a rule)."""
+    u = urls.select(
+        F.col(url_col).alias("_url"), F.col(fp_col).alias("_fp")
+    ).withColumns(
+        {
+            "_host": F.regexp_extract(F.col("_url"), HOST_RE, 1),
+            "_path": F.regexp_extract(F.col("_url"), PATH_RE, 1),
+            "_query": F.regexp_extract(F.col("_url"), QUERY_RE, 1),
+        }
+    )
+    parsed = u.withColumn(
+        "_params",
+        F.filter(F.split(F.col("_query"), "&"), lambda x: x != F.lit("")),
+    ).filter(F.size("_params") >= 1)
+    cand = parsed.select(
+        "_host",
+        "_fp",
+        "_path",
+        "_params",
+        F.posexplode("_params").alias("_pos", "_cand"),
+    ).select(
+        "_host",
+        "_fp",
+        F.substring_index(F.col("_cand"), "=", 1).alias("param"),
+        # value = everything after the first '=' (may itself contain '=')
+        F.expr("substring(_cand, instr(_cand, '=') + 1)").alias("_value"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("_host"),
+                F.col("_path"),
+                F.array_join(
+                    F.array_sort(
+                        F.expr("filter(_params, (x, i) -> i != _pos)")
+                    ),
+                    "&",
+                ),
+            )
+        ).alias("_residual"),
+    )
+    groups = cand.groupBy("_host", "param", "_residual").agg(
+        F.countDistinct("_value").alias("_nv"),
+        F.countDistinct("_fp").alias("_nf"),
+    )
+    out = groups.groupBy(F.col("_host").alias("host"), "param").agg(
+        F.sum(
+            F.when((F.col("_nv") >= 2) & (F.col("_nf") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_support"),
+        F.sum(
+            F.when((F.col("_nv") >= 2) & (F.col("_nf") >= 2), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_conflict"),
+    )
+    return out.withColumn(
+        "is_dust",
+        (F.col("n_support") >= F.lit(int(min_support)))
+        & (F.col("n_conflict") == 0),
+    )
+
+
+def apply_dust_rules(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Canonicalize URLs under mined is_dust rules: strip every query
+    parameter the host's rule set marks irrelevant, keeping the
+    remaining params in their original order (stable rewrite — two
+    URLs equal after stripping iff they were DUST of each other).
+
+    Plan: the rule table aggregates to one small (host, array<param>)
+    row per host — broadcast-joined (rule tables are O(hosts x params),
+    kilobytes per million URLs); the rewrite itself is a native
+    filter-over-split, no Python.  Adds `canon_url`."""
+    strip = rules.filter(F.col("is_dust")).groupBy(
+        F.col("host").alias("_rhost")
+    ).agg(F.collect_set("param").alias("_strip"))
+    u = urls.withColumns(
+        {
+            "_host": F.regexp_extract(F.col(url_col), HOST_RE, 1),
+            "_base": F.regexp_extract(F.col(url_col), r"^([^?#]*)", 1),
+            "_query": F.regexp_extract(F.col(url_col), QUERY_RE, 1),
+        }
+    )
+    joined = u.join(
+        F.broadcast(strip), u["_host"] == strip["_rhost"], "left"
+    )
+    kept = F.filter(
+        F.filter(F.split(F.col("_query"), "&"), lambda x: x != F.lit("")),
+        lambda p: ~F.array_contains(
+            F.coalesce(F.col("_strip"), F.array().cast("array<string>")),
+            F.substring_index(p, "=", 1),
+        ),
+    )
+    canon = F.when(
+        F.size(kept) > 0,
+        F.concat(F.col("_base"), F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(F.col("_base"))
+    return joined.withColumn("canon_url", canon).drop(
+        "_host", "_base", "_query", "_rhost", "_strip"
+    )

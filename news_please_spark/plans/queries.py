@@ -7861,3 +7861,100 @@ def graph_balls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ball_sizes(edges, nodes, radius=2, id_col="doc_id").select(
         F.col("id").alias("doc_id"), "ball_1", "ball_2"
     )
+
+
+# DUST world derived from documents: params id/page/sid(/ref on doc_id%7),
+# content fingerprint depends on (host, path, id, page) ONLY — so sid (and
+# ref, where it varies) are DUST, page conflicts, id never varies within a
+# residual class (no evidence either way).
+_DUST_BASE_SQL = """
+  SELECT doc_id,
+         'h' || CAST(doc_id % 3 AS VARCHAR) || '.site.test' AS host,
+         '/a/' || CAST(doc_id % 4 AS VARCHAR) AS path,
+         CAST(doc_id % 6 AS VARCHAR) AS idv,
+         CAST((doc_id // 60) % 2 AS VARCHAR) AS pagev,
+         's' || CAST(doc_id % 5 AS VARCHAR) AS sidv,
+         CASE WHEN doc_id % 7 = 0 THEN 'r' || CAST(doc_id % 2 AS VARCHAR) END AS refv
+  FROM documents
+"""
+
+
+def _dust_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = F.concat(F.lit("h"), s(d % 3), F.lit(".site.test"))
+    path = F.concat(F.lit("/a/"), s(d % 4))
+    idv, pagev, sidv = s(d % 6), s((d / 60).cast("long") % 2), F.concat(F.lit("s"), s(d % 5))
+    ref_part = F.when(
+        d % 7 == 0, F.concat(F.lit("&ref=r"), s(d % 2))
+    ).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://"), host, path,
+        F.lit("?id="), idv, F.lit("&page="), pagev, ref_part,
+        F.lit("&sid="), sidv,
+    )
+    fp = F.md5(F.concat(F.lit("c|"), host, path, F.lit("|"), idv, F.lit("|"), pagev))
+    return load(spark, sf_dir, "documents").select(
+        url.alias("url"), fp.alias("content_fp")
+    )
+
+
+@register(
+    "dust_rules",
+    f"""
+    WITH base AS ({_DUST_BASE_SQL}),
+    fp AS (
+      SELECT *, md5('c|' || host || path || '|' || idv || '|' || pagev) AS fpv
+      FROM base
+    ),
+    occ AS (
+      SELECT host, 'id' AS param, idv AS value, fpv,
+             md5(host || '|' || path || '|' ||
+                 'page=' || pagev ||
+                 CASE WHEN refv IS NULL THEN '' ELSE '&ref=' || refv END ||
+                 '&sid=' || sidv) AS residual
+      FROM fp
+      UNION ALL
+      SELECT host, 'page', pagev, fpv,
+             md5(host || '|' || path || '|' ||
+                 'id=' || idv ||
+                 CASE WHEN refv IS NULL THEN '' ELSE '&ref=' || refv END ||
+                 '&sid=' || sidv)
+      FROM fp
+      UNION ALL
+      SELECT host, 'sid', sidv, fpv,
+             md5(host || '|' || path || '|' ||
+                 'id=' || idv || '&page=' || pagev ||
+                 CASE WHEN refv IS NULL THEN '' ELSE '&ref=' || refv END)
+      FROM fp
+      UNION ALL
+      SELECT host, 'ref', refv, fpv,
+             md5(host || '|' || path || '|' ||
+                 'id=' || idv || '&page=' || pagev || '&sid=' || sidv)
+      FROM fp WHERE refv IS NOT NULL
+    ),
+    g AS (
+      SELECT host, param, residual,
+             count(DISTINCT value) AS nv, count(DISTINCT fpv) AS nf
+      FROM occ GROUP BY 1, 2, 3
+    )
+    SELECT host, param,
+           CAST(sum(CASE WHEN nv >= 2 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_support,
+           CAST(sum(CASE WHEN nv >= 2 AND nf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_conflict,
+           (sum(CASE WHEN nv >= 2 AND nf = 1 THEN 1 ELSE 0 END) >= 2
+            AND sum(CASE WHEN nv >= 2 AND nf >= 2 THEN 1 ELSE 0 END) = 0) AS is_dust
+    FROM g GROUP BY 1, 2
+    """,
+)
+def dust_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST rule mining (operators/dust.py::dust_param_rules, WWW'09
+    "Do Not Crawl in the DUST"): learn per-(host, param) strip rules
+    from (url, content-fingerprint) evidence — the sid param is
+    provably content-free (is_dust), page provably carries content
+    (conflicts), id/ref never vary within a residual class (no rule).
+    The operator parses real URL strings; the oracle re-derives the
+    same residual experiments arithmetically — any parsing drift
+    breaks the hash."""
+    from news_please_spark.operators.dust import dust_param_rules
+
+    return dust_param_rules(_dust_urls(spark, sf_dir), min_support=2)

@@ -1,0 +1,96 @@
+"""operators/dust: DUST rule mining (irrelevant-query-param discovery)
+and rule application — planted evidence classes, conflict detection,
+min_support gating, and the strip rewrite's stability."""
+
+from __future__ import annotations
+
+from news_please_spark.operators.dust import apply_dust_rules, dust_param_rules
+
+
+def _mine(spark, rows, min_support=2):
+    df = spark.createDataFrame(rows, "url string, content_fp string")
+    out = dust_param_rules(df, min_support=min_support)
+    return {(r.host, r.param): (r.n_support, r.n_conflict, r.is_dust)
+            for r in out.collect()}
+
+
+def test_dust_session_param_supported_content_param_conflicts(spark):
+    rows = []
+    # two residual classes (pages /a and /b); sid varies, content fixed
+    for path in ("/a", "/b"):
+        for sid in ("s1", "s2", "s3"):
+            rows.append((f"https://x.test{path}?id=1&sid={sid}", f"fp{path}"))
+    # 'id' varies on /c and the content varies WITH it -> conflict
+    rows.append(("https://x.test/c?id=1&sid=s1", "fpc1"))
+    rows.append(("https://x.test/c?id=2&sid=s1", "fpc2"))
+    got = _mine(spark, rows)
+    assert got[("x.test", "sid")] == (2, 0, True)
+    n_sup, n_conf, is_dust = got[("x.test", "id")]
+    assert n_conf == 1 and not is_dust
+
+
+def test_dust_min_support_gates_single_experiment(spark):
+    rows = [
+        ("https://y.test/p?sid=a", "f1"),
+        ("https://y.test/p?sid=b", "f1"),
+    ]
+    # one supporting group only: below min_support=2
+    got = _mine(spark, rows, min_support=2)
+    assert got[("y.test", "sid")] == (1, 0, False)
+    got1 = _mine(spark, rows, min_support=1)
+    assert got1[("y.test", "sid")] == (1, 0, True)
+
+
+def test_dust_rules_are_per_host(spark):
+    rows = [
+        ("https://a.test/p?sid=1", "f"),
+        ("https://a.test/p?sid=2", "f"),
+        ("https://a.test/q?sid=1", "g"),
+        ("https://a.test/q?sid=2", "g"),
+        # same param name on b.test carries content
+        ("https://b.test/p?sid=1", "h1"),
+        ("https://b.test/p?sid=2", "h2"),
+    ]
+    got = _mine(spark, rows)
+    assert got[("a.test", "sid")][2] is True
+    assert got[("b.test", "sid")][2] is False
+
+
+def test_dust_value_with_equals_sign_and_no_query_urls(spark):
+    rows = [
+        ("https://z.test/p?tok=a=b&id=1", "f"),
+        ("https://z.test/p?tok=c=d&id=1", "f"),
+        ("https://z.test/p?tok=e=f&id=1", "f"),
+        ("https://z.test/plain", "g"),  # no query: contributes nothing
+    ]
+    got = _mine(spark, rows, min_support=1)
+    assert got[("z.test", "tok")] == (1, 0, True)
+    assert ("z.test", "") not in got
+
+
+def test_apply_dust_rules_strips_and_preserves_order(spark):
+    urls = spark.createDataFrame(
+        [
+            ("https://x.test/a?sid=s1&id=9&utm=u7",),
+            ("https://x.test/a?sid=s2&id=9&utm=u8",),
+            ("https://x.test/b?sid=s1",),
+            ("https://other.test/a?sid=s1&id=9",),
+        ],
+        "url string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("x.test", "sid", 3, 0, True),
+            ("x.test", "utm", 3, 0, True),
+            ("x.test", "id", 0, 2, False),
+        ],
+        "host string, param string, n_support long, n_conflict long, is_dust boolean",
+    )
+    got = {r.url: r.canon_url for r in apply_dust_rules(urls, rules).collect()}
+    # DUST params stripped, surviving param kept, two variants collapse
+    assert got["https://x.test/a?sid=s1&id=9&utm=u7"] == "https://x.test/a?id=9"
+    assert got["https://x.test/a?sid=s2&id=9&utm=u8"] == "https://x.test/a?id=9"
+    # all params stripped -> bare base URL
+    assert got["https://x.test/b?sid=s1"] == "https://x.test/b"
+    # rules are host-scoped: other.test untouched
+    assert got["https://other.test/a?sid=s1&id=9"] == "https://other.test/a?sid=s1&id=9"
