@@ -290,3 +290,63 @@ def retry_schedule(
         action.alias("action"),
         F.when(action == "retry", delay).alias("next_delay_ms"),
     )
+
+
+def fetch_rate_anomaly(
+    fetches: DataFrame,
+    window_hours: int = 3,
+    threshold_x10: int = 15,
+    host_col: str = "host",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-host hourly fetch-rate anomaly detection — the crawl-ops
+    alarm that catches a trap-triggered fetch storm (calendar
+    generators, redirect loops) or a runaway scheduler BEFORE a host
+    gets hammered past its politeness contract.  The reference's only
+    safeguard here is scrapy's static per-domain cap; this closes the
+    loop from the fetch LOG side: an hour is anomalous when its fetch
+    count exceeds (threshold_x10/10)x the mean of the host's previous
+    `window_hours` OBSERVED hours (hours with zero fetches produce no
+    log rows, so the baseline is over observed hours — the documented
+    grain; a host must accumulate a full window before it can alarm).
+
+    Integer-exact: the comparison is cross-multiplied
+        10 * n * trail_n  >  threshold_x10 * trail_sum
+    so no float ratio is materialized and the verdict hash-compares
+    cross-engine.
+
+    Distribution: ONE shuffle — the (host, hour) count aggregate is
+    map-side combinable, and the trailing window rides the same
+    host-hash partitioning (hours per host are bounded, so no skew
+    cell; a million-host log spreads by host hash).
+
+    Output: (host, hour, n_fetches, trail_sum, trail_n, is_anomaly)."""
+    if window_hours <= 0:
+        raise ValueError("window_hours must be positive")
+    hourly = (
+        fetches.select(
+            F.col(host_col).alias("host"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        )
+        .groupBy("host", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_fetches"))
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy("hour")
+        .rowsBetween(-window_hours, -1)
+    )
+    out = hourly.withColumns(
+        {
+            "trail_sum": F.coalesce(F.sum("n_fetches").over(w), F.lit(0)).cast("long"),
+            "trail_n": F.count(F.lit(1)).over(w).cast("long"),
+        }
+    )
+    return out.withColumn(
+        "is_anomaly",
+        (F.col("trail_n") == window_hours)
+        & (
+            F.lit(10) * F.col("n_fetches") * F.col("trail_n")
+            > F.lit(int(threshold_x10)) * F.col("trail_sum")
+        ),
+    )

@@ -7958,3 +7958,39 @@ def dust_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_please_spark.operators.dust import dust_param_rules
 
     return dust_param_rules(_dust_urls(spark, sf_dir), min_support=2)
+
+
+@register(
+    "fetch_anomaly",
+    """
+    WITH hourly AS (
+      SELECT 'h' || CAST(user_id % 7 AS VARCHAR) AS host,
+             date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n_fetches
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT host, hour, n_fetches,
+             CAST(coalesce(sum(n_fetches) OVER w, 0) AS BIGINT) AS trail_sum,
+             CAST(count(*) OVER w AS BIGINT) AS trail_n
+      FROM hourly
+      WINDOW w AS (PARTITION BY host ORDER BY hour ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT host, hour, n_fetches, trail_sum, trail_n,
+           (trail_n = 3 AND 10 * n_fetches * trail_n > 15 * trail_sum) AS is_anomaly
+    FROM t
+    """,
+)
+def fetch_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host hourly fetch-rate anomaly audit (operators/recrawl.py::
+    fetch_rate_anomaly): events mapped to a 7-host fetch log; an hour
+    alarms when it exceeds 1.5x the mean of the previous 3 observed
+    hours (integer cross-multiplied verdict — no float ratio). One
+    map-side-combinable count + one host-keyed trailing window."""
+    from news_please_spark.operators.recrawl import fetch_rate_anomaly
+
+    ev = load(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 7).cast("string")).alias("host"),
+        "ts",
+    )
+    return fetch_rate_anomaly(ev, window_hours=3, threshold_x10=15)

@@ -237,3 +237,46 @@ def test_retry_schedule_unordered_attempts_pick_latest_status(spark):
     )
     got = retry_schedule(df).collect()[0]
     assert (got.action, got.last_status, got.n_attempts) == ("done", 200, 3)
+
+
+def test_fetch_rate_anomaly_flags_storm_and_gates_on_full_window(spark):
+    from datetime import datetime
+
+    from news_please_spark.operators.recrawl import fetch_rate_anomaly
+
+    rows = []
+    # host A: 3 calm hours of 10 fetches, then a 40-fetch storm hour,
+    # then a calm hour that must NOT alarm (window absorbs the storm:
+    # 10*12*3=360 > 15*60=900? no)
+    for h, n in [(0, 10), (1, 10), (2, 10), (3, 40), (4, 12)]:
+        rows += [("A", datetime(2026, 1, 1, h, m % 60)) for m in range(n)]
+    # host B: only 2 hours of history -> trail_n < 3, never alarms
+    for h, n in [(0, 1), (1, 50)]:
+        rows += [("B", datetime(2026, 1, 1, h, m % 60)) for m in range(n)]
+    df = spark.createDataFrame(rows, "host string, ts timestamp")
+    got = {
+        (r.host, r.hour.hour): (r.n_fetches, r.trail_sum, r.trail_n, r.is_anomaly)
+        for r in fetch_rate_anomaly(df, window_hours=3, threshold_x10=15).collect()
+    }
+    assert got[("A", 3)] == (40, 30, 3, True)    # 10*40*3 > 15*30
+    assert got[("A", 4)] == (12, 60, 3, False)   # 10*12*3=360 <= 15*60=900
+    assert got[("A", 0)] == (10, 0, 0, False)    # no history
+    assert got[("B", 1)][3] is False             # partial window gates
+
+
+def test_fetch_rate_anomaly_exact_threshold_boundary(spark):
+    from datetime import datetime
+
+    from news_please_spark.operators.recrawl import fetch_rate_anomaly
+
+    rows = []
+    # baseline 10/hour x3; a 15-fetch hour is EXACTLY 1.5x -> not anomalous
+    for h, n in [(0, 10), (1, 10), (2, 10), (3, 15), (4, 10), (5, 10), (6, 10), (7, 16)]:
+        rows += [("C", datetime(2026, 2, 1, h, m % 60)) for m in range(n)]
+    df = spark.createDataFrame(rows, "host string, ts timestamp")
+    got = {
+        r.hour.hour: r.is_anomaly
+        for r in fetch_rate_anomaly(df, window_hours=3, threshold_x10=15).collect()
+    }
+    assert got[3] is False  # 10*15*3 = 450 == 15*30: strict inequality
+    assert got[7] is True   # 10*16*3 = 480 > 450
