@@ -182,3 +182,60 @@ def vocab_drift(
     return scored.orderBy(
         F.abs(F.col("drift_ppm")).desc(), F.col("term")
     ).limit(top_k)
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility audit per corpus slice — the
+    budget-planning numbers a training pipeline reads before fixing a
+    token budget: subtokens-per-word ("fertility", Ács 2019's metric
+    for how much a tokenizer fragments a language) and
+    bytes-per-subtoken (compression rate).  A slice whose fertility is
+    2x the corpus mean either needs tokenizer retraining or is
+    mojibake/OCR junk that slipped the quality gates — both are
+    per-(source, lang) decisions, which is why the grain is the slice,
+    not the corpus.
+
+    Uses the same whitespace-word and BPE-ish subtoken definitions as
+    token_totals/bpe_token_totals (functions/text.py) so the three
+    reports reconcile.  Ratios are integer-exact: floor((10^4 * a) DIV
+    b) on BIGINT sums — no float division crosses the engine boundary.
+
+    Distribution: one map-side-combinable aggregate over per-row
+    native column expressions (codegen'd, zero Python); the group key
+    cardinality is sources x langs — a broadcast-sized result at any
+    corpus scale."""
+    from news_please_spark.functions.text import bpe_ish_tokens, tokens
+
+    t = F.col(text_col)
+    per_row = docs.select(
+        *group_cols,
+        F.size(tokens(t)).cast("long").alias("_w"),
+        F.size(bpe_ish_tokens(t)).cast("long").alias("_st"),
+        F.octet_length(t).cast("long").alias("_b"),
+    )
+    agg = per_row.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_w").cast("long").alias("n_words"),
+        F.sum("_st").cast("long").alias("n_subtokens"),
+        F.sum("_b").cast("long").alias("n_bytes"),
+    )
+    return agg.withColumns(
+        {
+            "fertility_q": F.when(
+                F.col("n_words") > 0,
+                F.expr("(10000 * n_subtokens) DIV n_words"),
+            )
+            .otherwise(F.lit(None))
+            .cast("long"),
+            "bytes_per_subtoken_q": F.when(
+                F.col("n_subtokens") > 0,
+                F.expr("(10000 * n_bytes) DIV n_subtokens"),
+            )
+            .otherwise(F.lit(None))
+            .cast("long"),
+        }
+    )

@@ -7994,3 +7994,35 @@ def fetch_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
     )
     return fetch_rate_anomaly(ev, window_hours=3, threshold_x10=15)
+
+
+@register(
+    "tokenizer_fertility",
+    r"""
+    WITH d AS (
+      SELECT source, lang,
+             len(string_split_regex(trim(text), '\s+')) AS w,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS st,
+             octet_length(encode(text)) AS b
+      FROM documents
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS n_words,
+           CAST(sum(st) AS BIGINT) AS n_subtokens,
+           CAST(sum(b) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN sum(w) > 0 THEN (10000 * sum(st)) // sum(w) END AS BIGINT) AS fertility_q,
+           CAST(CASE WHEN sum(st) > 0 THEN (10000 * sum(b)) // sum(st) END AS BIGINT) AS bytes_per_subtoken_q
+    FROM d GROUP BY 1, 2
+    """,
+)
+def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per (source, lang) slice
+    (operators/stats.py::tokenizer_fertility): subtokens-per-word and
+    bytes-per-subtoken as integer-exact floor ratios over the same
+    word/subtoken definitions as token_totals/bpe_token_totals — the
+    pre-budget report that flags slices a tokenizer fragments."""
+    from news_please_spark.operators.stats import tokenizer_fertility
+
+    docs = load(spark, sf_dir, "documents").select("source", "lang", "text")
+    return tokenizer_fertility(docs)

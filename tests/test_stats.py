@@ -137,3 +137,42 @@ def test_vocab_drift_detects_planted_shift(spark):
     assert by_term["common"].drift_ppm == 0
     # ranking: the two shifted terms outrank the stable ones
     assert {rows[0].term, rows[1].term} == {"legacy", "novel"}
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    from news_please_spark.operators.stats import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [
+            # "ab cd" -> 2 words, 2 subtokens, 5 bytes
+            ("s1", "en", "ab cd"),
+            # "it's 2x!" -> 2 words, subtokens: it ' s 2 x ! = 6; 8 bytes
+            ("s1", "en", "it's 2x!"),
+            # multibyte: "héllo" -> 1 word; subtokens: h é(punct-class) llo
+            # lower('héllo') tokens by [a-z]+|[0-9]+|[^a-z0-9\s]: 'h','é','llo' = 3
+            ("s2", "fr", "héllo"),
+        ],
+        "source string, lang string, text string",
+    )
+    got = {
+        (r.source, r.lang): (
+            r.n_docs, r.n_words, r.n_subtokens, r.n_bytes,
+            r.fertility_q, r.bytes_per_subtoken_q,
+        )
+        for r in tokenizer_fertility(docs).collect()
+    }
+    assert got[("s1", "en")] == (2, 4, 8, 13, 20000, 16250)
+    # é is 2 bytes in UTF-8 -> 6 bytes total
+    assert got[("s2", "fr")] == (1, 1, 3, 6, 30000, 20000)
+
+
+def test_tokenizer_fertility_zero_word_slice_is_null_not_crash(spark):
+    from news_please_spark.operators.stats import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [("s", "xx", "")], "source string, lang string, text string"
+    )
+    row = tokenizer_fertility(docs).collect()[0]
+    # empty text: split('') = [''] -> 1 "word", 0 subtokens, 0 bytes
+    assert (row.n_words, row.n_subtokens, row.n_bytes) == (1, 0, 0)
+    assert row.fertility_q == 0 and row.bytes_per_subtoken_q is None
