@@ -131,3 +131,43 @@ def cdx_from_warc_records(records: DataFrame) -> DataFrame:
         "path",
         "record_index",
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "urlkey",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Classify every URL between two crawl snapshots: 'new' (only in
+    the newer capture set), 'gone' (dropped out), 'changed' (present
+    in both, payload digest flipped), 'same' (present, identical) —
+    the per-URL ledger behind recrawl-rate planning (recrawl_schedule
+    estimates cadence from it), coverage-regression alarms (a
+    thousand-URL 'gone' burst on one host is a site migration or a
+    robots flip — robots_diff tells which), and CC-style index deltas
+    (cdx_index_incremental produces the inputs).
+
+    Inputs are one row per urlkey per snapshot (dedupe upstream if a
+    snapshot captures a URL twice; cdx_index's revisit collapse does).
+
+    Distribution: ONE full-outer hash join on the urlkey — fixed-width
+    SURT keys, no payloads shuffle; status is a codegen'd CASE.  At
+    10^10 URLs both sides hash-partition on the same key, so AQE's
+    skew split applies if one host dominates a snapshot.
+
+    Output: (urlkey, old_digest, new_digest, status)."""
+    o = old.select(
+        F.col(key_col).alias("urlkey"), F.col(digest_col).alias("old_digest")
+    )
+    n = new.select(
+        F.col(key_col).alias("urlkey"), F.col(digest_col).alias("new_digest")
+    )
+    j = o.join(n, "urlkey", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("new"))
+        .when(F.col("new_digest").isNull(), F.lit("gone"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return j.withColumn("status", status)

@@ -8026,3 +8026,50 @@ def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("source", "lang", "text")
     return tokenizer_fertility(docs)
+
+
+@register(
+    "snapshot_url_diff",
+    """
+    WITH a AS (
+      SELECT 'com,site)/p/' || CAST(doc_id AS VARCHAR) AS urlkey,
+             md5('d' || CAST(doc_id AS VARCHAR)) AS digest
+      FROM documents WHERE doc_id % 11 <> 0
+    ),
+    b AS (
+      SELECT 'com,site)/p/' || CAST(doc_id AS VARCHAR) AS urlkey,
+             CASE WHEN doc_id % 5 = 0
+                  THEN md5('d' || CAST(doc_id AS VARCHAR) || 'x')
+                  ELSE md5('d' || CAST(doc_id AS VARCHAR)) END AS digest
+      FROM documents WHERE doc_id % 13 <> 0
+    )
+    SELECT coalesce(a.urlkey, b.urlkey) AS urlkey,
+           a.digest AS old_digest, b.digest AS new_digest,
+           CASE WHEN a.digest IS NULL THEN 'new'
+                WHEN b.digest IS NULL THEN 'gone'
+                WHEN a.digest <> b.digest THEN 'changed'
+                ELSE 'same' END AS status
+    FROM a FULL OUTER JOIN b ON a.urlkey = b.urlkey
+    """,
+)
+def snapshot_url_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot URL ledger (operators/cdx.py::snapshot_diff):
+    snapshot A = doc_id%11 survivors, B = doc_id%13 survivors with
+    digests flipped on doc_id%5 — every status class (new/gone/
+    changed/same) is populated. One full-outer join on SURT keys."""
+    from news_please_spark.operators.cdx import snapshot_diff
+
+    d = F.col("doc_id")
+    key = F.concat(F.lit("com,site)/p/"), d.cast("string"))
+    base = F.md5(F.concat(F.lit("d"), d.cast("string")))
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(d % 11 != 0).select(
+        key.alias("urlkey"), base.alias("digest")
+    )
+    new = docs.filter(d % 13 != 0).select(
+        key.alias("urlkey"),
+        F.when(
+            d % 5 == 0, F.md5(F.concat(F.lit("d"), d.cast("string"), F.lit("x")))
+        ).otherwise(base).alias("digest"),
+    )
+    return snapshot_diff(old, new)

@@ -82,3 +82,25 @@ def test_cdx_plan_single_window_exchange(spark):
     # exactly one hash partition (the window) — no join, no second shuffle
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_snapshot_diff_all_four_statuses(spark):
+    from news_please_spark.operators.cdx import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("k1", "d1"), ("k2", "d2"), ("k3", "d3")], "urlkey string, digest string"
+    )
+    new = spark.createDataFrame(
+        [("k1", "d1"), ("k2", "dX"), ("k4", "d4")], "urlkey string, digest string"
+    )
+    got = {r.urlkey: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {"k1": "same", "k2": "changed", "k3": "gone", "k4": "new"}
+
+
+def test_snapshot_diff_custom_columns_and_empty_sides(spark):
+    from news_please_spark.operators.cdx import snapshot_diff
+
+    old = spark.createDataFrame([], "k string, h string")
+    new = spark.createDataFrame([("a", "x")], "k string, h string")
+    rows = snapshot_diff(old, new, key_col="k", digest_col="h").collect()
+    assert [(r.urlkey, r.status) for r in rows] == [("a", "new")]
