@@ -8073,3 +8073,112 @@ def snapshot_url_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(base).alias("digest"),
     )
     return snapshot_diff(old, new)
+
+
+_REP_RULES = [
+    ("h0.rep.test", "disallow", "/private/*"),
+    ("h0.rep.test", "allow", "/private/pub*"),
+    ("h0.rep.test", "disallow", "/*.pdf$"),
+    ("h1.rep.test", "disallow", "/"),
+    ("h1.rep.test", "allow", "/articles/*"),
+    ("h2.rep.test", "allow", "/folder"),
+    ("h2.rep.test", "disallow", "/folder"),
+    ("h3.rep.test", "disallow", "/*?sid=*"),
+]
+
+_REP_RULES_SQL = " UNION ALL ".join(
+    f"SELECT '{h}' AS host, '{d}' AS directive, '{p}' AS pattern"
+    for h, d, p in _REP_RULES
+)
+
+# URL world: host h(doc_id%4).rep.test, path class doc_id%7
+_REP_PATH_SQL = """
+    CASE doc_id % 7
+      WHEN 0 THEN '/private/a' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN '/private/pub' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN '/articles/' || CAST(doc_id AS VARCHAR)
+      WHEN 3 THEN '/folder/' || CAST(doc_id AS VARCHAR)
+      WHEN 4 THEN '/doc' || CAST(doc_id AS VARCHAR) || '.pdf'
+      WHEN 5 THEN '/page?sid=' || CAST(doc_id AS VARCHAR)
+      ELSE '/ok/' || CAST(doc_id AS VARCHAR)
+    END
+"""
+
+
+def _rep_url_col():
+    d = F.col("doc_id")
+    s = d.cast("string")
+    cls = d % 7
+    path = (
+        F.when(cls == 0, F.concat(F.lit("/private/a"), s))
+        .when(cls == 1, F.concat(F.lit("/private/pub"), s))
+        .when(cls == 2, F.concat(F.lit("/articles/"), s))
+        .when(cls == 3, F.concat(F.lit("/folder/"), s))
+        .when(cls == 4, F.concat(F.lit("/doc"), s, F.lit(".pdf")))
+        .when(cls == 5, F.concat(F.lit("/page?sid="), s))
+        .otherwise(F.concat(F.lit("/ok/"), s))
+    )
+    return F.concat(
+        F.lit("https://h"), (d % 4).cast("string"), F.lit(".rep.test"), path
+    )
+
+
+@register(
+    "robots_rep_gate",
+    rf"""
+    WITH rules AS ({_REP_RULES_SQL}),
+    rx AS (
+      SELECT host, directive, pattern,
+             '^' || replace(
+               regexp_replace(
+                 CASE WHEN pattern LIKE '%$'
+                      THEN substring(pattern, 1, length(pattern) - 1)
+                      ELSE pattern END,
+                 '([.^$+?(){{}}\[\]|\\])', '\\\0', 'g'),
+               '*', '.*')
+             || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rexp
+      FROM rules
+    ),
+    u AS (
+      SELECT 'https://h' || CAST(doc_id % 4 AS VARCHAR) || '.rep.test'
+               || {_REP_PATH_SQL} AS url,
+             'h' || CAST(doc_id % 4 AS VARCHAR) || '.rep.test' AS host,
+             {_REP_PATH_SQL} AS path
+      FROM documents
+    ),
+    hp AS (SELECT DISTINCT host, path FROM u),
+    m AS (
+      SELECT hp.host, hp.path, rx.directive, rx.pattern,
+             row_number() OVER (
+               PARTITION BY hp.host, hp.path
+               ORDER BY length(rx.pattern) DESC, rx.directive ASC, rx.pattern ASC
+             ) AS rn
+      FROM hp JOIN rx ON rx.host = hp.host
+      WHERE regexp_matches(hp.path, rx.rexp)
+    ),
+    w AS (SELECT host, path, directive, pattern FROM m WHERE rn = 1)
+    SELECT u.url AS url, u.host AS host, u.path AS path,
+           w.directive AS rep_verdict, w.pattern AS rep_pattern,
+           coalesce(w.directive = 'allow', TRUE) AS rep_allowed
+    FROM u LEFT JOIN w ON w.host = u.host AND w.path = u.path
+    """,
+)
+def robots_rep_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots gate (operators/robots.py::rep_match): wildcard
+    patterns, trailing-$ anchors, longest-match precedence with
+    allow-wins ties, over a derived URL world that exercises every
+    rule class (Allow override inside a Disallowed tree, $-anchored
+    extension block, whole-host disallow with an allowed section,
+    equal-length tie, query-string block, and a rule-free host).
+    Pattern compilation and matching are native Columns — the oracle
+    re-derives the translation in DuckDB's regex dialect, so only the
+    RFC semantics can make the verdicts agree."""
+    from news_please_spark.operators.robots import rep_match
+
+    urls = load(spark, sf_dir, "documents").select(_rep_url_col().alias("url"))
+    rules = spark.createDataFrame(
+        _REP_RULES, "host string, directive string, pattern string"
+    )
+    return rep_match(urls, rules).select(
+        "url", "host", "path", "rep_verdict", "rep_pattern", "rep_allowed"
+    )
