@@ -975,3 +975,76 @@ def ball_sizes(
         reached.groupBy(F.col("root").alias("id"))
         .agg(*aggs)
     )
+
+
+def hyperball(
+    edges: DataFrame,
+    nodes: DataFrame,
+    radius: int = 2,
+    p: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """HyperBall proper (Boldi & Vigna 2013): the approximate,
+    design-scale path for ball_sizes.  Instead of the exact (root,
+    node) pair table — whose size is the SUM of all balls and explodes
+    with graph expansion — every node carries one HLL register table
+    (operators/sketch.py, <= 2^p rows per node), and each round merges
+    its out-neighbors' sketches into its own:
+        B(u, r) = {u} UNION over u->v of B(v, r-1)
+    becomes a register-MAX, which is exactly HLL's lossless union.
+    State is O(n * 2^p) REGARDLESS of radius or ball sizes — the
+    reason HyperBall computed neighborhood functions on billion-node
+    webgraphs in core.  Estimates are the sketch module's
+    integer-exact raw HLL (bit-identical cross-engine), so even the
+    APPROXIMATE path is oracle-checkable; ball_sizes is its
+    calibration twin.  Raw-HLL caveat (same as hll_estimate's): below
+    ~2.5 * 2^p the raw estimator reads high (production adds the
+    linear-counting small-range correction — float territory, outside
+    the oracle gate), so pick p for the ball sizes you expect; the
+    calibration test runs degree-20 balls against p=4.
+
+    Distribution per round: one equi-join of the edge list against
+    the register table (hash-partitioned on node id) + one map-side-
+    combinable MAX groupBy on (root, bucket).  No distinct, no
+    anti-join, no pair-table growth.
+
+    Output: (id, ball_1_est .. ball_radius_est) BIGINTs."""
+    from news_please_spark.operators.cacheutil import release_df
+    from news_please_spark.operators.sketch import hll_estimate, hll_registers
+
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    ids = nodes.select(F.col(id_col).alias("id"))
+    items = ids.select(
+        F.col("id").alias("root"), F.col("id").cast("string").alias("token")
+    )
+    regs = hll_registers(items, "token", group_cols=("root",), p=p).persist()
+    held = [regs]  # every round's registers stay cached until the
+    ests = []      # single materializing action below, then all release
+    try:
+        for r in range(1, radius + 1):
+            prop = e.join(regs, e["_dst"] == regs["root"]).select(
+                F.col("_src").alias("root"), "bucket", "max_rho"
+            )
+            regs = (
+                regs.unionByName(prop)
+                .groupBy("root", "bucket")
+                .agg(F.max("max_rho").alias("max_rho"))
+                .persist()
+            )
+            held.append(regs)
+            ests.append(
+                hll_estimate(regs, ("root",), p=p, out=f"ball_{r}_est")
+            )
+        out = ids
+        for est in ests:
+            out = out.join(est, out["id"] == est["root"], "left").drop("root")
+        # force before releasing the register caches the plan reads
+        out = out.localCheckpoint()
+    finally:
+        for h in held:
+            release_df(h)
+    return out

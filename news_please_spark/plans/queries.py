@@ -8182,3 +8182,68 @@ def robots_rep_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep_match(urls, rules).select(
         "url", "host", "path", "rep_verdict", "rep_pattern", "rep_allowed"
     )
+
+
+@register(
+    "hyperball_balls",
+    f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    walk(root, node, d) AS (
+      SELECT doc_id, doc_id, 0 FROM documents
+      UNION ALL
+      SELECT w.root, e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 2
+    ),
+    dist AS (SELECT root, node, min(d) AS d FROM walk GROUP BY 1, 2),
+    h AS (
+      SELECT root, d,
+             ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 8))::BIGINT AS hv
+      FROM dist
+    ),
+    br AS (
+      SELECT root, d, hv // 16777216 AS bucket,
+             CASE WHEN hv % 16777216 = 0 THEN 25
+                  ELSE 25 - length(bin(hv % 16777216)) END AS rho
+      FROM h
+    ),
+    regs1 AS (
+      SELECT root, bucket, max(rho) AS max_rho FROM br WHERE d <= 1 GROUP BY 1, 2
+    ),
+    est1 AS (
+      SELECT root,
+             CAST(4060558014027923456 AS BIGINT)
+               // (2570790 * (sum(1::BIGINT << (25 - max_rho))
+                              + (256 - count(*)) * 33554432)) AS ball_1_est
+      FROM regs1 GROUP BY root
+    ),
+    regs2 AS (
+      SELECT root, bucket, max(rho) AS max_rho FROM br GROUP BY 1, 2
+    ),
+    est2 AS (
+      SELECT root,
+             CAST(4060558014027923456 AS BIGINT)
+               // (2570790 * (sum(1::BIGINT << (25 - max_rho))
+                              + (256 - count(*)) * 33554432)) AS ball_2_est
+      FROM regs2 GROUP BY root
+    )
+    SELECT d0.doc_id AS doc_id, est1.ball_1_est, est2.ball_2_est
+    FROM documents d0
+    LEFT JOIN est1 ON est1.root = d0.doc_id
+    LEFT JOIN est2 ON est2.root = d0.doc_id
+    """,
+)
+def hyperball_balls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood-function estimates at r = 1, 2
+    (operators/graph.py::hyperball): per-node HLL register tables
+    merged along out-edges each round — O(n * 2^p) state, the
+    billion-node path the exact graph_balls entry calibrates. The
+    integer-exact raw-HLL estimator makes even the APPROXIMATE path
+    hash-checkable: the oracle rebuilds the registers from the exact
+    dist<=r member sets, so the sketches must agree bucket-for-bucket."""
+    from news_please_spark.operators.graph import hyperball
+
+    edges = derived_edges(spark, sf_dir)
+    nodes = load(spark, sf_dir, "documents").select("doc_id")
+    return hyperball(edges, nodes, radius=2, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "ball_1_est", "ball_2_est"
+    )

@@ -650,3 +650,44 @@ def test_ball_sizes_min_distance_not_path_count(spark):
     got = {r.id: (r.ball_1, r.ball_2) for r in ball_sizes(e, n, radius=2).collect()}
     assert got[1] == (3, 4)   # {1,2,3}, then +4 (once)
     assert got[4] == (2, 4)   # {4,1}, then {4,1,2,3}
+
+
+def test_hyperball_calibrates_against_exact_balls(spark):
+    """In the raw estimator's valid regime (ball >> register count m:
+    degree-20 expander, p=4 so m=16), HyperBall must track exact ball
+    sizes — aggregate within the sketch's error, per-node bounded."""
+    from news_please_spark.operators.graph import ball_sizes, hyperball
+
+    n = 400
+    params = [(3, 17), (5, 34), (7, 51), (11, 8), (13, 29), (17, 41),
+              (19, 3), (23, 25), (29, 14), (31, 37), (37, 6), (41, 22),
+              (43, 11), (47, 33), (53, 2), (59, 19), (61, 44), (67, 7),
+              (71, 28), (73, 46)]
+    edges = [(i, (i * m + a) % n) for i in range(n) for m, a in params]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nd = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    exact = {r.id: r.ball_2 for r in ball_sizes(e, nd, radius=2).collect()}
+    est = {r.id: r.ball_2_est for r in hyperball(e, nd, radius=2, p=4).collect()}
+    assert set(est) == set(exact)
+    assert min(exact.values()) > 16 * 2.5  # the regime raw HLL is built for
+    tot_exact = sum(exact.values())
+    tot_est = sum(est.values())
+    assert abs(tot_est - tot_exact) / tot_exact < 0.20
+    for k, b2 in exact.items():
+        assert b2 / 3 <= est[k] <= b2 * 3  # per-node: within m=16's spread
+
+
+def test_hyperball_is_monotone_and_rejects_bad_radius(spark):
+    import pytest as _pytest
+
+    from news_please_spark.operators.graph import hyperball
+
+    edges = [(1, 2), (2, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nd = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    rows = {r.id: (r.ball_1_est, r.ball_2_est) for r in hyperball(e, nd, radius=2).collect()}
+    # register union only grows: est_2 >= est_1 per node
+    for b1, b2 in rows.values():
+        assert b2 >= b1
+    with _pytest.raises(ValueError):
+        hyperball(e, nd, radius=0)
