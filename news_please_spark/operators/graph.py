@@ -1048,3 +1048,88 @@ def hyperball(
         for h in held:
             release_df(h)
     return out
+
+
+def contract_to_hosts(
+    edges: DataFrame,
+    src_host: Column,
+    dst_host: Column,
+) -> DataFrame:
+    """Contract a page-level link graph to the host graph: one
+    (src_host, dst_host, weight) row per host pair, weight = link
+    count.  The host graph is 3-6 orders smaller than the page graph —
+    the object crawl-budget decisions are actually made on.  One
+    map-side-combinable aggregate; host-pair keys are fixed-width."""
+    return (
+        edges.select(src_host.alias("src"), dst_host.alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+
+
+def pagerank_weighted_scaled(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    id_col: str = "id",
+) -> DataFrame:
+    """Integer-exact weighted PageRank for graphs with edge
+    multiplicities — the host-graph companion of pagerank_scaled
+    (which assumes a uniform out-degree, the derived page world's
+    shape).  A host that links another host 10,000 times should pass
+    10,000/total of its rank there, not 1/fan-out: contracted graphs
+    are weighted by construction.
+
+    Recurrence (all BIGINT, engine-portable):
+        distributed(u) = (damping_pct * r(u)) DIV 100
+        share(u->v)    = (distributed(u) * w(u,v)) DIV out_w(u)
+        r'(v)          = ((100 - damping_pct) * scale) DIV 100
+                         + SUM shares into v
+    Floor division sheds a few units of mass per edge per iteration
+    (bounded by the edge count) — the RANKING is what the frontier
+    consumes, and the floors are identical cross-engine, so the result
+    hash-compares.  Dangling hosts (no out-links) simply don't
+    distribute — the standard sink treatment when ranks are read as
+    relative priorities.
+
+    Distribution: one out-weight aggregate (reused each iteration),
+    then per iteration one equi-join rank->edges on src + one
+    map-side-combinable SUM keyed by dst — identical shuffle story to
+    pagerank_scaled; only 1-long-per-node rank rows move."""
+    if iters <= 0:
+        raise ValueError("iters must be positive")
+    e = edges.select(
+        F.col(src).alias("_src"),
+        F.col(dst).alias("_dst"),
+        F.col(weight).cast("long").alias("_w"),
+    )
+    ids = nodes.select(F.col(id_col).alias("id"))
+    out_w = e.groupBy(F.col("_src").alias("id")).agg(
+        F.sum("_w").cast("long").alias("_ow")
+    )
+    teleport = ((100 - damping_pct) * int(scale)) // 100
+    r = ids.withColumn("r", F.lit(int(scale)).cast("long"))
+    for _ in range(iters):
+        flows = (
+            e.join(r.join(out_w, "id"), e["_src"] == F.col("id"))
+            .select(
+                "_dst",
+                F.expr(f"(({damping_pct} * r) DIV 100) * _w DIV _ow").alias(
+                    "_share"
+                ),
+            )
+            .groupBy(F.col("_dst").alias("id"))
+            .agg(F.sum("_share").cast("long").alias("_in"))
+        )
+        r = ids.join(flows, "id", "left").select(
+            "id",
+            (F.lit(teleport) + F.coalesce(F.col("_in"), F.lit(0)))
+            .cast("long")
+            .alias("r"),
+        )
+    return r

@@ -8247,3 +8247,65 @@ def hyperball_balls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperball(edges, nodes, radius=2, id_col="doc_id").select(
         F.col("id").alias("doc_id"), "ball_1_est", "ball_2_est"
     )
+
+
+@register(
+    "host_rank",
+    f"""
+    WITH edges AS ({_EDGES_SQL}),
+    he AS (
+      SELECT 'h' || CAST(src % 7 AS VARCHAR) AS src,
+             'h' || CAST(dst % 7 AS VARCHAR) AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM edges GROUP BY 1, 2
+    ),
+    hosts AS (SELECT DISTINCT 'h' || CAST(doc_id % 7 AS VARCHAR) AS id FROM documents),
+    ow AS (SELECT src AS id, sum(w) AS ow FROM he GROUP BY 1),
+    r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM hosts),
+    f1 AS (
+      SELECT he.dst AS id, CAST(sum(((85 * r0.r) // 100) * he.w // ow.ow) AS BIGINT) AS fin
+      FROM he JOIN r0 ON r0.id = he.src JOIN ow ON ow.id = he.src GROUP BY 1
+    ),
+    r1 AS (SELECT h.id, CAST(150000 + coalesce(f1.fin, 0) AS BIGINT) AS r
+           FROM hosts h LEFT JOIN f1 ON f1.id = h.id),
+    f2 AS (
+      SELECT he.dst AS id, CAST(sum(((85 * r1.r) // 100) * he.w // ow.ow) AS BIGINT) AS fin
+      FROM he JOIN r1 ON r1.id = he.src JOIN ow ON ow.id = he.src GROUP BY 1
+    ),
+    r2 AS (SELECT h.id, CAST(150000 + coalesce(f2.fin, 0) AS BIGINT) AS r
+           FROM hosts h LEFT JOIN f2 ON f2.id = h.id),
+    f3 AS (
+      SELECT he.dst AS id, CAST(sum(((85 * r2.r) // 100) * he.w // ow.ow) AS BIGINT) AS fin
+      FROM he JOIN r2 ON r2.id = he.src JOIN ow ON ow.id = he.src GROUP BY 1
+    ),
+    r3 AS (SELECT h.id, CAST(150000 + coalesce(f3.fin, 0) AS BIGINT) AS r
+           FROM hosts h LEFT JOIN f3 ON f3.id = h.id)
+    SELECT id AS host, r AS rank_scaled FROM r3
+    """,
+)
+def host_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level authority for crawl budgeting (operators/graph.py::
+    contract_to_hosts + pagerank_weighted_scaled): the page graph
+    contracts to a weighted host graph (one aggregate), then 3
+    iterations of integer-exact WEIGHTED PageRank — a host linked
+    10,000 times inherits proportionally, which uniform-degree
+    pagerank3 cannot express. Budget_allocate consumes this ranking."""
+    from news_please_spark.operators.graph import (
+        contract_to_hosts,
+        pagerank_weighted_scaled,
+    )
+
+    edges = derived_edges(spark, sf_dir)
+    he = contract_to_hosts(
+        edges,
+        F.concat(F.lit("h"), (F.col("src") % 7).cast("string")),
+        F.concat(F.lit("h"), (F.col("dst") % 7).cast("string")),
+    )
+    hosts = (
+        load(spark, sf_dir, "documents")
+        .select(F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias("id"))
+        .distinct()
+    )
+    return pagerank_weighted_scaled(he, hosts, iters=3).select(
+        F.col("id").alias("host"), F.col("r").alias("rank_scaled")
+    )

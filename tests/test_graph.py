@@ -691,3 +691,47 @@ def test_hyperball_is_monotone_and_rejects_bad_radius(spark):
         assert b2 >= b1
     with _pytest.raises(ValueError):
         hyperball(e, nd, radius=0)
+
+
+def _py_weighted_pr(edges_w, nodes, iters=3, scale=1_000_000, dpct=85):
+    ow = {}
+    for s, d, w in edges_w:
+        ow[s] = ow.get(s, 0) + w
+    r = {n: scale for n in nodes}
+    tele = ((100 - dpct) * scale) // 100
+    for _ in range(iters):
+        inflow = {n: 0 for n in nodes}
+        for s, d, w in edges_w:
+            inflow[d] += ((dpct * r[s]) // 100) * w // ow[s]
+        r = {n: tele + inflow[n] for n in nodes}
+    return r
+
+
+def test_weighted_pagerank_matches_python_and_respects_weights(spark):
+    from news_please_spark.operators.graph import pagerank_weighted_scaled
+
+    # host A splits 90/10 between B and C; D is dangling
+    edges = [("A", "B", 9), ("A", "C", 1), ("B", "A", 1), ("C", "D", 5)]
+    nodes = ["A", "B", "C", "D"]
+    e = spark.createDataFrame(edges, "src string, dst string, weight long")
+    n = spark.createDataFrame([(x,) for x in nodes], "id string")
+    got = {r.id: r.r for r in pagerank_weighted_scaled(e, n, iters=3).collect()}
+    assert got == _py_weighted_pr(edges, nodes)
+    # 9x the link weight -> B far outranks C
+    assert got["B"] > got["C"]
+
+
+def test_contract_to_hosts_sums_multiplicities(spark):
+    from news_please_spark.operators.graph import contract_to_hosts
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 8), (2, 9), (3, 8), (11, 8)], "src long, dst long"
+    )
+    he = contract_to_hosts(
+        edges,
+        F.concat(F.lit("h"), (F.col("src") % 10).cast("string")),
+        F.concat(F.lit("h"), (F.col("dst") % 10).cast("string")),
+    )
+    got = {(r.src, r.dst): r.weight for r in he.collect()}
+    assert got == {("h1", "h8"): 2, ("h2", "h9"): 1, ("h3", "h8"): 1}
