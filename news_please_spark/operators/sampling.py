@@ -1048,3 +1048,64 @@ def ul2_plan(
         ).alias("targets"),
     )
     return r.unionByName(x).unionByName(s)
+
+
+def sentence_chunks(
+    docs: DataFrame,
+    max_chars: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-boundary-respecting greedy chunking — the
+    context-window prep that pack_sequences deliberately skips:
+    pack_sequences concatenates and cuts at EXACT token offsets
+    (pretraining convention), while fine-tuning / RAG / embedding
+    corpora want chunks that never split a sentence.  Greedy rule:
+    sentences (runs ending in [.!?], regex split — no lookbehind, so
+    the same pattern runs on RE2 engines) accumulate into the current
+    chunk while  current_len + 1 + sentence_len <= max_chars  (the +1
+    is the joining space); otherwise a new chunk opens.  A single
+    sentence longer than max_chars becomes its own oversized chunk —
+    never split mid-sentence (documented contract; cap upstream via
+    pack_sequences if hard limits matter).
+
+    The whole per-document fold runs inside ONE F.aggregate over the
+    sentence array — a codegen'd sequential fold per row, zero
+    shuffle, zero Python, no window.  This is the idiomatic Spark
+    shape for per-document sequential logic: the order dependence
+    lives INSIDE a row, not across rows.
+
+    Output: (id, chunk_id 0-based, chunk_text, n_chars)."""
+    raw = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), 0
+    )
+    sents = F.transform(
+        F.filter(raw, lambda s: F.trim(s) != F.lit("")), lambda s: F.trim(s)
+    )
+    init = F.struct(
+        F.array().cast("array<string>").alias("chunks"),
+        F.lit(0).alias("cur"),
+    )
+
+    def merge(acc, s):
+        fits = (F.size(acc["chunks"]) > 0) & (
+            acc["cur"] + 1 + F.length(s) <= F.lit(int(max_chars))
+        )
+        appended = F.concat(
+            F.slice(acc["chunks"], 1, F.size(acc["chunks"]) - 1),
+            F.array(F.concat(F.element_at(acc["chunks"], -1), F.lit(" "), s)),
+        )
+        opened = F.concat(acc["chunks"], F.array(s))
+        return F.struct(
+            F.when(fits, appended).otherwise(opened).alias("chunks"),
+            F.when(fits, acc["cur"] + 1 + F.length(s))
+            .otherwise(F.length(s))
+            .alias("cur"),
+        )
+
+    chunks = F.aggregate(sents, init, merge, lambda acc: acc["chunks"])
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), chunks.alias("_chunks"))
+        .select("doc_id", F.posexplode("_chunks").alias("chunk_id", "chunk_text"))
+        .withColumn("n_chars", F.length("chunk_text").cast("long"))
+    )

@@ -8309,3 +8309,49 @@ def host_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_weighted_scaled(he, hosts, iters=3).select(
         F.col("id").alias("host"), F.col("r").alias("rank_scaled")
     )
+
+
+@register(
+    "sentence_chunks",
+    r"""
+    WITH RECURSIVE s0 AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                           x -> trim(x) <> ''),
+               x -> trim(x)) AS sents
+      FROM documents
+    ),
+    sx AS (
+      SELECT doc_id, CAST(generate_subscripts(sents, 1) AS BIGINT) AS idx,
+             unnest(sents) AS sent
+      FROM s0
+    ),
+    chain(doc_id, idx, chunk_id, cur) AS (
+      SELECT doc_id, idx, 0, length(sent) FROM sx WHERE idx = 1
+      UNION ALL
+      SELECT s.doc_id, s.idx,
+             CASE WHEN c.cur + 1 + length(s.sent) <= 200
+                  THEN c.chunk_id ELSE c.chunk_id + 1 END,
+             CASE WHEN c.cur + 1 + length(s.sent) <= 200
+                  THEN c.cur + 1 + length(s.sent) ELSE length(s.sent) END
+      FROM chain c JOIN sx s ON s.doc_id = c.doc_id AND s.idx = c.idx + 1
+    )
+    SELECT c.doc_id, CAST(c.chunk_id AS INT) AS chunk_id,
+           string_agg(s.sent, ' ' ORDER BY c.idx) AS chunk_text,
+           CAST(length(string_agg(s.sent, ' ' ORDER BY c.idx)) AS BIGINT) AS n_chars
+    FROM chain c JOIN sx s ON s.doc_id = c.doc_id AND s.idx = c.idx
+    GROUP BY 1, 2
+    """,
+)
+def sentence_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boundary greedy chunking at 200 chars
+    (operators/sampling.py::sentence_chunks): the RAG/fine-tune
+    complement to pack_sequences' exact-offset cuts. The entire
+    sequential fold runs inside one codegen'd F.aggregate per document
+    — zero shuffle; the oracle replays the same greedy recurrence as a
+    DuckDB recursive CTE, so chunk boundaries must agree exactly."""
+    from news_please_spark.operators.sampling import sentence_chunks
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    return sentence_chunks(docs, max_chars=200)

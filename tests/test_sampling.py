@@ -856,3 +856,48 @@ def test_ul2_plan_partition_and_branches(spark):
         assert r.inputs.startswith("[NLG] ")
         # X uses stride 8 / max_span 7: span count bounded by ceil(20/8)=3
         assert r.n_spans <= 3
+
+
+def test_sentence_chunks_greedy_boundaries_and_roundtrip(spark):
+    from news_please_spark.operators.sampling import sentence_chunks
+
+    text = "One two. Three four five! Six? Seven eight nine ten eleven."
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r.chunk_id, r.chunk_text, r.n_chars)
+        for r in sentence_chunks(docs, max_chars=30).collect()
+    )
+    # greedy at 30: "One two." (8) + "Three four five!" (16) -> 25;
+    # "Six?" -> 25+1+4=30 fits EXACTLY; "Seven...eleven." (28) -> 30+1+28>30
+    assert rows == [
+        (0, "One two. Three four five! Six?", 30),
+        (1, "Seven eight nine ten eleven.", 28),
+    ]
+    # roundtrip: joining all chunks with spaces reproduces the sentence
+    # stream (whitespace-normalized)
+    assert " ".join(t for _, t, _ in rows) == text
+
+
+def test_sentence_chunks_oversized_sentence_is_own_chunk(spark):
+    from news_please_spark.operators.sampling import sentence_chunks
+
+    text = "Short. " + "x" * 50 + ". End."
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r.chunk_id, r.chunk_text) for r in sentence_chunks(docs, max_chars=20).collect()
+    )
+    assert rows[0] == (0, "Short.")
+    assert rows[1] == (1, "x" * 50 + ".")  # never split mid-sentence
+    assert rows[2] == (2, "End.")
+
+
+def test_sentence_chunks_empty_and_unterminated(spark):
+    from news_please_spark.operators.sampling import sentence_chunks
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "no terminator here")],
+        "doc_id long, text string",
+    )
+    rows = [(r.doc_id, r.chunk_id, r.chunk_text) for r in sentence_chunks(docs).collect()]
+    # empty/whitespace docs vanish; unterminated text is one sentence
+    assert rows == [(3, 0, "no terminator here")]
