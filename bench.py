@@ -56,12 +56,20 @@ HEADLINE = [
     "lpa_communities",
     "triangle_counts",
     "hits_scores",
+    "salsa_scores",
+    "graph_balls",
+    "hyperball_balls",
+    "host_rank",
     "authority_order",
     "url_canonicalize",
     "crawl_traps",
     "blocklist_hosts",
     "robots_gate",
     "robots_diff",
+    "robots_rep_gate",
+    "dust_rules",
+    "snapshot_url_diff",
+    "fetch_anomaly",
     "politeness_topk",
     "budget_allocate",
     "host_shards",
@@ -96,6 +104,7 @@ HEADLINE = [
     "corpus_report",
     "ngram_diversity",
     "vocab_drift",
+    "tokenizer_fertility",
     "lang_id",
     "script_profile",
     "mojibake_audit",
@@ -121,6 +130,7 @@ HEADLINE = [
     "quality_topfrac",
     "quality_calibrate",
     "pack_sequences",
+    "sentence_chunks",
     "span_corruption",
     "fim_transform",
     "ul2_mixture",
