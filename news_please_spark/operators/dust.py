@@ -171,3 +171,85 @@ def apply_dust_rules(
     return joined.withColumn("canon_url", canon).drop(
         "_host", "_base", "_query", "_rhost", "_strip"
     )
+
+
+def mirror_hosts(
+    urls: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "content_fp",
+    min_support: int = 3,
+) -> DataFrame:
+    """Host-alias detection — the other DUST rule class (WWW'09 §2):
+    mirror hosts (m.example.com, amp.example.com, CDN vanity names)
+    that serve the SAME paths with the SAME content.  A crawler that
+    learns "host A == host B" halves its fetch budget on that site and
+    stops double-counting its documents in dedup statistics.
+
+    Evidence model (one fingerprint per (host, path) — inputs with
+    capture history are canonicalized to max(fp), deterministic):
+      n_agree    — shared paths with EQUAL fingerprints;
+      n_conflict — shared paths with DIFFERENT fingerprints;
+      is_mirror  — n_agree >= min_support AND n_conflict == 0.
+
+    Scale containment: candidate pairs come from the (path, fp)
+    equi-join — the fingerprint spreads that key, so the '/' page
+    shared by 10^8 hosts does NOT create a quadratic cell (only hosts
+    with IDENTICAL content there pair up).  The conflict count, which
+    WOULD need the skew-prone path-only join, is computed only for
+    candidate pairs, and only over candidate hosts' rows (left_semi
+    prefilter) — work is bounded by the mirror-suspect subgraph, not
+    the corpus.  Output rows are candidate pairs only (n_agree >= 1).
+    """
+    u = (
+        urls.select(
+            F.regexp_extract(F.col(url_col), HOST_RE, 1).alias("host"),
+            F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)", 1).alias(
+                "pathq"
+            ),
+            F.col(fp_col).alias("fp"),
+        )
+        .groupBy("host", "pathq")
+        .agg(F.max("fp").alias("fp"))
+    )
+    a = u.select(
+        F.col("host").alias("host_a"), "pathq", F.col("fp").alias("fp_a")
+    )
+    b = u.select(
+        F.col("host").alias("host_b"), "pathq", F.col("fp").alias("fp_b")
+    )
+    agree = (
+        a.join(
+            b,
+            (a["pathq"] == b["pathq"])
+            & (a["fp_a"] == b["fp_b"])
+            & (a["host_a"] < b["host_b"]),
+        )
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_agree"))
+    )
+    cand_hosts = (
+        agree.select(F.col("host_a").alias("host"))
+        .unionByName(agree.select(F.col("host_b").alias("host")))
+        .distinct()
+    )
+    ac = a.join(cand_hosts, a["host_a"] == cand_hosts["host"], "left_semi")
+    bc = b.join(cand_hosts, b["host_b"] == cand_hosts["host"], "left_semi")
+    common = (
+        ac.join(
+            bc, (ac["pathq"] == bc["pathq"]) & (ac["host_a"] < bc["host_b"])
+        )
+        .join(agree.select("host_a", "host_b"), ["host_a", "host_b"], "left_semi")
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    out = agree.join(common, ["host_a", "host_b"])
+    return out.select(
+        "host_a",
+        "host_b",
+        "n_agree",
+        (F.col("n_common") - F.col("n_agree")).cast("long").alias("n_conflict"),
+        (
+            (F.col("n_agree") >= F.lit(int(min_support)))
+            & (F.col("n_common") == F.col("n_agree"))
+        ).alias("is_mirror"),
+    )

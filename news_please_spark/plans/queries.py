@@ -8355,3 +8355,69 @@ def sentence_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     return sentence_chunks(docs, max_chars=200)
+
+
+@register(
+    "mirror_hosts",
+    """
+    WITH raw AS (
+      SELECT 'm' || CAST(doc_id % 6 AS VARCHAR) || '.mir.test' AS host,
+             '/p/' || CAST(doc_id % 40 AS VARCHAR) AS pathq,
+             CASE
+               WHEN doc_id % 6 IN (0, 3) THEN md5('m/p/' || CAST(doc_id % 40 AS VARCHAR))
+               WHEN doc_id % 6 = 1 THEN md5('n/p/' || CAST(doc_id % 40 AS VARCHAR))
+               WHEN doc_id % 6 = 4 THEN
+                 CASE WHEN doc_id % 40 < 6
+                      THEN md5('q/p/' || CAST(doc_id % 40 AS VARCHAR))
+                      ELSE md5('n/p/' || CAST(doc_id % 40 AS VARCHAR)) END
+               ELSE md5('u' || CAST(doc_id % 6 AS VARCHAR) || '/p/' || CAST(doc_id % 40 AS VARCHAR))
+             END AS fp
+      FROM documents
+    ),
+    u AS (SELECT host, pathq, max(fp) AS fp FROM raw GROUP BY 1, 2),
+    ag AS (
+      SELECT a.host AS host_a, b.host AS host_b, CAST(count(*) AS BIGINT) AS n_agree
+      FROM u a JOIN u b ON a.pathq = b.pathq AND a.fp = b.fp AND a.host < b.host
+      GROUP BY 1, 2
+    ),
+    cm AS (
+      SELECT a.host AS host_a, b.host AS host_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM u a JOIN u b ON a.pathq = b.pathq AND a.host < b.host
+      JOIN ag ON ag.host_a = a.host AND ag.host_b = b.host
+      GROUP BY 1, 2
+    )
+    SELECT ag.host_a, ag.host_b, ag.n_agree,
+           CAST(cm.n_common - ag.n_agree AS BIGINT) AS n_conflict,
+           (ag.n_agree >= 3 AND cm.n_common = ag.n_agree) AS is_mirror
+    FROM ag JOIN cm ON cm.host_a = ag.host_a AND cm.host_b = ag.host_b
+    """,
+)
+def mirror_hosts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection (operators/dust.py::mirror_hosts): hosts
+    m0/m3 serve identical content (pure mirror), m1/m4 agree except on
+    6 planted conflict paths (near-mirror, rejected), m2/m5 are unique.
+    Candidates come from the (path, fp) join — fp spreads the key, so
+    a popular path never builds a quadratic host cell; conflicts are
+    counted only over candidate hosts."""
+    from news_please_spark.operators.dust import mirror_hosts
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    c = d % 6
+    path = F.concat(F.lit("/p/"), s(d % 40))
+    fp = (
+        F.when(c.isin(0, 3), F.md5(F.concat(F.lit("m"), path)))
+        .when(c == 1, F.md5(F.concat(F.lit("n"), path)))
+        .when(
+            c == 4,
+            F.when(d % 40 < 6, F.md5(F.concat(F.lit("q"), path))).otherwise(
+                F.md5(F.concat(F.lit("n"), path))
+            ),
+        )
+        .otherwise(F.md5(F.concat(F.lit("u"), s(c), path)))
+    )
+    urls = load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://m"), s(c), F.lit(".mir.test"), path).alias("url"),
+        fp.alias("content_fp"),
+    )
+    return mirror_hosts(urls, min_support=3)

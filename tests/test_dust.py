@@ -94,3 +94,48 @@ def test_apply_dust_rules_strips_and_preserves_order(spark):
     assert got["https://x.test/b?sid=s1"] == "https://x.test/b"
     # rules are host-scoped: other.test untouched
     assert got["https://other.test/a?sid=s1&id=9"] == "https://other.test/a?sid=s1&id=9"
+
+
+def test_mirror_hosts_detects_pure_mirror_and_rejects_near_mirror(spark):
+    from news_please_spark.operators.dust import mirror_hosts
+
+    rows = []
+    # a.test and b.test: identical content on 4 shared paths
+    for p in ("/1", "/2", "/3", "/4"):
+        rows.append((f"https://a.test{p}", f"fp{p}"))
+        rows.append((f"https://b.test{p}", f"fp{p}"))
+    # c.test shares 3 paths with a.test but one conflicts
+    rows.append(("https://c.test/1", "fp/1"))
+    rows.append(("https://c.test/2", "fp/2"))
+    rows.append(("https://c.test/3", "DIFFERENT"))
+    df = spark.createDataFrame(rows, "url string, content_fp string")
+    got = {
+        (r.host_a, r.host_b): (r.n_agree, r.n_conflict, r.is_mirror)
+        for r in mirror_hosts(df, min_support=3).collect()
+    }
+    assert got[("a.test", "b.test")] == (4, 0, True)
+    assert got[("a.test", "c.test")] == (2, 1, False)
+    assert got[("b.test", "c.test")] == (2, 1, False)
+    # no agreement -> pair absent entirely
+    assert all(k[0] != k[1] for k in got)
+
+
+def test_mirror_hosts_min_support_and_capture_history_canonicalized(spark):
+    from news_please_spark.operators.dust import mirror_hosts
+
+    rows = [
+        # two captures of the same (host, path): max(fp) wins on both
+        ("https://x.test/a", "v1"),
+        ("https://x.test/a", "v2"),
+        ("https://y.test/a", "v2"),
+        ("https://y.test/a", "v1"),
+        ("https://x.test/b", "w"),
+        ("https://y.test/b", "w"),
+    ]
+    df = spark.createDataFrame(rows, "url string, content_fp string")
+    got = {
+        (r.host_a, r.host_b): (r.n_agree, r.n_conflict, r.is_mirror)
+        for r in mirror_hosts(df, min_support=3).collect()
+    }
+    # both paths agree after max-canonicalization, but support 2 < 3
+    assert got[("x.test", "y.test")] == (2, 0, False)
