@@ -8421,3 +8421,45 @@ def mirror_hosts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("content_fp"),
     )
     return mirror_hosts(urls, min_support=3)
+
+
+@register(
+    "compaction_plan",
+    """
+    WITH RECURSIVE inv AS (
+      SELECT 'p' || CAST(doc_id % 8 AS VARCHAR) AS part,
+             'f' || CAST(doc_id AS VARCHAR) AS file,
+             CAST((n_chars * 131) % 9000 + 500 AS BIGINT) AS size_bytes
+      FROM documents
+    ),
+    o AS (
+      SELECT part, file, size_bytes,
+             row_number() OVER (PARTITION BY part ORDER BY size_bytes DESC, file ASC) AS rn
+      FROM inv
+    ),
+    chain(part, rn, file, size_bytes, bin_id, load) AS (
+      SELECT part, rn, file, size_bytes, 0, size_bytes FROM o WHERE rn = 1
+      UNION ALL
+      SELECT n.part, n.rn, n.file, n.size_bytes,
+             CASE WHEN c.load + n.size_bytes <= 16000 THEN c.bin_id ELSE c.bin_id + 1 END,
+             CASE WHEN c.load + n.size_bytes <= 16000 THEN c.load + n.size_bytes ELSE n.size_bytes END
+      FROM chain c JOIN o n ON n.part = c.part AND n.rn = c.rn + 1
+    )
+    SELECT part, file, size_bytes, CAST(bin_id AS INT) AS bin_id FROM chain
+    """,
+)
+def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (operators/compaction.py): a
+    synthetic per-partition file inventory (sizes 500-9499 bytes) packs
+    into 16 kB rewrite groups by next-fit decreasing — the whole
+    sequential policy runs inside one codegen'd F.aggregate fold per
+    partition; the oracle replays the recurrence as a recursive CTE
+    over the same (size desc, name) order."""
+    from news_please_spark.operators.compaction import compaction_plan
+
+    inv = load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("p"), (F.col("doc_id") % 8).cast("string")).alias("part"),
+        F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("file"),
+        ((F.col("n_chars") * 131) % 9000 + 500).cast("long").alias("size_bytes"),
+    )
+    return compaction_plan(inv, target_bytes=16000)

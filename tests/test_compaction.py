@@ -1,0 +1,68 @@
+"""operators/compaction: next-fit-decreasing packing — hand-traced
+bins, oversized isolation, the >half-full waste bound, determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from news_please_spark.operators.compaction import compaction_plan
+
+
+def _plan(spark, rows, target):
+    df = spark.createDataFrame(rows, "part string, file string, size_bytes long")
+    out = compaction_plan(df, target_bytes=target)
+    return {(r.part, r.file): r.bin_id for r in out.collect()}
+
+
+def test_nfd_hand_traced(spark):
+    rows = [
+        ("p", "a", 90), ("p", "b", 80), ("p", "c", 30),
+        ("p", "d", 20), ("p", "e", 15), ("p", "f", 10),
+    ]
+    got = _plan(spark, rows, target=100)
+    # sorted desc: 90,80,30,20,15,10
+    # bin0: 90+... 90+80>100 -> seal; bin1: 80+... 80+30>100 seal;
+    # bin2: 30+20+15+10 = 75
+    assert got == {
+        ("p", "a"): 0, ("p", "b"): 1,
+        ("p", "c"): 2, ("p", "d"): 2, ("p", "e"): 2, ("p", "f"): 2,
+    }
+
+
+def test_nfd_oversized_file_gets_own_bin_and_partitions_isolate(spark):
+    rows = [
+        ("p1", "big", 500), ("p1", "x", 40), ("p1", "y", 40),
+        ("p2", "z", 40),
+    ]
+    got = _plan(spark, rows, target=100)
+    assert got[("p1", "big")] == 0
+    assert got[("p1", "x")] == 1 and got[("p1", "y")] == 1
+    # a fresh partition restarts at bin 0
+    assert got[("p2", "z")] == 0
+
+
+def test_nfd_sealed_bins_over_half_full(spark):
+    # waste bound: with all files <= target, every sealed bin's load
+    # exceeds target/2 (the file that sealed it was no bigger than
+    # anything already inside)
+    rows = [("p", f"f{i:03d}", 10 + (i * 37) % 90) for i in range(60)]
+    df = spark.createDataFrame(rows, "part string, file string, size_bytes long")
+    out = compaction_plan(df, target_bytes=100).collect()
+    loads = {}
+    for r in out:
+        loads[r.bin_id] = loads.get(r.bin_id, 0) + r.size_bytes
+    last = max(loads)
+    for b, load in loads.items():
+        assert load <= 100
+        if b != last:
+            assert load > 50
+
+
+def test_nfd_tie_breaks_on_name_and_rejects_bad_target(spark):
+    rows = [("p", "bb", 60), ("p", "aa", 60), ("p", "cc", 60)]
+    got = _plan(spark, rows, target=100)
+    # equal sizes order by name: aa->bin0, bb->bin1, cc->bin2
+    assert got == {("p", "aa"): 0, ("p", "bb"): 1, ("p", "cc"): 2}
+    df = spark.createDataFrame(rows, "part string, file string, size_bytes long")
+    with pytest.raises(ValueError):
+        compaction_plan(df, target_bytes=0)
