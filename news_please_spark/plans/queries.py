@@ -8463,3 +8463,58 @@ def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_chars") * 131) % 9000 + 500).cast("long").alias("size_bytes"),
     )
     return compaction_plan(inv, target_bytes=16000)
+
+
+@register(
+    "distance_distribution",
+    f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    walk(root, node, d) AS (
+      SELECT doc_id, doc_id, 0 FROM documents
+      UNION ALL
+      SELECT w.root, e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 3
+    ),
+    dist AS (SELECT root, node, min(d) AS d FROM walk GROUP BY 1, 2),
+    per_r AS (SELECT d AS r, CAST(count(*) AS BIGINT) AS n_at FROM dist GROUP BY 1)
+    SELECT r,
+           CAST(sum(n_at) OVER (ORDER BY r) AS BIGINT) AS pairs_within,
+           CAST((10000 * sum(n_at) OVER (ORDER BY r))
+                // (SELECT sum(n_at) FROM per_r) AS BIGINT) AS frac_q
+    FROM per_r
+    """,
+)
+def distance_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global distance distribution to radius 3 (the neighborhood
+    function N(r) = reachable pairs within r, plus its fraction of all
+    reached pairs in basis points) — the effective-diameter curve
+    HyperBall was built to produce, here from the exact wave loop
+    (operators/graph.py::ball_sizes machinery): cumulative sums over
+    the per-depth min-distance pair counts."""
+    from news_please_spark.operators.graph import ball_sizes
+
+    edges = derived_edges(spark, sf_dir)
+    nodes = load(spark, sf_dir, "documents").select("doc_id")
+    balls = ball_sizes(edges, nodes, radius=3, id_col="doc_id")
+    per_r = balls.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("r"), F.lit(1).cast("long").alias("n")),
+                F.struct(F.lit(1).alias("r"), (F.col("ball_1") - 1).alias("n")),
+                F.struct(
+                    F.lit(2).alias("r"), (F.col("ball_2") - F.col("ball_1")).alias("n")
+                ),
+                F.struct(
+                    F.lit(3).alias("r"), (F.col("ball_3") - F.col("ball_2")).alias("n")
+                ),
+            )
+        ).alias("e")
+    ).groupBy(F.col("e.r").alias("r")).agg(F.sum("e.n").cast("long").alias("n_at"))
+    total = per_r.agg(F.sum("n_at")).first()[0]
+    w = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    return per_r.select(
+        "r",
+        F.sum("n_at").over(w).cast("long").alias("pairs_within"),
+    ).withColumn(
+        "frac_q", F.expr(f"(10000 * pairs_within) DIV CAST({total} AS BIGINT)")
+    )
