@@ -321,8 +321,6 @@ def fetch_rate_anomaly(
     cell; a million-host log spreads by host hash).
 
     Output: (host, hour, n_fetches, trail_sum, trail_n, is_anomaly)."""
-    if window_hours <= 0:
-        raise ValueError("window_hours must be positive")
     hourly = (
         fetches.select(
             F.col(host_col).alias("host"),
@@ -331,6 +329,21 @@ def fetch_rate_anomaly(
         .groupBy("host", "hour")
         .agg(F.count(F.lit(1)).cast("long").alias("n_fetches"))
     )
+    return rate_anomaly_on_counts(hourly, window_hours, threshold_x10)
+
+
+def rate_anomaly_on_counts(
+    hourly: DataFrame,
+    window_hours: int = 3,
+    threshold_x10: int = 15,
+) -> DataFrame:
+    """The counts-level core of fetch_rate_anomaly: input is already
+    (host, hour, n_fetches) — the grain a streaming window aggregation
+    emits, which is why this layer exists separately (the stateful
+    streaming twin in streaming/anomaly.py must be bit-comparable to
+    EXACTLY this computation on the same closed-hour rows)."""
+    if window_hours <= 0:
+        raise ValueError("window_hours must be positive")
     w = (
         Window.partitionBy("host")
         .orderBy("hour")
