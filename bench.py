@@ -60,6 +60,8 @@ HEADLINE = [
     "graph_balls",
     "hyperball_balls",
     "host_rank",
+    "harmonic_centrality",
+    "distance_distribution",
     "authority_order",
     "url_canonicalize",
     "crawl_traps",
@@ -70,6 +72,7 @@ HEADLINE = [
     "dust_rules",
     "snapshot_url_diff",
     "fetch_anomaly",
+    "mirror_hosts",
     "politeness_topk",
     "budget_allocate",
     "host_shards",
@@ -131,6 +134,7 @@ HEADLINE = [
     "quality_calibrate",
     "pack_sequences",
     "sentence_chunks",
+    "compaction_plan",
     "span_corruption",
     "fim_transform",
     "ul2_mixture",

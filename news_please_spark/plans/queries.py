@@ -8518,3 +8518,46 @@ def distance_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "frac_q", F.expr(f"(10000 * pairs_within) DIV CAST({total} AS BIGINT)")
     )
+
+
+@register(
+    "harmonic_centrality",
+    f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    walk(root, node, d) AS (
+      SELECT doc_id, doc_id, 0 FROM documents
+      UNION ALL
+      SELECT w.root, e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 3
+    ),
+    dist AS (SELECT root, node, min(d) AS d FROM walk GROUP BY 1, 2)
+    SELECT root AS doc_id,
+           CAST(sum(CASE d WHEN 1 THEN 6 WHEN 2 THEN 3 WHEN 3 THEN 2 ELSE 0 END)
+                AS BIGINT) AS harmonic_x6
+    FROM dist GROUP BY 1
+    """,
+)
+def harmonic_centrality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality (Boldi & Vigna's centrality of
+    choice for webgraphs — finite on disconnected graphs, unlike
+    closeness): sum over reachable nodes of 1/d, truncated at radius 3
+    and scaled by lcm(1,2,3)=6 so every term is an integer (6, 3, 2) —
+    no float division crosses the engine boundary. Derived from the
+    same exact ball loop as graph_balls; at 10^10 nodes the HyperBall
+    register swap applies identically (harmonic sums are differences
+    of consecutive neighborhood-function estimates)."""
+    from news_please_spark.operators.graph import ball_sizes
+
+    edges = derived_edges(spark, sf_dir)
+    nodes = load(spark, sf_dir, "documents").select("doc_id")
+    balls = ball_sizes(edges, nodes, radius=3, id_col="doc_id")
+    return balls.select(
+        F.col("id").alias("doc_id"),
+        (
+            6 * (F.col("ball_1") - 1)
+            + 3 * (F.col("ball_2") - F.col("ball_1"))
+            + 2 * (F.col("ball_3") - F.col("ball_2"))
+        )
+        .cast("long")
+        .alias("harmonic_x6"),
+    )

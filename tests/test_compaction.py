@@ -66,3 +66,14 @@ def test_nfd_tie_breaks_on_name_and_rejects_bad_target(spark):
     df = spark.createDataFrame(rows, "part string, file string, size_bytes long")
     with pytest.raises(ValueError):
         compaction_plan(df, target_bytes=0)
+
+
+def test_compaction_plan_single_exchange(spark):
+    # one hash shuffle (the per-partition collect); the policy itself
+    # is a codegen'd fold — no window, no second shuffle, no Python
+    df = spark.createDataFrame(
+        [("p", "a", 10)], "part string, file string, size_bytes long"
+    )
+    plan = compaction_plan(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan

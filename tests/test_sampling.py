@@ -901,3 +901,12 @@ def test_sentence_chunks_empty_and_unterminated(spark):
     rows = [(r.doc_id, r.chunk_id, r.chunk_text) for r in sentence_chunks(docs).collect()]
     # empty/whitespace docs vanish; unterminated text is one sentence
     assert rows == [(3, 0, "no terminator here")]
+
+
+def test_sentence_chunks_is_zero_shuffle_and_pure_codegen(spark):
+    from news_please_spark.operators.sampling import sentence_chunks
+
+    df = spark.createDataFrame([(1, "A b. C d.")], "doc_id long, text string")
+    plan = sentence_chunks(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # the fold is a native aggregate, not a UDF

@@ -176,3 +176,16 @@ def test_tokenizer_fertility_zero_word_slice_is_null_not_crash(spark):
     # empty text: split('') = [''] -> 1 "word", 0 subtokens, 0 bytes
     assert (row.n_words, row.n_subtokens, row.n_bytes) == (1, 0, 0)
     assert row.fertility_q == 0 and row.bytes_per_subtoken_q is None
+
+
+def test_tokenizer_fertility_single_exchange(spark):
+    from news_please_spark.operators.stats import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [("s", "en", "a b")], "source string, lang string, text string"
+    )
+    plan = (
+        tokenizer_fertility(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1  # one map-side-combinable aggregate
+    assert "Python" not in plan
