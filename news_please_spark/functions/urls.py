@@ -201,3 +201,33 @@ def surt_key(url: Column) -> Column:
             F.concat(F.lit("?"), F.array_join(kept, "&"))
         ),
     )
+
+
+def canonical_link_of(html: Column) -> Column:
+    """Extract <link rel="canonical" href="..."> from an HTML head —
+    the publisher's own dedup signal (reference newspaper-style
+    extractors read title/date/authors; the canonical link is what a
+    CRAWLER reads first, because honoring it collapses print-view/AMP/
+    tracking-param variants without any content fetch of the dup).
+
+    Robust to the same markup variance the extraction tier handles:
+    attribute order (rel before/after href), quote style (single,
+    double), whitespace, and self-closing vs open tags.  Returns NULL
+    when absent.  One native regexp over the head — no parser, no
+    Python; malformed heads simply yield NULL (fail-open, the crawl
+    keeps its own canonicalization)."""
+    # rel=canonical then href, or href then rel — two RE2-safe passes
+    rel_then_href = F.regexp_extract(
+        html,
+        r"""(?i)<link[^>]*rel\s*=\s*['"]canonical['"][^>]*href\s*=\s*['"]([^'"]+)['"]""",
+        1,
+    )
+    href_then_rel = F.regexp_extract(
+        html,
+        r"""(?i)<link[^>]*href\s*=\s*['"]([^'"]+)['"][^>]*rel\s*=\s*['"]canonical['"]""",
+        1,
+    )
+    out = F.when(rel_then_href != "", rel_then_href).otherwise(
+        F.when(href_then_rel != "", href_then_rel)
+    )
+    return out

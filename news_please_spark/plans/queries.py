@@ -8561,3 +8561,66 @@ def harmonic_centrality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("harmonic_x6"),
     )
+
+
+# rel=canonical world: five markup variants (attr order, quote style,
+# case, a decoy stylesheet link, absence)
+_CANON_HTML_SQL = """
+    CASE doc_id % 5
+      WHEN 0 THEN '<head><link rel="canonical" href="https://c.test/p/'
+                  || CAST(doc_id % 50 AS VARCHAR) || '"/></head>'
+      WHEN 1 THEN '<head><link href=''https://c.test/p/'
+                  || CAST(doc_id % 50 AS VARCHAR) || ''' rel=''canonical''></head>'
+      WHEN 2 THEN '<head><LINK REL="canonical" HREF="https://c.test/p/'
+                  || CAST(doc_id % 50 AS VARCHAR) || '" /></head>'
+      WHEN 3 THEN '<head><link rel="stylesheet" href="https://x.test/s.css">'
+                  || '<link rel="canonical" href="https://c.test/p/'
+                  || CAST(doc_id % 50 AS VARCHAR) || '"></head>'
+      ELSE '<head><title>t</title></head>'
+    END
+"""
+
+
+def _canon_html_col():
+    d = F.col("doc_id")
+    s = (d % 50).cast("string")
+    v = d % 5
+    return (
+        F.when(v == 0, F.concat(F.lit('<head><link rel="canonical" href="https://c.test/p/'), s, F.lit('"/></head>')))
+        .when(v == 1, F.concat(F.lit("<head><link href='https://c.test/p/"), s, F.lit("' rel='canonical'></head>")))
+        .when(v == 2, F.concat(F.lit('<head><LINK REL="canonical" HREF="https://c.test/p/'), s, F.lit('" /></head>')))
+        .when(v == 3, F.concat(F.lit('<head><link rel="stylesheet" href="https://x.test/s.css"><link rel="canonical" href="https://c.test/p/'), s, F.lit('"></head>')))
+        .otherwise(F.lit("<head><title>t</title></head>"))
+    )
+
+
+@register(
+    "canonical_links",
+    rf"""
+    WITH h AS (SELECT doc_id, {_CANON_HTML_SQL} AS html FROM documents),
+    x AS (
+      SELECT doc_id,
+             regexp_extract(html,
+               '(?i)<link[^>]*rel\s*=\s*[''"]canonical[''"][^>]*href\s*=\s*[''"]([^''"]+)[''"]', 1) AS a,
+             regexp_extract(html,
+               '(?i)<link[^>]*href\s*=\s*[''"]([^''"]+)[''"][^>]*rel\s*=\s*[''"]canonical[''"]', 1) AS b
+      FROM h
+    )
+    SELECT doc_id,
+           CASE WHEN a <> '' THEN a WHEN b <> '' THEN b END AS canonical_href
+    FROM x
+    """,
+)
+def canonical_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical extraction (functions/urls.py::canonical_link_of):
+    the publisher's own dedup signal, read with one native regexp pass
+    robust to attribute order, quote style, case, decoy links, and
+    absence (NULL) — the five planted markup variants. A crawler that
+    honors it collapses AMP/print/tracking variants before any dup
+    fetch; feeds url_dedup_key/dup_canonical."""
+    from news_please_spark.functions.urls import canonical_link_of
+
+    h = load(spark, sf_dir, "documents").select(
+        "doc_id", _canon_html_col().alias("html")
+    )
+    return h.select("doc_id", canonical_link_of(F.col("html")).alias("canonical_href"))

@@ -143,3 +143,33 @@ def test_surt_keys_sort_site_adjacent(spark):
     site_runs = ["".join("E" if k.startswith("com,example") else "o" for k in ordered)]
     assert "EoE" not in site_runs[0], ordered  # no interleaving
     assert site_runs[0].count("E") == 4
+
+
+def test_canonical_link_of_markup_variants(spark):
+    from news_please_spark.functions.urls import canonical_link_of
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, '<head><link rel="canonical" href="https://c.test/a"/></head>'),
+        (1, "<head><link href='https://c.test/b' rel='canonical'></head>"),
+        (2, '<head><LINK REL="canonical" HREF="https://c.test/c" /></head>'),
+        (3, '<head><link rel="stylesheet" href="https://x.test/s.css">'
+            '<link rel="canonical" href="https://c.test/d"></head>'),
+        (4, "<head><title>none</title></head>"),
+        (5, '<head><link rel = "canonical" href = "https://c.test/e"></head>'),
+        (6, '<head><link rel="canonical"></head>'),  # no href: NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r.doc_id: r.href
+        for r in df.select("doc_id", canonical_link_of(F.col("html")).alias("href")).collect()
+    }
+    assert got == {
+        0: "https://c.test/a",
+        1: "https://c.test/b",
+        2: "https://c.test/c",
+        3: "https://c.test/d",
+        4: None,
+        5: "https://c.test/e",
+        6: None,
+    }
