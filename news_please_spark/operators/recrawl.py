@@ -363,3 +363,58 @@ def rate_anomaly_on_counts(
             > F.lit(int(threshold_x10)) * F.col("trail_sum")
         ),
     )
+
+
+def revalidation_plan(
+    fetches: DataFrame,
+    now,
+    url_col: str = "url",
+    fetched_col: str = "fetched_at",
+    max_age_col: str = "max_age_s",
+    etag_col: str = "etag",
+    last_mod_col: str = "last_modified",
+) -> DataFrame:
+    """HTTP-cache-aware recrawl planning (RFC 9111 freshness, the
+    crawler's side of it): classify every known URL into the cheapest
+    correct next action —
+
+      'fresh'      — age < max-age: serve from store, send NOTHING
+                     (politeness budget returned whole);
+      'revalidate' — stale but a validator exists: conditional GET
+                     (If-None-Match when an ETag is held, else
+                     If-Modified-Since) — a 304 costs headers, not body;
+      'refetch'    — stale, no validator: full GET.
+
+    The reference refetches unconditionally (its RSS recency filter is
+    time-based only); at 10^10 URLs the 304 ratio IS the crawl budget,
+    which is why the planner is a first-class operator.  ETag is
+    preferred over Last-Modified (RFC 9110 §13.1.1's strong-validator
+    preference).  max-age NULL means no freshness lifetime was granted
+    (always at least revalidate); max-age 0 likewise.
+
+    `now` is an explicit parameter (a timestamp literal/Column), never
+    wall-clock inside the plan — determinism and replay.
+
+    Zero shuffle: one codegen'd CASE over the fetch-metadata scan.
+
+    Output: input keys + (age_s, action, validator)."""
+    age = (
+        F.unix_timestamp(F.lit(now)) - F.unix_timestamp(F.col(fetched_col))
+    ).cast("long")
+    has_etag = F.col(etag_col).isNotNull()
+    has_lm = F.col(last_mod_col).isNotNull()
+    fresh = F.col(max_age_col).isNotNull() & (age < F.col(max_age_col))
+    action = (
+        F.when(fresh, F.lit("fresh"))
+        .when(has_etag | has_lm, F.lit("revalidate"))
+        .otherwise(F.lit("refetch"))
+    )
+    validator = F.when(
+        ~fresh & has_etag, F.lit("etag")
+    ).when(~fresh & has_lm, F.lit("last-modified"))
+    return fetches.select(
+        F.col(url_col).alias("url"),
+        age.alias("age_s"),
+        action.alias("action"),
+        validator.alias("validator"),
+    )

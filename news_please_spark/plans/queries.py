@@ -8624,3 +8624,64 @@ def canonical_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _canon_html_col().alias("html")
     )
     return h.select("doc_id", canonical_link_of(F.col("html")).alias("canonical_href"))
+
+
+_REVAL_NOW = "2026-06-01 00:00:00"
+
+
+@register(
+    "revalidation_plan",
+    f"""
+    WITH f AS (
+      SELECT 'https://r.test/p/' || CAST(event_id AS VARCHAR) AS url,
+             ts AS fetched_at,
+             CASE event_id % 4 WHEN 0 THEN 3600 WHEN 1 THEN 604800
+                               WHEN 3 THEN 0 END AS max_age_s,
+             CASE WHEN event_id % 3 = 0 THEN 'W/"' || CAST(event_id AS VARCHAR) || '"' END AS etag,
+             CASE WHEN event_id % 5 <> 0 THEN ts END AS last_modified
+      FROM events
+    ),
+    a AS (
+      SELECT *,
+             CAST(epoch(TIMESTAMP '{_REVAL_NOW}') AS BIGINT)
+               - CAST(floor(epoch(fetched_at)) AS BIGINT) AS age_s
+      FROM f
+    )
+    SELECT url, age_s,
+           CASE
+             WHEN max_age_s IS NOT NULL AND age_s < max_age_s THEN 'fresh'
+             WHEN etag IS NOT NULL OR last_modified IS NOT NULL THEN 'revalidate'
+             ELSE 'refetch'
+           END AS action,
+           CASE
+             WHEN max_age_s IS NOT NULL AND age_s < max_age_s THEN NULL
+             WHEN etag IS NOT NULL THEN 'etag'
+             WHEN last_modified IS NOT NULL THEN 'last-modified'
+           END AS validator
+    FROM a
+    """,
+)
+def revalidation_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP revalidation planner (operators/recrawl.py::
+    revalidation_plan): events map to a fetch-metadata table with four
+    max-age classes (1h, 7d, none, 0) and independent ETag /
+    Last-Modified presence — every (action, validator) combination is
+    populated. One codegen'd CASE, zero shuffle; `now` is an explicit
+    literal (determinism/replay contract)."""
+    from news_please_spark.operators.recrawl import revalidation_plan
+
+    ev = load(spark, sf_dir, "events").select(
+        F.concat(F.lit("https://r.test/p/"), F.col("event_id").cast("string")).alias("url"),
+        F.col("ts").alias("fetched_at"),
+        F.when(F.col("event_id") % 4 == 0, 3600)
+        .when(F.col("event_id") % 4 == 1, 604800)
+        .when(F.col("event_id") % 4 == 3, 0)
+        .cast("long")
+        .alias("max_age_s"),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit('W/"'), F.col("event_id").cast("string"), F.lit('"')),
+        ).alias("etag"),
+        F.when(F.col("event_id") % 5 != 0, F.col("ts")).alias("last_modified"),
+    )
+    return revalidation_plan(ev, _REVAL_NOW)

@@ -280,3 +280,58 @@ def test_fetch_rate_anomaly_exact_threshold_boundary(spark):
     }
     assert got[3] is False  # 10*15*3 = 450 == 15*30: strict inequality
     assert got[7] is True   # 10*16*3 = 480 > 450
+
+
+def test_revalidation_plan_all_action_classes(spark):
+    from datetime import datetime
+
+    from news_please_spark.operators.recrawl import revalidation_plan
+
+    now = "2026-06-01 00:00:00"
+    t0 = datetime(2026, 5, 31, 23, 30)  # 30 min before now
+    old = datetime(2026, 1, 1)
+    rows = [
+        # fresh: age 1800 < 3600
+        ("u1", t0, 3600, None, None),
+        # stale with etag -> revalidate via etag (preferred over LM)
+        ("u2", old, 3600, 'W/"x"', old),
+        # stale with only last-modified
+        ("u3", old, 3600, None, old),
+        # stale, no validator
+        ("u4", old, 3600, None, None),
+        # no max-age at all: never fresh, validator present
+        ("u5", t0, None, 'W/"y"', None),
+        # max-age 0: never fresh, no validator
+        ("u6", t0, 0, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, fetched_at timestamp, max_age_s long, etag string, last_modified timestamp",
+    )
+    got = {r.url: (r.action, r.validator) for r in revalidation_plan(df, now).collect()}
+    assert got == {
+        "u1": ("fresh", None),
+        "u2": ("revalidate", "etag"),
+        "u3": ("revalidate", "last-modified"),
+        "u4": ("refetch", None),
+        "u5": ("revalidate", "etag"),
+        "u6": ("refetch", None),
+    }
+
+
+def test_revalidation_plan_zero_shuffle(spark):
+    from datetime import datetime
+
+    from news_please_spark.operators.recrawl import revalidation_plan
+
+    df = spark.createDataFrame(
+        [("u", datetime(2026, 1, 1), 10, None, None)],
+        "url string, fetched_at timestamp, max_age_s long, etag string, last_modified timestamp",
+    )
+    plan = (
+        revalidation_plan(df, "2026-06-01 00:00:00")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
