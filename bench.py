@@ -73,6 +73,8 @@ HEADLINE = [
     "snapshot_url_diff",
     "fetch_anomaly",
     "mirror_hosts",
+    "canonical_links",
+    "revalidation_plan",
     "politeness_topk",
     "budget_allocate",
     "host_shards",
