@@ -379,7 +379,16 @@ def main() -> None:
             ext = mon.ext_since(s0)
             if best is None or el < best:
                 best = el
-            if el < 2.0 or ext <= EXT_CONTENTION_CORES:
+            # retry once on EITHER measured external contention or an
+            # absolute outlier: a kernel/GC stall inside our own
+            # process shows ~zero ext cores (measured: training_corpus
+            # 143 s in one pass vs 24.5 s isolated, ext_cores clean) —
+            # no headline entry legitimately exceeds OUTLIER_RETRY_SEC,
+            # so the second attempt costs only the query's normal time
+            # and the min is recorded either way.
+            if el < 2.0 or (
+                ext <= EXT_CONTENTION_CORES and el < OUTLIER_RETRY_SEC
+            ):
                 break
             if attempt == 0:
                 retried.append(name)
@@ -677,6 +686,12 @@ def scaling_child(cpus: int) -> None:
 # cores of CPU during our run window (measured, not inferred from
 # loadavg — see run_scaling_trial)
 EXT_CONTENTION_CORES = 1.0
+
+# any single headline query beyond this is a stall, not a measurement:
+# the most expensive legitimate entry (training_corpus, the full
+# 4-stage hygiene pipeline + split + pack) runs ~25 s isolated at
+# sf0.1; everything else is < 15 s. One retry, min recorded.
+OUTLIER_RETRY_SEC = 45.0
 
 
 def _host_busy_jiffies() -> tuple[int, int]:
