@@ -62,6 +62,7 @@ HEADLINE = [
     "host_rank",
     "harmonic_centrality",
     "distance_distribution",
+    "seed_select",
     "authority_order",
     "url_canonicalize",
     "crawl_traps",

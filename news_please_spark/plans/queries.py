@@ -8685,3 +8685,107 @@ def revalidation_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 5 != 0, F.col("ts")).alias("last_modified"),
     )
     return revalidation_plan(ev, _REVAL_NOW)
+
+
+@register(
+    "seed_select",
+    f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    he AS (
+      SELECT 'h' || CAST(src % 7 AS VARCHAR) AS src,
+             'h' || CAST(dst % 7 AS VARCHAR) AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM edges GROUP BY 1, 2
+    ),
+    hosts AS (SELECT DISTINCT 'h' || CAST(doc_id % 7 AS VARCHAR) AS id FROM documents),
+    ow AS (SELECT src AS id, sum(w) AS ow FROM he GROUP BY 1),
+    r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM hosts),
+    f1 AS (
+      SELECT he.dst AS id, CAST(sum(((85 * r0.r) // 100) * he.w // ow.ow) AS BIGINT) AS fin
+      FROM he JOIN r0 ON r0.id = he.src JOIN ow ON ow.id = he.src GROUP BY 1
+    ),
+    r1 AS (SELECT h.id, CAST(150000 + coalesce(f1.fin, 0) AS BIGINT) AS r
+           FROM hosts h LEFT JOIN f1 ON f1.id = h.id),
+    f2 AS (
+      SELECT he.dst AS id, CAST(sum(((85 * r1.r) // 100) * he.w // ow.ow) AS BIGINT) AS fin
+      FROM he JOIN r1 ON r1.id = he.src JOIN ow ON ow.id = he.src GROUP BY 1
+    ),
+    r2 AS (SELECT h.id, CAST(150000 + coalesce(f2.fin, 0) AS BIGINT) AS r
+           FROM hosts h LEFT JOIN f2 ON f2.id = h.id),
+    f3 AS (
+      SELECT he.dst AS id, CAST(sum(((85 * r2.r) // 100) * he.w // ow.ow) AS BIGINT) AS fin
+      FROM he JOIN r2 ON r2.id = he.src JOIN ow ON ow.id = he.src GROUP BY 1
+    ),
+    rank3 AS (SELECT h.id AS host, CAST(150000 + coalesce(f3.fin, 0) AS BIGINT) AS rank_scaled
+              FROM hosts h LEFT JOIN f3 ON f3.id = h.id),
+    walk(root, node, d) AS (
+      SELECT doc_id, doc_id, 0 FROM documents
+      UNION ALL
+      SELECT w.root, e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 2
+    ),
+    dist AS (SELECT root, node, min(d) AS d FROM walk GROUP BY 1, 2),
+    balls AS (SELECT root AS doc_id, CAST(count(*) AS BIGINT) AS ball_2
+              FROM dist GROUP BY 1),
+    cand AS (
+      SELECT b.doc_id, 'h' || CAST(b.doc_id % 7 AS VARCHAR) AS host, b.ball_2,
+             row_number() OVER (PARTITION BY b.doc_id % 7
+                                ORDER BY b.ball_2 DESC, b.doc_id ASC) AS rn
+      FROM balls b
+    )
+    SELECT c.host, c.doc_id, c.ball_2, r.rank_scaled,
+           CAST(row_number() OVER (
+             ORDER BY r.rank_scaled DESC, c.host ASC, c.rn ASC
+           ) - 1 AS BIGINT) AS pick_order
+    FROM cand c JOIN rank3 r ON r.host = c.host
+    WHERE c.rn <= 2
+    """,
+)
+def seed_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier seed selection — the new graph signals composed into
+    the crawl's actual first decision: per host take the 2 pages with
+    the largest 2-balls (widest immediate reach; ties on id), then
+    order the global seed list by weighted host rank (the budget
+    signal), host, local rank. WITH RECURSIVE oracle replays both
+    signals; the Spark side composes ball_sizes +
+    contract_to_hosts/pagerank_weighted_scaled + one window."""
+    from news_please_spark.operators.graph import (
+        ball_sizes,
+        contract_to_hosts,
+        pagerank_weighted_scaled,
+    )
+
+    edges = derived_edges(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    he = contract_to_hosts(
+        edges,
+        F.concat(F.lit("h"), (F.col("src") % 7).cast("string")),
+        F.concat(F.lit("h"), (F.col("dst") % 7).cast("string")),
+    )
+    hosts = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias("id")
+    ).distinct()
+    ranks = pagerank_weighted_scaled(he, hosts, iters=3).select(
+        F.col("id").alias("host"), F.col("r").alias("rank_scaled")
+    )
+    balls = ball_sizes(edges, docs, radius=2, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "ball_2"
+    )
+    cand = balls.withColumn(
+        "host", F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("ball_2").desc(), F.col("doc_id").asc()
+    )
+    top2 = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    joined = top2.join(F.broadcast(ranks), "host")
+    order = Window.orderBy(
+        F.col("rank_scaled").desc(), F.col("host").asc(), F.col("rn").asc()
+    )
+    return joined.select(
+        "host",
+        "doc_id",
+        "ball_2",
+        "rank_scaled",
+        (F.row_number().over(order) - 1).cast("long").alias("pick_order"),
+    )
