@@ -431,3 +431,57 @@ def phrase_search(
             F.min("anchor").cast("int").alias("first_pos"),
         )
     )
+
+
+def rrf_fuse(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 60,
+    scale: int = 10_000_000,
+    query_col: str = "query",
+    item_col: str = "item",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher SIGIR 2009)
+    — THE standard hybrid-retrieval combiner: fuse a lexical run
+    (bm25_topk) with a dense run (brute_force/lsh/ivf topk) without
+    score calibration, because RRF consumes only RANKS:
+        rrf(d) = SUM over runs of 1 / (k + rank_run(d)).
+    k=60 is the paper's (and every search engine's) default; items
+    missing from a run contribute nothing for that run.
+
+    Integer-exact: each term is floor(scale / (k + rank)) on BIGINTs,
+    so fused scores and the final ordering hash-compare cross-engine.
+    With scale 10^7 and k=60 consecutive ranks stay distinguishable
+    through rank ~3000 — far past any top-k run depth.
+
+    Distribution: one full-outer hash join on (query, item) + one
+    query-keyed window for the fused rank — run tables are top-k-sized
+    (queries x k rows), orders of magnitude below corpus scale.
+
+    Output: (query, item, rrf_q, fused_rank 1-based)."""
+    if k < 0 or scale <= 0:
+        raise ValueError("k must be >= 0 and scale positive")
+
+    def norm(df, tag):
+        return df.select(
+            F.col(query_col).alias("query"),
+            F.col(item_col).alias("item"),
+            F.floor(F.lit(int(scale)) / (F.lit(int(k)) + F.col(rank_col)))
+            .cast("long")
+            .alias(tag),
+        )
+
+    a = norm(run_a, "_ra")
+    b = norm(run_b, "_rb")
+    fused = a.join(b, ["query", "item"], "full_outer").select(
+        "query",
+        "item",
+        (F.coalesce(F.col("_ra"), F.lit(0)) + F.coalesce(F.col("_rb"), F.lit(0)))
+        .cast("long")
+        .alias("rrf_q"),
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("rrf_q").desc(), F.col("item").asc()
+    )
+    return fused.withColumn("fused_rank", F.row_number().over(w))

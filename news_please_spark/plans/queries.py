@@ -8789,3 +8789,65 @@ def seed_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_scaled",
         (F.row_number().over(order) - 1).cast("long").alias("pick_order"),
     )
+
+
+@register(
+    "rrf_fuse",
+    """
+    WITH items AS (
+      SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS query,
+             'd' || CAST(doc_id AS VARCHAR) AS item
+      FROM documents
+    ),
+    ra AS (
+      SELECT query, item,
+             row_number() OVER (PARTITION BY query ORDER BY md5('a' || item)) AS rank
+      FROM items QUALIFY rank <= 10
+    ),
+    rb AS (
+      SELECT query, item,
+             row_number() OVER (PARTITION BY query ORDER BY md5('b' || item)) AS rank
+      FROM items WHERE doc_id % 3 <> 0 QUALIFY rank <= 10
+    ),
+    sa AS (SELECT query, item, CAST(10000000 // (60 + rank) AS BIGINT) AS ra FROM ra),
+    sb AS (SELECT query, item, CAST(10000000 // (60 + rank) AS BIGINT) AS rb FROM rb),
+    f AS (
+      SELECT coalesce(sa.query, sb.query) AS query,
+             coalesce(sa.item, sb.item) AS item,
+             CAST(coalesce(sa.ra, 0) + coalesce(sb.rb, 0) AS BIGINT) AS rrf_q
+      FROM sa FULL OUTER JOIN sb ON sa.query = sb.query AND sa.item = sb.item
+    )
+    SELECT query, item, rrf_q,
+           CAST(row_number() OVER (PARTITION BY query ORDER BY rrf_q DESC, item ASC) AS INT) AS fused_rank
+    FROM f
+    """,
+)
+def rrf_fuse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (operators/terms.py::rrf_fuse, SIGIR'09):
+    two deterministic top-10 runs per query (md5-salted orderings; run
+    B misses a third of the items, exercising the missing-run term)
+    fuse by integer-exact floor(10^7/(60+rank)) sums. The hybrid
+    lexical+dense combiner for bm25_topk x *_topk outputs."""
+    from news_please_spark.operators.terms import rrf_fuse
+
+    items = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 5).cast("long").alias("query"),
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("item"),
+        "doc_id",
+    )
+    wa = Window.partitionBy("query").orderBy(F.md5(F.concat(F.lit("a"), F.col("item"))))
+    wb = Window.partitionBy("query").orderBy(F.md5(F.concat(F.lit("b"), F.col("item"))))
+    ra = (
+        items.withColumn("rank", F.row_number().over(wa))
+        .filter(F.col("rank") <= 10)
+        .select("query", "item", "rank")
+    )
+    rb = (
+        items.filter(F.col("doc_id") % 3 != 0)
+        .withColumn("rank", F.row_number().over(wb))
+        .filter(F.col("rank") <= 10)
+        .select("query", "item", "rank")
+    )
+    return rrf_fuse(ra, rb).select(
+        "query", "item", "rrf_q", F.col("fused_rank").cast("int").alias("fused_rank")
+    )

@@ -343,3 +343,39 @@ def test_phrase_search_validates_length(spark):
     phrases = spark.createDataFrame([(1, "a b")], "query_id long, phrase string")
     with pytest.raises(ValueError):
         phrase_search(docs, phrases, n=3)
+
+
+def test_rrf_fuse_hand_computed_and_missing_run(spark):
+    from news_please_spark.operators.terms import rrf_fuse
+
+    ra = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 2), (1, "z", 3)], "query long, item string, rank long"
+    )
+    rb = spark.createDataFrame(
+        [(1, "y", 1), (1, "w", 2)], "query long, item string, rank long"
+    )
+    got = {
+        r.item: (r.rrf_q, r.fused_rank)
+        for r in rrf_fuse(ra, rb, k=60, scale=10_000_000).collect()
+    }
+    s = lambda r: 10_000_000 // (60 + r)  # noqa: E731
+    # y appears in both runs and must win
+    assert got["y"] == (s(2) + s(1), 1)
+    assert got["x"] == (s(1), 2)
+    assert got["w"] == (s(2), 3)
+    assert got["z"] == (s(3), 4)
+
+
+def test_rrf_fuse_tie_breaks_on_item_and_validates(spark):
+    import pytest
+
+    from news_please_spark.operators.terms import rrf_fuse
+
+    ra = spark.createDataFrame(
+        [(1, "b", 1), (1, "a", 1)], "query long, item string, rank long"
+    )
+    rb = spark.createDataFrame([], "query long, item string, rank long")
+    rows = rrf_fuse(ra, rb).orderBy("fused_rank").collect()
+    assert [r.item for r in rows] == ["a", "b"]  # equal score: item asc
+    with pytest.raises(ValueError):
+        rrf_fuse(ra, rb, k=-1)
