@@ -123,6 +123,7 @@ HEADLINE = [
     "bpe_merges",
     "bpe_encode",
     "bm25_search",
+    "rrf_fuse",
     "phrase_search",
     "mixture_sample",
     "temperature_sample",
@@ -150,6 +151,7 @@ HEADLINE = [
     "jaccard_verify",
     "containment_pairs",
     "lsh_recall_audit",
+    "bbit_near_dup",
     "incremental_near_dups",
     "cdc_lsh_index",
     "dup_clusters",

@@ -8851,3 +8851,70 @@ def rrf_fuse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(ra, rb).select(
         "query", "item", "rrf_q", F.col("fused_rank").cast("int").alias("fused_rank")
     )
+
+
+@register(
+    "bbit_near_dup",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE doc_id % 29 = 0
+    ),
+    s AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+      FROM t WHERE len(toks) >= 3
+    ),
+    b AS (
+      SELECT s.doc_id, i.i,
+             CASE WHEN ('0x' || substr(
+                    list_aggregate(
+                      list_transform(s.shingles,
+                                     sh -> md5(CAST(i.i AS VARCHAR) || '|' || sh)),
+                      'min'),
+                    32, 1))::BIGINT % 2 = 1 THEN 1 ELSE 0 END AS bit
+      FROM s, (SELECT unnest(range(32)) AS i) i
+    ),
+    sig AS (
+      SELECT doc_id, CAST(sum(CAST(bit AS BIGINT) << i) AS BIGINT) AS sig
+      FROM b GROUP BY doc_id
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             CAST(32 - bit_count(xor(a.sig, b2.sig)) AS BIGINT) AS matched_bits
+      FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id
+    )
+    SELECT doc_a, doc_b, matched_bits,
+           CAST(CASE WHEN 2 * matched_bits - 32 <= 0 THEN 0
+                     ELSE (10000 * (2 * matched_bits - 32)) // 32 END AS BIGINT) AS sim_est_q
+    FROM p
+    """,
+)
+def bbit_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit minhash near-dup estimation (operators/dedup.py::
+    bbit_minhash_sigs/_sim, Li & König WWW'10): k=32 low bits packed
+    into ONE BIGINT per doc — the 64x-compressed signature that makes
+    the 10^10-doc signature table joinable; all-pairs over the
+    doc_id%29 sample (sample-sized cost contract, as lsh_recall_audit).
+    Bit arithmetic is engine-portable (md5 parity, XOR, popcount), so
+    even the ESTIMATOR is hash-checked cross-engine."""
+    from news_please_spark.operators.dedup import (
+        bbit_minhash_sigs,
+        bbit_minhash_sim,
+    )
+
+    docs = spread(
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 29 == 0),
+        spark,
+    )
+    sigs = bbit_minhash_sigs(docs, k=32)
+    ids = sigs.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("doc_a"))
+        .join(ids.select(F.col("doc_id").alias("doc_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    return bbit_minhash_sim(pairs, sigs, k=32)

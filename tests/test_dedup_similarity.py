@@ -555,3 +555,66 @@ def test_lsh_recall_audit_finds_planted_dups(spark):
     top = out[max(out)]
     assert top.recall_q == 10000  # near-identical pairs always banded
     assert all(r.n_candidates <= r.n_true_pairs for r in out.values())
+
+
+def test_bbit_minhash_identical_docs_match_all_bits(spark):
+    from news_please_spark.operators.dedup import (
+        bbit_minhash_sigs,
+        bbit_minhash_sim,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),   # identical
+            (3, "one two three four five six seven"),     # unrelated
+            (4, "tiny"),                                   # < 3 tokens: dropped
+        ],
+        "doc_id long, text string",
+    )
+    sigs = bbit_minhash_sigs(docs, k=32)
+    assert {r.doc_id for r in sigs.collect()} == {1, 2, 3}
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.matched_bits, r.sim_est_q)
+        for r in bbit_minhash_sim(pairs, sigs, k=32).collect()
+    }
+    # identical shingle sets -> identical signatures -> J_est = 1
+    assert got[(1, 2)] == (32, 10000)
+    # disjoint sets: ~half the bits agree by chance; estimator clamps at 0
+    m, est = got[(1, 3)]
+    assert m < 32 and est < 4000
+
+
+def test_bbit_minhash_estimator_tracks_jaccard_on_planted_overlap(spark):
+    from news_please_spark.operators.dedup import (
+        bbit_minhash_sigs,
+        bbit_minhash_sim,
+    )
+
+    base = [f"tok{i}" for i in range(60)]
+    # doc 2 shares 50 of 60 shingle-tokens with doc 1 (J ~ 0.71 on
+    # 3-gram shingles of a mostly-shared stream)
+    d1 = " ".join(base)
+    d2 = " ".join(base[:50] + [f"alt{i}" for i in range(10)])
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    sigs = bbit_minhash_sigs(docs, k=63)
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    (row,) = bbit_minhash_sim(pairs, sigs, k=63).collect()
+    # true 3-gram Jaccard: 48 shared of (58 + 58 - 48) grams ~ 0.70
+    assert 3000 <= row.sim_est_q <= 10000  # k=63 1-bit variance is wide
+    assert row.matched_bits > 63 // 2
+
+
+def test_bbit_minhash_rejects_bad_k(spark):
+    import pytest
+
+    from news_please_spark.operators.dedup import bbit_minhash_sigs
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bbit_minhash_sigs(docs, k=64)
