@@ -111,6 +111,7 @@ HEADLINE = [
     "ngram_diversity",
     "vocab_drift",
     "tokenizer_fertility",
+    "lang_segments",
     "lang_id",
     "script_profile",
     "mojibake_audit",

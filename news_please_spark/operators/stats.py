@@ -239,3 +239,81 @@ def tokenizer_fertility(
             .cast("long"),
         }
     )
+
+
+def lang_segments(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Code-switch segmentation — per-SENTENCE language id merged into
+    maximal same-language runs.  A document whose tail is boilerplate
+    in another language (embedded share widgets, translated footers,
+    quoted sources) poisons doc-level lang-id and monolingual training
+    mixes; the per-run view is what lets a pipeline keep the dominant-
+    language segments and drop (or reroute) the switched ones — the
+    cleaning axis doc-level lang_id cannot express.
+
+    Same sentence regex as sentence_chunks (RE2-safe), same stopword-
+    vote scorer as lang_id (functions/text.py::predict_lang) applied
+    INSIDE a transform lambda, and the run-length merge is the same
+    codegen'd per-document F.aggregate fold — zero shuffle, zero
+    Python; sequential logic stays inside the row.
+
+    Output: (doc_id, seg_id 0-based, lang, n_sentences, seg_text)."""
+    from news_please_spark.functions.text import predict_lang
+
+    raw = F.regexp_extract_all(F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), 0)
+    sents = F.transform(
+        F.filter(raw, lambda s: F.trim(s) != F.lit("")), lambda s: F.trim(s)
+    )
+    pairs = F.transform(
+        sents,
+        lambda s: F.struct(s.alias("txt"), predict_lang(s).alias("lang")),
+    )
+    init = F.struct(
+        F.array()
+        .cast("array<struct<lang:string,n:int,txt:string>>")
+        .alias("segs")
+    )
+
+    def step(acc, p):
+        segs = acc["segs"]
+        last = F.element_at(segs, -1)
+        same = (F.size(segs) > 0) & (last["lang"] == p["lang"])
+        merged = F.concat(
+            F.slice(segs, 1, F.size(segs) - 1),
+            F.array(
+                F.struct(
+                    last["lang"].alias("lang"),
+                    (last["n"] + 1).cast("int").alias("n"),
+                    F.concat(last["txt"], F.lit(" "), p["txt"]).alias("txt"),
+                )
+            ),
+        )
+        opened = F.concat(
+            segs,
+            F.array(
+                F.struct(
+                    p["lang"].alias("lang"),
+                    F.lit(1).cast("int").alias("n"),
+                    p["txt"].alias("txt"),
+                )
+            ),
+        )
+        return F.struct(
+            F.when(same, merged).otherwise(opened).alias("segs")
+        )
+
+    segs = F.aggregate(pairs, init, step, lambda acc: acc["segs"])
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), segs.alias("_s"))
+        .select("doc_id", F.posexplode("_s").alias("seg_id", "_e"))
+        .select(
+            "doc_id",
+            "seg_id",
+            F.col("_e.lang").alias("lang"),
+            F.col("_e.n").cast("long").alias("n_sentences"),
+            F.col("_e.txt").alias("seg_text"),
+        )
+    )

@@ -8918,3 +8918,82 @@ def bbit_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
     )
     return bbit_minhash_sim(pairs, sigs, k=32)
+
+
+@register(
+    "lang_segments",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 2 = 0 THEN ' Der die und der. Die und der die.' ELSE '' END
+               || CASE WHEN doc_id % 3 = 0 THEN ' El los y el los.' ELSE '' END AS text
+      FROM documents
+    ),
+    s0 AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                           x -> trim(x) <> ''),
+               x -> trim(x)) AS sents
+      FROM m
+    ),
+    sx AS (
+      SELECT doc_id, CAST(generate_subscripts(sents, 1) AS BIGINT) AS idx,
+             unnest(sents) AS sent
+      FROM s0
+    ),
+    lv AS (
+      SELECT doc_id, idx, sent,
+             len(list_filter(string_split_regex(trim(sent), '\s+'),
+                             x -> x IN ('the', 'a', 'of', 'and'))) AS s_en,
+             len(list_filter(string_split_regex(trim(sent), '\s+'),
+                             x -> x IN ('der', 'die', 'und'))) AS s_de,
+             len(list_filter(string_split_regex(trim(sent), '\s+'),
+                             x -> x IN ('el', 'los', 'y'))) AS s_es
+      FROM sx
+    ),
+    lg AS (
+      SELECT doc_id, idx, sent,
+             CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+                  WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+                  WHEN s_es > 0 THEN 'es'
+                  ELSE 'und' END AS lang
+      FROM lv
+    ),
+    runs AS (
+      SELECT doc_id, idx, sent, lang,
+             CASE WHEN lag(lang) OVER w IS DISTINCT FROM lang THEN 1 ELSE 0 END AS brk
+      FROM lg WINDOW w AS (PARTITION BY doc_id ORDER BY idx)
+    ),
+    segd AS (
+      SELECT doc_id, idx, sent, lang,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS seg_id
+      FROM runs
+    )
+    SELECT doc_id, CAST(seg_id AS INT) AS seg_id, lang,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           string_agg(sent, ' ' ORDER BY idx) AS seg_text
+    FROM segd GROUP BY doc_id, seg_id, lang
+    """,
+)
+def lang_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switch segmentation (operators/stats.py::lang_segments):
+    documents get planted German and/or Spanish sentence runs appended
+    (doc_id%2 / %3), then per-sentence stopword-vote lang-id merges
+    into maximal same-language runs — one codegen'd fold per document,
+    zero shuffle. The oracle replays sentence split, voting, and the
+    run-length grouping with windows."""
+    from news_please_spark.operators.stats import lang_segments
+
+    d = F.col("doc_id")
+    mixed = F.concat(
+        F.col("text"),
+        F.when(d % 2 == 0, F.lit(" Der die und der. Die und der die.")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit(" El los y el los.")).otherwise(F.lit("")),
+    )
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", mixed.alias("text")),
+        spark,
+    )
+    return lang_segments(docs)

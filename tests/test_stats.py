@@ -189,3 +189,41 @@ def test_tokenizer_fertility_single_exchange(spark):
     )
     assert plan.count("Exchange") == 1  # one map-side-combinable aggregate
     assert "Python" not in plan
+
+
+def test_lang_segments_runs_merge_and_split(spark):
+    from news_please_spark.operators.stats import lang_segments
+
+    text = (
+        "the cat and the dog. a house of cards. "
+        "der die und. die und der. el los y."
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r.seg_id, r.lang, r.n_sentences, r.seg_text)
+        for r in lang_segments(docs).collect()
+    )
+    assert rows == [
+        (0, "en", 2, "the cat and the dog. a house of cards."),
+        (1, "de", 2, "der die und. die und der."),
+        (2, "es", 1, "el los y."),
+    ]
+
+
+def test_lang_segments_und_and_empty(spark):
+    from news_please_spark.operators.stats import lang_segments
+
+    docs = spark.createDataFrame(
+        [(1, "xyz qqq. zzz www."), (2, "")], "doc_id long, text string"
+    )
+    rows = [(r.doc_id, r.seg_id, r.lang, r.n_sentences) for r in lang_segments(docs).collect()]
+    # unknown sentences merge into one 'und' run; empty doc vanishes
+    assert rows == [(1, 0, "und", 2)]
+
+
+def test_lang_segments_zero_shuffle(spark):
+    from news_please_spark.operators.stats import lang_segments
+
+    docs = spark.createDataFrame([(1, "the a of.")], "doc_id long, text string")
+    plan = lang_segments(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
