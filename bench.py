@@ -149,6 +149,7 @@ HEADLINE = [
     "corpus_dup_ngrams",
     "line_dedup",
     "winnow_fingerprint",
+    "winnow_pairs",
     "jaccard_verify",
     "containment_pairs",
     "lsh_recall_audit",

@@ -1035,3 +1035,100 @@ def bbit_minhash_sim(
         matched.cast("long").alias("matched_bits"),
         est.cast("long").alias("sim_est_q"),
     )
+
+
+def winnow_plagiarism_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    max_df: int = 64,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Plagiarism / local-overlap pair detection from winnowing
+    fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS
+    scheme): per doc, select window-min k-gram hashes (density
+    2/(w+1)), then pair documents that share selected fingerprints.
+    The winnowing guarantee makes this the right primitive for
+    PARTIAL-copy detection: any shared token run of length >= w+k-1
+    (here 8) shares at least one selected fingerprint, so a 40-token
+    lift inside an otherwise unrelated document — invisible to
+    whole-doc Jaccard/MinHash — is caught with ~2/(w+1) density
+    evidence, while rolling_fingerprint's fixed-stride windows
+    desynchronize after a single-token insertion.
+
+    Scale shape: fingerprints are selected in one zero-shuffle array
+    fold per doc (md5 per gram paid once); the ONLY keys that shuffle
+    are (fp) for the document-frequency cap and the candidate
+    equi-join, and (doc_a, doc_b) for the shared count — text never
+    moves. The df cap (drop fps appearing in > max_df docs, the
+    boilerplate/stop-fingerprint class) bounds the per-fp join fan-out
+    at max_df^2, exactly the guard containment_pairs uses, so a
+    pathological fingerprint cannot produce a quadratic pair
+    explosion at corpus scale. The exploded fp table feeds both the
+    cap aggregate and the join, so it is persisted for the duration of
+    the job (reference analogue: news-please dedupes whole URLs via
+    the scrapy dupefilter — reference has no sub-document overlap
+    detection; this is a beyond-reference training-data operator).
+
+    Output: (doc_a, doc_b, shared, score_q) — shared = count of
+    common selected fingerprints, score_q = floor(10^4 * shared /
+    min(n_fp_a, n_fp_b)) basis points against the smaller fingerprint
+    set (containment-style, so a short doc fully lifted into a long
+    one still scores high)."""
+    from pyspark.sql import functions as F
+
+    from news_please_spark.functions.text import (
+        kgram_hashes_of,
+        tokens,
+        winnow_selections_of,
+    )
+
+    fp_sets = (
+        docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .select("doc_id", kgram_hashes_of(F.col("_toks"), k).alias("_grams"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    winnow_selections_of(F.col("_grams"), w),
+                    lambda s: s["fp"],
+                )
+            ).alias("_fps"),
+        )
+        .where(F.size("_fps") > 0)
+    )
+    fps = fp_sets.select(
+        "doc_id",
+        F.size("_fps").alias("n_fp"),
+        F.explode("_fps").alias("fp"),
+    ).persist()
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    kept = fps.join(keep, "fp", "left_semi")
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("_na"), "fp"
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("_nb"), "fp"
+    )
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "shared",
+        F.floor(
+            F.col("shared") * 10000 / F.least(F.col("_na"), F.col("_nb"))
+        )
+        .cast("long")
+        .alias("score_q"),
+    )

@@ -2397,6 +2397,82 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp"))
 
 
+@register(
+    "winnow_pairs",
+    r"""
+    WITH aug AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 10 = 3 AND s.doc_id IS NOT NULL
+                  THEN d.text || ' ' || array_to_string(list_slice(
+                         string_split_regex(trim(s.text), '\s+'), 11, 50), ' ')
+                  ELSE d.text END AS text
+      FROM documents d LEFT JOIN documents s ON s.doc_id = d.doc_id - 7
+    ),
+    t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM aug),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(0, len(toks) - 5 + 1),
+               i -> md5(array_to_string(list_slice(toks, i + 1, i + 5), ' '))) AS grams
+      FROM t WHERE len(toks) >= 5
+    ),
+    w AS (
+      SELECT doc_id, grams, len(grams) AS ng,
+             unnest(range(0, greatest(len(grams) - 4 + 1, 1))) AS j
+      FROM g
+    ),
+    ws AS (
+      SELECT doc_id, list_min(list_slice(grams, j + 1, least(j + 4, ng))) AS fp
+      FROM w
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM ws),
+    nf AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY 1),
+    keepfp AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM fps a
+      JOIN keepfp k ON k.fp = a.fp
+      JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b, c.shared,
+           CAST(floor(10000 * c.shared / least(na.n_fp, nb.n_fp)) AS BIGINT)
+             AS score_q
+    FROM cand c
+    JOIN nf na ON na.doc_id = c.doc_a
+    JOIN nf nb ON nb.doc_id = c.doc_b
+    WHERE c.shared >= 2
+    """,
+)
+def winnow_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plagiarism pair detection over winnowing fingerprints
+    (operators/dedup.py::winnow_plagiarism_pairs): every doc_id % 10
+    == 3 document gets a 40-token run lifted from doc_id - 7 appended
+    — a PARTIAL copy whole-doc Jaccard/MinHash scores near zero but
+    the SIGMOD-2003 winnowing guarantee (any shared run >= w+k-1 = 8
+    tokens shares a selected fingerprint) must catch. Candidates via
+    the shared-fp equi-join under a df <= 64 stop-fingerprint cap;
+    score = shared/min(|fp set|) basis points."""
+    from news_please_spark.operators.dedup import winnow_plagiarism_pairs
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    src = docs.select(
+        (F.col("doc_id") + 7).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 11, 40), " "
+        ).alias("_snip"),
+    )
+    aug = docs.join(src, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 10 == 3) & F.col("_snip").isNotNull(),
+            F.concat(F.col("text"), F.lit(" "), F.col("_snip")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return winnow_plagiarism_pairs(aug, k=5, w=4, max_df=64, min_shared=2)
+
+
 # ---------------------------------------------------------------------------
 @register(
     "pq_adc_topk",

@@ -618,3 +618,58 @@ def test_bbit_minhash_rejects_bad_k(spark):
     docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bbit_minhash_sigs(docs, k=64)
+
+
+def test_winnow_pairs_catches_partial_lift(spark):
+    """A 40-token run lifted into an otherwise unrelated doc must pair
+    (winnowing guarantee: shared run >= w+k-1 = 8 tokens), while docs
+    with no shared 5-gram must not."""
+    from news_please_spark.operators.dedup import winnow_plagiarism_pairs
+
+    lifted = " ".join(f"src{i}" for i in range(40))
+    d1 = " ".join(f"one{i}" for i in range(80)) + " " + lifted
+    d2 = " ".join(f"two{i}" for i in range(100)) + " " + lifted
+    d3 = " ".join(f"three{i}" for i in range(90))
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    rows = winnow_plagiarism_pairs(docs).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 2)]
+    (r,) = rows
+    # 40 shared tokens -> ~2/(w+1) * 36 selected-gram density; at
+    # least the guaranteed floor((40 - 7) / w) window minima shared
+    assert r.shared >= 8
+    assert 0 < r.score_q <= 10000
+
+
+def test_winnow_pairs_stop_fp_cap_blocks_boilerplate_explosion(spark):
+    """A fingerprint shared by MORE than max_df docs is a stop
+    fingerprint (boilerplate): it must generate no candidate pairs."""
+    from news_please_spark.operators.dedup import winnow_plagiarism_pairs
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"u{i}x{j}" for j in range(30)) + " " + boiler)
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    assert winnow_plagiarism_pairs(docs, max_df=5).count() == 0
+    # with the cap above the df, all 15 pairs appear
+    assert winnow_plagiarism_pairs(docs, max_df=6).count() == 15
+
+
+def test_winnow_pairs_min_shared_floor(spark):
+    """Pairs sharing a single fingerprint (one short common run) are
+    below the min_shared=2 evidence floor and are suppressed."""
+    from news_please_spark.operators.dedup import winnow_plagiarism_pairs
+
+    run8 = " ".join(f"c{i}" for i in range(8))  # exactly w+k-1 tokens
+    d1 = " ".join(f"p{i}" for i in range(50)) + " " + run8
+    d2 = " ".join(f"q{i}" for i in range(50)) + " " + run8
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    strict = winnow_plagiarism_pairs(docs, min_shared=2).collect()
+    loose = winnow_plagiarism_pairs(docs, min_shared=1).collect()
+    assert len(loose) >= 1 and all(r.shared >= 1 for r in loose)
+    assert all(r.shared >= 2 for r in strict)
