@@ -139,6 +139,7 @@ HEADLINE = [
     "quality_calibrate",
     "pack_sequences",
     "sentence_chunks",
+    "passage_chunks",
     "compaction_plan",
     "span_corruption",
     "fim_transform",

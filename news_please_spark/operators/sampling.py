@@ -1109,3 +1109,59 @@ def sentence_chunks(
         .select("doc_id", F.posexplode("_chunks").alias("chunk_id", "chunk_text"))
         .withColumn("n_chars", F.length("chunk_text").cast("long"))
     )
+
+
+def passage_chunks(
+    docs: DataFrame,
+    window_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window passage chunking with overlap — the RAG/embedding
+    corpus prep that complements sentence_chunks (greedy
+    sentence-boundary packing) and pack_sequences (cross-doc exact-token
+    packing): fixed window_tokens-token passages at a fixed stride, so
+    consecutive passages overlap by window_tokens - stride tokens and
+    no token run of length <= overlap is ever split across ALL the
+    passages containing it (the retrieval-recall argument for overlap).
+    Window count = ceil((n - W)/S) + 1 (one tail-covering window, min
+    1), the same lattice as rolling_fingerprints — a passage index
+    built here aligns 1:1 with the containment fingerprints.
+
+    Plan shape: tokenize + window slices are per-row array transforms
+    (zero shuffle, zero Python, no Window); at 100 TB the output is
+    map-only against the scan. Docs that are empty after trim emit no
+    passages.
+
+    Output: (doc_id, chunk_id 0-based, start_tok, n_tok, chunk_text)."""
+    from news_please_spark.functions.text import tokens
+
+    if stride <= 0 or window_tokens <= 0:
+        raise ValueError("window_tokens and stride must be positive")
+    w, s = int(window_tokens), int(stride)
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - w) / F.lit(float(s))) + 1, F.lit(1)
+    ).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            (i * s).cast("int").alias("start_tok"),
+            F.least(F.lit(w), n - i * s).cast("int").alias("n_tok"),
+            F.array_join(F.slice(toks, i * s + 1, w), " ").alias("chunk_text"),
+        ),
+    )
+    return (
+        docs.where(F.trim(F.col(text_col)) != F.lit(""))
+        .select(F.col(id_col).alias("doc_id"), passages.alias("_p"))
+        .select("doc_id", F.posexplode("_p").alias("chunk_id", "_c"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.col("_c.start_tok").alias("start_tok"),
+            F.col("_c.n_tok").alias("n_tok"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+        )
+    )

@@ -8434,6 +8434,39 @@ def sentence_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "passage_chunks",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    w AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CAST(greatest(ceil((len(toks) - 64) / 48.0) + 1, 1) AS INT) AS nc
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(c AS INT) AS chunk_id,
+           CAST(c * 48 AS INT) AS start_tok,
+           CAST(least(64, n - c * 48) AS INT) AS n_tok,
+           array_to_string(list_slice(toks, c * 48 + 1, least(c * 48 + 64, n)), ' ')
+             AS chunk_text
+    FROM w, LATERAL (SELECT unnest(range(0, nc)) AS c)
+    """,
+)
+def passage_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window passage chunking, 64-token windows at stride 48
+    (operators/sampling.py::passage_chunks): overlapping RAG/embedding
+    passages on the same window lattice as rolling_fingerprint, so a
+    passage index aligns 1:1 with the containment fingerprints. Pure
+    per-row array transforms — zero shuffle, zero Python."""
+    from news_please_spark.operators.sampling import passage_chunks
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    return passage_chunks(docs, window_tokens=64, stride=48)
+
+
+@register(
     "mirror_hosts",
     """
     WITH raw AS (

@@ -910,3 +910,44 @@ def test_sentence_chunks_is_zero_shuffle_and_pure_codegen(spark):
     plan = sentence_chunks(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan  # the fold is a native aggregate, not a UDF
+
+
+def test_passage_chunks_lattice_and_tail(spark):
+    """Window lattice: starts at multiples of stride, one tail window,
+    every token covered, consecutive windows overlap by W - S."""
+    from news_please_spark.operators.sampling import passage_chunks
+
+    text = " ".join(f"t{i}" for i in range(100))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        passage_chunks(docs, window_tokens=64, stride=48).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [(r.start_tok, r.n_tok) for r in rows] == [(0, 64), (48, 52)]
+    assert rows[0].chunk_text.split()[:1] == ["t0"]
+    assert rows[1].chunk_text.split()[-1] == "t99"
+    # overlap: last 16 tokens of window 0 == first 16 of window 1
+    assert rows[0].chunk_text.split()[48:] == rows[1].chunk_text.split()[:16]
+
+
+def test_passage_chunks_short_and_empty_docs(spark):
+    from news_please_spark.operators.sampling import passage_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "   "), (3, "")], "doc_id long, text string"
+    )
+    rows = passage_chunks(docs, window_tokens=64, stride=48).collect()
+    assert [(r.doc_id, r.chunk_id, r.start_tok, r.n_tok) for r in rows] == [
+        (1, 0, 0, 3)
+    ]
+    assert rows[0].chunk_text == "a b c"
+
+
+def test_passage_chunks_rejects_bad_args(spark):
+    import pytest
+
+    from news_please_spark.operators.sampling import passage_chunks
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        passage_chunks(docs, stride=0)
