@@ -75,6 +75,7 @@ HEADLINE = [
     "fetch_anomaly",
     "mirror_hosts",
     "canonical_links",
+    "hreflang_audit",
     "revalidation_plan",
     "politeness_topk",
     "budget_allocate",

@@ -231,3 +231,46 @@ def canonical_link_of(html: Column) -> Column:
         F.when(href_then_rel != "", href_then_rel)
     )
     return out
+
+
+def hreflang_alternates_of(html: Column) -> Column:
+    """Parse <link rel="alternate" hreflang=... href=...> tags — the
+    i18n analogue of canonical_link_of: a page's declared language
+    variants. A crawler that reads them schedules each translation
+    once and groups variants under one cluster instead of discovering
+    them as unrelated URLs (reference analogue: news-please treats
+    every URL independently; hreflang grouping is the crawl-side
+    signal it leaves on the table).
+
+    Robust to attribute order, quote style, and case, same contract as
+    canonical_link_of. `href\\s*=` cannot false-match inside
+    `hreflang=` (the character after the f is 'l', never '='), so no
+    lookaround is needed and the patterns stay RE2-safe. Returns
+    array<struct<lang:string, href:string>> (lang lowercased);
+    malformed or non-alternate links are dropped (fail-open)."""
+    tags = F.regexp_extract_all(html, F.lit(r"(?i)<link[^>]*>"), 0)
+    parsed = F.transform(
+        tags,
+        lambda tg: F.struct(
+            F.lower(
+                F.regexp_extract(
+                    tg, r"""(?i)hreflang\s*=\s*['"]([^'"]+)['"]""", 1
+                )
+            ).alias("lang"),
+            F.regexp_extract(
+                tg, r"""(?i)href\s*=\s*['"]([^'"]+)['"]""", 1
+            ).alias("href"),
+            F.lower(
+                F.regexp_extract(tg, r"""(?i)rel\s*=\s*['"]([^'"]+)['"]""", 1)
+            ).alias("rel"),
+        ),
+    )
+    kept = F.filter(
+        parsed,
+        lambda t: (t["rel"] == F.lit("alternate"))
+        & (t["lang"] != F.lit(""))
+        & (t["href"] != F.lit("")),
+    )
+    return F.transform(
+        kept, lambda t: F.struct(t["lang"].alias("lang"), t["href"].alias("href"))
+    )

@@ -253,3 +253,58 @@ def mirror_hosts(
             & (F.col("n_common") == F.col("n_agree"))
         ).alias("is_mirror"),
     )
+
+
+def hreflang_reciprocity(pages: DataFrame) -> DataFrame:
+    """Reciprocal-confirmation audit of hreflang alternate clusters —
+    the trust rule search engines apply to hreflang annotations: page
+    A's declared variant B counts only if B declares A back
+    (unconfirmed links are ignored, because anyone can claim to be the
+    'en' variant of a popular page). For the crawler this is the
+    variant-dedup gate: a confirmed cluster is fetched once per
+    language and grouped; an unconfirmed declaration is just an
+    outlink.
+
+    Plan shape: hreflang parsing is a per-row regexp transform riding
+    the page scan (functions/urls.py::hreflang_alternates_of) — HTML
+    never crosses an Exchange; the audit shuffles only distinct
+    (url, href) string pairs: one composite-key left_semi equi-join
+    for back-edge existence and two map-side-combinable counts. At
+    10^10 pages the edge table is bounded by declared alternates per
+    page (single digits on real sites), so this is strictly cheaper
+    than one crawl wave.
+
+    pages: (url, html). Output: (url, n_declared, n_confirmed,
+    reciprocal_ok) — one row per page that declares at least one
+    alternate; self-referencing declarations are trivially
+    reciprocal (the edge joins itself), matching the published rule."""
+    from news_please_spark.functions.urls import hreflang_alternates_of
+
+    alt = (
+        pages.select(
+            "url", F.explode(hreflang_alternates_of(F.col("html"))).alias("_a")
+        )
+        .select("url", F.col("_a.lang").alias("lang"), F.col("_a.href").alias("href"))
+        .distinct()
+    )
+    back = alt.select(
+        F.col("url").alias("_b_url"), F.col("href").alias("_b_href")
+    ).distinct()
+    confirmed = alt.join(
+        back,
+        (alt["href"] == back["_b_url"]) & (alt["url"] == back["_b_href"]),
+        "left_semi",
+    )
+    n_dec = alt.groupBy("url").agg(F.count(F.lit(1)).alias("n_declared"))
+    n_conf = confirmed.groupBy("url").agg(F.count(F.lit(1)).alias("n_confirmed"))
+    return (
+        n_dec.join(n_conf, "url", "left")
+        .select(
+            "url",
+            "n_declared",
+            F.coalesce(F.col("n_confirmed"), F.lit(0)).alias("n_confirmed"),
+        )
+        .withColumn(
+            "reciprocal_ok", F.col("n_declared") == F.col("n_confirmed")
+        )
+    )

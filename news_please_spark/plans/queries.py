@@ -8735,6 +8735,124 @@ def canonical_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select("doc_id", canonical_link_of(F.col("html")).alias("canonical_href"))
 
 
+_HREFLANG_LANGS = ["en", "de", "fr", "es"]
+
+
+def _hreflang_world_cols():
+    """(url, html) for the hreflang DocWorld: docs group into 4-page
+    language clusters (en/de/fr/es) whose pages cross-declare each
+    other via rel=alternate hreflang links in three markup variants
+    (attr order / quote style / case); every doc_id % 17 == 0 page
+    OMITS its 'es' declaration — the planted reciprocity break."""
+    d = F.col("doc_id")
+    langs = F.array(*[F.lit(x) for x in _HREFLANG_LANGS])
+    grp = (d - d % 4).cast("string")
+    own = F.element_at(langs, (d % 4 + 1).cast("int"))
+    url = F.concat(F.lit("https://h.test/"), own, F.lit("/"), grp)
+    nl = F.when(d % 17 == 0, F.lit(3)).otherwise(F.lit(4))
+    v = d % 3
+
+    def tag(m):
+        lang = F.element_at(langs, (m + 1).cast("int"))
+        u = F.concat(F.lit("https://h.test/"), lang, F.lit("/"), grp)
+        return (
+            F.when(
+                v == 0,
+                F.concat(
+                    F.lit('<link rel="alternate" hreflang="'), lang,
+                    F.lit('" href="'), u, F.lit('"/>'),
+                ),
+            )
+            .when(
+                v == 1,
+                F.concat(
+                    F.lit("<link hreflang='"), lang,
+                    F.lit("' href='"), u, F.lit("' rel='alternate'>"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit('<LINK REL="alternate" HREF="'), u,
+                    F.lit('" HREFLANG="'), lang, F.lit('">'),
+                )
+            )
+        )
+
+    html = F.array_join(F.transform(F.sequence(F.lit(0), nl - 1), tag), "")
+    return url.alias("url"), html.alias("html")
+
+
+@register(
+    "hreflang_audit",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id - doc_id % 4 AS grp,
+             CASE WHEN doc_id % 17 = 0 THEN 3 ELSE 4 END AS nl
+      FROM documents
+    ),
+    h AS (
+      SELECT 'https://h.test/' || ['en','de','fr','es'][CAST(doc_id % 4 AS INT) + 1]
+               || '/' || CAST(grp AS VARCHAR) AS url,
+             array_to_string(list_transform(range(0, nl), m ->
+               CASE CAST(doc_id % 3 AS INT)
+                 WHEN 0 THEN '<link rel="alternate" hreflang="'
+                             || ['en','de','fr','es'][CAST(m AS INT) + 1]
+                             || '" href="https://h.test/'
+                             || ['en','de','fr','es'][CAST(m AS INT) + 1]
+                             || '/' || CAST(grp AS VARCHAR) || '"/>'
+                 WHEN 1 THEN '<link hreflang=''' || ['en','de','fr','es'][CAST(m AS INT) + 1]
+                             || ''' href=''https://h.test/'
+                             || ['en','de','fr','es'][CAST(m AS INT) + 1]
+                             || '/' || CAST(grp AS VARCHAR) || ''' rel=''alternate''>'
+                 ELSE '<LINK REL="alternate" HREF="https://h.test/'
+                      || ['en','de','fr','es'][CAST(m AS INT) + 1]
+                      || '/' || CAST(grp AS VARCHAR) || '" HREFLANG="'
+                      || ['en','de','fr','es'][CAST(m AS INT) + 1] || '">'
+               END), '') AS html
+      FROM d
+    ),
+    tags AS (
+      SELECT url, unnest(regexp_extract_all(html, '(?i)<link[^>]*>')) AS tg FROM h
+    ),
+    e0 AS (
+      SELECT url,
+             lower(regexp_extract(tg, '(?i)hreflang\s*=\s*[''"]([^''"]+)[''"]', 1)) AS lang,
+             regexp_extract(tg, '(?i)href\s*=\s*[''"]([^''"]+)[''"]', 1) AS href,
+             lower(regexp_extract(tg, '(?i)rel\s*=\s*[''"]([^''"]+)[''"]', 1)) AS rel
+      FROM tags
+    ),
+    alt AS (SELECT DISTINCT url, lang, href FROM e0
+            WHERE rel = 'alternate' AND lang <> '' AND href <> ''),
+    conf AS (
+      SELECT a.url, a.lang, a.href FROM alt a
+      WHERE EXISTS (SELECT 1 FROM alt b WHERE b.url = a.href AND b.href = a.url)
+    ),
+    nd AS (SELECT url, count(*) AS n_declared FROM alt GROUP BY 1),
+    nc AS (SELECT url, count(*) AS n_confirmed FROM conf GROUP BY 1)
+    SELECT nd.url, nd.n_declared,
+           COALESCE(nc.n_confirmed, 0) AS n_confirmed,
+           nd.n_declared = COALESCE(nc.n_confirmed, 0) AS reciprocal_ok
+    FROM nd LEFT JOIN nc ON nc.url = nd.url
+    """,
+)
+def hreflang_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang reciprocal-confirmation audit
+    (operators/dust.py::hreflang_reciprocity over
+    functions/urls.py::hreflang_alternates_of): language-variant
+    clusters are only trusted when pages declare each other BACK —
+    the published trust rule, and the crawler's variant-dedup gate.
+    DocWorld: 4-page en/de/fr/es clusters in three markup variants;
+    every doc_id % 17 == 0 page omits its 'es' declaration, so the
+    corresponding es pages must surface as reciprocal_ok = false with
+    n_confirmed < n_declared."""
+    from news_please_spark.operators.dust import hreflang_reciprocity
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"), spark)
+    url, html = _hreflang_world_cols()
+    return hreflang_reciprocity(docs.select(url, html))
+
+
 _REVAL_NOW = "2026-06-01 00:00:00"
 
 

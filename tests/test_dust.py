@@ -139,3 +139,59 @@ def test_mirror_hosts_min_support_and_capture_history_canonicalized(spark):
     }
     # both paths agree after max-canonicalization, but support 2 < 3
     assert got[("x.test", "y.test")] == (2, 0, False)
+
+
+def test_hreflang_alternates_markup_variants(spark):
+    from pyspark.sql import functions as F
+
+    from news_please_spark.functions.urls import hreflang_alternates_of
+
+    htmls = [
+        (0, '<link rel="alternate" hreflang="de" href="https://x/de"/>'),
+        (1, "<link hreflang='FR' href='https://x/fr' rel='alternate'>"),
+        (2, '<LINK REL="alternate" HREF="https://x/es" HREFLANG="es">'),
+        (3, '<link rel="stylesheet" href="https://x/s.css">'),
+        (4, '<link rel="alternate" hreflang="" href="https://x/z">'),
+        (5, "no links here"),
+    ]
+    df = spark.createDataFrame(htmls, "i long, html string")
+    rows = {
+        r.i: r.alts
+        for r in df.select(
+            "i", hreflang_alternates_of(F.col("html")).alias("alts")
+        ).collect()
+    }
+    assert [(a.lang, a.href) for a in rows[0]] == [("de", "https://x/de")]
+    assert [(a.lang, a.href) for a in rows[1]] == [("fr", "https://x/fr")]
+    assert [(a.lang, a.href) for a in rows[2]] == [("es", "https://x/es")]
+    assert rows[3] == [] and rows[4] == [] and rows[5] == []
+
+
+def test_hreflang_reciprocity_confirms_and_flags(spark):
+    """A linking B back is confirmed; a one-way declaration is not;
+    self-references are trivially reciprocal."""
+    from news_please_spark.operators.dust import hreflang_reciprocity
+
+    def page(url, alts):
+        return (
+            url,
+            "".join(
+                f'<link rel="alternate" hreflang="{l}" href="{h}"/>'
+                for l, h in alts
+            ),
+        )
+
+    pages = spark.createDataFrame(
+        [
+            page("A", [("en", "A"), ("de", "B"), ("fr", "C")]),
+            page("B", [("en", "A"), ("de", "B")]),  # reciprocates A only
+            page("C", []),  # declares nothing back
+        ],
+        "url string, html string",
+    )
+    got = {r.url: r for r in hreflang_reciprocity(pages).collect()}
+    assert set(got) == {"A", "B"}  # C declares no alternates -> no row
+    assert (got["A"].n_declared, got["A"].n_confirmed) == (3, 2)
+    assert got["A"].reciprocal_ok is False
+    assert (got["B"].n_declared, got["B"].n_confirmed) == (2, 2)
+    assert got["B"].reciprocal_ok is True
