@@ -182,6 +182,7 @@ HEADLINE = [
     "pq_adc_topk",
     "ivfadc_topk",
     "kmeans_clusters",
+    "embedding_outliers",
     "rp_project",
     "vec_quantize",
     "semantic_dedup",

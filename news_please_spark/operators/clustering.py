@@ -141,3 +141,36 @@ def kmeans_assign(
     return _assign(e, cents).select(
         F.col("vid").alias(id_col), "cluster", "dist_q"
     )
+
+
+def centroid_outliers(assigned: DataFrame, factor: int = 2) -> DataFrame:
+    """Per-cluster centroid-distance outlier flagging over a k-means
+    assignment (kmeans_assign output) — the embedding-space pruning
+    gate real curation pipelines run after clustering: vectors far
+    from every learned mode are OCR garbage, mislabeled scrapes, or
+    off-distribution noise, and get routed to review/drop before
+    training. Rule: flag iff dist_q > factor * mean(dist_q) of the
+    vector's cluster, evaluated integer-exactly by cross-multiplying
+    (dist_q * n > factor * sum_dist) — no division, so both engines
+    agree bit-for-bit.
+
+    Scale shape: one map-side-combinable (cluster)-keyed agg producing
+    k rows, then a broadcast-sized join back onto the assignment —
+    the corpus crosses one Exchange only if the assignment itself was
+    not already partitioned; no per-row Python, no Window.
+
+    Output: (vec_id, cluster, dist_q, is_outlier)."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    stats = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("dist_q").alias("_sd")
+    )
+    return assigned.join(F.broadcast(stats), "cluster").select(
+        "vec_id",
+        "cluster",
+        "dist_q",
+        (
+            F.col("dist_q") * F.col("_n")
+            > F.lit(int(factor)) * F.col("_sd")
+        ).alias("is_outlier"),
+    )

@@ -5410,7 +5410,7 @@ def surt_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # k-means codebook training (Lloyd, fixed rounds, integer-exact)
-def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64, scale: int = 1000) -> str:
+def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64, scale: int = 1000, src: str = "embeddings") -> str:
     """Unrolled Lloyd rounds as CTEs: cI = codebook entering round I,
     aI = assignment under cI, mI = per-cluster integer means. Mirrors
     operators/clustering.py::kmeans_assign exactly (same md5-rank
@@ -5426,7 +5426,7 @@ def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64, scale: int = 1000) -
       SELECT vec_id AS vid,
              list_transform(embedding::DOUBLE[],
                x -> CAST(floor(x*{scale}) AS BIGINT)) AS qv
-      FROM embeddings
+      FROM {src}
     ),
     c0 AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vid AS VARCHAR)), vid) - 1 AS cl,
@@ -5487,6 +5487,61 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("cluster").cast("int").alias("cluster"),
         F.col("dist_q").cast("long").alias("dist_q"),
+    )
+
+
+_EMB_OUTLIER_SRC = (
+    "(SELECT vec_id, CASE WHEN vec_id % 97 = 0 "
+    "THEN list_transform(embedding::DOUBLE[], x -> x*3.0) "
+    "ELSE embedding::DOUBLE[] END AS embedding FROM embeddings)"
+)
+
+
+@register(
+    "embedding_outliers",
+    _kmeans_ctes(k=8, iters=2, src=_EMB_OUTLIER_SRC)
+    + """
+    , s AS (SELECT cl, count(*) AS n, sum(d) AS sd FROM a2 GROUP BY 1)
+    SELECT a2.vid AS vec_id, CAST(a2.cl AS INT) AS cluster,
+           CAST(a2.d AS BIGINT) AS dist_q,
+           a2.d * s.n > 2 * s.sd AS is_outlier
+    FROM a2 JOIN s ON s.cl = a2.cl
+    """,
+)
+def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier pruning
+    (operators/clustering.py::centroid_outliers over kmeans_assign):
+    flag vectors whose distance to their trained centroid exceeds 2x
+    the cluster mean — the post-clustering noise gate (OCR garbage /
+    off-distribution scrapes) in curation pipelines. Integer-exact via
+    cross-multiplication (dist * n > 2 * sum_dist); the per-cluster
+    stats are k rows joined back broadcast. Every vec_id % 97 == 0
+    vector is scaled x3 in BOTH engines — the planted off-distribution
+    class the gate must flag (the raw synthetic vectors are too
+    uniform to have natural outliers: max dist/mean ~ 1.1)."""
+    from news_please_spark.operators.clustering import (
+        centroid_outliers,
+        kmeans_assign,
+    )
+
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    dbl = F.col("embedding").cast("array<double>")
+    aug = e.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 97 == 0,
+            F.transform(dbl, lambda x: x * F.lit(3.0)),
+        )
+        .otherwise(dbl)
+        .alias("embedding"),
+    )
+    assigned = kmeans_assign(aug, k=8, iters=2).persist()
+    out = centroid_outliers(assigned, factor=2)
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("dist_q").cast("long").alias("dist_q"),
+        "is_outlier",
     )
 
 

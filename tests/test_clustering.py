@@ -103,3 +103,42 @@ def test_kmeans_codebook_size_independent_of_corpus(spark):
     p_small = kmeans_assign(small, k=4, iters=1)._jdf.queryExecution().toString()
     p_big = kmeans_assign(big, k=4, iters=1)._jdf.queryExecution().toString()
     assert p_small.count("named_struct") == p_big.count("named_struct")
+
+
+def test_centroid_outliers_flags_far_points(spark):
+    """Points at ~mean distance stay; a point beyond factor*mean is
+    flagged — exact integer rule, per cluster independently."""
+    from news_please_spark.operators.clustering import centroid_outliers
+
+    rows = [
+        # cluster 0: dists 10, 10, 10, 100 -> mean 32; 100*4 > 2*130
+        (1, 0, 10), (2, 0, 10), (3, 0, 10), (4, 0, 100),
+        # cluster 1: uniform dists -> nothing flagged
+        (5, 1, 50), (6, 1, 50),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, cluster int, dist_q long")
+    got = {r.vec_id: r.is_outlier for r in centroid_outliers(df).collect()}
+    assert got == {1: False, 2: False, 3: False, 4: True, 5: False, 6: False}
+
+
+def test_centroid_outliers_boundary_not_flagged(spark):
+    """dist == factor * mean exactly is NOT an outlier (strict >)."""
+    from news_please_spark.operators.clustering import centroid_outliers
+
+    # dists 1, 1, 4: sum 6, n 3; 4*3 = 12 == 2*6 -> not flagged
+    df = spark.createDataFrame(
+        [(1, 0, 1), (2, 0, 1), (3, 0, 4)],
+        "vec_id long, cluster int, dist_q long",
+    )
+    got = {r.vec_id: r.is_outlier for r in centroid_outliers(df).collect()}
+    assert got == {1: False, 2: False, 3: False}
+
+
+def test_centroid_outliers_rejects_bad_factor(spark):
+    import pytest
+
+    from news_please_spark.operators.clustering import centroid_outliers
+
+    df = spark.createDataFrame([(1, 0, 1)], "vec_id long, cluster int, dist_q long")
+    with pytest.raises(ValueError):
+        centroid_outliers(df, factor=0)
