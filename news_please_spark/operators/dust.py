@@ -286,6 +286,9 @@ def hreflang_reciprocity(pages: DataFrame) -> DataFrame:
         )
         .select("url", F.col("_a.lang").alias("lang"), F.col("_a.href").alias("href"))
         .distinct()
+        # three consumers (back-edge set, semi-join probe, declared
+        # count) — persist so the page scan + regexp parse runs once
+        .persist()
     )
     back = alt.select(
         F.col("url").alias("_b_url"), F.col("href").alias("_b_href")
