@@ -66,6 +66,7 @@ HEADLINE = [
     "authority_order",
     "url_canonicalize",
     "crawl_traps",
+    "soft_404",
     "blocklist_hosts",
     "robots_gate",
     "robots_diff",
@@ -139,6 +140,7 @@ HEADLINE = [
     "quality_topfrac",
     "quality_calibrate",
     "pack_sequences",
+    "epoch_shuffle",
     "sentence_chunks",
     "passage_chunks",
     "compaction_plan",

@@ -9279,3 +9279,146 @@ def lang_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
     )
     return lang_segments(docs)
+
+
+# ---------------------------------------------------------------------------
+# deterministic two-level epoch shuffle (training-loader tier)
+
+
+@register(
+    "epoch_shuffle",
+    """
+    WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),
+    e AS (SELECT doc_id, unnest(range(0, 3)) AS epoch FROM ids),
+    k AS (
+      SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+             md5('shuf:' || CAST(epoch AS VARCHAR) || ':' || doc_id) AS skey
+      FROM e
+    ),
+    s AS (
+      SELECT epoch, doc_id, skey,
+             CAST(('0x' || substr(skey, 1, 8))::BIGINT % 64 AS BIGINT) AS shard
+      FROM k
+    )
+    SELECT epoch, doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY skey) - 1
+                AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def epoch_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic two-level epoch shuffle
+    (operators/shuffle.py::epoch_shuffle): 3 epochs x 64 shards over
+    the documents ids. Every (epoch, id) is keyed by md5(salt:e:id);
+    the key's top 32 bits pick the shard, the full key orders the
+    cell — the global epoch order is (shard, pos). ONE exchange on
+    (epoch, shard) and a bounded per-cell sort; no global row_number,
+    no RNG, bit-identical on rerun/resume. The oracle replays key,
+    shard route, and cell rank."""
+    from news_please_spark.operators.shuffle import epoch_shuffle
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, id_col="doc_id", epochs=3, n_shards=64, salt="shuf")
+
+
+# ---------------------------------------------------------------------------
+# soft-404 / error-template detection (content-side complement of
+# crawl_traps' URL-side template_fanout)
+
+_S404_PG_SQL = """
+  SELECT 'h' || CAST(doc_id % 6 AS VARCHAR) || '.example.com' AS host,
+         CASE WHEN doc_id % 6 = 2 THEN '/q/' || CAST(doc_id % 3 AS VARCHAR)
+              ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS path,
+         CASE WHEN doc_id % 6 = 0 THEN
+                CASE WHEN doc_id % 30 = 0
+                     THEN 'live-' || CAST(doc_id AS VARCHAR)
+                     ELSE 'tmpl-err-h0' END
+              WHEN doc_id % 6 = 1 THEN
+                CASE WHEN doc_id % 30 = 1
+                     THEN 'live-' || CAST(doc_id AS VARCHAR)
+                     ELSE 'tmpl-long-h1' END
+              WHEN doc_id % 6 = 2 THEN 'tmpl-few-h2'
+              ELSE 'u-' || CAST(doc_id AS VARCHAR) END AS fp,
+         CASE WHEN doc_id % 6 = 0 AND doc_id % 30 <> 0 THEN 90
+              WHEN doc_id % 6 = 2 THEN 90
+              WHEN doc_id % 6 = 1 THEN 3000
+              WHEN doc_id % 6 = 0 THEN 3000
+              ELSE 500 END AS n_chars
+  FROM documents
+"""
+
+
+def _s404_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = F.concat(F.lit("h"), s(d % 6), F.lit(".example.com"))
+    path = F.when(d % 6 == 2, F.concat(F.lit("/q/"), s(d % 3))).otherwise(
+        F.concat(F.lit("/p/"), s(d))
+    )
+    fp = (
+        F.when(
+            d % 6 == 0,
+            F.when(d % 30 == 0, F.concat(F.lit("live-"), s(d))).otherwise(
+                F.lit("tmpl-err-h0")
+            ),
+        )
+        .when(
+            d % 6 == 1,
+            F.when(d % 30 == 1, F.concat(F.lit("live-"), s(d))).otherwise(
+                F.lit("tmpl-long-h1")
+            ),
+        )
+        .when(d % 6 == 2, F.lit("tmpl-few-h2"))
+        .otherwise(F.concat(F.lit("u-"), s(d)))
+    )
+    chars = (
+        F.when((d % 6 == 0) & (d % 30 != 0), F.lit(90))
+        .when(d % 6 == 2, F.lit(90))
+        .when(d % 6 == 1, F.lit(3000))
+        .when(d % 6 == 0, F.lit(3000))
+        .otherwise(F.lit(500))
+    )
+    return load(spark, sf_dir, "documents").select(
+        host.alias("host"), path.alias("path"), fp.alias("fp"),
+        chars.alias("n_chars"),
+    )
+
+
+@register(
+    "soft_404",
+    f"""
+    WITH pg AS ({_S404_PG_SQL}),
+    cells AS (
+      SELECT host, fp,
+             CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+             CAST(count(*) AS BIGINT) AS n_urls,
+             CAST(max(n_chars) AS BIGINT) AS chars_max
+      FROM pg GROUP BY host, fp
+    ),
+    tot AS (
+      SELECT host, CAST(sum(n_urls) AS BIGINT) AS host_urls
+      FROM cells GROUP BY host
+    )
+    SELECT c.host, c.fp, c.n_paths, c.n_urls, t.host_urls,
+           CAST((10000 * c.n_urls) // t.host_urls AS BIGINT) AS share_q,
+           c.chars_max,
+           CAST(CASE WHEN c.n_paths >= 10
+                      AND (10000 * c.n_urls) // t.host_urls >= 2000
+                      AND c.chars_max <= 200
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_soft404
+    FROM cells c JOIN tot t USING (host)
+    """,
+)
+def soft_404_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (operators/soft404.py::soft404_cells) on a
+    planted page world: h0 serves one short error template under many
+    distinct paths (flagged); h1's dominant template is article-length
+    (size cap rejects); h2's short template sits under only 3 paths
+    (path-diversity rejects); other hosts are all-unique. Every
+    exchange is over (host, fp) CELL tables — page rows aggregate
+    exactly once."""
+    from news_please_spark.operators.soft404 import soft404_cells
+
+    return soft404_cells(
+        _s404_pages(spark, sf_dir), min_paths=10, min_share_bp=2000, max_chars=200
+    )
