@@ -140,7 +140,7 @@ HEADLINE = [
     "quality_topfrac",
     "quality_calibrate",
     "pack_sequences",
-    "epoch_shuffle",
+    "epoch_shard_shuffle",
     "sentence_chunks",
     "passage_chunks",
     "compaction_plan",

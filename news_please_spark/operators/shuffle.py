@@ -21,6 +21,13 @@ in-memory sort. No driver state, no RNG: two runs (or a resumed run)
 produce bit-identical orders, and any epoch/shard can be regenerated
 independently — exactly the property a resumable training job needs.
 
+Relation to `operators/ordering.py::epoch_shuffle`: that operator
+materializes ONE dense global order (md5 sort + two-phase numbering) —
+the schedule a single logical reader consumes; this one materializes
+the sharded multi-epoch schedule a fleet of loader workers consumes
+(each worker claims shards, needs only its own cells). Complementary
+surfaces, one hash-key convention.
+
 Reference scope: news-please has no training-loader tier; this is part
 of the beyond-reference LLM-pipeline surface (SURVEY.md §2 extras).
 """
@@ -31,7 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def epoch_shuffle(
+def epoch_shard_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",
     epochs: int = 2,

@@ -9286,7 +9286,7 @@ def lang_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "epoch_shuffle",
+    "epoch_shard_shuffle",
     """
     WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),
     e AS (SELECT doc_id, unnest(range(0, 3)) AS epoch FROM ids),
@@ -9306,19 +9306,19 @@ def lang_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s
     """,
 )
-def epoch_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def epoch_shard_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic two-level epoch shuffle
-    (operators/shuffle.py::epoch_shuffle): 3 epochs x 64 shards over
+    (operators/shuffle.py::epoch_shard_shuffle): 3 epochs x 64 shards over
     the documents ids. Every (epoch, id) is keyed by md5(salt:e:id);
     the key's top 32 bits pick the shard, the full key orders the
     cell — the global epoch order is (shard, pos). ONE exchange on
     (epoch, shard) and a bounded per-cell sort; no global row_number,
     no RNG, bit-identical on rerun/resume. The oracle replays key,
     shard route, and cell rank."""
-    from news_please_spark.operators.shuffle import epoch_shuffle
+    from news_please_spark.operators.shuffle import epoch_shard_shuffle
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    return epoch_shuffle(docs, id_col="doc_id", epochs=3, n_shards=64, salt="shuf")
+    return epoch_shard_shuffle(docs, id_col="doc_id", epochs=3, n_shards=64, salt="shuf")
 
 
 # ---------------------------------------------------------------------------

@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from news_please_spark.operators.shuffle import epoch_shuffle
+from news_please_spark.operators.shuffle import epoch_shard_shuffle
 from news_please_spark.operators.soft404 import soft404_cells
 
 
@@ -17,7 +17,7 @@ def _ids(spark, n):
 
 def test_each_epoch_is_a_permutation(spark):
     n, epochs, shards = 257, 3, 8
-    out = epoch_shuffle(_ids(spark, n), epochs=epochs, n_shards=shards).collect()
+    out = epoch_shard_shuffle(_ids(spark, n), epochs=epochs, n_shards=shards).collect()
     assert len(out) == n * epochs
     by_epoch = {}
     for r in out:
@@ -37,7 +37,7 @@ def test_each_epoch_is_a_permutation(spark):
 
 def test_epochs_give_different_orders_and_reruns_identical(spark):
     df = _ids(spark, 200)
-    a = epoch_shuffle(df, epochs=2, n_shards=4)
+    a = epoch_shard_shuffle(df, epochs=2, n_shards=4)
     rows = a.collect()
     order = {}
     for r in rows:
@@ -51,20 +51,20 @@ def test_epochs_give_different_orders_and_reruns_identical(spark):
 def test_salt_changes_order_and_validation(spark):
     df = _ids(spark, 64)
     a = {(r.epoch, r.doc_id): r.pos for r in
-         epoch_shuffle(df, epochs=1, n_shards=2, salt="a").collect()}
+         epoch_shard_shuffle(df, epochs=1, n_shards=2, salt="a").collect()}
     b = {(r.epoch, r.doc_id): r.pos for r in
-         epoch_shuffle(df, epochs=1, n_shards=2, salt="b").collect()}
+         epoch_shard_shuffle(df, epochs=1, n_shards=2, salt="b").collect()}
     assert a != b
     with pytest.raises(ValueError):
-        epoch_shuffle(df, epochs=0)
+        epoch_shard_shuffle(df, epochs=0)
     with pytest.raises(ValueError):
-        epoch_shuffle(df, n_shards=0)
+        epoch_shard_shuffle(df, n_shards=0)
 
 
 def test_shuffle_plan_single_exchange(spark):
     """The scale contract: one hash exchange on (epoch, shard), no
     global sort, no Python."""
-    out = epoch_shuffle(_ids(spark, 100), epochs=2, n_shards=16)
+    out = epoch_shard_shuffle(_ids(spark, 100), epochs=2, n_shards=16)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "rangepartitioning" not in plan.lower(), plan
