@@ -79,6 +79,7 @@ HEADLINE = [
     "hreflang_audit",
     "revalidation_plan",
     "politeness_topk",
+    "ip_politeness",
     "budget_allocate",
     "host_shards",
     "recrawl_schedule",
@@ -207,6 +208,7 @@ HEADLINE = [
     "merge_upsert",
     "bucketed_join",
     "training_corpus",
+    "clean_audit",
     "lineitem_agg",
     "segment_revenue",
     "events_props_agg",

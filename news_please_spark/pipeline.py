@@ -73,7 +73,7 @@ def _anti_drop(
     return kept.join(drops, id_col, "left_anti")
 
 
-def clean_corpus(
+def _clean_stages(
     df: DataFrame,
     benchmark: DataFrame | None = None,
     text_col: str = "text",
@@ -83,9 +83,12 @@ def clean_corpus(
     decontam_n: int = 8,
     materialize_stages: bool = False,
     transitive_near_dup: bool = False,
-) -> DataFrame:
-    """Returns the surviving rows of `df` (same schema). See module
-    docstring for stage semantics and ordering.
+) -> list[tuple[str, DataFrame]]:
+    """The hygiene stages as an ordered list of (stage_name, survivor
+    DataFrame) — the single implementation behind clean_corpus (which
+    returns the last survivor set) and clean_corpus_audit (which labels
+    every input doc with the first stage that dropped it). See
+    clean_corpus's docstring for stage semantics and ordering.
 
     materialize_stages=True cuts the plan after the near-dup and
     decontamination stages (localCheckpoint): each stage's survivor set
@@ -109,9 +112,12 @@ def clean_corpus(
     def _cut(d: DataFrame) -> DataFrame:
         return d.localCheckpoint(eager=True) if materialize_stages else d
 
+    stages: list[tuple[str, DataFrame]] = []
+
     # 1. exact dedup (min id per content hash); cut BEFORE the LSH
     # index + verify consume it from three branches
     kept = _cut(exact_dedup(df, text_col, id_col))
+    stages.append(("exact", kept))
 
     # 2. near-dup: LSH candidates -> exact Jaccard -> drop doc_b.
     # The corpus is shingled ONCE: a lazily-persisted (id, gram-set)
@@ -138,6 +144,7 @@ def clean_corpus(
     else:
         dups = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     kept = _cut(_anti_drop(kept, dups, id_col, materialize_stages))
+    stages.append(("near_dup", kept))
 
     # 3. decontamination vs the benchmark set — routed the same way for
     # uniformity (hits are usually a sliver, so this routes to the
@@ -148,6 +155,7 @@ def clean_corpus(
         kept = _anti_drop(
             kept, hits.select(id_col), id_col, materialize_stages
         )
+        stages.append(("decontam", kept))
 
     # 4. Gopher-style repetition gate (staged so the gram array builds
     # once per row; run_stats' lambda touches only (acc, x))
@@ -158,7 +166,103 @@ def clean_corpus(
             F.floor(10000.0 * run_stats(F.col("_g2"))["best"] / F.size("_g2"))
         ),
     )
-    return scored.filter(F.col("_top_q") < top_bigram_q_max).drop("_g2", "_top_q")
+    stages.append(
+        (
+            "repetition",
+            scored.filter(F.col("_top_q") < top_bigram_q_max).drop("_g2", "_top_q"),
+        )
+    )
+    return stages
+
+
+def clean_corpus(
+    df: DataFrame,
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    top_bigram_q_max: int = 2000,
+    decontam_n: int = 8,
+    materialize_stages: bool = False,
+    transitive_near_dup: bool = False,
+) -> DataFrame:
+    """Returns the surviving rows of `df` (same schema): exact dedup ->
+    near-dup removal -> decontamination -> repetition gate. See the
+    module docstring for stage semantics and join routing;
+    _clean_stages holds the single stage implementation."""
+    return _clean_stages(
+        df,
+        benchmark,
+        text_col,
+        id_col,
+        jaccard_threshold,
+        top_bigram_q_max,
+        decontam_n,
+        materialize_stages,
+        transitive_near_dup,
+    )[-1][1]
+
+
+# the ledger verdict each stage's drop carries (first drop wins)
+_VERDICT_OF_STAGE = {
+    "exact": "exact_dup",
+    "near_dup": "near_dup",
+    "decontam": "contaminated",
+    "repetition": "repetitive",
+}
+
+
+def clean_corpus_audit(
+    df: DataFrame,
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    top_bigram_q_max: int = 2000,
+    decontam_n: int = 8,
+    materialize_stages: bool = False,
+    transitive_near_dup: bool = False,
+) -> DataFrame:
+    """Per-document drop-reason ledger for the hygiene pipeline: one
+    row per INPUT doc with `verdict` = the first stage that dropped it
+    ('exact_dup' | 'near_dup' | 'contaminated' | 'repetitive') or
+    'kept'. The observability table a production hygiene run writes
+    next to the cleaned corpus — corpus-loss attribution, per-source
+    drop-rate dashboards, and "why did my doc disappear" lookups all
+    read it.
+
+    Built on the SAME _clean_stages plan clean_corpus consumes, so the
+    ledger can never drift from the pipeline's actual decisions (a
+    pytest pins audit['kept'] == clean_corpus output ids). Scale shape:
+    one left join per stage, every join on the fixed-width id key with
+    survivor sets shrinking monotonically — the corpus text never
+    re-shuffles for the ledger."""
+    stages = _clean_stages(
+        df,
+        benchmark,
+        text_col,
+        id_col,
+        jaccard_threshold,
+        top_bigram_q_max,
+        decontam_n,
+        materialize_stages,
+        transitive_near_dup,
+    )
+    lab = df.select(F.col(id_col))
+    flags: list[tuple[str, str]] = []
+    for name, surv in stages:
+        flag = f"_in_{name}"
+        lab = lab.join(
+            surv.select(F.col(id_col), F.lit(1).alias(flag)), id_col, "left"
+        )
+        flags.append((name, flag))
+    verdict = F.when(
+        F.col(flags[0][1]).isNull(), F.lit(_VERDICT_OF_STAGE[flags[0][0]])
+    )
+    for name, flag in flags[1:]:
+        verdict = verdict.when(F.col(flag).isNull(), F.lit(_VERDICT_OF_STAGE[name]))
+    verdict = verdict.otherwise(F.lit("kept"))
+    return lab.select(F.col(id_col), verdict.alias("verdict"))
 
 
 def corpus_report(

@@ -4253,13 +4253,11 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.md5("text").alias("content_md5"))
 
 
-def _cleaned_planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + the three planted dup/junk classes, run through the
-    full clean_corpus pipeline — shared by corpus_clean and
-    training_corpus so both gates exercise the identical hygiene
-    stages."""
-    from news_please_spark.pipeline import clean_corpus
-
+def _planted_corpus(spark: SparkSession, sf_dir: str):
+    """(corpus, benchmark): documents + the three planted dup/junk
+    classes and the every-13th benchmark set — shared by corpus_clean,
+    training_corpus and clean_audit so all gates exercise identical
+    hygiene inputs."""
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     c = docs.count()
     tok1 = F.element_at(F.split(F.trim(F.col("text")), r"\s+"), 1)
@@ -4276,6 +4274,14 @@ def _cleaned_planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(exact).unionByName(near).unionByName(junk)
     bench = docs.filter(F.col("doc_id") % 13 == 0)
+    return corpus, bench
+
+
+def _cleaned_planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted corpus run through the full clean_corpus pipeline."""
+    from news_please_spark.pipeline import clean_corpus
+
+    corpus, bench = _planted_corpus(spark, sf_dir)
     return clean_corpus(
         corpus, bench, jaccard_threshold=0.5, top_bigram_q_max=2000,
         materialize_stages=True,
@@ -9422,3 +9428,96 @@ def soft_404_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return soft404_cells(
         _s404_pages(spark, sf_dir), min_paths=10, min_share_bp=2000, max_chars=200
     )
+
+
+# ---------------------------------------------------------------------------
+# IP-pooled politeness admission (CDN / shared-hosting pooling)
+
+
+@register(
+    "ip_politeness",
+    """
+    WITH c AS (
+      SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+             'ip-' || CAST((doc_id % 20) % 7 AS VARCHAR) AS ip,
+             'https://h' || CAST(doc_id % 20 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 1000 AS BIGINT) AS prio
+      FROM documents
+    )
+    SELECT host, url, prio, ip,
+           CAST(CASE WHEN row_number() OVER (PARTITION BY ip
+                                             ORDER BY prio, url) <= 5
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_admitted
+    FROM c
+    """,
+)
+def ip_politeness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP-pooled politeness (operators/ippool.py::ip_pooled_admission):
+    20 vhosts resolve onto 7 addresses (CDN/shared-hosting shape), and
+    admission ranks top-5 per ADDRESS, not per host — the quota hosts
+    behind one edge share. One host-grain DNS-map join + the salted
+    two-phase top-k (no single-task sort of a fat CDN cell); the
+    oracle replays the pooled ranking with a plain window."""
+    from news_please_spark.operators.ippool import ip_pooled_admission
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = F.concat(F.lit("h"), s(d % 20))
+    docs = load(spark, sf_dir, "documents")
+    candidates = docs.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("https://h"), s(d % 20), F.lit(".example.com/p/"), s(d)
+        ).alias("url"),
+        (
+            F.conv(F.substring(F.md5(s(d)), 1, 8), 16, 10).cast("long")
+            % 1000
+        ).alias("prio"),
+    )
+    host_ip = docs.select(
+        host.alias("host"),
+        F.concat(F.lit("ip-"), s((d % 20) % 7)).alias("ip"),
+    ).distinct()
+    return ip_pooled_admission(candidates, host_ip, k=5, salt_buckets=4)
+
+
+# ---------------------------------------------------------------------------
+# hygiene drop-reason ledger over the planted corpus (pipeline
+# observability: the first stage that dropped each doc)
+
+_AUDIT_TAIL = """SELECT c.doc_id,
+           CASE WHEN s4.doc_id IS NOT NULL THEN 'kept'
+                WHEN s3.doc_id IS NOT NULL THEN 'repetitive'
+                WHEN s2.doc_id IS NOT NULL THEN 'contaminated'
+                WHEN s1.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'exact_dup' END AS verdict
+    FROM corpus c
+    LEFT JOIN s1 ON s1.doc_id = c.doc_id
+    LEFT JOIN s2 ON s2.doc_id = c.doc_id
+    LEFT JOIN s3 ON s3.doc_id = c.doc_id
+    LEFT JOIN s4 ON s4.doc_id = c.doc_id"""
+
+
+@register("clean_audit", None)
+def clean_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-reason ledger (pipeline.clean_corpus_audit) over the SAME
+    planted corpus as corpus_clean: one row per input doc, verdict =
+    first hygiene stage that dropped it (exact_dup | near_dup |
+    contaminated | repetitive) or kept. Built on the identical
+    _clean_stages plan the pipeline executes, so the ledger cannot
+    drift from its decisions; the oracle rewrites corpus_clean's CTE
+    chain tail into a four-way survivor-presence CASE. One id-keyed
+    left join per stage — the corpus text never re-shuffles."""
+    from news_please_spark.pipeline import clean_corpus_audit
+
+    corpus, bench = _planted_corpus(spark, sf_dir)
+    return clean_corpus_audit(
+        corpus, bench, jaccard_threshold=0.5, top_bigram_q_max=2000,
+        materialize_stages=True,
+    )
+
+
+assert _CLEAN_TAIL in ORACLES["corpus_clean"]
+ORACLES["clean_audit"] = ORACLES["corpus_clean"].replace(_CLEAN_TAIL, _AUDIT_TAIL)

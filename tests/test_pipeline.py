@@ -123,3 +123,44 @@ def test_publish_training_corpus_wap_gate(spark, tmp_path):
         )
     assert cat.latest() == 0
     assert cat.read_table(spark, "corpus").count() == n0
+
+
+def test_clean_audit_ledger_matches_pipeline(spark):
+    """audit verdicts: every planted class labeled with ITS stage, and
+    audit['kept'] ids == clean_corpus output ids (same plan, no drift)."""
+    from news_please_spark.pipeline import clean_corpus_audit
+
+    bench = spark.createDataFrame([(100, BASE[2][1])], "doc_id long, text string")
+    verdicts = {
+        r.doc_id: r.verdict
+        for r in clean_corpus_audit(
+            _df(spark), bench, materialize_stages=True
+        ).collect()
+    }
+    assert verdicts == {
+        0: "kept",
+        1: "kept",
+        3: "kept",
+        2: "contaminated",          # its text IS the benchmark
+        0 + N: "exact_dup",
+        1 + 2 * N: "near_dup",
+        3 + 3 * N: "repetitive",
+    }
+    kept_ids = sorted(
+        r.doc_id
+        for r in clean_corpus(_df(spark), bench, materialize_stages=True).collect()
+    )
+    assert sorted(i for i, v in verdicts.items() if v == "kept") == kept_ids
+
+
+def test_clean_audit_no_benchmark_has_no_contaminated(spark):
+    from news_please_spark.pipeline import clean_corpus_audit
+
+    verdicts = {
+        r.doc_id: r.verdict
+        for r in clean_corpus_audit(_df(spark), None).collect()
+    }
+    assert "contaminated" not in set(verdicts.values())
+    assert verdicts[2] == "kept"
+    # every input doc gets exactly one ledger row
+    assert len(verdicts) == len(_rows())
