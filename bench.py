@@ -80,6 +80,7 @@ HEADLINE = [
     "revalidation_plan",
     "politeness_topk",
     "ip_politeness",
+    "media_byte_budget",
     "budget_allocate",
     "host_shards",
     "recrawl_schedule",
@@ -142,6 +143,7 @@ HEADLINE = [
     "quality_calibrate",
     "pack_sequences",
     "epoch_shard_shuffle",
+    "shard_manifest",
     "sentence_chunks",
     "passage_chunks",
     "compaction_plan",

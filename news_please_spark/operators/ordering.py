@@ -14,6 +14,8 @@ identical to a global `row_number` but every heavy step is distributed.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -540,3 +542,46 @@ def epoch_shuffle(
     )
     res, _ = with_global_seq(keyed, ["_h", id_col], out=out)
     return res.drop("_h")
+
+
+def admit_by_byte_budget(
+    candidates: DataFrame,
+    budget_bytes: int,
+    key: str = "host",
+    bytes_col: str = "est_bytes",
+    order_cols: Sequence[str] = ("prio", "media_ref"),
+) -> DataFrame:
+    """Admit fetches per key while the running BYTE total stays within
+    budget — the media-tier politeness gate. Request-count caps
+    (mark_top_k_per_key / ip_pooled_admission) are the right unit for
+    HTML, but interleaved documents carry media spans whose costs vary
+    by 10^3-10^6x: k images vs k videos are not the same load on a
+    host. The byte budget is the unit hosts actually feel.
+
+    Greedy-prefix semantics (the deterministic, order-respecting rule):
+    walk the key's candidates in `order_cols` order and admit while the
+    cumulative `bytes_col` (including the current row) <= budget_bytes.
+    A single over-budget row is skipped AND blocks everything after it
+    — no re-packing, so the admitted set is a strict priority prefix
+    and two engines can replay it bit-for-bit from the same ordering.
+    (Best-fit re-packing is compaction_plan's job, offline; admission
+    must stay order-stable or priority inversion leaks in.)
+
+    Output: candidates + cum_bytes (BIGINT, inclusive running sum) +
+    is_admitted (0/1). One exchange on `key`; the prefix sum is a
+    per-key window — inherently sequential per key, bounded by the
+    per-wave candidate cell exactly like the politeness window, and at
+    10^10-URL scale the wave planner already bounds that cell.
+    """
+    if budget_bytes < 0:
+        raise ValueError("budget_bytes must be >= 0")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(bytes_col).cast("long")).over(w)
+    return candidates.withColumn("cum_bytes", cum.cast("long")).withColumn(
+        "is_admitted",
+        (F.col("cum_bytes") <= budget_bytes).cast("long"),
+    )

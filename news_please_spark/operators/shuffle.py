@@ -83,3 +83,30 @@ def epoch_shard_shuffle(
         "shard",
         (F.row_number().over(w) - 1).cast("long").alias("pos"),
     )
+
+
+def shard_manifest(schedule: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-(epoch, shard) manifest over an epoch_shard_shuffle schedule:
+    item count + an ORDER-SENSITIVE content digest (md5 of the
+    "pos:id" sequence in pos order). The loader-side integrity
+    contract: a worker streams its shard, recomputes the digest, and
+    refuses to train on a torn/reordered/partially-written shard —
+    the same role a snapshot manifest plays for table files.
+
+    One aggregation at (epoch, shard) grain; the per-cell list build
+    is bounded by the shard capacity n_shards was chosen to enforce,
+    so the manifest costs one exchange regardless of corpus size."""
+    items = F.sort_array(F.collect_list(F.struct("pos", id_col)))
+    digest = F.md5(
+        F.array_join(
+            F.transform(
+                items,
+                lambda s: F.concat_ws(":", s["pos"].cast("string"), s[id_col]),
+            ),
+            ",",
+        )
+    )
+    return schedule.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        digest.alias("digest"),
+    )

@@ -9521,3 +9521,104 @@ def clean_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 assert _CLEAN_TAIL in ORACLES["corpus_clean"]
 ORACLES["clean_audit"] = ORACLES["corpus_clean"].replace(_CLEAN_TAIL, _AUDIT_TAIL)
+
+
+# ---------------------------------------------------------------------------
+# loader-side shard manifest over the epoch_shard_shuffle schedule
+
+
+@register(
+    "shard_manifest",
+    """
+    WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),
+    e AS (SELECT doc_id, unnest(range(0, 3)) AS epoch FROM ids),
+    k AS (
+      SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+             md5('shuf:' || CAST(epoch AS VARCHAR) || ':' || doc_id) AS skey
+      FROM e
+    ),
+    s AS (
+      SELECT epoch, doc_id, skey,
+             CAST(('0x' || substr(skey, 1, 8))::BIGINT % 64 AS BIGINT) AS shard
+      FROM k
+    ),
+    sched AS (
+      SELECT epoch, doc_id, shard,
+             CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY skey)
+                  - 1 AS BIGINT) AS pos
+      FROM s
+    )
+    SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_items,
+           md5(string_agg(CAST(pos AS VARCHAR) || ':' || doc_id, ','
+                          ORDER BY pos)) AS digest
+    FROM sched GROUP BY epoch, shard
+    """,
+)
+def shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard integrity manifest (operators/shuffle.py::shard_manifest)
+    over the 3x64 epoch_shard_shuffle schedule: per-cell item count +
+    order-sensitive md5 of the "pos:id" stream — what a loader worker
+    verifies before training on its shard. One cell-grain aggregation
+    on top of the schedule's single exchange."""
+    from news_please_spark.operators.shuffle import (
+        epoch_shard_shuffle,
+        shard_manifest,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    sched = epoch_shard_shuffle(
+        docs, id_col="doc_id", epochs=3, n_shards=64, salt="shuf"
+    )
+    return shard_manifest(sched)
+
+
+# ---------------------------------------------------------------------------
+# per-host BYTE-budget admission for media fetches (interleaved tier)
+
+
+@register(
+    "media_byte_budget",
+    """
+    WITH c AS (
+      SELECT 'h' || CAST(doc_id % 8 AS VARCHAR) AS host,
+             'm/' || CAST(doc_id AS VARCHAR) AS media_ref,
+             CAST(CASE WHEN doc_id % 11 = 0 THEN 5000000
+                       ELSE 50000 + (doc_id % 7) * 1000 END AS BIGINT)
+               AS est_bytes,
+             CAST(doc_id % 97 AS BIGINT) AS prio
+      FROM documents
+    )
+    SELECT host, media_ref, est_bytes, prio,
+           CAST(sum(est_bytes) OVER (PARTITION BY host ORDER BY prio, media_ref
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_bytes,
+           CAST(CASE WHEN sum(est_bytes) OVER (PARTITION BY host
+                          ORDER BY prio, media_ref
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          <= 300000
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_admitted
+    FROM c
+    """,
+)
+def media_byte_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget media admission
+    (operators/ordering.py::admit_by_byte_budget): per-host greedy
+    prefix under a 300 kB budget over a media population where every
+    11th ref is a 5 MB video — the case request-count politeness
+    mis-prices. Video rows blow the budget and block their suffix
+    (order-stable, no re-pack); image-only hosts admit a few. One
+    exchange on host; the oracle replays the inclusive running sum."""
+    from news_please_spark.operators.ordering import admit_by_byte_budget
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    cands = load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), s(d % 8)).alias("host"),
+        F.concat(F.lit("m/"), s(d)).alias("media_ref"),
+        F.when(d % 11 == 0, F.lit(5000000))
+        .otherwise(F.lit(50000) + (d % 7) * 1000)
+        .cast("long")
+        .alias("est_bytes"),
+        (d % 97).cast("long").alias("prio"),
+    )
+    return admit_by_byte_budget(cands, budget_bytes=300000)

@@ -951,3 +951,30 @@ def test_passage_chunks_rejects_bad_args(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         passage_chunks(docs, stride=0)
+
+
+def test_admit_by_byte_budget_greedy_prefix(spark):
+    from news_please_spark.operators.ordering import admit_by_byte_budget
+
+    rows = [
+        # host a: 100+100+150 -> third row crosses 300 and blocks suffix
+        ("a", "m1", 100, 1), ("a", "m2", 100, 2), ("a", "m3", 150, 3),
+        ("a", "m4", 10, 4),
+        # host b: one fat row first blocks everything incl itself
+        ("b", "m1", 1000, 1), ("b", "m2", 10, 2),
+        # host c: all fit exactly (inclusive <=)
+        ("c", "m1", 200, 1), ("c", "m2", 100, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, media_ref string, est_bytes long, prio long"
+    )
+    out = {(r.host, r.media_ref): (r.cum_bytes, r.is_admitted)
+           for r in admit_by_byte_budget(df, budget_bytes=300).collect()}
+    assert out[("a", "m1")] == (100, 1) and out[("a", "m2")] == (200, 1)
+    assert out[("a", "m3")] == (350, 0) and out[("a", "m4")] == (360, 0)
+    assert out[("b", "m1")] == (1000, 0) and out[("b", "m2")] == (1010, 0)
+    assert out[("c", "m1")] == (200, 1) and out[("c", "m2")] == (300, 1)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        admit_by_byte_budget(df, budget_bytes=-1)

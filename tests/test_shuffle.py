@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from news_please_spark.operators.shuffle import epoch_shard_shuffle
+from news_please_spark.operators.shuffle import epoch_shard_shuffle, shard_manifest
 from news_please_spark.operators.soft404 import soft404_cells
 
 
@@ -130,3 +130,35 @@ def test_soft404_plan_cell_grain_exchanges_only(spark):
     assert keys, plan
     for k in keys:
         assert "host" in k, plan
+
+
+# -- shard manifest ---------------------------------------------------------
+
+
+def test_shard_manifest_counts_and_order_sensitivity(spark):
+    sched = epoch_shard_shuffle(_ids(spark, 120), epochs=2, n_shards=4)
+    man = shard_manifest(sched).collect()
+    # counts cover every row exactly once
+    assert sum(r.n_items for r in man) == 240
+    assert all(len(r.digest) == 32 for r in man)
+    # digest is order-sensitive: swapping two positions changes it
+    one = sched.filter((F.col("epoch") == 0) & (F.col("shard") == sched
+        .filter(F.col("epoch") == 0).select("shard").first().shard))
+    cell = one.collect()
+    swapped = [(r.epoch, r.doc_id, r.shard,
+                (1 - r.pos) if r.pos in (0, 1) else r.pos) for r in cell]
+    sdf = spark.createDataFrame(
+        swapped, "epoch long, doc_id string, shard long, pos long"
+    )
+    d0 = shard_manifest(one).collect()[0].digest
+    d1 = shard_manifest(sdf).collect()[0].digest
+    if len(cell) >= 2:
+        assert d0 != d1
+
+
+def test_shard_manifest_stable_across_partitionings(spark):
+    sched = epoch_shard_shuffle(_ids(spark, 80), epochs=1, n_shards=4)
+    a = {(r.epoch, r.shard): r.digest for r in shard_manifest(sched).collect()}
+    b = {(r.epoch, r.shard): r.digest
+         for r in shard_manifest(sched.repartition(13)).collect()}
+    assert a == b
