@@ -73,6 +73,7 @@ HEADLINE = [
     "robots_rep_gate",
     "dust_rules",
     "snapshot_url_diff",
+    "segment_diff",
     "fetch_anomaly",
     "mirror_hosts",
     "canonical_links",
@@ -136,6 +137,7 @@ HEADLINE = [
     "token_budget",
     "dataset_split",
     "curriculum_order",
+    "mixture_interleave",
     "priority_sample",
     "stratified_sample",
     "length_buckets",

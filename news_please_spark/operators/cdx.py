@@ -171,3 +171,53 @@ def snapshot_diff(
         .otherwise(F.lit("same"))
     )
     return j.withColumn("status", status)
+
+
+def segment_diff(
+    old: DataFrame,
+    new: DataFrame,
+    urlkey_col: str = "urlkey",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-segment content delta between two captures of the same
+    URL population — the incremental-crawl step BELOW snapshot_diff's
+    whole-page digest: a re-indexer wants only the changed sentences,
+    not a 'changed' bit for the page.
+
+    Each side splits into trimmed sentences (same RE2-safe regex as
+    sentence_chunks), keyed by md5; per (urlkey, seg_md5) occurrence
+    counts full-outer join into added / removed / kept rows with both
+    counts. Scale: pages explode to fixed-width (urlkey, md5) keys,
+    aggregate once per side, and one equi-join on those keys — the
+    page text itself never shuffles."""
+    sent_re = r"[^.!?]+[.!?]*"
+
+    def segs(df: DataFrame, n_col: str) -> DataFrame:
+        sents = F.filter(
+            F.transform(
+                F.regexp_extract_all(F.col(text_col), F.lit(sent_re), 0),
+                lambda x: F.trim(x),
+            ),
+            lambda x: x != "",
+        )
+        return (
+            df.select(F.col(urlkey_col).alias("urlkey"), F.explode(sents).alias("_s"))
+            .groupBy("urlkey", F.md5("_s").alias("seg_md5"))
+            .agg(F.count(F.lit(1)).cast("long").alias(n_col))
+        )
+
+    a = segs(old, "n_old")
+    b = segs(new, "n_new")
+    j = a.join(b, ["urlkey", "seg_md5"], "full_outer")
+    status = (
+        F.when(F.col("n_old").isNull(), F.lit("added"))
+        .when(F.col("n_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("kept"))
+    )
+    return j.select(
+        "urlkey",
+        "seg_md5",
+        F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        status.alias("status"),
+    )

@@ -585,3 +585,60 @@ def admit_by_byte_budget(
         "is_admitted",
         (F.col("cum_bytes") <= budget_bytes).cast("long"),
     )
+
+
+def with_group_seq(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    out: str = "gseq",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach a dense 0-based sequence number PER GROUP by `order_cols`
+    — with_global_seq's per-group twin, built the same scale-safe way.
+
+    A plain `row_number() OVER (PARTITION BY group)` sorts each whole
+    group in ONE task — a non-starter when a single group holds 10^9
+    rows (one corpus source, one fat host). Here the input is
+    range-partitioned by (group, *order_cols) so a big group SPANS
+    partitions; per-(partition, group) counts are collected (bounded
+    by nparts x groups-touching-a-boundary — tiny), prefix offsets are
+    broadcast as a literal map, and the final window partitions by
+    (partition-id, group) — every sort is within one partition's slice
+    of the group. Ordering keys must be unique within their group."""
+    spark = df.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    d = df.repartitionByRange(nparts, group_col, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    d = d.persist()
+    counts = d.groupBy("_pid", group_col).agg(
+        F.count(F.lit(1)).alias("c")
+    ).collect()
+    acc: dict[str, int] = {}
+    cum: dict[tuple[int, str], int] = {}
+    for row in sorted(counts, key=lambda r: (str(r[group_col]), r["_pid"])):
+        g = row[group_col]
+        cum[(row["_pid"], g)] = acc.get(g, 0)
+        acc[g] = acc.get(g, 0) + row["c"]
+    if not cum:
+        return d.withColumn(out, F.lit(0).cast("long")).drop("_pid")
+    mapping = F.create_map(
+        *[
+            x
+            for (pid, g), off in cum.items()
+            for x in (
+                F.concat_ws("|", F.lit(str(pid)), F.lit(g)),
+                F.lit(off),
+            )
+        ]
+    )
+    w = Window.partitionBy("_pid", group_col).orderBy(*order_cols)
+    return d.withColumn(
+        out,
+        (
+            mapping[F.concat_ws("|", F.col("_pid").cast("string"), F.col(group_col))]
+            + F.row_number().over(w)
+            - 1
+        ).cast("long"),
+    ).drop("_pid")

@@ -1165,3 +1165,66 @@ def passage_chunks(
             F.col("_c.chunk_text").alias("chunk_text"),
         )
     )
+
+
+def mixture_interleave(
+    docs: DataFrame,
+    weights: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stride-scheduler interleave of a source mixture —
+    the order in which a trainer should CONSUME a weighted multi-source
+    corpus so that every prefix holds sources in weight proportion
+    (classic stride scheduling: max per-source deviation from its
+    entitlement is one item at any prefix).
+
+    `weights`: (source, weight) with positive INTEGER weights — the
+    mixture dimension table (O(10-10^3) rows by construction; it is
+    collected once for the lcm and broadcast into the join). Source s
+    with weight w emits its j-th item (j = per-source md5 rank, dense
+    via the scale-safe with_group_seq) at virtual time
+
+        vtime = (2j + 1) * (L / w),   L = lcm(all weights)
+
+    — all BIGINT arithmetic, so the order replays bit-for-bit in any
+    engine. Global positions attach with the two-phase with_global_seq
+    (never a one-task window). Output: doc rows + j, vtime, mix_pos.
+    """
+    import math
+
+    from news_please_spark.operators.ordering import (
+        with_global_seq,
+        with_group_seq,
+    )
+
+    wrows = weights.collect()
+    if not wrows:
+        raise ValueError("weights is empty")
+    by_src = {}
+    for r in wrows:
+        w = int(r["weight"])
+        if w < 1:
+            raise ValueError(f"weight must be a positive integer: {r}")
+        by_src[r[source_col]] = w
+    lcm = 1
+    for w in by_src.values():
+        lcm = lcm * w // math.gcd(lcm, w)
+
+    keyed = docs.withColumn(
+        "_h", F.md5(F.col(id_col).cast("string"))
+    )
+    ranked = with_group_seq(keyed, source_col, ["_h", id_col], out="j")
+    stride = F.broadcast(
+        weights.select(
+            F.col(source_col),
+            (F.lit(lcm) / F.col("weight")).cast("long").alias("_stride"),
+        )
+    )
+    v = ranked.join(stride, source_col).withColumn(
+        "vtime", ((2 * F.col("j") + 1) * F.col("_stride")).cast("long")
+    )
+    out, _ = with_global_seq(
+        v, ["vtime", source_col, "j"], out="mix_pos"
+    )
+    return out.drop("_h", "_stride")

@@ -9622,3 +9622,129 @@ def media_byte_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d % 97).cast("long").alias("prio"),
     )
     return admit_by_byte_budget(cands, budget_bytes=300000)
+
+
+# ---------------------------------------------------------------------------
+# stride-scheduler mixture interleave (training-loader tier)
+
+
+@register(
+    "mixture_interleave",
+    """
+    WITH j AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
+               AS j
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, source, j,
+             CAST((2 * j + 1) *
+                  (12 // (1 + (CAST(substr(source, 4) AS BIGINT) % 4)))
+                  AS BIGINT) AS vtime
+      FROM j
+    )
+    SELECT doc_id, source, j, vtime,
+           CAST(row_number() OVER (ORDER BY vtime, source, j) - 1 AS BIGINT)
+             AS mix_pos
+    FROM v
+    """,
+)
+def mixture_interleave_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-scheduler mixture interleave
+    (operators/sampling.py::mixture_interleave): source srcN gets
+    integer weight 1+(N%4), L=lcm(1..4)=12, and its j-th item (dense
+    per-source md5 rank via the scale-safe with_group_seq) lands at
+    vtime (2j+1)*(L/w) — every prefix of the mix_pos order holds
+    sources in weight proportion within one item. All-BIGINT; the
+    oracle replays rank, stride, and global order with windows."""
+    from news_please_spark.operators.sampling import mixture_interleave
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    weights = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                1 + F.substring("source", 4, 10).cast("long") % 4
+            ).cast("long").alias("weight"),
+        )
+    )
+    out = mixture_interleave(docs, weights)
+    return out.select("doc_id", "source", "j", "vtime", "mix_pos")
+
+
+# ---------------------------------------------------------------------------
+# sentence-segment content diff between crawl snapshots
+
+
+@register(
+    "segment_diff",
+    """
+    WITH a0 AS (
+      SELECT 'com,site)/p/' || CAST(doc_id AS VARCHAR) AS urlkey, text
+      FROM documents WHERE doc_id % 11 <> 0
+    ),
+    b0 AS (
+      SELECT 'com,site)/p/' || CAST(doc_id AS VARCHAR) AS urlkey,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' Zz added tail sentence.'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 13 <> 0
+    ),
+    sa AS (
+      SELECT urlkey, md5(s) AS seg_md5, CAST(count(*) AS BIGINT) AS n_old
+      FROM (
+        SELECT urlkey,
+               unnest(list_filter(
+                 list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                                x -> trim(x)),
+                 x -> x <> '')) AS s
+        FROM a0
+      ) GROUP BY 1, 2
+    ),
+    sb AS (
+      SELECT urlkey, md5(s) AS seg_md5, CAST(count(*) AS BIGINT) AS n_new
+      FROM (
+        SELECT urlkey,
+               unnest(list_filter(
+                 list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                                x -> trim(x)),
+                 x -> x <> '')) AS s
+        FROM b0
+      ) GROUP BY 1, 2
+    )
+    SELECT coalesce(sa.urlkey, sb.urlkey) AS urlkey,
+           coalesce(sa.seg_md5, sb.seg_md5) AS seg_md5,
+           CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+           CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+           CASE WHEN sa.seg_md5 IS NULL THEN 'added'
+                WHEN sb.seg_md5 IS NULL THEN 'removed'
+                ELSE 'kept' END AS status
+    FROM sa FULL OUTER JOIN sb
+      ON sa.urlkey = sb.urlkey AND sa.seg_md5 = sb.seg_md5
+    """,
+)
+def segment_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level content delta (operators/cdx.py::segment_diff)
+    between two synthetic captures: snapshot B appends a sentence to
+    every 5th page, pages %11 are new in B, pages %13 are gone — the
+    added/removed/kept classes all populate, at segment grain (the
+    re-index delta snapshot_url_diff's page digest can't give). Only
+    fixed-width (urlkey, md5) keys shuffle."""
+    from news_please_spark.operators.cdx import segment_diff
+
+    d = F.col("doc_id")
+    key = F.concat(F.lit("com,site)/p/"), d.cast("string"))
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(d % 11 != 0).select(key.alias("urlkey"), "text")
+    new = docs.filter(d % 13 != 0).select(
+        key.alias("urlkey"),
+        F.when(d % 5 == 0, F.concat(F.col("text"), F.lit(" Zz added tail sentence.")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return segment_diff(old, new)

@@ -104,3 +104,43 @@ def test_snapshot_diff_custom_columns_and_empty_sides(spark):
     new = spark.createDataFrame([("a", "x")], "k string, h string")
     rows = snapshot_diff(old, new, key_col="k", digest_col="h").collect()
     assert [(r.urlkey, r.status) for r in rows] == [("a", "new")]
+
+
+def test_segment_diff_classes(spark):
+    from news_please_spark.operators.cdx import segment_diff
+
+    old = spark.createDataFrame(
+        [("u1", "Alpha beta. Gamma delta. Shared tail."),
+         ("u2", "Gone page one. Gone page two.")],
+        "urlkey string, text string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "Alpha beta. Fresh sentence! Shared tail."),
+         ("u3", "Brand new page.")],
+        "urlkey string, text string",
+    )
+    out = segment_diff(old, new).collect()
+    by = {}
+    for r in out:
+        by.setdefault((r.urlkey, r.status), []).append(r)
+    # u1: one kept pair stays kept twice (Alpha beta., Shared tail.),
+    # Gamma delta. removed, Fresh sentence! added
+    assert len(by[("u1", "kept")]) == 2
+    assert len(by[("u1", "removed")]) == 1
+    assert len(by[("u1", "added")]) == 1
+    # whole-page classes
+    assert all(r.n_new == 0 for r in by[("u2", "removed")]) and len(by[("u2", "removed")]) == 2
+    assert all(r.n_old == 0 for r in by[("u3", "added")]) and len(by[("u3", "added")]) == 1
+    # counts are occurrence multiplicities
+    assert all(r.n_old == 1 and r.n_new == 1 for r in by[("u1", "kept")])
+
+
+def test_segment_diff_repeated_sentence_counts(spark):
+    from news_please_spark.operators.cdx import segment_diff
+
+    old = spark.createDataFrame([("u", "Same. Same. Other.")], "urlkey string, text string")
+    new = spark.createDataFrame([("u", "Same.")], "urlkey string, text string")
+    out = {r.status: r for r in segment_diff(old, new).collect() if True}
+    rows = segment_diff(old, new).collect()
+    same = [r for r in rows if r.n_old == 2][0]
+    assert same.n_new == 1 and same.status == "kept"

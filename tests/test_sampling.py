@@ -978,3 +978,49 @@ def test_admit_by_byte_budget_greedy_prefix(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         admit_by_byte_budget(df, budget_bytes=-1)
+
+
+def test_with_group_seq_dense_and_matches_window(spark):
+    from pyspark.sql import Window
+    from news_please_spark.operators.ordering import with_group_seq
+
+    rows = [(f"g{i % 3}", f"id{i:03d}") for i in range(97)]
+    df = spark.createDataFrame(rows, "g string, id string")
+    got = {(r.g, r.id): r.gseq
+           for r in with_group_seq(df, "g", ["id"], num_partitions=7).collect()}
+    w = Window.partitionBy("g").orderBy("id")
+    exp = {(r.g, r.id): r.rn - 1
+           for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+    assert got == exp  # dense per group, identical to the one-task window
+
+
+def test_mixture_interleave_prefix_proportionality(spark):
+    from news_please_spark.operators.sampling import mixture_interleave
+
+    rows = [(i, "a") for i in range(60)] + [(i + 100, "b") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = spark.createDataFrame([("a", 3), ("b", 1)], "source string, weight long")
+    out = sorted(mixture_interleave(docs, weights).collect(),
+                 key=lambda r: r.mix_pos)
+    # dense global positions
+    assert [r.mix_pos for r in out] == list(range(120))
+    # stride guarantee: in any prefix, source counts track 3:1 within ~1 item
+    ca = cb = 0
+    for r in out[:80]:  # while both sources still have items
+        if r.source == "a":
+            ca += 1
+        else:
+            cb += 1
+        n = ca + cb
+        assert abs(ca - 3 * n / 4) <= 1.5, (n, ca, cb)
+    # vtime formula: j-th item of weight-w source at (2j+1)*(12//w)? L=lcm(3,1)=3
+    for r in out:
+        w = 3 if r.source == "a" else 1
+        assert r.vtime == (2 * r.j + 1) * (3 // w)
+
+    import pytest as _pytest
+    bad = spark.createDataFrame([("a", 0)], "source string, weight long")
+    with _pytest.raises(ValueError):
+        mixture_interleave(docs, bad)
+    with _pytest.raises(ValueError):
+        mixture_interleave(docs, weights.limit(0))
