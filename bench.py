@@ -91,10 +91,12 @@ HEADLINE = [
     "host_coverage",
     "fetch_schedule",
     "autothrottle",
+    "rate_limit_gcra",
     "politeness_audit",
     "url_dedup_key",
     "surt_key",
     "cdx_revisit",
+    "first_discovery",
     "redirect_chains",
     "dedup_exact",
     "fingerprint",

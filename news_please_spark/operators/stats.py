@@ -317,3 +317,43 @@ def lang_segments(
             F.col("_e.txt").alias("seg_text"),
         )
     )
+
+
+def first_discovery(
+    disc: DataFrame,
+    channel_rank: dict[str, int],
+    url_col: str = "url",
+) -> DataFrame:
+    """Discovery-source attribution: for every URL, the EARLIEST
+    discovery record — by wave, then by channel preference (e.g. a
+    sitemap listing outranks an incidental link seen the same wave),
+    then by source id for a total order. The provenance table behind
+    crawl-acquisition dashboards ("how do we find our pages?") and
+    channel-budget decisions.
+
+    One map-side-combinable min(struct) aggregation on url — no
+    window, no sort of the full discovery log; the channel-rank map
+    rides as a literal expression."""
+    if not channel_rank:
+        raise ValueError("channel_rank is empty")
+    rank = F.create_map(
+        *[F.lit(x) for kv in channel_rank.items() for x in kv]
+    )[F.col("channel")]
+    best = F.min(
+        F.struct(
+            F.col("wave").cast("long").alias("wave"),
+            rank.cast("long").alias("crank"),
+            F.col("src").alias("src"),
+            F.col("channel").alias("channel"),
+        )
+    ).alias("_b")
+    return (
+        disc.groupBy(F.col(url_col).alias("url"))
+        .agg(best)
+        .select(
+            "url",
+            F.col("_b.wave").alias("first_wave"),
+            F.col("_b.channel").alias("channel"),
+            F.col("_b.src").alias("src"),
+        )
+    )

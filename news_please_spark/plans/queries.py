@@ -9748,3 +9748,106 @@ def segment_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return segment_diff(old, new)
+
+
+# ---------------------------------------------------------------------------
+# GCRA (token-bucket) fetch admission with exact recursive replay
+
+
+@register(
+    "rate_limit_gcra",
+    """
+    WITH RECURSIVE e AS (
+      SELECT 'h' || CAST(user_id AS VARCHAR) AS host, event_id,
+             epoch_us(ts) AS t_us
+      FROM events
+    ),
+    o AS (
+      SELECT host, event_id, t_us,
+             CAST(row_number() OVER (PARTITION BY host
+                                     ORDER BY t_us, event_id) AS BIGINT) AS idx
+      FROM e
+    ),
+    chain(host, idx, event_id, t_us, adm, tat) AS (
+      SELECT host, idx, event_id, t_us, TRUE, t_us + 60000000
+      FROM o WHERE idx = 1
+      UNION ALL
+      SELECT o.host, o.idx, o.event_id, o.t_us,
+             o.t_us >= c.tat - 120000000,
+             CASE WHEN o.t_us >= c.tat - 120000000
+                  THEN greatest(o.t_us, c.tat) + 60000000
+                  ELSE c.tat END
+      FROM chain c JOIN o ON o.host = c.host AND o.idx = c.idx + 1
+    )
+    SELECT host, event_id, CAST(t_us AS BIGINT) AS t_us,
+           CAST(CASE WHEN adm THEN 1 ELSE 0 END AS BIGINT) AS admitted,
+           CAST(tat AS BIGINT) AS tat_after
+    FROM chain
+    """,
+)
+def rate_limit_gcra_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-aware token-bucket admission
+    (operators/ratelimit.py::gcra_admission): events become per-host
+    fetch arrivals (one host per user id — keeps every cell ~10^2
+    rows at ALL scale factors), GCRA at 1 req/min with a 2-min burst
+    allowance. The sequential recurrence runs as one Arrow batch per
+    host cell (the documented politeness-state grain); the oracle
+    replays the identical integer recurrence as a recursive CTE."""
+    from news_please_spark.operators.ratelimit import gcra_admission
+
+    ev = load(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), F.col("user_id").cast("string")).alias("host"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    return gcra_admission(ev, rate_interval_us=60_000_000, burst_us=120_000_000)
+
+
+# ---------------------------------------------------------------------------
+# discovery-source attribution (crawl acquisition provenance)
+
+
+@register(
+    "first_discovery",
+    """
+    WITH disc AS (
+      SELECT 'u' || CAST(doc_id % 300 AS VARCHAR) AS url,
+             CASE doc_id % 3 WHEN 0 THEN 'sitemap'
+                             WHEN 1 THEN 'link' ELSE 'feed' END AS channel,
+             CAST((doc_id // 3) % 5 AS BIGINT) AS wave,
+             's' || CAST(doc_id % 50 AS VARCHAR) AS src
+      FROM documents
+    ),
+    r AS (
+      SELECT *, CASE channel WHEN 'sitemap' THEN 0
+                             WHEN 'feed' THEN 1 ELSE 2 END AS crank
+      FROM disc
+    )
+    SELECT url, wave AS first_wave, channel, src FROM (
+      SELECT *, row_number() OVER (PARTITION BY url
+                                   ORDER BY wave, crank, src) AS rn
+      FROM r
+    ) WHERE rn = 1
+    """,
+)
+def first_discovery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discovery attribution (operators/stats.py::first_discovery):
+    every URL's earliest (wave, channel-preference, src) discovery
+    over a log where each URL is seen by several channels across
+    waves (sitemap > feed > link on ties). Spark computes it as ONE
+    map-side-combinable min(struct) on url — the oracle replays it
+    with a window; same total order."""
+    from news_please_spark.operators.stats import first_discovery
+
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    disc = load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("u"), s(d % 300)).alias("url"),
+        F.when(d % 3 == 0, F.lit("sitemap"))
+        .when(d % 3 == 1, F.lit("link"))
+        .otherwise(F.lit("feed"))
+        .alias("channel"),
+        ((d / 3).cast("long") % 5).cast("long").alias("wave"),
+        F.concat(F.lit("s"), s(d % 50)).alias("src"),
+    )
+    return first_discovery(disc, {"sitemap": 0, "feed": 1, "link": 2})

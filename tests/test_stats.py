@@ -227,3 +227,27 @@ def test_lang_segments_zero_shuffle(spark):
     docs = spark.createDataFrame([(1, "the a of.")], "doc_id long, text string")
     plan = lang_segments(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_first_discovery_prefers_wave_then_channel(spark):
+    from news_please_spark.operators.stats import first_discovery
+
+    rows = [
+        ("u1", "link", 0, "sA"),      # earliest wave wins outright
+        ("u1", "sitemap", 1, "sB"),
+        ("u2", "link", 2, "sC"),      # same wave: sitemap outranks link
+        ("u2", "sitemap", 2, "sD"),
+        ("u3", "feed", 1, "sZ"),      # same wave+channel: src tiebreak
+        ("u3", "feed", 1, "sA"),
+    ]
+    df = spark.createDataFrame(rows, "url string, channel string, wave long, src string")
+    got = {r.url: (r.first_wave, r.channel, r.src)
+           for r in first_discovery(df, {"sitemap": 0, "feed": 1, "link": 2}).collect()}
+    assert got == {
+        "u1": (0, "link", "sA"),
+        "u2": (2, "sitemap", "sD"),
+        "u3": (1, "feed", "sA"),
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        first_discovery(df, {})
