@@ -120,6 +120,7 @@ HEADLINE = [
     "tokenizer_fertility",
     "lang_segments",
     "lang_id",
+    "lang_mismatch",
     "script_profile",
     "mojibake_audit",
     "tfidf_top_terms",

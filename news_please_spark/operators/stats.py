@@ -357,3 +357,49 @@ def first_discovery(
             F.col("_b.src").alias("src"),
         )
     )
+
+
+def lang_mismatch_audit(
+    docs: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Declared-vs-detected language audit per (source, declared lang)
+    slice: how often does the stopword-vote detector (the oracle-gated
+    predict_lang) disagree with the metadata? High mismatch_bp flags a
+    feed whose lang tags are wrong — the signal that routes a slice to
+    re-detection before language-balanced sampling trusts its labels.
+
+    Counts: n_docs, n_det (detector reached a verdict, pred != 'und'),
+    n_mismatch (verdict differs from the declared tag), mismatch_bp =
+    floor(10000 * n_mismatch / n_det) (NULL when the detector never
+    fired). ONE map-side-combinable aggregation; the detector is a
+    codegen'd Column, no Python."""
+    from news_please_spark.functions.text import predict_lang
+
+    pred = predict_lang(F.col(text_col))
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        pred.alias("_pred"),
+    )
+    det = (F.col("_pred") != "und").cast("long")
+    mism = ((F.col("_pred") != "und") & (F.col("_pred") != F.col("lang"))).cast(
+        "long"
+    )
+    return (
+        base.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(det).cast("long").alias("n_det"),
+            F.sum(mism).cast("long").alias("n_mismatch"),
+        )
+        .withColumn(
+            "mismatch_bp",
+            F.when(
+                F.col("n_det") > 0,
+                F.expr("(10000 * n_mismatch) div n_det"),
+            ).cast("long"),
+        )
+    )

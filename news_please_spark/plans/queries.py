@@ -9851,3 +9851,58 @@ def first_discovery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s"), s(d % 50)).alias("src"),
     )
     return first_discovery(disc, {"sitemap": 0, "feed": 1, "link": 2})
+
+
+# ---------------------------------------------------------------------------
+# declared-vs-detected language mismatch audit
+
+
+@register(
+    "lang_mismatch",
+    r"""
+    WITH t AS (
+      SELECT source, lang, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT source, lang,
+             len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS s_en,
+             len(list_filter(toks, x -> x IN ('der', 'die', 'und'))) AS s_de,
+             len(list_filter(toks, x -> x IN ('el', 'los', 'y'))) AS s_es
+      FROM t
+    ),
+    p AS (
+      SELECT source, lang,
+             CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+                  WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+                  WHEN s_es > 0 THEN 'es'
+                  ELSE 'und' END AS pred
+      FROM s
+    ),
+    a AS (
+      SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN pred <> 'und' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_det,
+             CAST(sum(CASE WHEN pred <> 'und' AND pred <> lang
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+      FROM p GROUP BY 1, 2
+    )
+    SELECT source, lang, n_docs, n_det, n_mismatch,
+           CAST(CASE WHEN n_det > 0 THEN (10000 * n_mismatch) // n_det
+                     END AS BIGINT) AS mismatch_bp
+    FROM a
+    """,
+)
+def lang_mismatch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit (operators/stats.py::lang_mismatch_audit):
+    per (source, declared-lang) slice, how often the oracle-gated
+    stopword-vote detector (same votes as lang_id) contradicts the
+    metadata tag — the gate before language-balanced sampling trusts
+    labels. One map-side-combinable aggregation, detector fully
+    codegen'd."""
+    from news_please_spark.operators.stats import lang_mismatch_audit
+
+    return lang_mismatch_audit(
+        load(spark, sf_dir, "documents").select("source", "lang", "text")
+    )

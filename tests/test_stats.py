@@ -251,3 +251,30 @@ def test_first_discovery_prefers_wave_then_channel(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         first_discovery(df, {})
+
+
+def test_lang_mismatch_audit_counts(spark):
+    from news_please_spark.operators.stats import lang_mismatch_audit
+
+    rows = [
+        ("s1", "en", "the a of and the"),          # en declared, en detected
+        ("s1", "en", "der die und der die"),       # en declared, de detected -> mismatch
+        ("s1", "en", "xqz wvu"),                   # undetected -> excluded from rate
+        ("s2", "de", "der die und"),               # agree
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string, text string")
+    got = {(r.source, r.lang): r for r in lang_mismatch_audit(df).collect()}
+    a = got[("s1", "en")]
+    assert (a.n_docs, a.n_det, a.n_mismatch, a.mismatch_bp) == (3, 2, 1, 5000)
+    b = got[("s2", "de")]
+    assert (b.n_docs, b.n_det, b.n_mismatch, b.mismatch_bp) == (1, 1, 0, 0)
+
+
+def test_lang_mismatch_audit_null_rate_when_undetected(spark):
+    from news_please_spark.operators.stats import lang_mismatch_audit
+
+    df = spark.createDataFrame(
+        [("s", "en", "zzz qqq")], "source string, lang string, text string"
+    )
+    r = lang_mismatch_audit(df).collect()[0]
+    assert r.n_det == 0 and r.mismatch_bp is None
