@@ -83,12 +83,19 @@ def _clean_stages(
     decontam_n: int = 8,
     materialize_stages: bool = False,
     transitive_near_dup: bool = False,
+    cut_all: bool = False,
 ) -> list[tuple[str, DataFrame]]:
     """The hygiene stages as an ordered list of (stage_name, survivor
     DataFrame) — the single implementation behind clean_corpus (which
     returns the last survivor set) and clean_corpus_audit (which labels
     every input doc with the first stage that dropped it). See
     clean_corpus's docstring for stage semantics and ordering.
+
+    cut_all=True (with materialize_stages) also checkpoints the
+    decontam and final-stage frames — pointless when each is consumed
+    once (clean_corpus), necessary when every stage feeds TWO
+    consumers (the audit's ledger join plus the next stage), where the
+    lazy decontam/gopher branches would otherwise evaluate twice.
 
     materialize_stages=True cuts the plan after the near-dup and
     decontamination stages (localCheckpoint): each stage's survivor set
@@ -155,6 +162,8 @@ def _clean_stages(
         kept = _anti_drop(
             kept, hits.select(id_col), id_col, materialize_stages
         )
+        if cut_all:
+            kept = _cut(kept)
         stages.append(("decontam", kept))
 
     # 4. Gopher-style repetition gate (staged so the gram array builds
@@ -166,12 +175,10 @@ def _clean_stages(
             F.floor(10000.0 * run_stats(F.col("_g2"))["best"] / F.size("_g2"))
         ),
     )
-    stages.append(
-        (
-            "repetition",
-            scored.filter(F.col("_top_q") < top_bigram_q_max).drop("_g2", "_top_q"),
-        )
-    )
+    final = scored.filter(F.col("_top_q") < top_bigram_q_max).drop("_g2", "_top_q")
+    if cut_all:
+        final = _cut(final)
+    stages.append(("repetition", final))
     return stages
 
 
@@ -247,6 +254,7 @@ def clean_corpus_audit(
         decontam_n,
         materialize_stages,
         transitive_near_dup,
+        cut_all=True,
     )
     lab = df.select(F.col(id_col))
     flags: list[tuple[str, str]] = []
