@@ -600,29 +600,53 @@ def with_group_seq(
     A plain `row_number() OVER (PARTITION BY group)` sorts each whole
     group in ONE task — a non-starter when a single group holds 10^9
     rows (one corpus source, one fat host). Here the input is
-    range-partitioned by (group, *order_cols) so a big group SPANS
-    partitions; per-(partition, group) counts are collected (bounded
-    by nparts x groups-touching-a-boundary — tiny), prefix offsets are
-    broadcast as a literal map, and the final window partitions by
-    (partition-id, group) — every sort is within one partition's slice
-    of the group. Ordering keys must be unique within their group."""
+    range-partitioned by (group, *order_cols), so every partition holds
+    a CONTIGUOUS key range: a group either sits entirely inside one
+    partition (its per-partition-slice rank IS its group rank, offset
+    0) or it is one of the <= nparts-1 groups straddling a partition
+    boundary. Only the straddlers need cross-partition offsets, so the
+    driver collects per-partition (min, max) group (nparts rows),
+    derives the straddler set, and collects per-(partition, straddler)
+    counts (< nparts^2 rows) — NEVER a row per distinct group. Group
+    cardinality is therefore unbounded: 10^8 hosts cost the same
+    driver state as 10 sources. Ordering keys must be unique within
+    their group."""
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
     d = df.repartitionByRange(nparts, group_col, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     d = d.persist()
-    counts = d.groupBy("_pid", group_col).agg(
-        F.count(F.lit(1)).alias("c")
+    bounds = d.groupBy("_pid").agg(
+        F.min(group_col).alias("_lo"), F.max(group_col).alias("_hi")
     ).collect()
+    bounds.sort(key=lambda r: r["_pid"])
+    # a group straddles iff it appears in more than one partition; with
+    # contiguous ranges that means: some partition's _hi equals a later
+    # partition's _lo
+    seen: dict[str, int] = {}
+    straddlers: set[str] = set()
+    for r in bounds:
+        for g in (r["_lo"], r["_hi"]):
+            if g in seen and seen[g] != r["_pid"]:
+                straddlers.add(g)
+            seen[g] = r["_pid"]
+    w = Window.partitionBy("_pid", group_col).orderBy(*order_cols)
+    rank = F.row_number().over(w) - 1
+    if not straddlers:
+        return d.withColumn(out, rank.cast("long")).drop("_pid")
+    counts = (
+        d.filter(F.col(group_col).isin(*straddlers))
+        .groupBy("_pid", group_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
     acc: dict[str, int] = {}
     cum: dict[tuple[int, str], int] = {}
     for row in sorted(counts, key=lambda r: (str(r[group_col]), r["_pid"])):
         g = row[group_col]
         cum[(row["_pid"], g)] = acc.get(g, 0)
         acc[g] = acc.get(g, 0) + row["c"]
-    if not cum:
-        return d.withColumn(out, F.lit(0).cast("long")).drop("_pid")
     mapping = F.create_map(
         *[
             x
@@ -633,12 +657,8 @@ def with_group_seq(
             )
         ]
     )
-    w = Window.partitionBy("_pid", group_col).orderBy(*order_cols)
-    return d.withColumn(
-        out,
-        (
-            mapping[F.concat_ws("|", F.col("_pid").cast("string"), F.col(group_col))]
-            + F.row_number().over(w)
-            - 1
-        ).cast("long"),
-    ).drop("_pid")
+    offset = F.coalesce(
+        mapping[F.concat_ws("|", F.col("_pid").cast("string"), F.col(group_col))],
+        F.lit(0),
+    )
+    return d.withColumn(out, (offset + rank).cast("long")).drop("_pid")

@@ -1024,3 +1024,23 @@ def test_mixture_interleave_prefix_proportionality(spark):
         mixture_interleave(docs, bad)
     with _pytest.raises(ValueError):
         mixture_interleave(docs, weights.limit(0))
+
+
+def test_with_group_seq_straddler_paths(spark):
+    from pyspark.sql import Window
+    from news_please_spark.operators.ordering import with_group_seq
+
+    # one fat group spanning many partitions + many tiny groups that
+    # each sit inside one partition (offset-0 fast path)
+    rows = [("fat", f"id{i:04d}") for i in range(300)] + [
+        (f"tiny{i:03d}", f"id{j}") for i in range(40) for j in range(2)
+    ]
+    df = spark.createDataFrame(rows, "g string, id string")
+    w = Window.partitionBy("g").orderBy("id")
+    exp = {(r.g, r.id): r.rn - 1
+           for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+    for nparts in (1, 16):   # no-straddler path and heavy-straddler path
+        got = {(r.g, r.id): r.gseq
+               for r in with_group_seq(df, "g", ["id"],
+                                       num_partitions=nparts).collect()}
+        assert got == exp, nparts
