@@ -9906,3 +9906,104 @@ def lang_mismatch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_mismatch_audit(
         load(spark, sf_dir, "documents").select("source", "lang", "text")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (operators/rerank.py) — greedy integer MMR
+# over exact quantized top-25 candidates; the DuckDB oracle replays the
+# greedy as a recursive CTE with tagged working rows ('c' = remaining
+# candidate state carrying the running max-sim-to-selected, 'p' = pick
+# emissions), the crawl_politeness oracle's state pattern.
+_MMR_LAM_NUM, _MMR_MU, _MMR_NCAND, _MMR_K = 7, 3, 25, 10
+_MMR_ORACLE = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS (SELECT vec_id, v FROM e WHERE vec_id % 101 = 0),
+relall AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+         CAST(floor(10000 * (
+           list_dot_product(q.v, e.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))
+         )) AS BIGINT) AS rel_q
+  FROM q, e WHERE q.vec_id <> e.vec_id
+),
+cand AS (
+  SELECT query_id, doc_id, rel_q FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY rel_q DESC, doc_id
+    ) AS rk FROM relall
+  ) WHERE rk <= {_MMR_NCAND}
+),
+ps AS (
+  SELECT c1.query_id, c1.doc_id AS a, c2.doc_id AS b,
+         CAST(floor(10000 * (
+           list_dot_product(ea.v, eb.v)
+           / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+         )) AS BIGINT) AS sim_q
+  FROM cand c1
+  JOIN cand c2 ON c1.query_id = c2.query_id AND c1.doc_id <> c2.doc_id
+  JOIN e ea ON ea.vec_id = c1.doc_id
+  JOIN e eb ON eb.vec_id = c2.doc_id
+),
+g(typ, query_id, doc_id, rel_q, max_sim, rnk, score) AS (
+  SELECT 'c', query_id, doc_id, rel_q, NULL::BIGINT, 0::BIGINT, NULL::BIGINT
+  FROM cand
+  UNION ALL
+  (
+    WITH w AS (SELECT * FROM g),
+    scored AS (
+      SELECT query_id, doc_id, rel_q, max_sim, rnk,
+             {_MMR_LAM_NUM}*rel_q - {_MMR_MU}*coalesce(max_sim, 0) AS score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ({_MMR_LAM_NUM}*rel_q - {_MMR_MU}*coalesce(max_sim, 0)) DESC,
+                        doc_id
+             ) AS rn
+      FROM w WHERE typ = 'c'
+    ),
+    pick AS (
+      SELECT query_id, doc_id, rnk + 1 AS rnk, score
+      FROM scored WHERE rn = 1 AND rnk < {_MMR_K}
+    ),
+    rest AS (
+      SELECT s.query_id, s.doc_id, s.rel_q,
+             CASE WHEN s.max_sim IS NULL THEN p.sim_q
+                  ELSE greatest(s.max_sim, p.sim_q) END AS max_sim,
+             pk.rnk
+      FROM scored s
+      JOIN pick pk ON pk.query_id = s.query_id AND s.rn > 1
+      JOIN ps p ON p.query_id = s.query_id
+               AND p.a = s.doc_id AND p.b = pk.doc_id
+    )
+    SELECT 'c', query_id, doc_id, rel_q, max_sim, rnk, NULL::BIGINT FROM rest
+    UNION ALL
+    SELECT 'p', query_id, doc_id, NULL::BIGINT, NULL::BIGINT, rnk, score
+    FROM pick
+  )
+)
+SELECT query_id, doc_id, rnk AS mmr_rank, score AS mmr_q
+FROM g WHERE typ = 'p'
+"""
+
+
+@register("mmr_rerank", _MMR_ORACLE)
+def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval (operators/rerank.py::mmr_topk): exact
+    quantized top-25 candidates per query (vec_id % 101), then the
+    integer MMR greedy (lam = 7/10, k = 10) inside one cogrouped
+    applyInPandas — near-duplicate neighbors are demoted in favor of
+    novel ones, the post-ANN stage a dedup-aware retrieval pipeline
+    runs. The corpus is touched only by the candidate generator; the
+    greedy sees |Q| bounded groups of <= 25 integer rows."""
+    from news_please_spark.operators.rerank import mmr_topk
+
+    emb = spread(load(spark, sf_dir, "embeddings"), spark)
+    q = emb.filter(F.col("vec_id") % 101 == 0)
+    out = mmr_topk(
+        q, emb, n_cand=_MMR_NCAND, k=_MMR_K,
+        lam_num=_MMR_LAM_NUM, lam_den=_MMR_LAM_NUM + _MMR_MU,
+    )
+    return out.select(
+        "query_id", "doc_id", F.col("rank").alias("mmr_rank"), "mmr_q"
+    )
