@@ -1133,3 +1133,72 @@ def pagerank_weighted_scaled(
             .alias("r"),
         )
     return r
+
+
+def mutual_reach_clusters(
+    edges: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-SCC cycle clusters: nodes that can reach each other in
+    BOTH directions within `max_hops` hops, grouped into clusters —
+    the spider-trap/redirect-cycle detector for a crawl frontier
+    (calendar loops, session-id ping-pongs, mirror rings all live on
+    short directed cycles; a node on no short cycle never appears).
+
+    Exact semantics: build the hop-bounded directed closure R = {(a,b):
+    dist(a→b) <= max_hops}, intersect with its transpose to get the
+    mutual-pair graph M, then run connected_components over M — so two
+    cycles sharing a node merge into one cluster (the trap NEIGHBORHOOD,
+    not just the cycle).  Every SCC with internal diameter <= max_hops
+    is recovered exactly; larger SCCs are split/approximated — the
+    bounded compromise that keeps the plan shuffle-finite at web scale
+    (true SCC needs unbounded fixpoint rounds).
+
+    Returns (id, root): every on-cycle node labeled with its cluster's
+    min node id.
+
+    Scale shape: the closure grows one wave per hop — frontier ⋈ edges
+    with an anti-join against the accumulated reach set (the crawl
+    loop's own URL-seen discipline), everything hash-partitioned on the
+    source node; |R| <= n·(out_deg^max_hops), the same cost class as
+    ball_sizes/distance_distribution at equal radius.  The transpose
+    intersection is one self-equi-join on (a,b); the CC rounds are
+    O(log diameter) with pointer doubling.  Nothing collects or
+    broadcasts anything node-proportional."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    reach = e
+    frontier = e
+    try:
+        for _ in range(max_hops - 1):
+            step = frontier.join(
+                e.select(F.col("a").alias("_s"), F.col("b").alias("_t")),
+                F.col("b") == F.col("_s"),
+            ).select("a", F.col("_t").alias("b")).filter(
+                F.col("a") != F.col("b")
+            ).distinct()
+            prev_frontier = frontier
+            frontier = step.join(reach, ["a", "b"], "left_anti").localCheckpoint()
+            if prev_frontier is not e:
+                release_df(prev_frontier)
+            prev = reach
+            reach = reach.unionByName(frontier).localCheckpoint()
+            if prev is not e:
+                release_df(prev)
+        t = reach.select(F.col("b").alias("_ta"), F.col("a").alias("_tb"))
+        mutual = reach.join(
+            t, (F.col("a") == F.col("_ta")) & (F.col("b") == F.col("_tb"))
+        ).select("a", "b")
+        return connected_components(mutual, src="a", dst="b")
+    finally:
+        if frontier is not e:
+            release_df(frontier)
+        if reach is not e:
+            release_df(reach)
+        release_df(e)

@@ -599,3 +599,57 @@ def span_integrity(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         & (F.col("empty_text") == 0)
     )
     return out.withColumn("ok", ok)
+
+
+def host_template_spans(
+    spans_df: DataFrame,
+    hosts: DataFrame,
+    min_docs: int = 2,
+    min_share_bp: int = 2000,
+    id_col: str = "doc_id",
+    host_col: str = "source",
+) -> DataFrame:
+    """Per-host template mining — the site-template grain of
+    boilerplate_spans.  A global doc-frequency threshold over-flags at
+    corpus scale (any two docs quoting the same sentence) and
+    under-flags real site chrome (a nav bar unique to one small host);
+    the real-world criterion is RELATIVE: a text span present in at
+    least `min_share_bp`/10^4 of ITS HOST's documents (and at least
+    `min_docs` of them) is that host's template.
+
+    hosts: one row per document, (id_col, host_col) — the denominator
+    is ALL of the host's docs, including empty/template-free ones.
+
+    Returns (source, span_md5, n_docs, host_docs, share_bp),
+    share_bp = (10^4 * n_docs) // host_docs.
+
+    Scale shape: explode text spans → distinct (doc, md5) → one hash
+    join to the doc→host spine → per-(host, md5) count with map-side
+    combine; only fixed-width hashes and host keys cross the shuffle,
+    and the per-host doc counts are a host-cardinality table joined on
+    its own key.  No corpus-proportional broadcast, no driver state."""
+    ex = spans_df.select(
+        F.col(id_col), F.explode("spans").alias("s")
+    ).filter(F.col("s.kind") == "text")
+    dm = ex.select(
+        F.col(id_col),
+        F.md5(F.lower(F.trim(F.col("s.text")))).alias("span_md5"),
+    ).distinct()
+    spine = hosts.select(F.col(id_col), F.col(host_col))
+    ag = (
+        dm.join(spine, id_col)
+        .groupBy(host_col, "span_md5")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    hd = spine.groupBy(host_col).agg(
+        F.count(F.lit(1)).cast("long").alias("host_docs")
+    )
+    return (
+        ag.join(hd, host_col)
+        .withColumn("share_bp", F.expr("(10000 * n_docs) DIV host_docs"))
+        .filter(
+            (F.col("n_docs") >= min_docs)
+            & (F.col("share_bp") >= min_share_bp)
+        )
+        .select(host_col, "span_md5", "n_docs", "host_docs", "share_bp")
+    )

@@ -10007,3 +10007,92 @@ def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "doc_id", F.col("rank").alias("mmr_rank"), "mmr_q"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-SCC cycle clusters on the derived webgraph — spider-trap
+# detection (operators/graph.py::mutual_reach_clusters): hop-bounded
+# directed closure ∩ its transpose, then connected components.
+@register(
+    "cycle_clusters",
+    f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    walk(root, node, d) AS (
+      SELECT doc_id, doc_id, 0 FROM documents
+      UNION ALL
+      SELECT w.root, e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 3
+    ),
+    reach AS (SELECT DISTINCT root AS a, node AS b FROM walk WHERE root <> node),
+    mut AS (
+      SELECT r1.a, r1.b FROM reach r1
+      JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+    ),
+    cc(src, node) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM mut)
+      UNION
+      SELECT c.src, m.b FROM cc c JOIN mut m ON m.a = c.node
+    )
+    SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS root
+    FROM cc GROUP BY src
+    """,
+)
+def cycle_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap cycle clusters: nodes mutually reachable within 3
+    hops on the derived webgraph, merged into components (two cycles
+    sharing a node = one trap neighborhood). The closure is the wave
+    loop's own anti-join BFS; only (node, node) pairs shuffle; the CC
+    rounds are pointer-doubled. A frontier scheduler demotes these
+    clusters wholesale instead of per-URL."""
+    from news_please_spark.operators.graph import mutual_reach_clusters
+
+    return mutual_reach_clusters(
+        derived_edges(spark, sf_dir), max_hops=3
+    ).select(F.col("id").alias("doc_id"), "root")
+
+
+# ---------------------------------------------------------------------------
+# Per-host template spans over the interleaved span table
+# (operators/spans.py::host_template_spans) — the site-template grain
+# of span_boilerplate: relative share of the HOST's docs, not a global
+# absolute doc-frequency.
+@register(
+    "host_templates",
+    _SPAN_ROWS_SQL
+    + """
+    , th AS (
+      SELECT DISTINCT s.doc_id, d.source,
+             md5(lower(trim(s.text))) AS span_md5
+      FROM span_rows s JOIN documents d ON d.doc_id = s.doc_id
+      WHERE s.kind = 'text'
+    ),
+    hd AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS host_docs
+      FROM documents GROUP BY source
+    ),
+    ag AS (
+      SELECT source, span_md5, CAST(count(*) AS BIGINT) AS n_docs
+      FROM th GROUP BY source, span_md5
+    )
+    SELECT a.source, a.span_md5, a.n_docs, h.host_docs,
+           CAST((10000 * a.n_docs) // h.host_docs AS BIGINT) AS share_bp
+    FROM ag a JOIN hd h ON h.source = a.source
+    WHERE a.n_docs >= 2 AND (10000 * a.n_docs) // h.host_docs >= 2000
+    """,
+)
+def host_templates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host template spans: a text span in >= 20% of its host's
+    docs (and >= 2 of them) is site chrome — the planted banner
+    surfaces per host at ~2500 bp while cross-host quote collisions
+    stay below threshold. Only md5 keys + host keys shuffle, counts
+    map-side combine, denominator = full host doc count including
+    span-free docs."""
+    from news_please_spark.operators.spans import host_template_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return host_template_spans(
+        _synth_spans_df(spark, sf_dir),
+        docs.select("doc_id", "source"),
+        min_docs=2,
+        min_share_bp=2000,
+    )
