@@ -66,6 +66,8 @@ HEADLINE = [
     "authority_order",
     "url_canonicalize",
     "crawl_traps",
+    "cycle_clusters",
+    "bowtie_regions",
     "soft_404",
     "blocklist_hosts",
     "robots_gate",
@@ -182,6 +184,7 @@ HEADLINE = [
     "span_integrity",
     "interleaved_render",
     "span_boilerplate",
+    "host_templates",
     "caption_pairs",
     "media_dup_stats",
     "frame_sample",
@@ -198,6 +201,8 @@ HEADLINE = [
     "semantic_dedup",
     "hard_negatives",
     "margin_mine",
+    "mmr_rerank",
+    "title_link",
     "extract_articles",
     "sitemap_expand",
     "sitemap_xml_parse",

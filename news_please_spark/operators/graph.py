@@ -1167,6 +1167,25 @@ def mutual_reach_clusters(
     intersection is one self-equi-join on (a,b); the CC rounds are
     O(log diameter) with pointer doubling.  Nothing collects or
     broadcasts anything node-proportional."""
+    closure = bounded_closure(edges, max_hops=max_hops, src=src, dst=dst)
+    try:
+        return _mutual_cc(closure)
+    finally:
+        release_df(closure)
+
+
+def bounded_closure(
+    edges: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Hop-bounded directed closure: (a, b) pairs with 1 <= dist(a→b)
+    <= max_hops (no self pairs).  One anti-join BFS wave per hop — the
+    crawl loop's URL-seen discipline — so |result| is bounded by
+    n·out_deg^max_hops and every join is hash-partitioned on the node
+    id.  Returns a localCheckpoint'ed frame the CALLER must release_df
+    when done; every intermediate is released here."""
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -1175,30 +1194,122 @@ def mutual_reach_clusters(
     )
     reach = e
     frontier = e
-    try:
-        for _ in range(max_hops - 1):
-            step = frontier.join(
-                e.select(F.col("a").alias("_s"), F.col("b").alias("_t")),
-                F.col("b") == F.col("_s"),
-            ).select("a", F.col("_t").alias("b")).filter(
-                F.col("a") != F.col("b")
-            ).distinct()
-            prev_frontier = frontier
-            frontier = step.join(reach, ["a", "b"], "left_anti").localCheckpoint()
-            if prev_frontier is not e:
-                release_df(prev_frontier)
-            prev = reach
-            reach = reach.unionByName(frontier).localCheckpoint()
-            if prev is not e:
-                release_df(prev)
-        t = reach.select(F.col("b").alias("_ta"), F.col("a").alias("_tb"))
-        mutual = reach.join(
-            t, (F.col("a") == F.col("_ta")) & (F.col("b") == F.col("_tb"))
-        ).select("a", "b")
-        return connected_components(mutual, src="a", dst="b")
-    finally:
-        if frontier is not e:
-            release_df(frontier)
-        if reach is not e:
-            release_df(reach)
+    for _ in range(max_hops - 1):
+        step = frontier.join(
+            e.select(F.col("a").alias("_s"), F.col("b").alias("_t")),
+            F.col("b") == F.col("_s"),
+        ).select("a", F.col("_t").alias("b")).filter(
+            F.col("a") != F.col("b")
+        ).distinct()
+        prev_frontier = frontier
+        frontier = step.join(reach, ["a", "b"], "left_anti").localCheckpoint()
+        if prev_frontier is not e:
+            release_df(prev_frontier)
+        prev = reach
+        reach = reach.unionByName(frontier).localCheckpoint()
+        if prev is not e:
+            release_df(prev)
+    if frontier is not e:
+        release_df(frontier)
+    if reach is not e:
         release_df(e)
+    return reach
+
+
+def _mutual_cc(closure: DataFrame) -> DataFrame:
+    """Closure ∩ transpose → connected components over mutual pairs."""
+    t = closure.select(F.col("b").alias("_ta"), F.col("a").alias("_tb"))
+    mutual = closure.join(
+        t, (F.col("a") == F.col("_ta")) & (F.col("b") == F.col("_tb"))
+    ).select("a", "b")
+    return connected_components(mutual, src="a", dst="b")
+
+
+def bowtie_regions(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_hops: int = 3,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Hop-bounded bow-tie decomposition of a directed graph (Broder
+    et al., "Graph structure in the Web", WWW 2000): pick the LARGEST
+    mutual-reach cluster as the core, then place every node by its
+    bounded reachability to/from the core —
+
+      core   — member of the largest cluster (ties → smaller root id);
+      bridge — reaches the core AND is reached by it within max_hops,
+               without being mutually reachable with it (the paper's
+               tubes, collapsed to one bounded class);
+      in     — reaches the core only;
+      out    — reached from the core only;
+      other  — neither (tendrils + disconnected components).
+
+    A graph with no short cycle has no core: every node is 'other'.
+    Returns (id_col, region) for EVERY node in `nodes`.
+
+    Scale shape: one bounded closure (see bounded_closure), reused for
+    the cluster step and both reach classifications; core membership
+    tests are left_semi joins on the node id; the only driver-side
+    value is the single (root, size) row that names the core. Nothing
+    node-proportional collects or broadcasts unconditionally."""
+    closure = bounded_closure(edges, max_hops=max_hops, src=src, dst=dst)
+    try:
+        clusters = _mutual_cc(closure)
+        top = (
+            clusters.groupBy("root")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .orderBy(F.desc("_n"), F.asc("root"))
+            .first()
+        )
+        ids = nodes.select(F.col(id_col))
+        if top is None:
+            release_df(clusters)
+            return ids.withColumn("region", F.lit("other"))
+        core = (
+            clusters.filter(F.col("root") == top["root"])
+            .select(F.col("id").alias("_cid"))
+            .localCheckpoint()
+        )
+        release_df(clusters)
+        inr = (
+            closure.join(core, closure["b"] == core["_cid"], "left_semi")
+            .select(F.col("a").alias(id_col))
+            .distinct()
+            .withColumn("_in", F.lit(True))
+        )
+        outr = (
+            closure.join(core, closure["a"] == core["_cid"], "left_semi")
+            .select(F.col("b").alias(id_col))
+            .distinct()
+            .withColumn("_out", F.lit(True))
+        )
+        out = (
+            ids.join(
+                core.select(
+                    F.col("_cid").alias(id_col),
+                    F.lit(True).alias("_core"),
+                ),
+                id_col,
+                "left",
+            )
+            .join(inr, id_col, "left")
+            .join(outr, id_col, "left")
+            .select(
+                id_col,
+                F.when(F.col("_core"), F.lit("core"))
+                .when(F.col("_in") & F.col("_out"), F.lit("bridge"))
+                .when(F.col("_in"), F.lit("in"))
+                .when(F.col("_out"), F.lit("out"))
+                .otherwise(F.lit("other"))
+                .alias("region"),
+            )
+        )
+        # the classification joins are the last consumers of closure /
+        # core: cut the result eagerly so the finally-release is safe
+        out = out.localCheckpoint()
+        release_df(core)
+        return out
+    finally:
+        release_df(closure)

@@ -148,3 +148,54 @@ def range_join(
         *[iv[c] for c in intervals.columns],
         *[pt[c] for c in points.columns],
     )
+
+
+def fuzzy_link(
+    records: DataFrame,
+    key_col: str = "key",
+    block_cols: list[str] | None = None,
+    max_dist: int = 3,
+    id_col: str = "id",
+) -> DataFrame:
+    """Blocked fuzzy record linkage: candidate pairs from an equi-join
+    on the blocking keys, verified with edit distance on `key_col` —
+    the classic dedup/linkage shape (Fellegi & Sunter 1969 blocking +
+    string comparator) for titles, author names, and near-identical
+    headlines that token-set methods (minhash) treat as disjoint when
+    the edit is INSIDE a token.
+
+    Returns (id_a, id_b, dist) with id_a < id_b and
+    dist = levenshtein(key_a, key_b) <= max_dist.
+
+    Scale shape: the cross product only ever forms WITHIN a block —
+    a hash equi-join on the blocking columns, so cost is sum over
+    blocks of |block|^2, not n^2.  Choose block_cols so blocks stay
+    bounded (first token + length band here; at web scale add a second
+    salt column — e.g. a coarse simhash band — exactly like the LSH
+    banding in operators/dedup.py, and let AQE's skew split handle the
+    'the'-block).  levenshtein is a codegen'd JVM builtin — no UDF."""
+    blocks = block_cols or ["block"]
+    cols = [id_col, key_col, *blocks]
+    a = records.select(
+        *[F.col(c).alias(f"_a_{c}") for c in cols]
+    )
+    b = records.select(
+        *[F.col(c).alias(f"_b_{c}") for c in cols]
+    )
+    cond = [F.col(f"_a_{c}") == F.col(f"_b_{c}") for c in blocks]
+    return (
+        a.join(b, cond)
+        .filter(F.col(f"_a_{id_col}") < F.col(f"_b_{id_col}"))
+        .withColumn(
+            "dist",
+            F.levenshtein(
+                F.col(f"_a_{key_col}"), F.col(f"_b_{key_col}")
+            ).cast("long"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col(f"_a_{id_col}").alias("id_a"),
+            F.col(f"_b_{id_col}").alias("id_b"),
+            "dist",
+        )
+    )

@@ -10096,3 +10096,107 @@ def host_templates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_docs=2,
         min_share_bp=2000,
     )
+
+
+# ---------------------------------------------------------------------------
+# Hop-bounded bow-tie decomposition of the derived webgraph (Broder et
+# al. 2000) — operators/graph.py::bowtie_regions.
+@register(
+    "bowtie_regions",
+    f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    walk(root, node, d) AS (
+      SELECT doc_id, doc_id, 0 FROM documents
+      UNION ALL
+      SELECT w.root, e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 3
+    ),
+    reach AS (SELECT DISTINCT root AS a, node AS b FROM walk WHERE root <> node),
+    mut AS (
+      SELECT r1.a, r1.b FROM reach r1
+      JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+    ),
+    cc(src, node) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM mut)
+      UNION
+      SELECT c.src, m.b FROM cc c JOIN mut m ON m.a = c.node
+    ),
+    cl AS (SELECT src AS id, min(node) AS root FROM cc GROUP BY src),
+    cs AS (SELECT root, CAST(count(*) AS BIGINT) AS n FROM cl GROUP BY root),
+    coreroot AS (SELECT root FROM cs ORDER BY n DESC, root LIMIT 1),
+    core AS (SELECT id FROM cl WHERE root = (SELECT root FROM coreroot)),
+    inr AS (SELECT DISTINCT a AS id FROM reach WHERE b IN (SELECT id FROM core)),
+    outr AS (SELECT DISTINCT b AS id FROM reach WHERE a IN (SELECT id FROM core))
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id IN (SELECT id FROM core) THEN 'core'
+                WHEN d.doc_id IN (SELECT id FROM inr)
+                     AND d.doc_id IN (SELECT id FROM outr) THEN 'bridge'
+                WHEN d.doc_id IN (SELECT id FROM inr) THEN 'in'
+                WHEN d.doc_id IN (SELECT id FROM outr) THEN 'out'
+                ELSE 'other' END AS region
+    FROM documents d
+    """,
+)
+def bowtie_regions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-structure map at crawl-planning grain: the largest bounded
+    mutual-reach cluster is the core; every page classifies as
+    core/in/out/bridge/other by 3-hop reachability to/from it — the
+    seed-selection and budget-shaping view (seeds in 'in'/'core' cover
+    'out' for free; 'other' needs its own seeds). One bounded closure
+    reused for clustering and both reach tests; only the single
+    (root, size) row that names the core reaches the driver."""
+    from news_please_spark.operators.graph import bowtie_regions
+
+    return bowtie_regions(
+        derived_edges(spark, sf_dir),
+        load(spark, sf_dir, "documents").select("doc_id"),
+        max_hops=3,
+        id_col="doc_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy record linkage on title surrogates
+# (operators/joins.py::fuzzy_link) — edit-distance pairs minhash misses
+# when the edit is inside a token.
+@register(
+    "title_link",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             array_to_string(
+               list_slice(string_split_regex(trim(lower(text)), '\s+'), 1, 6),
+               ' ') AS title,
+             string_split_regex(trim(lower(text)), '\s+')[1] AS blk
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+    FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= 8
+    """,
+)
+def title_link_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy title linkage: 6-token title surrogates, blocked on the
+    first token, verified with levenshtein <= 8 (a codegen'd JVM
+    builtin in both engines — parity-tested). The cross product only
+    forms within a block; at web scale add a salt/band column like the
+    LSH banding. Catches headline variants whose edit lives inside a
+    token (typo, pluralization), invisible to whitespace-token
+    minhash."""
+    from news_please_spark.functions.text import tokens
+    from news_please_spark.operators.joins import fuzzy_link
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = tokens(F.col("text"))
+    recs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_join(F.slice(toks, 1, 6), " ").alias("key"),
+        F.element_at(toks, 1).alias("block"),
+    )
+    out = fuzzy_link(recs, max_dist=8)
+    return out.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "dist"
+    )

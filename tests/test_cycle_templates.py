@@ -124,3 +124,57 @@ def test_host_templates_normalizes_case_and_whitespace(spark):
     hosts = spark.createDataFrame([(1, "h"), (2, "h")], "doc_id long, source string")
     out = host_template_spans(spans_df, hosts, min_docs=2, min_share_bp=5000).collect()
     assert len(out) == 1 and out[0]["n_docs"] == 2
+
+
+def test_bowtie_regions_hand_graph(spark):
+    from news_please_spark.operators.graph import bowtie_regions
+
+    # core 1<->2; in-tendril 0->1 and 9->10->1; out chain 2->3->4->5;
+    # bridge 6 (2->7->8->6 inbound, 6->9->10->1 outbound, both exactly
+    # 3 hops so 6 is never MUTUALLY reachable with the core within 3)
+    pairs = [
+        (1, 2), (2, 1), (0, 1), (2, 3), (3, 4), (4, 5),
+        (2, 7), (7, 8), (8, 6), (6, 9), (9, 10), (10, 1),
+        (20, 21),
+    ]
+    nodes = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 20, 21, 30]],
+        "id long",
+    )
+    got = {
+        r["id"]: r["region"]
+        for r in bowtie_regions(
+            _edges(spark, pairs), nodes, max_hops=3
+        ).collect()
+    }
+    assert got == {
+        0: "in", 1: "core", 2: "core", 3: "out", 4: "out", 5: "out",
+        6: "bridge", 7: "out", 8: "out", 9: "in", 10: "in",
+        20: "other", 21: "other", 30: "other",
+    }
+
+
+def test_bowtie_regions_no_cycle_all_other(spark):
+    from news_please_spark.operators.graph import bowtie_regions
+
+    pairs = [(1, 2), (2, 3)]
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    got = {
+        r["id"]: r["region"]
+        for r in bowtie_regions(_edges(spark, pairs), nodes).collect()
+    }
+    assert got == {1: "other", 2: "other", 3: "other"}
+
+
+def test_bowtie_core_is_largest_cluster_tie_to_min_root(spark):
+    from news_please_spark.operators.graph import bowtie_regions
+
+    # two 2-cycles, equal size: core must be the one with min root (5)
+    pairs = [(5, 6), (6, 5), (8, 9), (9, 8)]
+    nodes = spark.createDataFrame([(i,) for i in (5, 6, 8, 9)], "id long")
+    got = {
+        r["id"]: r["region"]
+        for r in bowtie_regions(_edges(spark, pairs), nodes).collect()
+    }
+    assert got[5] == "core" and got[6] == "core"
+    assert got[8] == "other" and got[9] == "other"

@@ -127,3 +127,47 @@ def test_range_join_timestamp_columns(spark):
         ).collect()
     )
     assert got == [2, 3]
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_link (blocked edit-distance record linkage)
+
+
+def test_fuzzy_link_blocks_and_threshold(spark):
+    from news_please_spark.operators.joins import fuzzy_link
+
+    recs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "the"),
+            (2, "the quick brown fax", "the"),   # dist 1 to id 1
+            (3, "the quick green fox", "the"),   # dist 3 to id 1 > max
+            (4, "a quick brown fox", "a"),       # other block — excluded
+            (5, "the quick brown fox", "the"),   # dist 0 to id 1
+        ],
+        "id long, key string, block string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_link(recs, max_dist=2).collect()
+    }
+    assert got == {(1, 2): 1, (1, 5): 0, (2, 5): 1}
+    # ordering invariant: every pair a < b exactly once
+    assert all(a < b for a, b in got)
+
+
+def test_fuzzy_link_multi_block_cols(spark):
+    from news_please_spark.operators.joins import fuzzy_link
+
+    recs = spark.createDataFrame(
+        [
+            (1, "abcd", "x", 4),
+            (2, "abce", "x", 4),
+            (3, "abcf", "x", 3),  # second block col differs — excluded
+        ],
+        "id long, key string, b1 string, b2 int",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_link(recs, block_cols=["b1", "b2"], max_dist=3).collect()
+    }
+    assert got == {(1, 2): 1}
