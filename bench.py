@@ -68,6 +68,7 @@ HEADLINE = [
     "crawl_traps",
     "cycle_clusters",
     "bowtie_regions",
+    "component_sizes",
     "soft_404",
     "blocklist_hosts",
     "robots_gate",
@@ -85,6 +86,8 @@ HEADLINE = [
     "ip_politeness",
     "media_byte_budget",
     "budget_allocate",
+    "drain_plan",
+    "path_rollup",
     "host_shards",
     "recrawl_schedule",
     "retry_schedule",
@@ -123,6 +126,7 @@ HEADLINE = [
     "lang_segments",
     "lang_id",
     "lang_mismatch",
+    "dist_drift",
     "script_profile",
     "mojibake_audit",
     "tfidf_top_terms",

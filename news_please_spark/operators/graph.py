@@ -19,12 +19,13 @@ either way; the doubling is the insurance for adversarial chains.
 Distribution: one hash-shuffle join per round on node id, labels
 localCheckpoint'ed each round (plan stays flat, superseded checkpoints
 released deterministically — the frontier's wave-loop discipline).
-The driver loop carries only the single changed-row COUNT per round.
+The per-round changed-row count rides the label checkpoint as an
+Observation — the driver sees one scalar, no extra job.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from news_please_spark.operators.cacheutil import release_df
@@ -78,7 +79,13 @@ def connected_components(
             lk = labels.select(
                 F.col("id").alias("_lid"), F.col("root").alias("_lroot")
             )
-            stepped = (
+            # the convergence check rides the checkpoint job as an
+            # Observation (the frontier wave-loop's stats pattern) —
+            # zero extra jobs per round, and the label projection is
+            # folded into the same checkpoint instead of a second one
+            _obs = Observation()
+            prev = labels
+            labels = (
                 hooked.join(lk, hooked["_h"] == lk["_lid"], "left")
                 .select(
                     "id",
@@ -87,14 +94,15 @@ def connected_components(
                         F.col("_h"), F.coalesce(F.col("_lroot"), F.col("_h"))
                     ).alias("_new"),
                 )
-                .localCheckpoint()
+                .observe(
+                    _obs,
+                    F.count_if(F.col("_new") != F.col("root")).alias("chg"),
+                )
+                .select("id", F.col("_new").alias("root"))
+                .localCheckpoint(eager=True)
             )
-            changed = stepped.filter(F.col("_new") != F.col("root")).count()
-            prev = labels
-            labels = stepped.select("id", F.col("_new").alias("root")).localCheckpoint()
             release_df(prev)
-            release_df(stepped)
-            if changed == 0:
+            if _obs.get["chg"] == 0:
                 return labels
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds"
@@ -1313,3 +1321,46 @@ def bowtie_regions(
         return out
     finally:
         release_df(closure)
+
+
+def component_size_histogram(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """(size, n_components): how many weakly-connected components of
+    each size the graph holds — the one-table summary of web
+    fragmentation that pairs with bowtie_regions (a healthy crawl
+    domain shows one giant component plus a long singleton/small
+    tail; many mid-size components mean the seed list under-covers).
+    Passing `nodes` includes isolated nodes as size-1 components
+    (connected_components itself never sees them).
+
+    Scale shape: the CC rounds are the O(log diameter) pointer-
+    doubling joins; the rollup is two map-side-combinable counts
+    (root -> size, size -> n).  The histogram is bounded by the number
+    of DISTINCT sizes — driver never sees node-proportional data."""
+    cc = connected_components(edges, src=src, dst=dst)
+    try:
+        labels = cc
+        if nodes is not None:
+            labels = (
+                nodes.select(F.col(id_col).alias("id"))
+                .join(cc, "id", "left")
+                .select(
+                    "id", F.coalesce(F.col("root"), F.col("id")).alias("root")
+                )
+            )
+        out = (
+            labels.groupBy("root")
+            .agg(F.count(F.lit(1)).cast("long").alias("size"))
+            .groupBy("size")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+        )
+        # cut the (distinct-size-bounded) result eagerly so the CC
+        # label checkpoint can be released before we return
+        return out.localCheckpoint()
+    finally:
+        release_df(cc)

@@ -662,3 +662,55 @@ def with_group_seq(
         F.lit(0),
     )
     return d.withColumn(out, (offset + rank).cast("long")).drop("_pid")
+
+
+def drain_plan(
+    frontier_counts: DataFrame,
+    budget_per_wave: int,
+    host_col: str = "host",
+    count_col: str = "n_urls",
+    delay_us_col: str | None = None,
+) -> DataFrame:
+    """Politeness-constrained drain plan: given per-host frontier
+    counts and the per-wave admission budget (the same cap
+    mark_top_k_per_key enforces), how many waves each host needs and
+    when it finishes — the capacity-planning view that names the TAIL
+    hosts bounding crawl completion (a scheduler reacts by sharding
+    the host across IPs — ip_pooled_admission — or shedding its tail
+    via quality_topfrac, BEFORE burning the cluster on a crawl whose
+    makespan one host dictates).
+
+        waves     = ceil(n_urls / budget)            (integer)
+        finish_us = waves * delay_us                 (per-host delay)
+        critical  = finish_us == max over all hosts
+
+    Scale shape: pure map-side arithmetic on the (already aggregated)
+    per-host table plus ONE single-row global max — computed as an
+    aggregate broadcast back, never a window over all hosts.  Skew-
+    free by construction: input is one row per host."""
+    if budget_per_wave <= 0:
+        raise ValueError("budget_per_wave must be positive")
+    delay = (
+        F.col(delay_us_col).cast("long")
+        if delay_us_col is not None
+        else F.lit(1_000_000).cast("long")
+    )
+    plan = frontier_counts.select(
+        F.col(host_col).alias("host"),
+        F.col(count_col).cast("long").alias("n_urls"),
+        F.expr(
+            f"({count_col} + {budget_per_wave} - 1) div {budget_per_wave}"
+        ).cast("long").alias("waves"),
+        delay.alias("_delay_us"),
+    ).withColumn("finish_us", F.col("waves") * F.col("_delay_us"))
+    mx = plan.groupBy().agg(F.max("finish_us").alias("_mx"))
+    return (
+        plan.join(F.broadcast(mx))
+        .select(
+            "host",
+            "n_urls",
+            "waves",
+            "finish_us",
+            (F.col("finish_us") == F.col("_mx")).alias("critical"),
+        )
+    )

@@ -403,3 +403,137 @@ def lang_mismatch_audit(
             ).cast("long"),
         )
     )
+
+
+def path_rollup(
+    urls: DataFrame,
+    max_depth: int = 2,
+    host_col: str = "host",
+    path_col: str = "path",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Directory-prefix rollup of a URL table: one row per (host,
+    prefix) for every prefix depth 0..max_depth, counting the URLs
+    under that directory (and summing `weight_col` if given) — the
+    per-directory view a crawl scheduler budgets on (a spammy or
+    low-quality /calendar/ subtree is demoted wholesale, the way the
+    reference's per-site rules act on whole URL subtrees via regex
+    ignore; this is the aggregate that FINDS those subtrees).
+
+    Depth 0 is the host root "/"; depth d is the first d path
+    segments.  A URL only contributes to depths up to its own segment
+    count, so every output row's n_urls is exactly the number of
+    URLs at-or-below that directory.
+
+    Scale shape: the explode is a map-side flat map bounded by
+    max_depth+1 rows per URL (no shuffle); the single exchange is the
+    (host, prefix) aggregation, map-side combinable.  Hot directories
+    are hot KEYS, not hot partitions — the md5-spread of (host,
+    prefix) hash partitioning.  Nothing collects."""
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    segs = F.filter(F.split(F.col(path_col), "/"), lambda s: s != F.lit(""))
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    base = urls.select(
+        F.col(host_col).alias("host"),
+        segs.alias("_segs"),
+        w.alias("_w"),
+    ).select(
+        "host",
+        "_w",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.least(F.lit(max_depth), F.size("_segs"))
+            )
+        ).alias("depth"),
+        "_segs",
+    )
+    prefix = F.concat(
+        F.lit("/"), F.array_join(F.slice("_segs", 1, F.col("depth")), "/")
+    )
+    return (
+        base.select(
+            "host",
+            F.col("depth").cast("long").alias("depth"),
+            prefix.alias("prefix"),
+            "_w",
+        )
+        .groupBy("host", "depth", "prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.sum("_w").cast("long").alias("total_w"),
+        )
+    )
+
+
+def histogram_drift(
+    df: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    epoch_col: str,
+) -> DataFrame:
+    """Per-group distribution drift between two epochs as the total-
+    variation distance of the bucket histograms, in floor basis points
+    — the corpus-monitoring gate that catches a source whose length /
+    quality / language mix shifted between snapshots BEFORE the shift
+    poisons a mixture (vocab_drift's distributional twin: that one
+    diffs token sets, this one diffs any bucketed distribution).
+
+    `epoch_col` must be 0/1.  For group g with per-bucket counts
+    a_i (epoch 0, total A) and b_i (epoch 1, total B)::
+
+        drift_bp = floor(10000 * SUM_i |a_i*B - b_i*A| / (2*A*B))
+
+    Pure BIGINT arithmetic (TV distance needs no logs, unlike KL/PSI)
+    so the result is bit-identical across engines.  Overflow bound:
+    |a_i*B| <= A*B, so the sum is <= 2*A*B and the 10000x numerator
+    fits int64 while A*B < 4.6e14 (~2*10^7 rows per group per epoch);
+    above that, cast the products to decimal(38,0) — the plan shape is
+    unchanged.  Groups missing an epoch entirely report NULL (no
+    distribution to compare).
+
+    Scale shape: one map-side-combinable count aggregation on (group,
+    bucket) — conditional sums, no pivot — then a second on (group):
+    the histogram rows (bounded by distinct buckets), never the data,
+    pass through the group-total join."""
+    counts = (
+        df.groupBy(
+            F.col(group_col).alias("grp"), F.col(bucket_col).alias("bkt")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col(epoch_col) == 0, 1).otherwise(0)
+            ).cast("long").alias("_a"),
+            F.sum(
+                F.when(F.col(epoch_col) == 1, 1).otherwise(0)
+            ).cast("long").alias("_b"),
+        )
+    )
+    totals = counts.groupBy("grp").agg(
+        F.sum("_a").cast("long").alias("_ta"),
+        F.sum("_b").cast("long").alias("_tb"),
+    )
+    return (
+        counts.join(totals, "grp")
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.max("_ta").alias("n_epoch0"),
+            F.max("_tb").alias("n_epoch1"),
+            F.sum(
+                F.abs(F.col("_a") * F.col("_tb") - F.col("_b") * F.col("_ta"))
+            ).cast("long").alias("_num"),
+        )
+        .select(
+            group_col,
+            "n_epoch0",
+            "n_epoch1",
+            F.when(
+                (F.col("n_epoch0") > 0) & (F.col("n_epoch1") > 0),
+                F.expr("(10000 * _num) div (2 * n_epoch0 * n_epoch1)"),
+            ).cast("long").alias("drift_bp"),
+        )
+    )

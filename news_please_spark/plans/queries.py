@@ -10200,3 +10200,219 @@ def title_link_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "dist"
     )
+
+
+# ---------------------------------------------------------------------------
+# Directory-prefix crawl-budget rollup (operators/stats.py::path_rollup)
+@register(
+    "path_rollup",
+    """
+    WITH u AS (
+      SELECT source AS host,
+             's' || (doc_id % 7) AS s1,
+             'c' || (doc_id % 29) AS s2,
+             CASE WHEN doc_id % 3 = 0 THEN 'x' || (doc_id % 5) END AS s3,
+             n_chars
+      FROM documents
+    ),
+    seg AS (
+      SELECT host, n_chars,
+             CASE WHEN s3 IS NULL THEN [s1, s2] ELSE [s1, s2, s3] END AS segs
+      FROM u
+    ),
+    d AS (
+      SELECT host, n_chars, segs,
+             unnest(range(0, least(3, len(segs)) + 1)) AS depth
+      FROM seg
+    )
+    SELECT host, CAST(depth AS BIGINT) AS depth,
+           '/' || coalesce(array_to_string(list_slice(segs, 1, depth), '/'),
+                           '') AS prefix,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM d GROUP BY host, depth, prefix
+    """,
+)
+def path_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-directory crawl-budget rollup: URL counts and byte mass at
+    every path-prefix depth 0..3 over a derived URL hierarchy (2-3
+    segments per URL) — the aggregate that finds the low-quality
+    /calendar/-style subtrees per-site regex rules then demote. The
+    explode is a bounded map-side flat map; the one exchange is the
+    (host, prefix) count, map-side combinable."""
+    from news_please_spark.operators.stats import path_rollup
+
+    d = load(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("/s"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("/c"),
+        (F.col("doc_id") % 29).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("/x"), (F.col("doc_id") % 5).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    urls = d.select(
+        F.col("source").alias("host"), path.alias("path"), "n_chars"
+    )
+    return path_rollup(urls, max_depth=3, weight_col="n_chars").select(
+        "host", "depth", "prefix", "n_urls", F.col("total_w").alias("total_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source distribution drift between epochs
+# (operators/stats.py::histogram_drift)
+@register(
+    "dist_drift",
+    """
+    WITH b AS (
+      SELECT source, least(n_chars // 100, 20) AS bkt, doc_id % 2 AS ep
+      FROM documents
+    ),
+    c AS (
+      SELECT source, bkt,
+             sum(CASE WHEN ep = 0 THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN ep = 1 THEN 1 ELSE 0 END) AS bb
+      FROM b GROUP BY source, bkt
+    ),
+    t AS (SELECT source, sum(a) AS ta, sum(bb) AS tb FROM c GROUP BY source)
+    SELECT c.source,
+           CAST(max(t.ta) AS BIGINT) AS n_epoch0,
+           CAST(max(t.tb) AS BIGINT) AS n_epoch1,
+           CAST(CASE WHEN max(t.ta) > 0 AND max(t.tb) > 0 THEN
+                (10000 * sum(abs(c.a * t.tb - c.bb * t.ta)))
+                  // (2 * max(t.ta) * max(t.tb))
+           END AS BIGINT) AS drift_bp
+    FROM c JOIN t ON c.source = t.source
+    GROUP BY c.source
+    """,
+)
+def dist_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-monitoring drift gate: per source, the total-variation
+    distance (floor basis points, pure BIGINT — no logs) between the
+    even- and odd-epoch length-bucket histograms. Catches a source
+    whose mix shifted between snapshots before it poisons a mixture;
+    vocab_drift's distributional twin. Two map-side-combinable
+    aggregations; only histogram rows cross the wire."""
+    from news_please_spark.operators.stats import histogram_drift
+
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        F.least(F.expr("n_chars div 100"), F.lit(20)).alias("bkt"),
+        (F.col("doc_id") % 2).alias("ep"),
+    )
+    return histogram_drift(d, "source", "bkt", "ep")
+
+
+# ---------------------------------------------------------------------------
+# Politeness-constrained drain plan (operators/ordering.py::drain_plan)
+@register(
+    "drain_plan",
+    """
+    WITH s AS (
+      SELECT source AS host, CAST(count(*) AS BIGINT) AS n_urls
+      FROM documents GROUP BY source
+    ),
+    p AS (
+      SELECT host, n_urls,
+             CAST((n_urls + 7) // 8 AS BIGINT) AS waves,
+             CAST(((n_urls + 7) // 8)
+                  * ((CAST(substr(host, 4) AS BIGINT) % 7 + 1) * 50000)
+                  AS BIGINT) AS finish_us
+      FROM s
+    )
+    SELECT host, n_urls, waves, finish_us,
+           finish_us = (SELECT max(finish_us) FROM p) AS critical
+    FROM p
+    """,
+)
+def drain_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl capacity plan: per host, waves = ceil(frontier/8) under
+    the per-wave politeness budget and finish time under the host's
+    crawl delay; critical marks the makespan-bounding tail hosts a
+    scheduler shards (ip_pooled_admission) or sheds. Map-side
+    arithmetic plus ONE single-row global max broadcast back."""
+    from news_please_spark.operators.ordering import drain_plan
+
+    counts = (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.col("source").alias("host"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+        .withColumn(
+            "delay_us",
+            ((F.substring("host", 4, 10).cast("long") % 7) + 1) * 50000,
+        )
+    )
+    return drain_plan(counts, 8, delay_us_col="delay_us")
+
+
+# ---------------------------------------------------------------------------
+# WCC size histogram (operators/graph.py::component_size_histogram)
+@register(
+    "component_sizes",
+    f"""
+    WITH RECURSIVE edges AS (
+      SELECT doc_id AS src,
+             (doc_id // 32) * 32 + ((doc_id*3 + 17) % 32) AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id // 32) * 32 + ((doc_id*5 + 34) % 32)
+      FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id // 32) * 32 + ((doc_id*7 + 51) % 32)
+      FROM documents
+    ),
+    e2 AS (SELECT src, dst FROM edges
+           WHERE src % 11 < 4 AND dst % 11 < 4 AND src <> dst
+             AND dst <= (SELECT max(doc_id) FROM documents)),
+    und AS (SELECT src AS a, dst AS b FROM e2 UNION SELECT dst, src FROM e2),
+    cc(src, node) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und)
+      UNION
+      SELECT c.src, u.b FROM cc c JOIN und u ON u.a = c.node
+    ),
+    lab AS (SELECT src AS id, min(node) AS root FROM cc GROUP BY src),
+    alln AS (
+      SELECT d.doc_id AS id, coalesce(l.root, d.doc_id) AS root
+      FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+    ),
+    sz AS (SELECT root, count(*) AS size FROM alln GROUP BY root)
+    SELECT CAST(size AS BIGINT) AS size,
+           CAST(count(*) AS BIGINT) AS n_components
+    FROM sz GROUP BY size
+    """,
+)
+def component_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-fragmentation summary: the weakly-connected-component size
+    histogram of a sparse BLOCK-LOCAL derived subgraph (links stay
+    inside 32-page site blocks, endpoints % 11 < 4 — the site-island
+    world, so component diameter is bounded by the block), isolated
+    pages included as size-1 — bowtie_regions' companion table (one
+    giant component + singleton tail = healthy seed coverage; many
+    mid-size islands = the seed list under-covers). Pointer-doubled
+    CC then two map-side-combinable counts; the result is bounded by
+    the number of DISTINCT sizes."""
+    from news_please_spark.operators.graph import component_size_histogram
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    block = F.expr("doc_id div 32") * 32
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[block + (F.col("doc_id") * m + a) % 32
+                  for m, a in EDGE_PARAMS]
+            )
+        ).alias("dst"),
+    ).filter(
+        (F.col("src") % 11 < 4)
+        & (F.col("dst") % 11 < 4)
+        & (F.col("dst") <= max_id)
+    )
+    nodes = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    return component_size_histogram(edges, nodes)

@@ -150,3 +150,49 @@ def test_rendezvous_rejects_bad_shard_count(spark):
     df = spark.createDataFrame([("a",)], "host string")
     with _pytest.raises(ValueError):
         rendezvous_shards(df, 0).collect()
+
+
+# ---------------------------------------------------------------------------
+# drain_plan
+
+
+def test_drain_plan_waves_and_critical(spark):
+    from news_please_spark.operators.ordering import drain_plan
+
+    counts = spark.createDataFrame(
+        [("a", 17, 100), ("b", 8, 1000), ("c", 1, 100)],
+        "host string, n_urls long, delay_us long",
+    )
+    got = {
+        r["host"]: (r["waves"], r["finish_us"], r["critical"])
+        for r in drain_plan(counts, 8, delay_us_col="delay_us").collect()
+    }
+    # a: ceil(17/8)=3 waves * 100us = 300; b: 1 wave * 1000 = 1000 (critical)
+    assert got == {
+        "a": (3, 300, False),
+        "b": (1, 1000, True),
+        "c": (1, 100, False),
+    }
+
+
+def test_drain_plan_default_delay_and_ties(spark):
+    from news_please_spark.operators.ordering import drain_plan
+
+    counts = spark.createDataFrame(
+        [("a", 8), ("b", 8)], "host string, n_urls long"
+    )
+    got = {
+        r["host"]: (r["finish_us"], r["critical"])
+        for r in drain_plan(counts, 8).collect()
+    }
+    # equal makespans: BOTH critical
+    assert got == {"a": (1_000_000, True), "b": (1_000_000, True)}
+
+
+def test_drain_plan_rejects_bad_budget(spark):
+    import pytest
+    from news_please_spark.operators.ordering import drain_plan
+
+    counts = spark.createDataFrame([("a", 1)], "host string, n_urls long")
+    with pytest.raises(ValueError):
+        drain_plan(counts, 0)

@@ -735,3 +735,37 @@ def test_contract_to_hosts_sums_multiplicities(spark):
     )
     got = {(r.src, r.dst): r.weight for r in he.collect()}
     assert got == {("h1", "h8"): 2, ("h2", "h9"): 1, ("h3", "h8"): 1}
+
+
+# ---------------------------------------------------------------------------
+# component_size_histogram
+
+
+def test_component_sizes_with_isolated(spark):
+    from news_please_spark.operators.graph import component_size_histogram
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 30)], "id long"
+    )
+    got = {
+        r["size"]: r["n_components"]
+        for r in component_size_histogram(edges, nodes).collect()
+    }
+    # {1,2,3} size 3; {10,11} size 2; 20 (self-loop only) and 30 isolated
+    assert got == {3: 1, 2: 1, 1: 2}
+
+
+def test_component_sizes_without_nodes(spark):
+    from news_please_spark.operators.graph import component_size_histogram
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {
+        r["size"]: r["n_components"]
+        for r in component_size_histogram(edges).collect()
+    }
+    assert got == {2: 1, 3: 1}

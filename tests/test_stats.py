@@ -278,3 +278,113 @@ def test_lang_mismatch_audit_null_rate_when_undetected(spark):
     )
     r = lang_mismatch_audit(df).collect()[0]
     assert r.n_det == 0 and r.mismatch_bp is None
+
+
+# ---------------------------------------------------------------------------
+# path_rollup
+
+
+def test_path_rollup_depths_and_weights(spark):
+    from news_please_spark.operators.stats import path_rollup
+
+    urls = spark.createDataFrame(
+        [
+            ("h", "/a/b", 10),
+            ("h", "/a/c", 20),
+            ("h", "/a", 5),
+            ("g", "/a/b", 7),
+        ],
+        "host string, path string, w long",
+    )
+    got = {
+        (r["host"], r["depth"], r["prefix"]): (r["n_urls"], r["total_w"])
+        for r in path_rollup(urls, max_depth=2, weight_col="w").collect()
+    }
+    assert got[("h", 0, "/")] == (3, 35)
+    assert got[("h", 1, "/a")] == (3, 35)
+    assert got[("h", 2, "/a/b")] == (1, 10)
+    assert got[("h", 2, "/a/c")] == (1, 20)
+    assert got[("g", 0, "/")] == (1, 7)
+    assert got[("g", 2, "/a/b")] == (1, 7)
+    # "/a" contributes to depth <=1 only; no depth-2 row for it
+    assert ("h", 2, "/a") not in got
+    assert len(got) == 7
+
+
+def test_path_rollup_depth_cap_and_default_weight(spark):
+    from news_please_spark.operators.stats import path_rollup
+
+    urls = spark.createDataFrame(
+        [("h", "/a/b/c/d")], "host string, path string"
+    )
+    got = {
+        r["depth"]: (r["prefix"], r["total_w"])
+        for r in path_rollup(urls, max_depth=2).collect()
+    }
+    assert got == {0: ("/", 1), 1: ("/a", 1), 2: ("/a/b", 1)}
+
+
+def test_path_rollup_trailing_and_double_slashes(spark):
+    from news_please_spark.operators.stats import path_rollup
+
+    urls = spark.createDataFrame(
+        [("h", "/a//b/"), ("h", "/a/b")], "host string, path string"
+    )
+    got = {
+        (r["depth"], r["prefix"]): r["n_urls"]
+        for r in path_rollup(urls, max_depth=3).collect()
+    }
+    # empty segments collapse: both URLs are /a/b
+    assert got == {(0, "/"): 2, (1, "/a"): 2, (2, "/a/b"): 2}
+
+
+# ---------------------------------------------------------------------------
+# histogram_drift
+
+
+def test_histogram_drift_identical_zero(spark):
+    from news_please_spark.operators.stats import histogram_drift
+
+    rows = [("s", b, e) for e in (0, 1) for b in (1, 1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, bkt long, ep long")
+    out = histogram_drift(df, "g", "bkt", "ep").collect()
+    assert len(out) == 1
+    assert out[0]["drift_bp"] == 0
+    assert out[0]["n_epoch0"] == 4 and out[0]["n_epoch1"] == 4
+
+
+def test_histogram_drift_disjoint_full(spark):
+    from news_please_spark.operators.stats import histogram_drift
+
+    df = spark.createDataFrame(
+        [("s", 1, 0), ("s", 1, 0), ("s", 2, 1)],
+        "g string, bkt long, ep long",
+    )
+    out = histogram_drift(df, "g", "bkt", "ep").collect()[0]
+    # disjoint supports: TV distance = 1.0 -> 10000 bp
+    assert out["drift_bp"] == 10000
+
+
+def test_histogram_drift_half_moved(spark):
+    from news_please_spark.operators.stats import histogram_drift
+
+    # epoch0: 2x bkt1, 2x bkt2 ; epoch1: 4x bkt1 -> TV = 0.5
+    rows = (
+        [("s", 1, 0)] * 2 + [("s", 2, 0)] * 2 + [("s", 1, 1)] * 4
+    )
+    df = spark.createDataFrame(rows, "g string, bkt long, ep long")
+    out = histogram_drift(df, "g", "bkt", "ep").collect()[0]
+    assert out["drift_bp"] == 5000
+
+
+def test_histogram_drift_missing_epoch_null(spark):
+    from news_please_spark.operators.stats import histogram_drift
+
+    df = spark.createDataFrame(
+        [("only0", 1, 0), ("both", 1, 0), ("both", 1, 1)],
+        "g string, bkt long, ep long",
+    )
+    got = {r["g"]: r for r in histogram_drift(df, "g", "bkt", "ep").collect()}
+    assert got["only0"]["drift_bp"] is None
+    assert got["only0"]["n_epoch1"] == 0
+    assert got["both"]["drift_bp"] == 0
