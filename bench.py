@@ -51,10 +51,12 @@ HEADLINE = [
     "pagerank3",
     "opic_scores",
     "spam_mass",
+    "badrank",
     "reciprocal_links",
     "kcore_peel",
     "lpa_communities",
     "triangle_counts",
+    "clustering_coeff",
     "hits_scores",
     "salsa_scores",
     "graph_balls",

@@ -1364,3 +1364,104 @@ def component_size_histogram(
         return out.localCheckpoint()
     finally:
         release_df(cc)
+
+
+def badrank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    bad_nodes: DataFrame,
+    out_degree: int,
+    iters: int = 3,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    materialize: bool = True,
+) -> DataFrame:
+    """BadRank — anti-trust propagated BACKWARDS along links (the
+    inverse-PageRank demotion idea popularized as BadRank; same family
+    as Anti-TrustRank, Krishnan & Raj, AIRWeb 2006): a page that LINKS
+    INTO a flagged neighborhood inherits badness, because linking TO
+    spam is under the page author's control while being linked FROM
+    spam is not — the asymmetry spam_mass (forward trust) cannot see.
+    The two sit on opposite sides of the same blocklist: spam_mass
+    finds rank LAUNDERED OUT of bad regions, badrank finds the pages
+    FEEDING them.
+
+    Implementation: one integer-exact pagerank_scaled run on the
+    TRANSPOSED edge set with teleport restricted to ``bad_nodes`` —
+    (id, r) where r is the badness mass in the N·(100·D)^iters scale,
+    0 for pages with no path into the flagged set.  Requires uniform
+    IN-degree `out_degree` on the original graph (= out-degree of the
+    transpose); the derived webgraph's per-(m,a) bijections satisfy
+    this exactly.
+
+    Scale shape: identical to pagerank_scaled — the transpose is a
+    column swap (no shuffle by itself), then only the one-long-per-
+    node rank table shuffles per iteration."""
+    t = edges.select(F.col(dst).alias("_ts"), F.col(src).alias("_td"))
+    return pagerank_scaled(
+        t,
+        nodes,
+        out_degree=out_degree,
+        iters=iters,
+        damping_pct=damping_pct,
+        src="_ts",
+        dst="_td",
+        id_col=id_col,
+        materialize=materialize,
+        teleport_nodes=bad_nodes,
+    )
+
+
+def clustering_coefficients(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient in floor basis points —
+    how much of a page's neighborhood is itself interlinked:
+    clust_bp = 10^4 · triangles / (deg·(deg−1)/2).  Link farms and
+    nepotistic cliques sit near 10^4 while organic hub pages sit near
+    0, which makes this the per-NODE refinement of the triangle/kcore
+    density signals (Watts & Strogatz 1998 define the coefficient;
+    its spam use follows Becchetti et al., KDD 2008 "Link analysis
+    for Web spam detection").
+
+    Returns (node, deg, n_tri, clust_bp) for every node with >= 1
+    distinct undirected edge; deg-1 nodes report NULL (no possible
+    wedge).  Pure-integer ratio, engine-exact.
+
+    Scale shape: the triangle side is the degree-oriented
+    triangle_counts plan (hub-safe, no quadratic wedge at hubs); the
+    degree side is one map-side-combinable count on the deduped
+    undirected edge list; the merge is an id equi-join of node-sized
+    tables.  The deg agg runs once here and once inside
+    triangle_counts — two scans of the (fixed-width) edge list, kept
+    in exchange for leaving triangle_counts' interface untouched."""
+    s, d = F.col(src_col), F.col(dst_col)
+    half = (
+        edges.filter(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+    und = half.unionByName(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    tri = triangle_counts(edges, src_col=src_col, dst_col=dst_col)
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+        )
+        .withColumn(
+            "clust_bp",
+            F.when(
+                F.col("deg") >= 2,
+                F.expr("(10000 * 2 * n_tri) div (deg * (deg - 1))"),
+            ).cast("long"),
+        )
+    )

@@ -10416,3 +10416,109 @@ def component_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id")
     )
     return component_size_histogram(edges, nodes)
+
+
+# ---------------------------------------------------------------------------
+# BadRank: anti-trust propagated backwards (operators/graph.py::badrank)
+
+
+def _badrank_sql(iters: int = 3, deg: int = 3, damping_pct: int = 85) -> str:
+    parts = [
+        "b0 AS (SELECT doc_id AS id, CAST(CASE WHEN doc_id % 97 = 3 THEN 1"
+        " ELSE 0 END AS BIGINT) AS r FROM documents)"
+    ]
+    for k in range(iters):
+        teleport = (100 - damping_pct) * deg * (100 * deg) ** k
+        parts.append(
+            f"bc{k + 1} AS (SELECT e.src AS id, SUM(b{k}.r) AS c FROM edges e"
+            f" JOIN b{k} ON b{k}.id = e.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"b{k + 1} AS (SELECT d.doc_id AS id,"
+            f" CAST(CASE WHEN d.doc_id % 97 = 3 THEN {teleport} ELSE 0 END"
+            f" + {damping_pct} * COALESCE(bc{k + 1}.c, 0) AS BIGINT) AS r"
+            f" FROM documents d LEFT JOIN bc{k + 1} ON bc{k + 1}.id = d.doc_id)"
+        )
+    return (
+        f"WITH edges AS ({_EDGES_SQL}), "
+        + ", ".join(parts)
+        + f" SELECT id AS doc_id, r AS badrank_s{iters} FROM b{iters}"
+    )
+
+
+@register("badrank", _badrank_sql())
+def badrank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward anti-trust: pages feeding rank INTO the flagged set
+    (doc_id % 97 = 3, ~1%) inherit badness along TRANSPOSED edges —
+    the demotion signal complementary to spam_mass's forward trust.
+    One integer-exact pagerank_scaled run on the transpose (the
+    derived webgraph's bijective edge maps give the uniform in-degree
+    the transpose needs); only the rank table shuffles per
+    iteration."""
+    from news_please_spark.operators.graph import badrank
+
+    edges = derived_edges(spark, sf_dir)
+    nodes = load(spark, sf_dir, "documents").select("doc_id")
+    bad = nodes.filter(F.col("doc_id") % 97 == 3)
+    ranks = badrank(
+        edges,
+        nodes,
+        bad,
+        out_degree=len(EDGE_PARAMS),
+        iters=3,
+        id_col="doc_id",
+        materialize=False,
+    )
+    return ranks.select(
+        F.col("id").alias("doc_id"), F.col("r").alias("badrank_s3")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient
+# (operators/graph.py::clustering_coefficients)
+@register(
+    "clustering_coeff",
+    f"""
+    WITH edges AS ({_TRI_EDGES_SQL}),
+    h AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst GROUP BY 1, 2),
+    und AS (SELECT a, b FROM h UNION ALL SELECT b, a FROM h),
+    deg AS (SELECT a, count(*) AS d FROM und GROUP BY 1),
+    o AS (SELECT u.a AS u, u.b AS v, db.d AS dv
+          FROM und u JOIN deg da ON da.a = u.a JOIN deg db ON db.a = u.b
+          WHERE (da.d < db.d) OR (da.d = db.d AND u.a < u.b)),
+    w AS (SELECT x.u, x.v AS p, y.v AS q
+          FROM o x JOIN o y ON x.u = y.u
+          AND ((x.dv < y.dv) OR (x.dv = y.dv AND x.v < y.v))),
+    t AS (SELECT w.u, w.p, w.q FROM w
+          WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.p AND o.v = w.q)),
+    n AS (SELECT u AS node FROM t
+          UNION ALL SELECT p FROM t UNION ALL SELECT q FROM t),
+    tri AS (SELECT node, count(*) AS n_tri FROM n GROUP BY 1)
+    SELECT deg.a AS node, CAST(deg.d AS BIGINT) AS deg,
+           CAST(coalesce(tri.n_tri, 0) AS BIGINT) AS n_tri,
+           CAST(CASE WHEN deg.d >= 2 THEN
+                (10000 * 2 * coalesce(tri.n_tri, 0)) // (deg.d * (deg.d - 1))
+           END AS BIGINT) AS clust_bp
+    FROM deg LEFT JOIN tri ON tri.node = deg.a
+    """,
+)
+def clustering_coeff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node neighborhood interlink density in floor basis points
+    over the triangle world (derived webgraph + two ring edge
+    families): link-farm cliques read near 10^4, organic hubs near 0
+    — the per-node refinement beside triangle_counts/kcore_peel.
+    Integer ratio, hub-safe degree-oriented triangle plan."""
+    from news_please_spark.operators.graph import clustering_coefficients
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    ring = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array((F.col("doc_id") + 1) % n, (F.col("doc_id") + 2) % n)
+        ).alias("dst"),
+    )
+    edges = derived_edges(spark, sf_dir).unionByName(ring)
+    return clustering_coefficients(edges)

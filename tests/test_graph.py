@@ -769,3 +769,88 @@ def test_component_sizes_without_nodes(spark):
         for r in component_size_histogram(edges).collect()
     }
     assert got == {2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# badrank
+
+
+def test_badrank_flows_backwards_only(spark):
+    from news_please_spark.operators.graph import badrank
+
+    # chain a -> b -> bad ; c receives FROM bad (no badness: links
+    # INTO bad matter, links FROM bad do not)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 9), (9, 3)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 9)], "id long")
+    bad = spark.createDataFrame([(9,)], "id long")
+    got = {
+        r["id"]: r["r"]
+        for r in badrank(
+            edges, nodes, bad, out_degree=1, iters=2, materialize=False
+        ).collect()
+    }
+    # every page on a path INTO the bad node carries badness...
+    assert got[9] > 0 and got[2] > 0 and got[1] > 0
+    # ...and a page linked FROM bad only is clean: the asymmetry
+    assert got[3] == 0
+
+
+def test_badrank_equals_reversed_seeded_pagerank(spark):
+    from news_please_spark.operators.graph import badrank, pagerank_scaled
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id long")
+    bad = spark.createDataFrame([(3,)], "id long")
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    a = {
+        r["id"]: r["r"]
+        for r in badrank(
+            edges, nodes, bad, out_degree=1, iters=3, materialize=False
+        ).collect()
+    }
+    b = {
+        r["id"]: r["r"]
+        for r in pagerank_scaled(
+            rev, nodes, out_degree=1, iters=3,
+            materialize=False, teleport_nodes=bad,
+        ).collect()
+    }
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# clustering_coefficients
+
+
+def test_clustering_coefficients_triangle_and_path(spark):
+    from news_please_spark.operators.graph import clustering_coefficients
+
+    # triangle {1,2,3} plus pendant 4-1; 5-6 isolated edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1), (5, 6)], "src long, dst long"
+    )
+    got = {
+        r["node"]: (r["deg"], r["n_tri"], r["clust_bp"])
+        for r in clustering_coefficients(edges).collect()
+    }
+    # node 1: deg 3, 1 triangle of 3 possible pairs -> 3333 bp
+    assert got[1] == (3, 1, 3333)
+    assert got[2] == (2, 1, 10000)
+    assert got[3] == (2, 1, 10000)
+    assert got[4] == (1, 0, None)
+    assert got[5] == (1, 0, None)
+
+
+def test_clustering_coefficients_clique_is_10000(spark):
+    from news_please_spark.operators.graph import clustering_coefficients
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4, "src long, dst long")
+    got = clustering_coefficients(edges).collect()
+    assert all(r["clust_bp"] == 10000 and r["n_tri"] == 3 for r in got)
