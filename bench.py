@@ -57,6 +57,7 @@ HEADLINE = [
     "lpa_communities",
     "triangle_counts",
     "clustering_coeff",
+    "degree_distribution",
     "hits_scores",
     "salsa_scores",
     "graph_balls",
@@ -91,6 +92,7 @@ HEADLINE = [
     "drain_plan",
     "path_rollup",
     "host_shards",
+    "skew_gini",
     "recrawl_schedule",
     "retry_schedule",
     "rendezvous_shards",

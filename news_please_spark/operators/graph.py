@@ -1465,3 +1465,30 @@ def clustering_coefficients(
             ).cast("long"),
         )
     )
+
+
+def degree_distribution(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(direction, degree, n_nodes): the in-/out-degree histogram of a
+    directed graph — the first number anyone asks of a webgraph (the
+    power-law exponent eyeballs straight off it) and the companion to
+    key_skew_audit when the skewed key IS a graph endpoint.  Self
+    loops ignored; nodes count under a direction only if they have at
+    least one edge that way (join a node table for the zero class).
+
+    Scale shape: two map-side-combinable counts (per src, per dst),
+    then a count over the per-node table; output is bounded by the
+    number of DISTINCT degrees.  A 10^7-in-degree hub is one row."""
+    e = edges.filter(F.col(src) != F.col(dst))
+    outd = e.groupBy(F.col(src).alias("_n")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    ).select(F.lit("out").alias("direction"), "degree")
+    ind = e.groupBy(F.col(dst).alias("_n")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    ).select(F.lit("in").alias("direction"), "degree")
+    return (
+        outd.unionByName(ind)
+        .groupBy("direction", "degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )

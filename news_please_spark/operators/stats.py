@@ -537,3 +537,82 @@ def histogram_drift(
             ).cast("long").alias("drift_bp"),
         )
     )
+
+
+def key_skew_audit(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """One-row skew report for a prospective shuffle key: how unequal
+    the per-key row counts are BEFORE a groupBy/join commits to that
+    key — the planning signal that decides salting / AQE skew-join /
+    an IP-pool split (the north rule's explicit-skew-handling axis as
+    a measurable, not a vibe).
+
+        n_keys   — distinct keys
+        n_rows   — total rows
+        gini_bp  — exact Gini coefficient of per-key counts in floor
+                   basis points: G = SUM_i (2i - n - 1)·x_i / (n·SUM x)
+                   with x ascending, i the 1-based global rank —
+                   0 = perfectly even, ->10^4 = one key holds all
+        top1_bp / topN_bp — share of the heaviest 1 / top_n keys
+
+    Integer-exact end to end (ranks via the two-phase global sequence
+    — no single-task window over the key table), so any engine
+    reproduces it bit-for-bit.  Ties order by (count, key) making the
+    rank total; Gini is tie-order-invariant anyway (equal x_i swap
+    ranks without changing the sum).
+
+    Scale shape: ONE map-side-combinable count per key; everything
+    after runs on the per-key table (1 row per key).  The rank pass
+    is with_global_seq's range partition (driver holds one count per
+    PARTITION, never per key); the head shares are a top_n sort-limit
+    (tiny).  Overflow: SUM_i (2i-n-1)·x_i < 2n·SUM x, so int64 holds
+    while n_keys·n_rows < 4.6e18 — at 10^8 hosts × 10^10 rows cast
+    the product terms to decimal(38,0), same plan."""
+    counts = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    from news_please_spark.operators.ordering import with_global_seq
+
+    caches: list[DataFrame] = []
+    ranked, n_keys = with_global_seq(
+        counts, ["_c", "_k"], out="_i", caches=caches
+    )
+    from news_please_spark.operators.cacheutil import release_df
+
+    gini = ranked.groupBy().agg(
+        F.sum("_c").alias("n_rows"),
+        F.sum((2 * (F.col("_i") + 1) - F.lit(n_keys) - 1) * F.col("_c")).alias(
+            "_num"
+        ),
+    )
+    top = (
+        counts.orderBy(F.desc("_c"), F.asc("_k"))
+        .limit(top_n)
+        .groupBy()
+        .agg(
+            F.max("_c").alias("_top1"),
+            F.sum("_c").alias("_topn"),
+        )
+    )
+    out = (
+        gini.join(F.broadcast(top))
+        .select(
+            F.lit(n_keys).cast("long").alias("n_keys"),
+            F.col("n_rows").cast("long"),
+            F.when(
+                (F.lit(n_keys) > 0) & (F.col("n_rows") > 0),
+                F.expr(f"(10000 * _num) div ({n_keys} * n_rows)"),
+            ).cast("long").alias("gini_bp"),
+            F.expr("(10000 * _top1) div n_rows").cast("long").alias("top1_bp"),
+            F.expr("(10000 * _topn) div n_rows").cast("long").alias(
+                f"top{top_n}_bp"
+            ),
+        )
+        .localCheckpoint()
+    )
+    for c in caches:
+        release_df(c)
+    return out

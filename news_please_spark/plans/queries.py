@@ -10522,3 +10522,78 @@ def clustering_coeff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = derived_edges(spark, sf_dir).unionByName(ring)
     return clustering_coefficients(edges)
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew audit (operators/stats.py::key_skew_audit)
+@register(
+    "skew_gini",
+    """
+    WITH u AS (
+      SELECT CASE WHEN doc_id % 5 = 0 THEN 'big' || (doc_id % 3)
+                  ELSE 'h' || (doc_id % 211) END AS k
+      FROM documents
+    ),
+    c AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY k),
+    r AS (SELECT c, row_number() OVER (ORDER BY c, k) AS i,
+                 count(*) OVER () AS n FROM c),
+    g AS (SELECT max(n) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+                 sum((2*i - n - 1) * c) AS num
+          FROM r),
+    t AS (SELECT max(c) AS top1, sum(c) AS topn
+          FROM (SELECT c FROM c ORDER BY c DESC, k LIMIT 10))
+    SELECT CAST(n_keys AS BIGINT) AS n_keys, n_rows,
+           CAST((10000 * num) // (n_keys * n_rows) AS BIGINT) AS gini_bp,
+           CAST((10000 * top1) // n_rows AS BIGINT) AS top1_bp,
+           CAST((10000 * topn) // n_rows AS BIGINT) AS top10_bp
+    FROM g, t
+    """,
+)
+def skew_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle skew report on the deliberately skewed derived host
+    key (three 'big' head hosts + a 211-host tail, host_shards'
+    world): exact integer Gini of per-host row counts plus head
+    shares — the measurement that decides salting / AQE skew-join /
+    IP-pool splits BEFORE a join commits to the key. Ranks ride the
+    two-phase global sequence; the driver holds per-partition counts
+    only."""
+    from news_please_spark.operators.stats import key_skew_audit
+
+    u = load(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("big"), (F.col("doc_id") % 3).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("h"), (F.col("doc_id") % 211).cast("string"))
+        )
+        .alias("host")
+    )
+    return key_skew_audit(u, "host", top_n=10)
+
+
+# ---------------------------------------------------------------------------
+# Webgraph degree histogram (operators/graph.py::degree_distribution)
+@register(
+    "degree_distribution",
+    f"""
+    WITH edges AS ({_EDGES_SQL}),
+    e2 AS (SELECT src, dst FROM edges WHERE dst % 11 < 4 AND src <> dst),
+    o AS (SELECT 'out' AS direction, CAST(count(*) AS BIGINT) AS degree
+          FROM e2 GROUP BY src),
+    i AS (SELECT 'in' AS direction, CAST(count(*) AS BIGINT) AS degree
+          FROM e2 GROUP BY dst),
+    a AS (SELECT * FROM o UNION ALL SELECT * FROM i)
+    SELECT direction, degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM a GROUP BY 1, 2
+    """,
+)
+def degree_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In/out-degree histogram of the sparse derived webgraph (dst %
+    11 < 4 so degrees vary 1..3 instead of the full graph's uniform
+    3): the first-look webgraph shape report beside skew_gini. Two
+    map-side-combinable counts; output bounded by distinct degrees."""
+    from news_please_spark.operators.graph import degree_distribution
+
+    edges = derived_edges(spark, sf_dir).filter(F.col("dst") % 11 < 4)
+    return degree_distribution(edges)

@@ -854,3 +854,24 @@ def test_clustering_coefficients_clique_is_10000(spark):
     edges = spark.createDataFrame(k4, "src long, dst long")
     got = clustering_coefficients(edges).collect()
     assert all(r["clust_bp"] == 10000 and r["n_tri"] == 3 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# degree_distribution
+
+
+def test_degree_distribution_counts(spark):
+    from news_please_spark.operators.graph import degree_distribution
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 3)], "src long, dst long"
+    )
+    got = {
+        (r["direction"], r["degree"]): r["n_nodes"]
+        for r in degree_distribution(edges).collect()
+    }
+    # self loop (3,3) ignored; out: 1->2, 2->1; in: 2 has 1, 3 has 2
+    assert got == {
+        ("out", 2): 1, ("out", 1): 1,
+        ("in", 1): 1, ("in", 2): 1,
+    }

@@ -388,3 +388,45 @@ def test_histogram_drift_missing_epoch_null(spark):
     assert got["only0"]["drift_bp"] is None
     assert got["only0"]["n_epoch1"] == 0
     assert got["both"]["drift_bp"] == 0
+
+
+# ---------------------------------------------------------------------------
+# key_skew_audit
+
+
+def test_key_skew_audit_even_keys_zero_gini(spark):
+    from news_please_spark.operators.stats import key_skew_audit
+
+    df = spark.createDataFrame(
+        [(k,) for k in "aabbcc"], "k string"
+    )
+    r = key_skew_audit(df, "k", top_n=2).collect()[0]
+    assert r["n_keys"] == 3 and r["n_rows"] == 6
+    assert r["gini_bp"] == 0
+    assert r["top1_bp"] == 3333  # 2/6
+    assert r["top2_bp"] == 6666  # 4/6
+
+
+def test_key_skew_audit_one_hot_key(spark):
+    from news_please_spark.operators.stats import key_skew_audit
+
+    rows = [("hot",)] * 97 + [("a",), ("b",), ("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_audit(df, "k", top_n=1).collect()[0]
+    assert r["n_keys"] == 4 and r["n_rows"] == 100
+    assert r["top1_bp"] == 9700
+    # exact Gini: x=[1,1,1,97], n=4: sum((2i-5)*x)=(-3)+(-1)+(1)+(3*97)=288
+    # 10000*288 // (4*100) = 7200
+    assert r["gini_bp"] == 7200
+
+
+def test_key_skew_audit_matches_hand_formula(spark):
+    from news_please_spark.operators.stats import key_skew_audit
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_audit(df, "k", top_n=10).collect()[0]
+    # x=[2,3,5], n=3: (2*1-4)*2 + (2*2-4)*3 + (2*3-4)*5 = -4+0+10 = 6
+    # 10000*6 // (3*10) = 2000
+    assert r["gini_bp"] == 2000
+    assert r["top10_bp"] == 10000  # fewer keys than top_n: all rows
