@@ -175,6 +175,7 @@ HEADLINE = [
     "jaccard_verify",
     "containment_pairs",
     "lsh_recall_audit",
+    "matryoshka_audit",
     "bbit_near_dup",
     "incremental_near_dups",
     "cdc_lsh_index",

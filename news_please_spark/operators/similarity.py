@@ -1039,3 +1039,90 @@ def margin_mine(
         )
     )
     return out
+
+
+def dim_truncation_audit(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    prefix_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka prefix-dimension audit (Kusupati et al., NeurIPS
+    2022): how much of the FULL-dimension cosine top-k survives when
+    similarity uses only the first `prefix_dims` components — the
+    measurement that decides whether the cheap prefix index (IVF cells
+    on 16 dims, full re-rank on survivors) is safe for this embedding
+    column, BEFORE committing the 10^10-vector index build to it.
+
+    Returns (query_id, n_hits, recall_bp): |top-k_full ∩ top-k_prefix|
+    and its floor-bp share of k.  Similarities are quantized to
+    floor(10^4·cos) with the operation order the ann entries
+    established (10000·(dot/denom), left-fold dot) and ranked
+    (sim DESC, neighbor ASC), so the two top-k SETS — and hence the
+    audit — are bit-identical across engines.
+
+    Scale shape: queries broadcast twice against the corpus (full and
+    prefix pass — the prefix slice is a map-side Column, no second
+    scan materializes); per-query windows see |C| rows only inside
+    TakeOrdered-style partial ranking; the final join is on the two
+    O(|Q|·k) survivor tables."""
+    if k <= 0 or prefix_dims <= 0:
+        raise ValueError("k and prefix_dims must be positive")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_q")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("_v"),
+    )
+
+    def topk(qv, cv, label):
+        sims = (
+            F.broadcast(q)
+            .crossJoin(c)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.floor(
+                    10000
+                    * (
+                        dot(qv, cv)
+                        / (
+                            F.sqrt(dot(qv, qv))
+                            * F.sqrt(dot(cv, cv))
+                        )
+                    )
+                ).cast("long").alias("_s"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("_s"), F.asc("neighbor_id")
+        )
+        return (
+            sims.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .select("query_id", F.col("neighbor_id").alias(label))
+        )
+
+    full = topk(F.col("_q"), F.col("_v"), "n_full")
+    pref = topk(
+        F.slice(F.col("_q"), 1, prefix_dims),
+        F.slice(F.col("_v"), 1, prefix_dims),
+        "n_pref",
+    )
+    hits = full.join(
+        pref,
+        (full["query_id"] == pref["query_id"])
+        & (full["n_full"] == pref["n_pref"]),
+        "left",
+    ).select(
+        full["query_id"],
+        F.when(pref["n_pref"].isNotNull(), 1).otherwise(0).alias("_hit"),
+    )
+    return hits.groupBy("query_id").agg(
+        F.sum("_hit").cast("long").alias("n_hits"),
+        F.expr(f"(10000 * sum(_hit)) div {k}").cast("long").alias("recall_bp"),
+    )

@@ -10597,3 +10597,67 @@ def degree_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = derived_edges(spark, sf_dir).filter(F.col("dst") % 11 < 4)
     return degree_distribution(edges)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension recall audit
+# (operators/similarity.py::dim_truncation_audit)
+@register(
+    "matryoshka_audit",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % 101 = 0),
+    pfull AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST(floor(10000 * (
+               list_dot_product(q.v, e.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(e.v, e.v)))
+             )) AS BIGINT) AS s
+      FROM q, e WHERE q.vec_id <> e.vec_id
+    ),
+    tfull AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY s DESC, neighbor_id) AS rk FROM pfull
+      ) WHERE rk <= 5
+    ),
+    ppref AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST(floor(10000 * (
+               list_dot_product(list_slice(q.v, 1, 16), list_slice(e.v, 1, 16))
+               / (sqrt(list_dot_product(list_slice(q.v, 1, 16),
+                                        list_slice(q.v, 1, 16)))
+                  * sqrt(list_dot_product(list_slice(e.v, 1, 16),
+                                          list_slice(e.v, 1, 16))))
+             )) AS BIGINT) AS s
+      FROM q, e WHERE q.vec_id <> e.vec_id
+    ),
+    tpref AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY s DESC, neighbor_id) AS rk FROM ppref
+      ) WHERE rk <= 5
+    )
+    SELECT f.query_id,
+           CAST(sum(CASE WHEN p.neighbor_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_hits,
+           CAST((10000 * sum(CASE WHEN p.neighbor_id IS NULL THEN 0 ELSE 1
+                END)) // 5 AS BIGINT) AS recall_bp
+    FROM tfull f LEFT JOIN tpref p
+      ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def matryoshka_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dimension safety check for the embedding column: per
+    query (vec_id % 101 = 0), how much of the exact cosine top-5
+    survives ranking on the first 16 of 32 dimensions — the go/no-go
+    before a cheap prefix index (IVF on 16 dims + full re-rank) is
+    trusted at corpus scale. Quantized sims, engine-exact ranking;
+    queries broadcast, the corpus never shuffles."""
+    from news_please_spark.operators.similarity import dim_truncation_audit
+
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    q = e.filter(F.col("vec_id") % 101 == 0)
+    return dim_truncation_audit(e, q, k=5, prefix_dims=16)

@@ -598,3 +598,51 @@ def test_margin_mine_drops_nonpositive_neighborhoods(spark):
         "vec_id long, embedding array<double>",
     )
     assert margin_mine(qs, corpus, k=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# dim_truncation_audit
+
+
+def test_dim_truncation_audit_detects_tail_flip(spark):
+    from news_please_spark.operators.similarity import dim_truncation_audit
+
+    # prefix = first 2 dims. q's full-top1 is n1 (tail dims agree);
+    # on the prefix alone n2 wins instead -> overlap 0 for k=1.
+    rows = [
+        (0, [1.0, 0.0, 1.0, 0.0]),       # query
+        (1, [0.6, 0.5, 1.0, 0.0]),       # full winner (tail aligned)
+        (2, [1.0, 0.0, -1.0, 0.0]),      # prefix winner (tail opposed)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0")
+    out = dim_truncation_audit(df, q, k=1, prefix_dims=2).collect()
+    assert len(out) == 1
+    assert out[0]["n_hits"] == 0 and out[0]["recall_bp"] == 0
+
+
+def test_dim_truncation_audit_full_recall_when_prefix_suffices(spark):
+    from news_please_spark.operators.similarity import dim_truncation_audit
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.1, 0.9, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0")
+    out = dim_truncation_audit(df, q, k=2, prefix_dims=2).collect()[0]
+    # tail dims are zero: prefix ranking == full ranking
+    assert out["n_hits"] == 2 and out["recall_bp"] == 10000
+
+
+def test_dim_truncation_audit_rejects_bad_args(spark):
+    import pytest
+    from news_please_spark.operators.similarity import dim_truncation_audit
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        dim_truncation_audit(df, df, k=0)
