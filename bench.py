@@ -212,6 +212,7 @@ HEADLINE = [
     "margin_mine",
     "mmr_rerank",
     "title_link",
+    "syndication_clusters",
     "extract_articles",
     "sitemap_expand",
     "sitemap_xml_parse",

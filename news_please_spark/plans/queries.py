@@ -10661,3 +10661,71 @@ def matryoshka_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load(spark, sf_dir, "embeddings"), spark)
     q = e.filter(F.col("vec_id") % 101 == 0)
     return dim_truncation_audit(e, q, k=5, prefix_dims=16)
+
+
+# ---------------------------------------------------------------------------
+# Syndication clusters: fuzzy title linkage -> components -> source spread
+@register(
+    "syndication_clusters",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             array_to_string(
+               list_slice(string_split_regex(trim(lower(text)), '\s+'), 1, 6),
+               ' ') AS title,
+             string_split_regex(trim(lower(text)), '\s+')[1] AS blk
+      FROM documents WHERE trim(text) <> ''
+    ),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.title, b.title) <= 8
+    ),
+    und AS (SELECT da AS a, db AS b FROM pairs
+            UNION SELECT db, da FROM pairs),
+    cc(src, node) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und)
+      UNION
+      SELECT c.src, u.b FROM cc c JOIN und u ON u.a = c.node
+    ),
+    lab AS (SELECT src AS id, min(node) AS root FROM cc GROUP BY src)
+    SELECT lab.root AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+    FROM lab JOIN documents d ON d.doc_id = lab.id
+    GROUP BY lab.root
+    """,
+)
+def syndication_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """News-syndication detection: blocked fuzzy title pairs
+    (title_link's linkage) closed into clusters, each reported with
+    its document count and cross-SOURCE spread — n_sources > 1 is the
+    wire-copy signal (same story republished across outlets), the
+    dedup class where near-identical headlines matter more than body
+    similarity. Pair generation never leaves its block; the CC rounds
+    are pointer-doubled; the source join touches only clustered
+    docs."""
+    from news_please_spark.operators.graph import connected_components
+    from news_please_spark.operators.joins import fuzzy_link
+    from news_please_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = tokens(F.col("text"))
+    recs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_join(F.slice(toks, 1, 6), " ").alias("key"),
+        F.element_at(toks, 1).alias("block"),
+    )
+    pairs = fuzzy_link(recs, max_dist=8)
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        labels.join(src, labels["id"] == src["doc_id"])
+        .groupBy(F.col("root").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+    )

@@ -171,3 +171,36 @@ def test_fuzzy_link_multi_block_cols(spark):
         for r in fuzzy_link(recs, block_cols=["b1", "b2"], max_dist=3).collect()
     }
     assert got == {(1, 2): 1}
+
+
+def test_syndication_cluster_composition(spark):
+    """fuzzy_link pairs -> CC -> source spread: end-to-end on planted
+    syndicated headlines."""
+    from news_please_spark.operators.graph import connected_components
+    from news_please_spark.operators.joins import fuzzy_link
+
+    recs = spark.createDataFrame(
+        [
+            (1, "storm hits coast tonight", "storm", "reuters"),
+            (2, "storm hits coast tonite", "storm", "ap"),
+            (3, "storm hits coast tonigth", "storm", "reuters"),
+            (4, "market rallies on news", "market", "ap"),
+        ],
+        "id long, key string, block string, source string",
+    )
+    pairs = fuzzy_link(recs, max_dist=3)
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    out = {
+        r["root"]: (r["n_docs"], r["n_sources"])
+        for r in labels.join(
+            recs.select("id", "source"), "id"
+        )
+        .groupBy("root")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .collect()
+    }
+    # 1-2-3 one cluster spanning 2 sources; 4 unclustered (no pair)
+    assert out == {1: (3, 2)}
