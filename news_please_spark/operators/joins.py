@@ -186,6 +186,17 @@ def fuzzy_link(
     return (
         a.join(b, cond)
         .filter(F.col(f"_a_{id_col}") < F.col(f"_b_{id_col}"))
+        # lossless prune BEFORE the quadratic compare: edit distance is
+        # bounded below by the length difference, and length() is O(1)
+        # — on same-vocab blocks this drops most candidates before any
+        # O(|a|*|b|) work
+        .filter(
+            F.abs(
+                F.length(F.col(f"_a_{key_col}"))
+                - F.length(F.col(f"_b_{key_col}"))
+            )
+            <= max_dist
+        )
         .withColumn(
             "dist",
             F.levenshtein(

@@ -10679,7 +10679,7 @@ def matryoshka_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
       SELECT a.doc_id AS da, b.doc_id AS db
       FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
-      WHERE levenshtein(a.title, b.title) <= 8
+      WHERE levenshtein(a.title, b.title) <= 4
     ),
     und AS (SELECT da AS a, db AS b FROM pairs
             UNION SELECT db, da FROM pairs),
@@ -10718,7 +10718,7 @@ def syndication_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(toks, 1, 6), " ").alias("key"),
         F.element_at(toks, 1).alias("block"),
     )
-    pairs = fuzzy_link(recs, max_dist=8)
+    pairs = fuzzy_link(recs, max_dist=4)
     labels = connected_components(pairs, src="id_a", dst="id_b")
     src = load(spark, sf_dir, "documents").select("doc_id", "source")
     return (
