@@ -57,6 +57,7 @@ HEADLINE = [
     "lpa_communities",
     "triangle_counts",
     "clustering_coeff",
+    "host_cocitation",
     "degree_distribution",
     "hits_scores",
     "salsa_scores",
@@ -78,6 +79,7 @@ HEADLINE = [
     "robots_diff",
     "robots_rep_gate",
     "dust_rules",
+    "url_pattern_mine",
     "snapshot_url_diff",
     "segment_diff",
     "fetch_anomaly",

@@ -311,3 +311,57 @@ def hreflang_reciprocity(pages: DataFrame) -> DataFrame:
             "reciprocal_ok", F.col("n_declared") == F.col("n_confirmed")
         )
     )
+
+
+def url_pattern_stats(
+    urls: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+    min_urls: int = 50,
+    distinct_bp: int = 9000,
+) -> DataFrame:
+    """URL template mining: collapse every digit run in the path to
+    'N' and aggregate per (host, pattern) — the shape view that finds
+    enumeration traps (calendars, pagination, session-id paths) the
+    link-graph trap detectors see only after crawling into them.  A
+    pattern is flagged trappy when it is BOTH populous (n_urls >=
+    min_urls) and near-injective in its leaf segment
+    (distinct leaves / urls >= distinct_bp basis points): a /p/N
+    family where every URL has a fresh number is an unbounded
+    enumeration; a popular pattern whose leaves repeat is just a
+    well-trodden template.  This is the aggregate behind the
+    reference's hand-written per-site regex ignore lists
+    (config/sitelist.hjson) — it GENERATES the candidates those rules
+    encode by hand.
+
+    Returns (host, pattern, n_urls, n_leaves, leaf_bp, trappy).
+
+    Scale shape: the collapse and leaf split are map-side Columns; ONE
+    exchange on (host, pattern) with a count + distinct-leaf agg
+    (two-level: exact distinct via the (host, pattern, leaf) pre-agg,
+    both map-side combinable).  Hot patterns are hot keys — AQE skew
+    handles the one /p/N family with 10^8 URLs."""
+    segs = F.filter(F.split(F.col(path_col), "/"), lambda s: s != F.lit(""))
+    base = urls.select(
+        F.col(host_col).alias("host"),
+        F.regexp_replace(F.col(path_col), "[0-9]+", "N").alias("pattern"),
+        F.element_at(segs, -1).alias("_leaf"),
+    )
+    pre = base.groupBy("host", "pattern", "_leaf").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    return (
+        pre.groupBy("host", "pattern")
+        .agg(
+            F.sum("_c").cast("long").alias("n_urls"),
+            F.count(F.lit(1)).cast("long").alias("n_leaves"),
+        )
+        .withColumn(
+            "leaf_bp", F.expr("(10000 * n_leaves) div n_urls").cast("long")
+        )
+        .withColumn(
+            "trappy",
+            (F.col("n_urls") >= min_urls)
+            & (F.col("leaf_bp") >= distinct_bp),
+        )
+    )

@@ -1492,3 +1492,35 @@ def degree_distribution(
         .groupBy("direction", "degree")
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     )
+
+
+def host_cocitation(
+    edges: DataFrame,
+    src: str = "src",
+    dst_host: str = "dst_host",
+    min_pages: int = 2,
+) -> DataFrame:
+    """Host co-citation pairs: how many PAGES link to both host A and
+    host B — the link-network view (co-cited hosts are topically or
+    commercially coupled; a clique of mutually co-cited low-quality
+    hosts is a link farm's fingerprint, the host-level companion to
+    clustering_coefficients' per-page view).  Input is an edge table
+    already carrying the TARGET host per link.
+
+    Returns (host_a, host_b, n_pages), host_a < host_b, pairs
+    co-cited by >= min_pages pages.
+
+    Scale shape: the pair explosion is a self-equi-join on the source
+    page, bounded by out_degree^2 per page (out-degree is politeness-
+    capped in any real crawl, and the distinct-hosts-per-page list is
+    shorter still); the only exchange after it is the map-side-
+    combinable (host_a, host_b) count.  No node-proportional state."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst_host).alias("_h")).distinct()
+    a = e.select("_s", F.col("_h").alias("host_a"))
+    b = e.select(F.col("_s").alias("_s2"), F.col("_h").alias("host_b"))
+    return (
+        a.join(b, (F.col("_s") == F.col("_s2")) & (F.col("host_a") < F.col("host_b")))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+        .filter(F.col("n_pages") >= min_pages)
+    )

@@ -10729,3 +10729,89 @@ def syndication_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").cast("long").alias("n_sources"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL template mining (operators/dust.py::url_pattern_stats)
+@register(
+    "url_pattern_mine",
+    """
+    WITH u AS (
+      SELECT source AS host,
+             '/s' || (doc_id % 7) || '/c' || (doc_id % 29)
+               || CASE WHEN doc_id % 4 = 0 THEN '/p' || doc_id ELSE '' END
+               AS path
+      FROM documents
+    ),
+    b AS (
+      SELECT host,
+             regexp_replace(path, '[0-9]+', 'N', 'g') AS pattern,
+             list_extract(list_filter(string_split(path, '/'), x -> x <> ''), -1)
+               AS leaf
+      FROM u
+    ),
+    g AS (
+      SELECT host, pattern,
+             CAST(count(*) AS BIGINT) AS n_urls,
+             CAST(count(DISTINCT leaf) AS BIGINT) AS n_leaves
+      FROM b GROUP BY host, pattern
+    )
+    SELECT host, pattern, n_urls, n_leaves,
+           CAST((10000 * n_leaves) // n_urls AS BIGINT) AS leaf_bp,
+           n_urls >= 5 AND (10000 * n_leaves) // n_urls >= 9000 AS trappy
+    FROM g
+    """,
+)
+def url_pattern_mine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enumeration-trap candidate mining over a derived URL world
+    where every 4th doc carries a fresh /p<id> leaf: the digit-
+    collapsed /sN/cN/pN family is populous AND leaf-injective ->
+    trappy, the /sN/cN templates repeat leaves -> clean. Generates
+    the per-site ignore-regex candidates the reference encodes by
+    hand. One (host, pattern) exchange, exact distinct via pre-agg."""
+    from news_please_spark.operators.dust import url_pattern_stats
+
+    d = load(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("/s"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("/c"), (F.col("doc_id") % 29).cast("string"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("/p"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    urls = d.select(F.col("source").alias("host"), path.alias("path"))
+    return url_pattern_stats(urls, min_urls=5, distinct_bp=9000)
+
+
+# ---------------------------------------------------------------------------
+# Host co-citation pairs (operators/graph.py::host_cocitation)
+@register(
+    "host_cocitation",
+    f"""
+    WITH edges AS ({_EDGES_SQL}),
+    he AS (SELECT DISTINCT src, 'h' || (dst % 13) AS dst_host FROM edges),
+    p AS (
+      SELECT a.dst_host AS host_a, b.dst_host AS host_b
+      FROM he a JOIN he b ON a.src = b.src AND a.dst_host < b.dst_host
+    )
+    SELECT host_a, host_b, CAST(count(*) AS BIGINT) AS n_pages
+    FROM p GROUP BY host_a, host_b
+    HAVING count(*) >= 2
+    """,
+)
+def host_cocitation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosts linked together from the same page (13-host mapping over
+    the derived webgraph): the co-citation matrix whose dense cliques
+    fingerprint link networks — host-level companion to
+    clustering_coeff. Pair explosion bounded by out-degree^2 per
+    page; one map-side-combinable pair count."""
+    from news_please_spark.operators.graph import host_cocitation
+
+    e = derived_edges(spark, sf_dir).select(
+        "src",
+        F.concat(F.lit("h"), (F.col("dst") % 13).cast("string")).alias(
+            "dst_host"
+        ),
+    )
+    return host_cocitation(e, min_pages=2)

@@ -195,3 +195,39 @@ def test_hreflang_reciprocity_confirms_and_flags(spark):
     assert got["A"].reciprocal_ok is False
     assert (got["B"].n_declared, got["B"].n_confirmed) == (2, 2)
     assert got["B"].reciprocal_ok is True
+
+
+# ---------------------------------------------------------------------------
+# url_pattern_stats
+
+
+def test_url_pattern_stats_flags_enumeration(spark):
+    from news_please_spark.operators.dust import url_pattern_stats
+
+    rows = [("h", f"/p/{i}") for i in range(60)] + [
+        ("h", "/about"),
+        ("h", "/about"),
+        ("h", "/a/1"),
+        ("h", "/a/1"),
+        ("h", "/a/2"),
+    ]
+    df = spark.createDataFrame(rows, "host string, path string")
+    got = {
+        r["pattern"]: (r["n_urls"], r["n_leaves"], r["trappy"])
+        for r in url_pattern_stats(df, min_urls=50).collect()
+    }
+    assert got["/p/N"] == (60, 60, True)       # fresh leaf every URL
+    assert got["/about"] == (2, 1, False)      # repeated leaf
+    # populous threshold: /a/N is injective-ish but small
+    assert got["/a/N"][2] is False
+
+
+def test_url_pattern_stats_repeating_leaves_not_trappy(spark):
+    from news_please_spark.operators.dust import url_pattern_stats
+
+    # popular pattern, only 3 distinct leaves -> template, not a trap
+    rows = [("h", f"/cat/{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "host string, path string")
+    r = url_pattern_stats(df, min_urls=50).collect()[0]
+    assert r["pattern"] == "/cat/N" and r["n_leaves"] == 3
+    assert r["trappy"] is False

@@ -875,3 +875,26 @@ def test_degree_distribution_counts(spark):
         ("out", 2): 1, ("out", 1): 1,
         ("in", 1): 1, ("in", 2): 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# host_cocitation
+
+
+def test_host_cocitation_pairs_and_threshold(spark):
+    from news_please_spark.operators.graph import host_cocitation
+
+    edges = spark.createDataFrame(
+        [
+            (1, "a"), (1, "b"),          # page 1 co-cites a,b
+            (2, "a"), (2, "b"),          # page 2 co-cites a,b
+            (3, "a"), (3, "c"),          # a,c once only
+            (4, "a"), (4, "a"),          # duplicate link: one host
+        ],
+        "src long, dst_host string",
+    )
+    got = {
+        (r["host_a"], r["host_b"]): r["n_pages"]
+        for r in host_cocitation(edges, min_pages=2).collect()
+    }
+    assert got == {("a", "b"): 2}
