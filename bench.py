@@ -235,6 +235,7 @@ HEADLINE = [
     "clean_audit",
     "lineitem_agg",
     "segment_revenue",
+    "shipping_priority",
     "events_props_agg",
 ]
 

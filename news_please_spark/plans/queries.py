@@ -10815,3 +10815,64 @@ def host_cocitation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return host_cocitation(e, min_pages=2)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-shaped shipping priority (broadcast-dim multi-join breadth)
+@register(
+    "shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(strftime(o.o_orderdate, '%Y-%m-%d') AS VARCHAR) AS order_date,
+           o.o_orderpriority,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+      AND l.l_shipdate > TIMESTAMP '1999-01-01'
+    GROUP BY l.l_orderkey, order_date, o.o_orderpriority
+    ORDER BY revenue_c DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers broadcast into
+    orders, orders' surviving keys into lineitem, cent-quantized
+    revenue top-10 via TakeOrdered — the classic selective-dim join
+    chain where predicate pushdown + broadcast keep the fact table
+    unshuffled until the final (small) aggregation."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
+    )
+    j = (
+        li.join(
+            F.broadcast(o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+    )
+    rev = F.sum(
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            "long"
+        )
+    ).cast("long")
+    return (
+        j.groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(rev.alias("revenue_c"))
+        .orderBy(F.desc("revenue_c"), F.asc("l_orderkey"))
+        .limit(10)
+    )

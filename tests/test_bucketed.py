@@ -77,3 +77,14 @@ def test_write_bucketed_validates_args(spark, tmp_path):
         write_bucketed(df, "t_bad", str(tmp_path / "x"), [], buckets=4)
     with pytest.raises(ValueError):
         write_bucketed(df, "t_bad", str(tmp_path / "x"), ["k"], buckets=0)
+
+
+def test_shipping_priority_plan_is_broadcast_chain(spark):
+    """The Q3 shape must broadcast both dim reductions — a SortMerge
+    on the fact table would be the 100x-scale regression."""
+    from news_please_spark.plans.queries import QUERIES
+
+    df = QUERIES["shipping_priority"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
