@@ -233,6 +233,7 @@ HEADLINE = [
     "bucketed_join",
     "training_corpus",
     "clean_audit",
+    "clean_mixture_shift",
     "lineitem_agg",
     "segment_revenue",
     "shipping_priority",

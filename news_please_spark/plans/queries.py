@@ -10876,3 +10876,72 @@ def shipping_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue_c"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Survivor-bias audit of the hygiene pipeline: what cleaning did to
+# the per-source mixture (histogram_drift over before/after)
+@register(
+    "clean_mixture_shift",
+    "placeholder",  # replaced below: derived from the corpus_clean oracle
+)
+def clean_mixture_shift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivor bias, measured: per source, the TV distance
+    (floor bp) between the corpus's length-bucket mix BEFORE
+    clean_corpus and the mix of its base-doc SURVIVORS — the audit
+    that catches a hygiene pipeline quietly reshaping a source's
+    length profile (near-dup removal preferentially kills templated
+    short docs) before the shifted mixture trains. Composes the
+    planted-corpus clean plan with histogram_drift; only histogram
+    rows cross the wire after the (left_semi) survivor join."""
+    from news_please_spark.operators.stats import histogram_drift
+
+    kept_ids = _cleaned_planted_corpus(spark, sf_dir).select("doc_id")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.least(F.expr("n_chars div 100"), F.lit(20)).alias("bkt"),
+    )
+    kept = d.join(kept_ids, "doc_id", "left_semi")
+    u = d.select("source", "bkt", F.lit(0).alias("ep")).unionByName(
+        kept.select("source", "bkt", F.lit(1).alias("ep"))
+    )
+    return histogram_drift(u, "source", "bkt", "ep")
+
+
+_SHIFT_TAIL = """SELECT * FROM (
+    WITH kept AS (SELECT doc_id FROM s4),
+    u AS (
+      SELECT d.source, least(d.n_chars // 100, 20) AS bkt, 0 AS ep
+      FROM documents d
+      UNION ALL
+      SELECT d.source, least(d.n_chars // 100, 20), 1
+      FROM documents d JOIN kept k ON k.doc_id = d.doc_id
+    ),
+    cnt AS (
+      SELECT source, bkt,
+             sum(CASE WHEN ep = 0 THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN ep = 1 THEN 1 ELSE 0 END) AS bb
+      FROM u GROUP BY source, bkt
+    ),
+    tt AS (SELECT source, sum(a) AS ta, sum(bb) AS tb
+           FROM cnt GROUP BY source)
+    SELECT cnt.source,
+           CAST(max(tt.ta) AS BIGINT) AS n_epoch0,
+           CAST(max(tt.tb) AS BIGINT) AS n_epoch1,
+           CAST(CASE WHEN max(tt.ta) > 0 AND max(tt.tb) > 0 THEN
+                (10000 * sum(abs(cnt.a * tt.tb - cnt.bb * tt.ta)))
+                  // (2 * max(tt.ta) * max(tt.tb))
+           END AS BIGINT) AS drift_bp
+    FROM cnt JOIN tt ON cnt.source = tt.source
+    GROUP BY cnt.source
+)"""
+
+
+def _clean_mixture_shift_oracle() -> str:
+    base = ORACLES["corpus_clean"]
+    assert _CLEAN_TAIL in base
+    return base.replace(_CLEAN_TAIL, _SHIFT_TAIL)
+
+
+ORACLES["clean_mixture_shift"] = _clean_mixture_shift_oracle()
