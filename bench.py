@@ -726,10 +726,13 @@ def scaling_child(cpus: int) -> None:
 EXT_CONTENTION_CORES = 1.0
 
 # any single headline query beyond this is a stall, not a measurement:
-# the most expensive legitimate entry (training_corpus, the full
-# 4-stage hygiene pipeline + split + pack) runs ~25 s isolated at
-# sf0.1; everything else is < 15 s. One retry, min recorded.
-OUTLIER_RETRY_SEC = 45.0
+# the most expensive legitimate entries (training_corpus / clean_audit /
+# clean_mixture_shift — the full hygiene pipeline consumers) run ~10 s
+# warm and <= ~25 s isolated cold at sf0.1; everything else is < 15 s.
+# The twelfth-session passes measured the same entries at 28-30 s with
+# ~0 external cores (the intra-process kernel/GC stall class), so the
+# bar sits just above the legitimate band. One retry, min recorded.
+OUTLIER_RETRY_SEC = 28.0
 
 
 def _host_busy_jiffies() -> tuple[int, int]:
