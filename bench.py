@@ -178,6 +178,7 @@ HEADLINE = [
     "containment_pairs",
     "lsh_recall_audit",
     "matryoshka_audit",
+    "retrieval_eval",
     "bbit_near_dup",
     "incremental_near_dups",
     "cdc_lsh_index",
@@ -206,6 +207,7 @@ HEADLINE = [
     "pq_adc_topk",
     "ivfadc_topk",
     "kmeans_clusters",
+    "cluster_purity",
     "embedding_outliers",
     "rp_project",
     "vec_quantize",

@@ -10945,3 +10945,162 @@ def _clean_mixture_shift_oracle() -> str:
 
 
 ORACLES["clean_mixture_shift"] = _clean_mixture_shift_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation: precision@k + MRR against label relevance
+@register(
+    "retrieval_eval",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % 101 = 0),
+    p AS (
+      SELECT q.vec_id AS query_id, q.label AS qlab,
+             e.vec_id AS neighbor_id, e.label AS nlab,
+             CAST(floor(10000 * (
+               list_dot_product(q.v, e.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(e.v, e.v)))
+             )) AS BIGINT) AS s
+      FROM q, e WHERE q.vec_id <> e.vec_id
+    ),
+    r AS (
+      SELECT query_id, qlab, nlab,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, neighbor_id) AS rk
+      FROM p
+    ),
+    t AS (SELECT query_id, qlab, nlab, rk FROM r WHERE rk <= 10)
+    SELECT query_id,
+           CAST(sum(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_relevant,
+           CAST((10000 * sum(CASE WHEN nlab = qlab THEN 1 ELSE 0 END)) // 10
+             AS BIGINT) AS precision_bp,
+           CAST(min(CASE WHEN nlab = qlab THEN rk END) AS BIGINT)
+             AS first_rel_rank,
+           CAST(coalesce(10000 // min(CASE WHEN nlab = qlab THEN rk END), 0)
+             AS BIGINT) AS mrr_bp
+    FROM t GROUP BY query_id
+    """,
+)
+def retrieval_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval quality of the embedding space itself: per query
+    (vec_id % 101 = 0), precision@10 and floor-MRR treating
+    same-label corpus vectors as relevant — the eval that gates an
+    embedding column BEFORE semantic dedup / hard-negative mining
+    trust its geometry. All metrics integer (MRR as 10000 div rank —
+    no floats past the quantized sims); queries broadcast, corpus
+    unshuffled."""
+    e = spread(load(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    q = e.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlab"),
+        F.col("v").alias("qv"),
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "qlab",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nlab"),
+            F.floor(
+                10000
+                * (
+                    dot(F.col("qv"), F.col("v"))
+                    / (
+                        F.sqrt(dot(F.col("qv"), F.col("qv")))
+                        * F.sqrt(dot(F.col("v"), F.col("v")))
+                    )
+                )
+            ).cast("long").alias("s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
+    t = sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+    rel = F.when(F.col("nlab") == F.col("qlab"), 1).otherwise(0)
+    return t.groupBy("query_id").agg(
+        F.sum(rel).cast("long").alias("n_relevant"),
+        F.expr(
+            "(10000 * sum(CASE WHEN nlab = qlab THEN 1 ELSE 0 END)) div 10"
+        ).cast("long").alias("precision_bp"),
+        F.min(F.when(F.col("nlab") == F.col("qlab"), F.col("rk"))).cast(
+            "long"
+        ).alias("first_rel_rank"),
+        F.coalesce(
+            F.expr(
+                "10000 div min(CASE WHEN nlab = qlab THEN rk END)"
+            ),
+            F.lit(0),
+        ).cast("long").alias("mrr_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster purity: majority-label share per k-means cell
+@register(
+    "cluster_purity",
+    _kmeans_ctes(k=8, iters=2)
+    + """
+    , lab AS (
+      SELECT a2.cl AS cluster, e.label
+      FROM a2 JOIN embeddings e ON e.vec_id = a2.vid
+    ),
+    cnt AS (
+      SELECT cluster, label, CAST(count(*) AS BIGINT) AS c
+      FROM lab GROUP BY cluster, label
+    ),
+    tot AS (SELECT cluster, CAST(sum(c) AS BIGINT) AS n FROM cnt
+            GROUP BY cluster),
+    mx AS (SELECT cluster, max(c) AS m FROM cnt GROUP BY cluster)
+    SELECT CAST(tot.cluster AS INT) AS cluster, tot.n AS n_vecs,
+           CAST(mx.m AS BIGINT) AS n_majority,
+           CAST((10000 * mx.m) // tot.n AS BIGINT) AS purity_bp
+    FROM tot JOIN mx ON mx.cluster = tot.cluster
+    """,
+)
+def cluster_purity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised-vs-labels agreement per k-means cell: the
+    majority-label share in floor bp — the quality gate on the
+    codebook semantic_dedup/IVF route through (a low-purity cell
+    means cosine neighborhoods cross label boundaries there). Rides
+    the SAME deterministic 2-round Lloyd assignment the
+    kmeans_clusters oracle checks; two map-side-combinable counts
+    after the id equi-join for labels."""
+    from news_please_spark.operators.clustering import kmeans_assign
+
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    asg = kmeans_assign(e, k=8, iters=2).select("vec_id", "cluster")
+    lab = asg.join(e.select("vec_id", "label"), "vec_id")
+    cnt = lab.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        cnt.groupBy("cluster")
+        .agg(
+            F.sum("c").cast("long").alias("n_vecs"),
+            F.max("c").cast("long").alias("n_majority"),
+        )
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n_vecs",
+            "n_majority",
+            F.expr("(10000 * n_majority) div n_vecs").cast("long").alias(
+                "purity_bp"
+            ),
+        )
+    )
