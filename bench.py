@@ -199,6 +199,7 @@ HEADLINE = [
     "host_templates",
     "caption_pairs",
     "media_dup_stats",
+    "media_ref_integrity",
     "frame_sample",
     "mime_sniff",
     "ann_cosine_topk",

@@ -653,3 +653,29 @@ def host_template_spans(
         )
         .select(host_col, "span_md5", "n_docs", "host_docs", "share_bp")
     )
+
+
+def dangling_media_refs(
+    spans: DataFrame,
+    manifest: DataFrame,
+    ref_col: str = "media_ref",
+) -> DataFrame:
+    """Media spans whose reference is absent from the blob manifest —
+    the integrity audit that runs BEFORE any media fetch/decode job,
+    turning would-be per-row decode failures into one re-fetch queue
+    (the interleaved-payload analogue of the WARC completed-set check:
+    never start a 10^10-row decode pass against storage you haven't
+    reconciled).
+
+    Returns the dangling span rows unchanged (join back to docs for
+    per-source rates).
+
+    Scale shape: ONE left_anti equi-join on the fixed-width ref key;
+    the manifest side is statistics-free here — at blob-store scale
+    both sides are huge, so the anti-join hash-partitions on ref (the
+    clean_corpus size-routing applies if a caller knows the manifest
+    is small)."""
+    m = manifest.select(F.col(ref_col).alias("_ref")).distinct()
+    return spans.filter(F.col(ref_col).isNotNull()).join(
+        m, spans[ref_col] == m["_ref"], "left_anti"
+    )

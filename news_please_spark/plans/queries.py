@@ -11104,3 +11104,67 @@ def cluster_purity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Media-reference integrity (operators/spans.py::dangling_media_refs)
+@register(
+    "media_ref_integrity",
+    _SPAN_ROWS_SQL
+    + """
+    , media AS (
+      SELECT doc_id, media_ref FROM span_rows WHERE media_ref IS NOT NULL
+    ),
+    cls AS (
+      SELECT m.doc_id, d.source,
+             CASE WHEN substr(md5(m.media_ref), 1, 1) >= 'c'
+                  THEN 1 ELSE 0 END AS dangling
+      FROM media m JOIN documents d ON d.doc_id = m.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_refs,
+           CAST(sum(dangling) AS BIGINT) AS n_dangling,
+           CAST((10000 * sum(dangling)) // count(*) AS BIGINT) AS dangling_bp
+    FROM cls GROUP BY source
+    """,
+)
+def media_ref_integrity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-store reconciliation before any decode pass: media spans
+    whose ref is missing from the (derived ~75%) manifest, rated per
+    source — the re-fetch queue generator, the interleaved analogue
+    of the WARC completed-set check. The Spark side runs the REAL
+    left_anti against the manifest (operators/spans.py::
+    dangling_media_refs); the oracle classifies by the same md5
+    predicate that defines the manifest."""
+    from news_please_spark.operators.spans import dangling_media_refs
+
+    rows = _synth_spans_df(spark, sf_dir).select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select("doc_id", "s.*")
+    media = rows.filter(F.col("media_ref").isNotNull())
+    manifest = media.select("media_ref").filter(
+        F.substring(F.md5("media_ref"), 1, 1) < "c"
+    )
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    base = media.select("doc_id").join(src, "doc_id").select("source", "doc_id")
+    dang = (
+        dangling_media_refs(media, manifest)
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dangling"))
+    )
+    return (
+        base.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_refs"))
+        .join(dang, "source", "left")
+        .select(
+            "source",
+            "n_refs",
+            F.coalesce(F.col("n_dangling"), F.lit(0)).cast("long").alias(
+                "n_dangling"
+            ),
+            F.expr(
+                "(10000 * coalesce(n_dangling, 0)) div n_refs"
+            ).cast("long").alias("dangling_bp"),
+        )
+    )

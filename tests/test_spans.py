@@ -344,3 +344,18 @@ def test_span_integrity_clean_and_violations(spark):
     assert (r2.dup_offsets, r2.gaps, r2.empty_text, r2.ok) == (1, 1, 1, False)
     r3 = got[3]
     assert (r3.media_no_ref, r3.text_with_ref, r3.ok) == (1, 1, False)
+
+
+def test_dangling_media_refs_anti_join(spark):
+    from news_please_spark.operators.spans import dangling_media_refs
+
+    spans = spark.createDataFrame(
+        [(1, "img://a"), (1, "img://b"), (2, None), (3, "img://c")],
+        "doc_id long, media_ref string",
+    )
+    manifest = spark.createDataFrame([("img://a",), ("img://x",)], "media_ref string")
+    got = sorted(
+        r["media_ref"] for r in dangling_media_refs(spans, manifest).collect()
+    )
+    # b and c missing from the store; the NULL-ref row is not a media ref
+    assert got == ["img://b", "img://c"]
