@@ -420,3 +420,53 @@ def test_containment_bounds_and_symmetry(spark, texts):
             assert r.cont_a_q >= 1 > r.cont_b_q
         elif r.relation == "b_in_a":
             assert r.cont_b_q >= 1 > r.cont_a_q
+
+
+# ---------------------------------------------------------------------------
+# histogram_drift / key_skew_audit invariants (twelfth session)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 1)), min_size=1, max_size=60
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_histogram_drift_bounded_and_symmetric(spark, rows):
+    from news_please_spark.operators.stats import histogram_drift
+
+    df = spark.createDataFrame(
+        [("g", b, e) for b, e in rows], "g string, bkt long, ep long"
+    )
+    out = histogram_drift(df, "g", "bkt", "ep").collect()[0]
+    if out["drift_bp"] is not None:
+        assert 0 <= out["drift_bp"] <= 10000
+        # symmetry: swapping the epochs cannot change TV distance
+        df2 = spark.createDataFrame(
+            [("g", b, 1 - e) for b, e in rows], "g string, bkt long, ep long"
+        )
+        assert (
+            histogram_drift(df2, "g", "bkt", "ep").collect()[0]["drift_bp"]
+            == out["drift_bp"]
+        )
+
+
+@given(
+    counts=st.lists(st.integers(1, 40), min_size=1, max_size=12),
+    seed=st.integers(0, 3),
+)
+@settings(max_examples=8, deadline=None)
+def test_key_skew_audit_gini_bounds_and_totals(spark, counts, seed):
+    from news_please_spark.operators.stats import key_skew_audit
+
+    rows = [(f"k{i}",) for i, c in enumerate(counts) for _ in range(c)]
+    df = spark.createDataFrame(rows, "k string").repartition(seed + 2)
+    r = key_skew_audit(df, "k", top_n=3).collect()[0]
+    assert r["n_keys"] == len(counts)
+    assert r["n_rows"] == sum(counts)
+    assert 0 <= r["gini_bp"] < 10000
+    assert 0 < r["top1_bp"] <= 10000
+    # head shares are monotone and consistent
+    assert r["top1_bp"] <= r["top3_bp"] <= 10000
+    if len(counts) == 1:
+        assert r["gini_bp"] == 0 and r["top1_bp"] == 10000
