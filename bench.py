@@ -100,6 +100,7 @@ HEADLINE = [
     "rendezvous_shards",
     "sitemap_stale",
     "host_coverage",
+    "harvest_rate",
     "fetch_schedule",
     "autothrottle",
     "rate_limit_gcra",

@@ -11168,3 +11168,72 @@ def media_ref_integrity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("dangling_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Harvest rate: per-source crawl yield (the classic focused-crawl KPI)
+@register(
+    "harvest_rate",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    cls AS (
+      SELECT source, length(text) AS nc,
+             CASE WHEN len(toks) >= 20 AND
+                  floor(10000.0 * length(regexp_replace(text, '[^a-z]', '', 'g'))
+                        / length(text)) >= 5000
+                  THEN 1 ELSE 0 END AS kept
+      FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_fetched,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST((10000 * sum(kept)) // count(*) AS BIGINT) AS harvest_bp,
+           CAST(CASE WHEN sum(kept) > 0
+                THEN sum(CASE WHEN kept = 1 THEN nc ELSE 0 END) // sum(kept)
+           END AS BIGINT) AS chars_per_kept
+    FROM cls GROUP BY source
+    """,
+)
+def harvest_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl yield per source: share of fetched pages that survive the
+    quality gate (>= 20 tokens, alpha ratio >= 50%) and the byte cost
+    of each survivor — the focused-crawl KPI (Chakrabarti et al. 1999
+    call it harvest rate) that decides which hosts keep their budget
+    next cycle. Rides the same quality_struct columns doc_quality
+    oracle-checks; one map-side-combinable aggregation."""
+    from news_please_spark.functions.text import quality_struct
+
+    d = load(spark, sf_dir, "documents").select(
+        "source", quality_struct(F.col("text")).alias("q")
+    )
+    kept = (
+        (F.col("q.n_tokens") >= 20) & (F.col("q.alpha_q") >= 5000)
+    ).cast("long")
+    return (
+        d.select(
+            "source",
+            kept.alias("_k"),
+            F.when(kept == 1, F.col("q.n_chars")).otherwise(0).alias("_kc"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetched"),
+            F.sum("_k").cast("long").alias("n_kept"),
+            F.sum("_kc").alias("_kchars"),
+        )
+        .select(
+            "source",
+            "n_fetched",
+            "n_kept",
+            F.expr("(10000 * n_kept) div n_fetched").cast("long").alias(
+                "harvest_bp"
+            ),
+            F.when(
+                F.col("n_kept") > 0, F.expr("_kchars div n_kept")
+            ).cast("long").alias("chars_per_kept"),
+        )
+    )
