@@ -197,13 +197,16 @@ def fuzzy_link(
             )
             <= max_dist
         )
+        # threshold-bounded levenshtein: the JVM builtin early-exits at
+        # O(len * max_dist) instead of O(len^2), returning -1 above the
+        # bound — the banded-DP trick, exact for every kept pair
         .withColumn(
             "dist",
             F.levenshtein(
-                F.col(f"_a_{key_col}"), F.col(f"_b_{key_col}")
+                F.col(f"_a_{key_col}"), F.col(f"_b_{key_col}"), max_dist
             ).cast("long"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select(
             F.col(f"_a_{id_col}").alias("id_a"),
             F.col(f"_b_{id_col}").alias("id_b"),
