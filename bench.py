@@ -184,6 +184,7 @@ HEADLINE = [
     "incremental_near_dups",
     "cdc_lsh_index",
     "dup_clusters",
+    "dup_cluster_sizes",
     "dup_canonical",
     "leakage_safe_split",
     "dup_substring_spans",

@@ -11237,3 +11237,46 @@ def harvest_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("chars_per_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dup-cluster size histogram over the REAL minhash near-dup graph
+
+
+def _dup_cluster_sizes_oracle() -> str:
+    pairs = ORACLES["minhash_lsh_pairs"]
+    return f"""
+    WITH RECURSIVE p AS MATERIALIZED ({pairs}),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM p
+            UNION SELECT doc_b, doc_a FROM p),
+    cc(src, node) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und)
+      UNION
+      SELECT c.src, u.b FROM cc c JOIN und u ON u.a = c.node
+    ),
+    lab AS (SELECT src AS id, min(node) AS root FROM cc GROUP BY src),
+    sz AS (SELECT root, count(*) AS size FROM lab GROUP BY root)
+    SELECT CAST(size AS BIGINT) AS size,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sz GROUP BY size
+    """
+
+
+@register("dup_cluster_sizes", "placeholder")
+def dup_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster SIZE distribution over the LSH candidate graph
+    — the one-table answer to 'is our duplication a few mega-clusters
+    or a long pair tail?', which decides whether dup_canonical's
+    exemplar selection or a cluster-cap policy governs (a 10^6-doc
+    boilerplate cluster wants capping, a pair tail wants canonicals).
+    Reuses the oracle-checked minhash_lsh_pairs candidate generator
+    and the pointer-doubled CC; output is bounded by distinct sizes."""
+    from news_please_spark.operators.graph import component_size_histogram
+
+    pairs = QUERIES["minhash_lsh_pairs"](spark, sf_dir)
+    return component_size_histogram(
+        pairs, src="doc_a", dst="doc_b"
+    ).withColumnRenamed("n_components", "n_clusters")
+
+
+ORACLES["dup_cluster_sizes"] = _dup_cluster_sizes_oracle()
