@@ -101,6 +101,7 @@ HEADLINE = [
     "sitemap_stale",
     "host_coverage",
     "harvest_rate",
+    "depth_yield",
     "fetch_schedule",
     "autothrottle",
     "rate_limit_gcra",

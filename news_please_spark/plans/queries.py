@@ -11280,3 +11280,69 @@ def dup_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["dup_cluster_sizes"] = _dup_cluster_sizes_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Quality decay by crawl depth (frontier_bfs3 ∘ quality gate)
+@register(
+    "depth_yield",
+    f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    bfs(id, depth) AS (
+      SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+      UNION ALL
+      SELECT e.dst, b.depth + 1 FROM bfs b JOIN edges e ON e.src = b.id
+      WHERE b.depth < 3
+    ),
+    reach AS (SELECT id, CAST(min(depth) AS INT) AS depth FROM bfs GROUP BY id),
+    t AS (
+      SELECT r.depth, d.text,
+             string_split_regex(trim(d.text), '\\s+') AS toks
+      FROM reach r JOIN documents d ON d.doc_id = r.id
+    ),
+    cls AS (
+      SELECT depth,
+             CASE WHEN len(toks) >= 20 AND
+                  floor(10000.0 * length(regexp_replace(text, '[^a-z]', '', 'g'))
+                        / length(text)) >= 5000
+                  THEN 1 ELSE 0 END AS kept
+      FROM t
+    )
+    SELECT depth,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST((10000 * sum(kept)) // count(*) AS BIGINT) AS kept_bp
+    FROM cls GROUP BY depth
+    """,
+)
+def depth_yield_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality decay along the crawl frontier: pages grouped by their
+    BFS discovery depth (frontier_bfs3's world, min-depth semantics)
+    and rated with harvest_rate's quality gate — the measurement
+    behind depth caps and focused crawling (if kept_bp falls off a
+    cliff past depth 2, deep budget is waste). The BFS is the wave
+    loop's anti-join expansion; the quality columns are harvest
+    rate's; one map-side-combinable count per depth."""
+    from news_please_spark.functions.text import quality_struct
+
+    depths = QUERIES["frontier_bfs3"](spark, sf_dir).select(
+        F.col("node_id").alias("doc_id"), "depth"
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", quality_struct(F.col("text")).alias("q")
+    )
+    kept = (
+        (F.col("q.n_tokens") >= 20) & (F.col("q.alpha_q") >= 5000)
+    ).cast("long")
+    return (
+        depths.join(d, "doc_id")
+        .select("depth", kept.alias("_k"))
+        .groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.sum("_k").cast("long").alias("n_kept"),
+        )
+        .withColumn(
+            "kept_bp", F.expr("(10000 * n_kept) div n_pages").cast("long")
+        )
+    )
