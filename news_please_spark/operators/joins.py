@@ -156,6 +156,7 @@ def fuzzy_link(
     block_cols: list[str] | None = None,
     max_dist: int = 3,
     id_col: str = "id",
+    n_groups: int = 8,
 ) -> DataFrame:
     """Blocked fuzzy record linkage: candidate pairs from an equi-join
     on the blocking keys, verified with edit distance on `key_col` —
@@ -169,27 +170,59 @@ def fuzzy_link(
 
     Scale shape: the cross product only ever forms WITHIN a block —
     a hash equi-join on the blocking columns, so cost is sum over
-    blocks of |block|^2, not n^2.  Choose block_cols so blocks stay
-    bounded (first token + length band here; at web scale add a second
-    salt column — e.g. a coarse simhash band — exactly like the LSH
-    banding in operators/dedup.py, and let AQE's skew split handle the
-    'the'-block).  levenshtein is a codegen'd JVM builtin — no UDF."""
+    blocks of |block|^2, not n^2.  On top of the blocking, each
+    block's quadratic pair set is split into G*(G+1)/2 balanced units
+    by a deterministic hash group g(id) in [0, G): the left side of
+    the self-join carries (g, h) for every h >= g, the right side
+    (g, h) for every g <= h, and the equi-join runs on
+    (blocks..., g, h).  Every unordered pair lands in exactly one
+    unit — cross-group pairs under (min_g, max_g), same-group pairs
+    deduped by id order — so a single hot block ("the"-block) spreads
+    over G*(G+1)/2 tasks instead of serializing on one join key
+    (AQE's skew split cannot divide a single key; this can).  The
+    replication is (G+1)x of the lightweight proxy rows
+    (id, key, blocks) only, never payloads.  The probe side is
+    round-robin respread when the input has fewer splits than cores
+    (single-row-group small files); at real scale the scan already
+    has more splits and the respread is a no-op.  levenshtein is the
+    threshold-bounded codegen'd JVM builtin (O(len*max_dist) banded
+    DP, -1 above the bound) — no UDF."""
     blocks = block_cols or ["block"]
     cols = [id_col, key_col, *blocks]
-    a = records.select(
-        *[F.col(c).alias(f"_a_{c}") for c in cols]
+    G = max(1, n_groups)
+    grp = F.pmod(F.xxhash64(F.col(id_col)), F.lit(G)).cast("int")
+    base = records.select(*cols).withColumn("_g", grp)
+    a = base.withColumn(
+        "_h", F.explode(F.sequence(F.col("_g"), F.lit(G - 1)))
+    ).select(
+        *[F.col(c).alias(f"_a_{c}") for c in cols],
+        F.col("_g").alias("_a_g1"),
+        F.col("_h").alias("_a_g2"),
     )
-    b = records.select(
-        *[F.col(c).alias(f"_b_{c}") for c in cols]
+    sc = records.sparkSession.sparkContext
+    goal = sc.defaultParallelism
+    if a.rdd.getNumPartitions() < goal:
+        a = a.repartition(goal)
+    b = base.withColumn(
+        "_h", F.explode(F.sequence(F.lit(0), F.col("_g")))
+    ).select(
+        *[F.col(c).alias(f"_b_{c}") for c in cols],
+        F.col("_h").alias("_b_g1"),
+        F.col("_g").alias("_b_g2"),
     )
-    cond = [F.col(f"_a_{c}") == F.col(f"_b_{c}") for c in blocks]
+    cond = [F.col(f"_a_{c}") == F.col(f"_b_{c}") for c in blocks] + [
+        F.col("_a_g1") == F.col("_b_g1"),
+        F.col("_a_g2") == F.col("_b_g2"),
+    ]
+    ida, idb = F.col(f"_a_{id_col}"), F.col(f"_b_{id_col}")
     return (
         a.join(b, cond)
-        .filter(F.col(f"_a_{id_col}") < F.col(f"_b_{id_col}"))
+        # exact-once pairing: cross-group pairs appear only under
+        # (min_g, max_g) with the lower-group record on the left;
+        # same-group pairs appear in both orders and dedupe on id.
+        .filter((F.col("_a_g1") < F.col("_a_g2")) | (ida < idb))
         # lossless prune BEFORE the quadratic compare: edit distance is
         # bounded below by the length difference, and length() is O(1)
-        # — on same-vocab blocks this drops most candidates before any
-        # O(|a|*|b|) work
         .filter(
             F.abs(
                 F.length(F.col(f"_a_{key_col}"))
@@ -208,8 +241,8 @@ def fuzzy_link(
         )
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select(
-            F.col(f"_a_{id_col}").alias("id_a"),
-            F.col(f"_b_{id_col}").alias("id_b"),
+            F.least(ida, idb).alias("id_a"),
+            F.greatest(ida, idb).alias("id_b"),
             "dist",
         )
     )
