@@ -19,13 +19,12 @@ a file that didn't fit is no larger than everything already in the
 bin, so load > target/2).  Oversized files (> target) seal a bin alone
 and are left for a split pass, never grouped.
 
-Spark shape: files collect into ONE array per partition key
-(compaction inventories are metadata — 10^3-10^5 rows per partition,
-kilobytes; the contract documented here and enforced by the planner
-being keyed on the table partition), sorted with a comparator lambda,
-then the whole sequential policy runs inside one codegen'd F.aggregate
-fold — the sentence_chunks/pack discipline: order-dependence lives
-inside a row, zero extra shuffle beyond the per-partition collect.
+Spark shape: one hash exchange on the partition key (compaction
+inventories are metadata — 10^3-10^5 rows per partition, kilobytes;
+the contract documented here and enforced by the planner being keyed
+on the table partition), then the whole sequential policy runs as an
+O(n) per-group loop in applyInPandas — order-dependence lives inside
+one task's group, zero extra shuffle beyond the per-partition group.
 """
 
 from __future__ import annotations
@@ -48,55 +47,38 @@ def compaction_plan(
     skip single-file bins)."""
     if target_bytes <= 0:
         raise ValueError("target_bytes must be positive")
-    t = F.lit(int(target_bytes))
+    t = int(target_bytes)
     rows = files.select(
         F.col(part_col).alias("part"),
-        F.struct(
-            F.col(size_col).cast("long").alias("size"),
-            F.col(file_col).alias("file"),
-        ).alias("_fs"),
-    )
-    per_part = rows.groupBy("part").agg(F.collect_list("_fs").alias("_l"))
-    # size DESC, file ASC — comparator returns negative when left first
-    ordered = F.array_sort(
-        F.col("_l"),
-        lambda a, b: F.when(a["size"] > b["size"], F.lit(-1))
-        .when(a["size"] < b["size"], F.lit(1))
-        .when(a["file"] < b["file"], F.lit(-1))
-        .when(a["file"] > b["file"], F.lit(1))
-        .otherwise(F.lit(0)),
-    )
-    init = F.struct(
-        F.array().cast("array<struct<file:string,size:bigint,bin:int>>").alias(
-            "out"
-        ),
-        F.lit(-1).alias("bin"),
-        F.lit(0).cast("long").alias("load"),
+        F.col(file_col).alias("file"),
+        F.col(size_col).cast("long").alias("size_bytes"),
     )
 
-    def step(acc, fs):
-        fits = (acc["bin"] >= 0) & (acc["load"] + fs["size"] <= t)
-        nbin = F.when(fits, acc["bin"]).otherwise(acc["bin"] + 1)
-        nload = F.when(fits, acc["load"] + fs["size"]).otherwise(fs["size"])
-        entry = F.struct(
-            fs["file"].alias("file"),
-            fs["size"].alias("size"),
-            nbin.cast("int").alias("bin"),
+    # The sequential next-fit recurrence runs as an O(n) per-group loop
+    # in applyInPandas. The previous shape folded with F.aggregate and
+    # grew the output array via concat — O(1) append does not exist in
+    # Catalyst arrays, so every step copied the accumulator and the
+    # fold was O(n^2) per partition key (14.3 s at 50k files / 8 parts;
+    # 36x superlinear sf0.1 -> sf1). Same single exchange (the hash on
+    # `part`), same deterministic (size desc, file asc) order, same
+    # bins — test_compaction pins the hand-traced packings.
+    def _pack(pdf):
+        pdf = pdf.sort_values(
+            ["size_bytes", "file"], ascending=[False, True], kind="mergesort"
         )
-        return F.struct(
-            F.concat(acc["out"], F.array(entry)).alias("out"),
-            nbin.alias("bin"),
-            nload.alias("load"),
-        )
+        bins = []
+        b, load = -1, 0
+        for s in pdf["size_bytes"]:
+            if b >= 0 and load + s <= t:
+                load += s
+            else:
+                b += 1
+                load = s
+            bins.append(b)
+        pdf = pdf.assign(bin_id=bins)
+        pdf["bin_id"] = pdf["bin_id"].astype("int32")
+        return pdf
 
-    packed = per_part.select(
-        "part",
-        F.aggregate(ordered, init, step, lambda acc: acc["out"]).alias("_p"),
-    )
-    ex = packed.select("part", F.explode("_p").alias("_e"))
-    return ex.select(
-        "part",
-        F.col("_e.file").alias("file"),
-        F.col("_e.size").alias("size_bytes"),
-        F.col("_e.bin").cast("int").alias("bin_id"),
+    return rows.groupBy("part").applyInPandas(
+        _pack, "part string, file string, size_bytes long, bin_id int"
     )

@@ -22,6 +22,28 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_known(a: Column, b: Column, dim: int | None) -> Column:
+    """dot(a, b) with the summation unrolled to a flat left-associated
+    chain of element_at products when the vector width is known (from
+    peek_dim). Bit-identical to the fold — same IEEE addition order
+    (0.0 + p1) + p2 + …, and an out-of-range element_at yields NULL
+    exactly like the fold's zip_with padding — but the flat expression
+    stays inside whole-stage codegen, where the HOF fold drops to
+    interpreted per-element lambda eval (~10-50× slower per pair in the
+    crossJoin-heavy entries). dim=None falls back to the fold."""
+    if dim is None:
+        return dot(a, b)
+    s: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        s = s + F.element_at(a, i) * F.element_at(b, i)
+    return s
+
+
+def norm_known(vec: Column, dim: int | None) -> Column:
+    """sqrt(dot(v, v)) via the unrolled dot — see dot_known/norm_of."""
+    return F.sqrt(dot_known(vec, vec, dim))
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
@@ -49,12 +71,13 @@ def brute_force_topk(
     """Exact cosine top-k: broadcast queries × corpus, per-query window.
     Scale: O(|Q|·|C|) compute but zero corpus shuffle — right whenever
     |Q| is small (the usual 'find neighbors of these docs' shape)."""
+    dim = peek_dim(corpus, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_q")
-    ).withColumn("_qn", norm_of(F.col("_q")))
+    ).withColumn("_qn", norm_known(F.col("_q"), dim))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_vn", norm_of(F.col("_v")))
+    ).withColumn("_vn", norm_known(F.col("_v"), dim))
     sims = (
         F.broadcast(q)
         .crossJoin(c)
@@ -62,7 +85,10 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("_q"), F.col("_v")) / (F.col("_qn") * F.col("_vn"))).alias("cos"),
+            (
+                dot_known(F.col("_q"), F.col("_v"), dim)
+                / (F.col("_qn") * F.col("_vn"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
@@ -260,14 +286,14 @@ def lsh_topk(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_q")
         )
-        .withColumn("_qn", norm_of(F.col("_q")))
+        .withColumn("_qn", norm_known(F.col("_q"), dim))
         .withColumn("_tb", F.explode(lsh_buckets(F.col("_q"), planes, tables, dim)))
     )
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_v")
         )
-        .withColumn("_vn", norm_of(F.col("_v")))
+        .withColumn("_vn", norm_known(F.col("_v"), dim))
         .withColumn("_tb", F.explode(lsh_buckets(F.col("_v"), planes, tables, dim)))
     )
     cand = (
@@ -278,8 +304,10 @@ def lsh_topk(
     )
     # dot/(qn·vn) with precomputed norms is the identical arithmetic to
     # cosine() (same folds, same sqrt, same product) at a third of the
-    # per-pair interpreted-HOF work — see norm_of.
-    pair_cos = dot(F.col("_q"), F.col("_v")) / (F.col("_qn") * F.col("_vn"))
+    # per-pair interpreted-HOF work — see norm_of/dot_known.
+    pair_cos = dot_known(F.col("_q"), F.col("_v"), dim) / (
+        F.col("_qn") * F.col("_vn")
+    )
     if quantize:
         sims = cand.select(
             "query_id",
@@ -932,43 +960,83 @@ def vec_quantize_int8(
     portability discipline as the cosine entries, so any engine
     re-derives identical codes. Zero shuffle: pure per-row HOFs riding
     the scan. Output: (id, scale_q, codes array<int>, err_q)."""
-    d = emb.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
-    ).withColumn(
-        "scale_q",
-        F.floor(
-            1000000
-            * F.aggregate(
-                F.col("_v"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+    # When the width is known (peek_dim), every per-row HOF unrolls to
+    # a flat codegen'd expression over element_at — identical
+    # arithmetic in identical order (left-assoc greatest chain for the
+    # max, left-assoc sum for the L1 error), ~10× less per-row
+    # interpreted-eval overhead. The HOF path remains for ragged data.
+    dim = peek_dim(emb, vec_col)
+    d = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    if dim is not None:
+        mx: Column = F.lit(0.0)
+        for i in range(1, dim + 1):
+            mx = F.greatest(mx, F.abs(F.element_at(F.col("_v"), i)))
+        d = d.withColumn("scale_q", F.floor(1000000 * mx).cast("long"))
+
+        def _code(x: Column) -> Column:
+            return (
+                F.when(
+                    F.col("scale_q") > 0,
+                    F.greatest(
+                        F.lit(-127.0),
+                        F.least(
+                            F.lit(127.0),
+                            F.floor(x * 127 * 1000000 / F.col("scale_q") + 0.5),
+                        ),
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+                .cast("int")
             )
-        ).cast("long"),
-    )
-    code = F.transform(
-        F.col("_v"),
-        lambda x: F.when(
-            F.col("scale_q") > 0,
-            F.greatest(
-                F.lit(-127.0),
-                F.least(
-                    F.lit(127.0),
-                    F.floor(x * 127 * 1000000 / F.col("scale_q") + 0.5),
+
+        code = F.array(
+            *[_code(F.element_at(F.col("_v"), i)) for i in range(1, dim + 1)]
+        )
+        err: Column = F.lit(0.0)
+        for i in range(1, dim + 1):
+            err = err + F.abs(
+                F.element_at(F.col("_v"), i)
+                - F.element_at(F.col("codes"), i).cast("double")
+                * F.col("scale_q")
+                / (127 * 1000000)
+            )
+        recon_err = err
+    else:
+        d = d.withColumn(
+            "scale_q",
+            F.floor(
+                1000000
+                * F.aggregate(
+                    F.col("_v"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+                )
+            ).cast("long"),
+        )
+        code = F.transform(
+            F.col("_v"),
+            lambda x: F.when(
+                F.col("scale_q") > 0,
+                F.greatest(
+                    F.lit(-127.0),
+                    F.least(
+                        F.lit(127.0),
+                        F.floor(x * 127 * 1000000 / F.col("scale_q") + 0.5),
+                    ),
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("int"),
+        )
+        recon_err = F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.col("_v"),
+                lambda c, x: F.abs(
+                    x - c.cast("double") * F.col("scale_q") / (127 * 1000000)
                 ),
             ),
+            F.lit(0.0),
+            lambda a, x: a + x,
         )
-        .otherwise(F.lit(0.0))
-        .cast("int"),
-    )
-    recon_err = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("_v"),
-            lambda c, x: F.abs(
-                x - c.cast("double") * F.col("scale_q") / (127 * 1000000)
-            ),
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
     return (
         d.withColumn("codes", code)
         .withColumn("err_q", F.floor(1000000 * recon_err).cast("long"))
@@ -1070,6 +1138,14 @@ def dim_truncation_audit(
     O(|Q|·k) survivor tables."""
     if k <= 0 or prefix_dims <= 0:
         raise ValueError("k and prefix_dims must be positive")
+    # Unroll both dot passes when the width is known (peek_dim) and the
+    # prefix is a true prefix of every vector; the self-dots move out
+    # of the per-pair expression onto the two sides (one norm per row
+    # instead of two folds per pair — identical arithmetic, see
+    # norm_of). The HOF-fold path remains for ragged/unknown widths.
+    dim = peek_dim(corpus, vec_col)
+    if dim is not None and dim < prefix_dims:
+        dim = None  # prefix slice would be ragged — keep the fold path
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_q")
     )
@@ -1077,8 +1153,20 @@ def dim_truncation_audit(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("_v"),
     )
+    if dim is not None:
+        q = q.withColumn("_qn", norm_known(F.col("_q"), dim)).withColumn(
+            "_qnp", norm_known(F.col("_q"), prefix_dims)
+        )
+        c = c.withColumn("_vn", norm_known(F.col("_v"), dim)).withColumn(
+            "_vnp", norm_known(F.col("_v"), prefix_dims)
+        )
 
-    def topk(qv, cv, label):
+    def topk(qv, cv, label, d=None, qn=None, vn=None):
+        cos = (
+            dot_known(qv, cv, d) / (qn * vn)
+            if d is not None
+            else dot(qv, cv) / (F.sqrt(dot(qv, qv)) * F.sqrt(dot(cv, cv)))
+        )
         sims = (
             F.broadcast(q)
             .crossJoin(c)
@@ -1086,16 +1174,7 @@ def dim_truncation_audit(
             .select(
                 "query_id",
                 "neighbor_id",
-                F.floor(
-                    10000
-                    * (
-                        dot(qv, cv)
-                        / (
-                            F.sqrt(dot(qv, qv))
-                            * F.sqrt(dot(cv, cv))
-                        )
-                    )
-                ).cast("long").alias("_s"),
+                F.floor(10000 * cos).cast("long").alias("_s"),
             )
         )
         w = Window.partitionBy("query_id").orderBy(
@@ -1107,12 +1186,22 @@ def dim_truncation_audit(
             .select("query_id", F.col("neighbor_id").alias(label))
         )
 
-    full = topk(F.col("_q"), F.col("_v"), "n_full")
-    pref = topk(
-        F.slice(F.col("_q"), 1, prefix_dims),
-        F.slice(F.col("_v"), 1, prefix_dims),
-        "n_pref",
-    )
+    if dim is not None:
+        full = topk(
+            F.col("_q"), F.col("_v"), "n_full",
+            d=dim, qn=F.col("_qn"), vn=F.col("_vn"),
+        )
+        pref = topk(
+            F.col("_q"), F.col("_v"), "n_pref",
+            d=prefix_dims, qn=F.col("_qnp"), vn=F.col("_vnp"),
+        )
+    else:
+        full = topk(F.col("_q"), F.col("_v"), "n_full")
+        pref = topk(
+            F.slice(F.col("_q"), 1, prefix_dims),
+            F.slice(F.col("_v"), 1, prefix_dims),
+            "n_pref",
+        )
     hits = full.join(
         pref,
         (full["query_id"] == pref["query_id"])

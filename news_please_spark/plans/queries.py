@@ -2373,28 +2373,19 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     density 2/(w+1)) vs rolling_fingerprint's fixed-stride sampling,
     which a one-token insertion desynchronizes. No algorithmic shuffle
     (the plan's only Exchange is spread()'s round-robin fan-out of the
-    per-row-heavy fold): grams hashed once per doc as a projected
-    column, selection is an O(g*w) array fold, per-doc dedup via
-    array_distinct (no global DISTINCT exchange needed — rows from
-    different docs can't collide)."""
-    from news_please_spark.functions.text import (
-        kgram_hashes_of,
-        tokens,
-        winnow_selections_of,
-    )
+    per-row-heavy kernel): md5-per-gram + the O(g*w) window-min scan
+    run in one mapInPandas pass (hashlib + tight loop — the
+    interpreted-HOF fold paid per-element lambda eval for every hash
+    and comparison; bit-equality to that fold is regression-pinned in
+    test_properties), per-doc dedup inside the kernel (no global
+    DISTINCT exchange needed — rows from different docs can't
+    collide)."""
+    from news_please_spark.functions.text import winnow_fingerprint_rows
 
-    g = (
-        spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
-        .select("doc_id", tokens(F.col("text")).alias("_toks"))
-        .select("doc_id", kgram_hashes_of(F.col("_toks"), 5).alias("grams"))
-        .where(F.size("grams") > 0)
+    return winnow_fingerprint_rows(
+        spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark),
+        k=5, w=4,
     )
-    return g.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(winnow_selections_of(F.col("grams"), 4))
-        ).alias("_s"),
-    ).select("doc_id", F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp"))
 
 
 @register(
@@ -8622,9 +8613,9 @@ def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planner (operators/compaction.py): a
     synthetic per-partition file inventory (sizes 500-9499 bytes) packs
     into 16 kB rewrite groups by next-fit decreasing — the whole
-    sequential policy runs inside one codegen'd F.aggregate fold per
-    partition; the oracle replays the recurrence as a recursive CTE
-    over the same (size desc, name) order."""
+    sequential policy runs as an O(n) per-group applyInPandas loop
+    (one exchange); the oracle replays the recurrence as a recursive
+    CTE over the same (size desc, name) order."""
     from news_please_spark.operators.compaction import compaction_plan
 
     inv = load(spark, sf_dir, "documents").select(

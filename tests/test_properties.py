@@ -470,3 +470,44 @@ def test_key_skew_audit_gini_bounds_and_totals(spark, counts, seed):
     assert r["top1_bp"] <= r["top3_bp"] <= 10000
     if len(counts) == 1:
         assert r["gini_bp"] == 0 and r["top1_bp"] == 10000
+
+
+def test_winnow_pandas_kernel_matches_column_fold(spark):
+    # the mapInPandas winnowing kernel must stay bit-identical to the
+    # Column pipeline it replaced (tokens -> kgram_hashes_of ->
+    # array_distinct(winnow_selections_of) -> explode)
+    from pyspark.sql import functions as F
+
+    from news_please_spark.functions.text import (
+        kgram_hashes_of,
+        tokens,
+        winnow_fingerprint_rows,
+        winnow_selections_of,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rows = []
+    for i in range(60):
+        n = i % 13  # includes docs shorter than k
+        txt = " ".join(words[(i + j) % len(words)] for j in range(n))
+        if i % 7 == 0:
+            txt = "  " + txt + "\t"  # whitespace robustness
+        rows.append((i, txt))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    g = (
+        df.select("doc_id", tokens(F.col("text")).alias("_t"))
+        .select("doc_id", kgram_hashes_of(F.col("_t"), 5).alias("grams"))
+        .where(F.size("grams") > 0)
+    )
+    ref = (
+        g.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(winnow_selections_of(F.col("grams"), 4))
+            ).alias("_s"),
+        )
+        .select("doc_id", F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp"))
+    )
+    got = winnow_fingerprint_rows(df, k=5, w=4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))

@@ -1,0 +1,150 @@
+"""Build a scaled measurement dataset approximating the driver's sf1.0.
+
+The driver generates its own deterministic data (seed=42) at whatever sf it
+escalates to (BENCH_r05.json records sf=1.0). That generator is not in the
+repo, so for *measurement only* (never correctness -- the oracle gates run at
+sf0.001/0.01/0.1 on the driver's own files) this script replicates
+/root/testdata/sf0.1 10x with the observed scaling laws:
+
+  documents  5,000 -> 50,000      (50000*sf, text ~ bag of 31-token vocab)
+  embeddings 2,000 -> 20,000      (20000*sf, unit-norm 64-d)
+  events   100,000 -> 1,000,000   (1e6*sf, fixed 30-day window, users 15000*sf)
+  lineitem 600,000 -> 6,000,000   (TPC-H-ish ratios preserved)
+  orders/customer/part/supplier   10x with consistent FK offsets
+  region/nation                   fixed
+
+Replica k shifts every key by k*n so FK joins stay consistent.  Text is
+mutated (~35% token resample from the empirical vocab distribution) and
+vectors are jittered+renormalized so replicas are NOT trivial near-dups of
+the base rows -- pair-candidate densities stay realistic instead of
+exploding quadratically on exact copies.  Files are written as a single row
+group to match the driver's file layout (observed: 600k rows / 1 row group).
+
+Usage: python tools/make_scaled_sf.py /root/sf1 10
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+
+
+def write(tbl: pa.Table, out: str, name: str) -> None:
+    pq.write_table(tbl, f"{out}/{name}.parquet", row_group_size=50_000_000,
+                   compression="snappy")
+    print(f"{name}: {tbl.num_rows} rows", flush=True)
+
+
+def rep_offset(tbl: pa.Table, k: int, offsets: dict[str, int]) -> pa.Table:
+    cols = {}
+    for fname in tbl.schema.names:
+        col = tbl.column(fname)
+        if fname in offsets and k > 0:
+            col = pc.add(col, offsets[fname] * k)
+        cols[fname] = col
+    return pa.table(cols)
+
+
+def main() -> None:
+    out, reps = sys.argv[1], int(sys.argv[2])
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(42)
+
+    # -- small dims: copy as-is -------------------------------------------
+    for name in ("region", "nation"):
+        write(pq.read_table(f"{SRC}/{name}.parquet"), out, name)
+
+    # -- TPC-H-ish fact/dim tables: replicate with consistent FK offsets --
+    plans = {
+        "customer": {"c_custkey": 15000},
+        "supplier": {"s_suppkey": 1000},
+        "part": {"p_partkey": 20000},
+        "orders": {"o_orderkey": 150000, "o_custkey": 15000},
+        "lineitem": {"l_orderkey": 150000, "l_partkey": 20000,
+                     "l_suppkey": 1000},
+    }
+    for name, offs in plans.items():
+        base = pq.read_table(f"{SRC}/{name}.parquet")
+        parts = [rep_offset(base, k, offs) for k in range(reps)]
+        write(pa.concat_tables(parts), out, name)
+
+    # -- events: same 30-day window, 10x density, new users per replica ---
+    base = pq.read_table(f"{SRC}/events.parquet")
+    n = base.num_rows
+    parts = []
+    for k in range(reps):
+        t = rep_offset(base, k, {"event_id": n, "user_id": 15000})
+        if k > 0:
+            jitter = rng.integers(-30_000_000, 30_000_000, size=n)  # +/-30s us
+            ts = pc.add(t.column("ts").cast(pa.int64()), pa.array(jitter))
+            t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                             ts.cast(pa.timestamp("us")))
+        parts.append(t)
+    ev = pa.concat_tables(parts).sort_by("ts")
+    # re-number event_id in ts order like a generator would
+    ev = ev.set_column(ev.schema.get_field_index("event_id"), "event_id",
+                       pa.array(np.arange(ev.num_rows, dtype=np.int64)))
+    write(ev, out, "events")
+
+    # -- documents: resample ~35% of tokens per replica -------------------
+    base = pq.read_table(f"{SRC}/documents.parquet")
+    texts = base.column("text").to_pylist()
+    vocab: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            vocab[w] = vocab.get(w, 0) + 1
+    words = np.array(list(vocab))
+    freqs = np.array([vocab[w] for w in words], dtype=float)
+    freqs /= freqs.sum()
+    nd = base.num_rows
+    parts = [base]
+    for k in range(1, reps):
+        new_texts = []
+        for t in texts:
+            toks = t.split()
+            mask = rng.random(len(toks)) < 0.35
+            repl = rng.choice(words, size=int(mask.sum()), p=freqs)
+            j = 0
+            for i in range(len(toks)):
+                if mask[i]:
+                    toks[i] = repl[j]
+                    j += 1
+            new_texts.append(" ".join(toks))
+        t = rep_offset(base, k, {"doc_id": nd})
+        t = t.set_column(t.schema.get_field_index("text"), "text",
+                         pa.array(new_texts))
+        t = t.set_column(t.schema.get_field_index("n_chars"), "n_chars",
+                         pa.array([len(x) for x in new_texts],
+                                  type=pa.int64()))
+        parts.append(t)
+    write(pa.concat_tables(parts), out, "documents")
+
+    # -- embeddings: jitter + renormalize per replica ---------------------
+    base = pq.read_table(f"{SRC}/embeddings.parquet")
+    ne = base.num_rows
+    vecs = np.array(base.column("embedding").to_pylist(), dtype=np.float32)
+    parts = [base]
+    for k in range(1, reps):
+        noise = rng.normal(0, 0.05, size=vecs.shape).astype(np.float32)
+        v = vecs + noise
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        t = rep_offset(base, k, {"vec_id": ne})
+        t = t.set_column(t.schema.get_field_index("embedding"), "embedding",
+                         pa.array(list(v), type=pa.list_(pa.float32())))
+        parts.append(t)
+    write(pa.concat_tables(parts), out, "embeddings")
+
+    with open(f"{out}/_DONE", "w") as f:
+        f.write("ok\n")
+
+
+if __name__ == "__main__":
+    main()
