@@ -402,7 +402,18 @@ def phrase_search(
 
     `phrases`: (query_id, phrase) with exactly n whitespace tokens per
     phrase (validated). Returns (query_id, doc_id, n_hits, first_pos):
-    distinct match anchors per doc and the earliest one."""
+    distinct match anchors per doc and the earliest one.
+
+    Join shape: a (query, doc, anchor) group covers all n slots iff the
+    doc's n consecutive tokens at `anchor` equal the phrase's tokens —
+    i.e. the doc's n-gram AT that anchor equals the (whitespace-
+    normalized) phrase string. So instead of joining per-TERM (with a
+    Zipfian vocabulary every common term matches almost every posting:
+    |hits| ~ |post|·|query terms|/|vocab| rows into the slot-covering
+    aggregate), join the doc's n-gram table against the phrase string
+    directly — only TRUE matches survive the equi-join, and both
+    aggregates collapse into one. Bit-identical output (tokens cannot
+    contain whitespace, so the single-space join is injective)."""
     ptoks = F.split(F.trim(F.lower(F.col("phrase"))), r"\s+")
     terms = phrases.select(
         "query_id", F.posexplode(ptoks).alias("i", "term")
@@ -412,20 +423,29 @@ def phrase_search(
     )
     if bad.limit(1).count() > 0:
         raise ValueError(f"every phrase must have exactly {n} tokens")
-    post = positional_index(docs, id_col, text_col)
-    hits = post.join(terms, "term").select(
-        "query_id",
-        F.col(id_col),
-        "i",
-        (F.col("pos") - F.col("i")).alias("anchor"),
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") >= n)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - n),
+                    lambda a: F.concat_ws(
+                        " ", F.slice(F.col("_t"), a + 1, n)
+                    ),
+                )
+            ).alias("anchor", "_gram"),
+        )
     )
-    full = (
-        hits.groupBy("query_id", id_col, "anchor")
-        .agg(F.countDistinct("i").alias("_slots"))
-        .filter((F.col("_slots") == n) & (F.col("anchor") >= 0))
+    q = phrases.select(
+        "query_id", F.concat_ws(" ", ptoks).alias("_gram")
     )
     return (
-        full.groupBy("query_id", id_col)
+        grams.join(q, "_gram")
+        .groupBy("query_id", id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_hits"),
             F.min("anchor").cast("int").alias("first_pos"),

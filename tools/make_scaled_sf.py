@@ -94,7 +94,16 @@ def main() -> None:
                        pa.array(np.arange(ev.num_rows, dtype=np.int64)))
     write(ev, out, "events")
 
-    # -- documents: resample ~35% of tokens per replica -------------------
+    # -- documents: i.i.d. draws matching the driver generator's model ----
+    # Observed structure of the real files (sf0.01 is NOT a prefix of
+    # sf0.1 -- each sf is an independent draw): token bag i.i.d. from a
+    # ~uniform 31-word vocab, length ~ Uniform{10..100}, lang from the
+    # empirical dist, source = src{doc_id % 20}, ~0.16% of docs are
+    # byte-exact copies of an earlier doc (planted exact dups).
+    # Replica-mutation (the first version of this script) made every
+    # doc a near-dup of its base -- quadratically exploding the
+    # LSH/winnow bucket occupancy far beyond the real generator's shape
+    # (winnow_pairs 794 s vs the driver's 3 s at sf=1.0).
     base = pq.read_table(f"{SRC}/documents.parquet")
     texts = base.column("text").to_pylist()
     vocab: dict[str, int] = {}
@@ -104,43 +113,53 @@ def main() -> None:
     words = np.array(list(vocab))
     freqs = np.array([vocab[w] for w in words], dtype=float)
     freqs /= freqs.sum()
+    langs = base.column("lang").to_pylist()
+    lang_vals, lang_counts = np.unique(np.array(langs), return_counts=True)
+    lang_p = lang_counts / lang_counts.sum()
     nd = base.num_rows
-    parts = [base]
-    for k in range(1, reps):
-        new_texts = []
-        for t in texts:
-            toks = t.split()
-            mask = rng.random(len(toks)) < 0.35
-            repl = rng.choice(words, size=int(mask.sum()), p=freqs)
-            j = 0
-            for i in range(len(toks)):
-                if mask[i]:
-                    toks[i] = repl[j]
-                    j += 1
-            new_texts.append(" ".join(toks))
-        t = rep_offset(base, k, {"doc_id": nd})
-        t = t.set_column(t.schema.get_field_index("text"), "text",
-                         pa.array(new_texts))
-        t = t.set_column(t.schema.get_field_index("n_chars"), "n_chars",
-                         pa.array([len(x) for x in new_texts],
-                                  type=pa.int64()))
-        parts.append(t)
-    write(pa.concat_tables(parts), out, "documents")
+    n_total = nd * reps
+    new_texts = list(texts)
+    lens = rng.integers(10, 101, size=n_total - nd)
+    for L in lens:
+        new_texts.append(" ".join(rng.choice(words, size=L, p=freqs)))
+    # planted exact dups at the observed rate
+    n_dup = int(0.0016 * n_total)
+    for _ in range(n_dup):
+        i = int(rng.integers(nd, n_total))
+        j = int(rng.integers(0, i))
+        new_texts[i] = new_texts[j]
+    new_langs = langs + list(rng.choice(lang_vals, size=n_total - nd, p=lang_p))
+    doc_ids = np.arange(n_total, dtype=np.int64)
+    docs = pa.table({
+        "doc_id": pa.array(doc_ids),
+        "text": pa.array(new_texts),
+        "lang": pa.array(new_langs),
+        "source": pa.array([f"src{i % 20}" for i in range(n_total)]),
+        "n_chars": pa.array([len(x) for x in new_texts], type=pa.int64()),
+    })
+    write(docs, out, "documents")
 
-    # -- embeddings: jitter + renormalize per replica ---------------------
+    # -- embeddings: i.i.d. random unit vectors (labels are uniform and
+    # uncorrelated with geometry in the real files: same-label mean cos
+    # ~= cross-label mean cos ~= 0)
     base = pq.read_table(f"{SRC}/embeddings.parquet")
     ne = base.num_rows
+    n_emb = ne * reps
+    v = rng.normal(0, 1, size=(n_emb - ne, 64)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
     vecs = np.array(base.column("embedding").to_pylist(), dtype=np.float32)
-    parts = [base]
-    for k in range(1, reps):
-        noise = rng.normal(0, 0.05, size=vecs.shape).astype(np.float32)
-        v = vecs + noise
-        v /= np.linalg.norm(v, axis=1, keepdims=True)
-        t = rep_offset(base, k, {"vec_id": ne})
-        t = t.set_column(t.schema.get_field_index("embedding"), "embedding",
-                         pa.array(list(v), type=pa.list_(pa.float32())))
-        parts.append(t)
-    write(pa.concat_tables(parts), out, "embeddings")
+    allv = np.concatenate([vecs, v])
+    emb = pa.table({
+        "vec_id": pa.array(np.arange(n_emb, dtype=np.int64)),
+        "embedding": pa.array(list(allv), type=pa.list_(pa.float32())),
+        "label": pa.array(
+            np.concatenate([
+                np.array(base.column("label").to_pylist(), dtype=np.int32),
+                rng.integers(0, 10, size=n_emb - ne).astype(np.int32),
+            ])
+        ),
+    })
+    write(emb, out, "embeddings")
 
     with open(f"{out}/_DONE", "w") as f:
         f.write("ok\n")
