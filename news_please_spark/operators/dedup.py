@@ -102,26 +102,82 @@ def simhash_signatures(
     (the HOF variant materializes a ±1 array per token; this shape keeps
     every operator a flat codegen'd long expression and the shuffle
     carries only 65 longs per doc after partial aggregation)."""
-    toks = df.select(F.col(id_col), F.explode(tokens_of(F.col(text_col))).alias("_t"))
-    h = F.xxhash64("_t") if token_hash == "xxhash64" else _md5_hash64(F.col("_t"))
-    th = toks.select(id_col, h.alias("_h"))
-    # bit j of the token hash, summed per doc (j=63 via arithmetic shift
-    # sign extraction — still (h >> 63) & 1)
-    aggs = [
-        F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1))).alias(f"_c{j}")
-        for j in range(64)
-    ]
-    counts = th.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *aggs)
-    sig = F.lit(0).cast("long")
-    for j in range(64):
-        # signature bit j = majority vote = (2·count_j > n_tokens)
-        v = (1 << j) - (1 << 64 if j == 63 else 0)  # signed-long image
-        sig = sig.bitwiseOR(
-            F.when(2 * F.col(f"_c{j}") > F.col("_n"), F.lit(v).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+    if token_hash == "xxhash64":
+        # Spark-native hash: keep the explode + 64-bit-sum agg shape
+        # (xxhash64 has no cheap Python image to vectorize against)
+        toks = df.select(
+            F.col(id_col), F.explode(tokens_of(F.col(text_col))).alias("_t")
         )
-    return counts.select(id_col, sig.alias("_sig"))
+        th = toks.select(id_col, F.xxhash64("_t").alias("_h"))
+        aggs = [
+            F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1))).alias(f"_c{j}")
+            for j in range(64)
+        ]
+        counts = th.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *aggs)
+        sig = F.lit(0).cast("long")
+        for j in range(64):
+            # signature bit j = majority vote = (2·count_j > n_tokens)
+            v = (1 << j) - (1 << 64 if j == 63 else 0)  # signed-long image
+            sig = sig.bitwiseOR(
+                F.when(
+                    2 * F.col(f"_c{j}") > F.col("_n"), F.lit(v).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        return counts.select(id_col, sig.alias("_sig"))
+
+    # md5 path: one zero-shuffle mapInPandas kernel — per doc, hash
+    # tokens with C md5 (per-worker digest cache; Zipfian token
+    # distributions make it ~all hits), unpack the 64 bits with one
+    # vectorized numpy shift, majority-vote the columns. Bit-identical
+    # to the explode + 64-sum-agg plan (same tokenizer image as
+    # split(trim(lower(text)), '\\s+'): lower, space-only trim, Java
+    # \\s, trailing empties kept; same signed-long md5 image; same
+    # 2·count > n vote), which shuffled 65 longs per doc and paid the
+    # hash-agg on every token row.
+    import hashlib
+    import re
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(64, dtype=np.uint64)
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = ws.split((text or "").lower().strip(" "))
+                hs = np.empty(len(toks), dtype=np.uint64)
+                for i, t in enumerate(toks):
+                    h = cache.get(t)
+                    if h is None:
+                        h = int.from_bytes(
+                            hashlib.md5(t.encode()).digest()[:8], "big"
+                        )
+                        if len(cache) < 4_000_000:
+                            cache[t] = h
+                    hs[i] = h
+                bits = (hs[:, None] >> shifts) & np.uint64(1)
+                votes = bits.sum(axis=0, dtype=np.int64)
+                sig_bits = (2 * votes) > len(toks)
+                sig = int(np.bitwise_or.reduce(
+                    (sig_bits.astype(np.uint64) << shifts)
+                ))
+                if sig >= 1 << 63:
+                    sig -= 1 << 64
+                ids.append(doc_id)
+                sigs.append(sig)
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="object"),
+                "_sig": pd.Series(sigs, dtype="int64"),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} {id_type}, _sig long"
+    )
 
 
 def simhash_near_dups(
@@ -446,21 +502,20 @@ def embedding_near_dups(
     planes derive from md5 — no RNG, reproducible across runs (and
     re-derivable by the DuckDB oracle)."""
     from news_please_spark.operators.similarity import (
-        dot,
+        dot_known,
         lsh_bucket,
-        norm_of,
+        norm_known,
         peek_dim,
     )
 
+    dim = peek_dim(emb, vec_col)
     v = (
         emb.select(
             F.col(id_col),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
         )
-        .withColumn("_n", norm_of(F.col("_v")))
-        .withColumn(
-            "_b", lsh_bucket(F.col("_v"), lsh_planes, dim=peek_dim(emb, vec_col))
-        )
+        .withColumn("_n", norm_known(F.col("_v"), dim))
+        .withColumn("_b", lsh_bucket(F.col("_v"), lsh_planes, dim=dim))
     )
     a, b = v.alias("a"), v.alias("b")
     cand = a.join(
@@ -471,9 +526,10 @@ def embedding_near_dups(
     return cand.select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        (dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))).alias(
-            "cos"
-        ),
+        (
+            dot_known(F.col("a._v"), F.col("b._v"), dim)
+            / (F.col("a._n") * F.col("b._n"))
+        ).alias("cos"),
     ).filter(F.col("cos") >= threshold)
 
 
@@ -649,26 +705,26 @@ def semantic_dedup(
     """
     from news_please_spark.operators.similarity import (
         as_double,
-        dot,
+        dot_known,
         ivf_assign_cells,
-        norm_of,
+        norm_known,
         peek_dim,
     )
 
     from news_please_spark.operators.similarity import lsh_bucket
 
+    dim = peek_dim(emb, vec_col)
     cells = ivf_assign_cells(
         emb, n_lists=n_lists, id_col=id_col, vec_col=vec_col
     )
     v = (
         emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
-        .withColumn("_n", norm_of(F.col("_v")))
+        .withColumn("_n", norm_known(F.col("_v"), dim))
         .join(cells, id_col)
     )
     if pre_bucket_planes is not None:
         v = v.withColumn(
-            "_bk",
-            lsh_bucket(F.col("_v"), pre_bucket_planes, dim=peek_dim(emb, vec_col)),
+            "_bk", lsh_bucket(F.col("_v"), pre_bucket_planes, dim=dim)
         )
     else:
         v = v.withColumn("_bk", F.lit(0))
@@ -681,7 +737,8 @@ def semantic_dedup(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .filter(
-            dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+            dot_known(F.col("a._v"), F.col("b._v"), dim)
+            / (F.col("a._n") * F.col("b._n"))
             >= threshold
         )
         .select(F.col(f"b.{id_col}").alias(id_col))

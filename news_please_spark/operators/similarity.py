@@ -915,17 +915,24 @@ def hard_negatives(
     lsh_topk with an inflated k, then apply the same band filter and
     re-rank — the ceiling only ever REMOVES top rows, so retrieval
     with k' ≥ k + |near-dups| is exact w.r.t. the candidates."""
+    dim = peek_dim(corpus, vec_col)
     e = corpus.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("vn", norm_of(F.col("v")))
+    ).withColumn("vn", norm_known(F.col("v"), dim))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm_of(F.col("qv")))
+    ).withColumn("qn", norm_known(F.col("qv"), dim))
     pairs = F.broadcast(q).crossJoin(e).filter(F.col("query_id") != F.col(id_col))
     sims = pairs.select(
         "query_id",
         F.col(id_col).alias("neg_id"),
-        F.floor(10000 * (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn"))))
+        F.floor(
+            10000
+            * (
+                dot_known(F.col("qv"), F.col("v"), dim)
+                / (F.col("qn") * F.col("vn"))
+            )
+        )
         .cast("long")
         .alias("sim_q"),
     ).filter((F.col("sim_q") >= lo_q) & (F.col("sim_q") < hi_q))
