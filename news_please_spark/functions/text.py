@@ -235,6 +235,64 @@ def winnow_fingerprint_rows(df, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def winnow_fp_set_rows(df, id_col: str = "doc_id", text_col: str = "text",
+                       k: int = 5, w: int = 4):
+    """Winnowing fingerprint SETS as a mapInPandas kernel: per doc, the
+    DISTINCT selected fingerprints plus their count — the exploded
+    (id, n_fp, fp) table winnow_plagiarism_pairs joins on.
+
+    Bit-identical to tokens → kgram_hashes_of → array_distinct(
+    transform(winnow_selections_of, s.fp)) → size + explode, but one
+    pass of C md5 + a tight window loop. The Column chain was O(L²)
+    per row in interpreted eval once CollapseProject inlined the
+    tokenization (and any upstream text expression, e.g. the
+    winnow_pairs augmentation join's CASE/concat) into the per-element
+    lambdas — each gram re-split the whole text. Docs with no grams
+    (< k tokens) emit nothing, matching the WHERE size > 0 guard."""
+    import hashlib
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nfps, fps_out = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = ws.split((text or "").strip(" "))
+                ng = len(toks) - k + 1
+                if ng <= 0:
+                    continue
+                grams = [
+                    hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+                    for i in range(ng)
+                ]
+                seen: dict[str, None] = {}
+                for j in range(max(ng - w + 1, 1)):
+                    best = "g"
+                    for i in range(j, min(j + w, ng)):
+                        if grams[i] <= best:
+                            best = grams[i]
+                    if best not in seen:
+                        seen[best] = None
+                n = len(seen)
+                for fp in seen:
+                    ids.append(doc_id)
+                    nfps.append(n)
+                    fps_out.append(fp)
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="object"),
+                "n_fp": pd.Series(nfps, dtype="int32"),
+                "fp": pd.Series(fps_out, dtype="object"),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} {id_type}, n_fp int, fp string"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hashed-linear quality classifier (fastText-style inference as a scan)
 

@@ -55,33 +55,42 @@ def _dist_sq(a: Column, b: Column) -> Column:
 def _assign(e: DataFrame, cents: list[list[int]]) -> DataFrame:
     """Nearest-centroid assignment against a literal codebook.
 
-    The codebook is a PYTHON literal, so every distance unrolls to a
-    flat codegen'd long expression (integer arithmetic — exact in any
-    association order); the argmin is least() + a first-match when
-    chain, which reproduces the old fold's strict-< rule (smallest
-    cluster id on ties — the oracle's row_number ORDER BY d, cl). The
-    previous shape scored the codebook inside transform/aggregate HOFs,
-    paying interpreted per-element lambda eval for all k·dim steps."""
-
-    def dist(cv: list[int]) -> Column:
-        s: Column = F.lit(0).cast("long")
-        for j, c in enumerate(cv):
-            d = F.element_at(F.col("qv"), j + 1) - F.lit(int(c))
-            s = s + d * d
-        return s
-
-    ds = [dist(cv) for cv in cents]
-    m = F.least(*ds) if len(ds) > 1 else ds[0]
-    sel = None
-    for i, d in enumerate(ds):
-        sel = F.when(d == m, F.lit(i)) if sel is None else sel.when(
-            d == m, F.lit(i)
-        )
+    One transform scores every centroid once; the fold then compares
+    scalars (the _top2 idiom from similarity.py). Strict < keeps the
+    smallest cluster id on ties — the deterministic, engine-portable
+    rule (the oracle's row_number ORDER BY d, cl). (Unrolling the
+    distances to flat element_at chains was tried and REJECTED: flat
+    chains evaluate ~8× slower than the fold — OPTIMIZATION_r06.md
+    "negative results".)"""
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cl"),
+                F.array(*[F.lit(int(v)) for v in cv]).alias("cv"),
+            )
+            for i, cv in enumerate(cents)
+        ]
+    )
+    scored = F.transform(
+        cents_lit,
+        lambda c: F.struct(
+            c["cl"].alias("cl"), _dist_sq(F.col("qv"), c["cv"]).alias("d")
+        ),
+    )
+    init = F.struct(
+        F.lit(-1).alias("cl"),
+        F.lit((1 << 62)).cast("long").alias("d"),
+    )
+    best = F.aggregate(
+        scored,
+        init,
+        lambda acc, s: F.when(s["d"] < acc["d"], s).otherwise(acc),
+    )
     return e.select(
         "vid",
         "qv",
-        sel.cast("int").alias("cluster"),
-        m.alias("dist_q"),
+        best["cl"].alias("cluster"),
+        best["d"].alias("dist_q"),
     )
 
 

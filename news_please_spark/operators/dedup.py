@@ -502,20 +502,21 @@ def embedding_near_dups(
     planes derive from md5 — no RNG, reproducible across runs (and
     re-derivable by the DuckDB oracle)."""
     from news_please_spark.operators.similarity import (
-        dot_known,
+        dot,
         lsh_bucket,
-        norm_known,
+        norm_of,
         peek_dim,
     )
 
-    dim = peek_dim(emb, vec_col)
     v = (
         emb.select(
             F.col(id_col),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
         )
-        .withColumn("_n", norm_known(F.col("_v"), dim))
-        .withColumn("_b", lsh_bucket(F.col("_v"), lsh_planes, dim=dim))
+        .withColumn("_n", norm_of(F.col("_v")))
+        .withColumn(
+            "_b", lsh_bucket(F.col("_v"), lsh_planes, dim=peek_dim(emb, vec_col))
+        )
     )
     a, b = v.alias("a"), v.alias("b")
     cand = a.join(
@@ -526,10 +527,9 @@ def embedding_near_dups(
     return cand.select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        (
-            dot_known(F.col("a._v"), F.col("b._v"), dim)
-            / (F.col("a._n") * F.col("b._n"))
-        ).alias("cos"),
+        (dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))).alias(
+            "cos"
+        ),
     ).filter(F.col("cos") >= threshold)
 
 
@@ -705,26 +705,26 @@ def semantic_dedup(
     """
     from news_please_spark.operators.similarity import (
         as_double,
-        dot_known,
+        dot,
         ivf_assign_cells,
-        norm_known,
+        norm_of,
         peek_dim,
     )
 
     from news_please_spark.operators.similarity import lsh_bucket
 
-    dim = peek_dim(emb, vec_col)
     cells = ivf_assign_cells(
         emb, n_lists=n_lists, id_col=id_col, vec_col=vec_col
     )
     v = (
         emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
-        .withColumn("_n", norm_known(F.col("_v"), dim))
+        .withColumn("_n", norm_of(F.col("_v")))
         .join(cells, id_col)
     )
     if pre_bucket_planes is not None:
         v = v.withColumn(
-            "_bk", lsh_bucket(F.col("_v"), pre_bucket_planes, dim=dim)
+            "_bk",
+            lsh_bucket(F.col("_v"), pre_bucket_planes, dim=peek_dim(emb, vec_col)),
         )
     else:
         v = v.withColumn("_bk", F.lit(0))
@@ -737,8 +737,7 @@ def semantic_dedup(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .filter(
-            dot_known(F.col("a._v"), F.col("b._v"), dim)
-            / (F.col("a._n") * F.col("b._n"))
+            dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
             >= threshold
         )
         .select(F.col(f"b.{id_col}").alias(id_col))
@@ -1164,31 +1163,15 @@ def winnow_plagiarism_pairs(
     one still scores high)."""
     from pyspark.sql import functions as F
 
-    from news_please_spark.functions.text import (
-        kgram_hashes_of,
-        tokens,
-        winnow_selections_of,
-    )
+    from news_please_spark.functions.text import winnow_fp_set_rows
 
-    fp_sets = (
-        docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
-        .select("doc_id", kgram_hashes_of(F.col("_toks"), k).alias("_grams"))
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    winnow_selections_of(F.col("_grams"), w),
-                    lambda s: s["fp"],
-                )
-            ).alias("_fps"),
-        )
-        .where(F.size("_fps") > 0)
-    )
-    fps = fp_sets.select(
-        "doc_id",
-        F.size("_fps").alias("n_fp"),
-        F.explode("_fps").alias("fp"),
-    ).persist()
+    # One mapInPandas pass (see winnow_fp_set_rows): the Column chain
+    # re-evaluated the tokenization — and whatever upstream expression
+    # produced `text`, e.g. winnow_pairs' augmentation CASE/concat —
+    # once per GRAM after CollapseProject inlined it into the HOF
+    # lambdas: O(L²) interpreted regex splits per row (769 s at the
+    # 10× measurement SF vs ~4 s for this kernel).
+    fps = winnow_fp_set_rows(docs, k=k, w=w).persist()
     keep = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_df"))

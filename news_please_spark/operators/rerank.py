@@ -43,14 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from news_please_spark.operators.similarity import (
-    as_double,
-    dot,
-    dot_known,
-    norm_known,
-    norm_of,
-    peek_dim,
-)
+from news_please_spark.operators.similarity import as_double, dot, norm_of
 
 _OUT_SCHEMA = "query_id long, doc_id long, rank long, mmr_q long"
 
@@ -140,10 +133,9 @@ def candidate_pair_sims(
     (dot / (norm_a * norm_b)), floored.  |Q|*n_cand rows join the
     vector table once (hash join on the id), then self-join on
     query_id — n_cand^2 narrow rows per query, never the corpus."""
-    dim = peek_dim(vectors, vec_col)
     v = vectors.select(
         F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_vn", norm_known(F.col("_v"), dim))
+    ).withColumn("_vn", norm_of(F.col("_v")))
     cv = candidates.select("query_id", "doc_id").join(
         v, F.col("doc_id") == F.col("_vid")
     )
@@ -169,7 +161,7 @@ def candidate_pair_sims(
             F.floor(
                 10000
                 * (
-                    dot_known(F.col("_va"), F.col("_vb"), dim)
+                    dot(F.col("_va"), F.col("_vb"))
                     / (F.col("_na") * F.col("_nb"))
                 )
             )
@@ -193,14 +185,13 @@ def mmr_topk(
     candidates (broadcast queries x corpus — the small-|Q| baseline;
     at corpus scale feed mmr_rerank from lsh_topk/ivf_topk instead),
     pairwise candidate sims, then the integer MMR greedy."""
-    dim = peek_dim(corpus, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("_q"),
-    ).withColumn("_qn", norm_known(F.col("_q"), dim))
+    ).withColumn("_qn", norm_of(F.col("_q")))
     c = corpus.select(
         F.col(id_col).alias("doc_id"), as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_vn", norm_known(F.col("_v"), dim))
+    ).withColumn("_vn", norm_of(F.col("_v")))
     rel = (
         F.broadcast(q)
         .crossJoin(c)
@@ -211,7 +202,7 @@ def mmr_topk(
             F.floor(
                 10000
                 * (
-                    dot_known(F.col("_q"), F.col("_v"), dim)
+                    dot(F.col("_q"), F.col("_v"))
                     / (F.col("_qn") * F.col("_vn"))
                 )
             )

@@ -22,28 +22,6 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def dot_known(a: Column, b: Column, dim: int | None) -> Column:
-    """dot(a, b) with the summation unrolled to a flat left-associated
-    chain of element_at products when the vector width is known (from
-    peek_dim). Bit-identical to the fold — same IEEE addition order
-    (0.0 + p1) + p2 + …, and an out-of-range element_at yields NULL
-    exactly like the fold's zip_with padding — but the flat expression
-    stays inside whole-stage codegen, where the HOF fold drops to
-    interpreted per-element lambda eval (~10-50× slower per pair in the
-    crossJoin-heavy entries). dim=None falls back to the fold."""
-    if dim is None:
-        return dot(a, b)
-    s: Column = F.lit(0.0)
-    for i in range(1, dim + 1):
-        s = s + F.element_at(a, i) * F.element_at(b, i)
-    return s
-
-
-def norm_known(vec: Column, dim: int | None) -> Column:
-    """sqrt(dot(v, v)) via the unrolled dot — see dot_known/norm_of."""
-    return F.sqrt(dot_known(vec, vec, dim))
-
-
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
@@ -71,13 +49,12 @@ def brute_force_topk(
     """Exact cosine top-k: broadcast queries × corpus, per-query window.
     Scale: O(|Q|·|C|) compute but zero corpus shuffle — right whenever
     |Q| is small (the usual 'find neighbors of these docs' shape)."""
-    dim = peek_dim(corpus, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_q")
-    ).withColumn("_qn", norm_known(F.col("_q"), dim))
+    ).withColumn("_qn", norm_of(F.col("_q")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_vn", norm_known(F.col("_v"), dim))
+    ).withColumn("_vn", norm_of(F.col("_v")))
     sims = (
         F.broadcast(q)
         .crossJoin(c)
@@ -85,10 +62,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                dot_known(F.col("_q"), F.col("_v"), dim)
-                / (F.col("_qn") * F.col("_vn"))
-            ).alias("cos"),
+            (dot(F.col("_q"), F.col("_v")) / (F.col("_qn") * F.col("_vn"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
@@ -286,14 +260,14 @@ def lsh_topk(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_q")
         )
-        .withColumn("_qn", norm_known(F.col("_q"), dim))
+        .withColumn("_qn", norm_of(F.col("_q")))
         .withColumn("_tb", F.explode(lsh_buckets(F.col("_q"), planes, tables, dim)))
     )
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_v")
         )
-        .withColumn("_vn", norm_known(F.col("_v"), dim))
+        .withColumn("_vn", norm_of(F.col("_v")))
         .withColumn("_tb", F.explode(lsh_buckets(F.col("_v"), planes, tables, dim)))
     )
     cand = (
@@ -304,10 +278,8 @@ def lsh_topk(
     )
     # dot/(qn·vn) with precomputed norms is the identical arithmetic to
     # cosine() (same folds, same sqrt, same product) at a third of the
-    # per-pair interpreted-HOF work — see norm_of/dot_known.
-    pair_cos = dot_known(F.col("_q"), F.col("_v"), dim) / (
-        F.col("_qn") * F.col("_vn")
-    )
+    # per-pair interpreted-HOF work — see norm_of.
+    pair_cos = dot(F.col("_q"), F.col("_v")) / (F.col("_qn") * F.col("_vn"))
     if quantize:
         sims = cand.select(
             "query_id",
@@ -915,24 +887,17 @@ def hard_negatives(
     lsh_topk with an inflated k, then apply the same band filter and
     re-rank — the ceiling only ever REMOVES top rows, so retrieval
     with k' ≥ k + |near-dups| is exact w.r.t. the candidates."""
-    dim = peek_dim(corpus, vec_col)
     e = corpus.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("vn", norm_known(F.col("v"), dim))
+    ).withColumn("vn", norm_of(F.col("v")))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm_known(F.col("qv"), dim))
+    ).withColumn("qn", norm_of(F.col("qv")))
     pairs = F.broadcast(q).crossJoin(e).filter(F.col("query_id") != F.col(id_col))
     sims = pairs.select(
         "query_id",
         F.col(id_col).alias("neg_id"),
-        F.floor(
-            10000
-            * (
-                dot_known(F.col("qv"), F.col("v"), dim)
-                / (F.col("qn") * F.col("vn"))
-            )
-        )
+        F.floor(10000 * (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn"))))
         .cast("long")
         .alias("sim_q"),
     ).filter((F.col("sim_q") >= lo_q) & (F.col("sim_q") < hi_q))
@@ -967,87 +932,58 @@ def vec_quantize_int8(
     portability discipline as the cosine entries, so any engine
     re-derives identical codes. Zero shuffle: pure per-row HOFs riding
     the scan. Output: (id, scale_q, codes array<int>, err_q)."""
-    # When the width is known (peek_dim), every per-row HOF unrolls to
-    # a flat codegen'd expression over element_at — identical
-    # arithmetic in identical order (left-assoc greatest chain for the
-    # max, left-assoc sum for the L1 error), ~10× less per-row
-    # interpreted-eval overhead. The HOF path remains for ragged data.
-    dim = peek_dim(emb, vec_col)
-    d = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
-    if dim is not None:
-        mx: Column = F.lit(0.0)
-        for i in range(1, dim + 1):
-            mx = F.greatest(mx, F.abs(F.element_at(F.col("_v"), i)))
-        d = d.withColumn("scale_q", F.floor(1000000 * mx).cast("long"))
+    # One mapInPandas kernel: per row, the max-abs/code/err arithmetic
+    # runs vectorized in numpy float64 with the IDENTICAL operation
+    # order as the Column form (elementwise ops are order-free; the L1
+    # error sum uses cumsum, which is the exact left-associated
+    # sequential sum the fold computed). The HOF form paid interpreted
+    # per-element lambda eval for ~4 array passes per row; an unrolled
+    # element_at chain was tried first and REJECTED — flat 64-term
+    # chains evaluate ~8× slower than the fold (see OPTIMIZATION_r06.md
+    # "negative results"). Zero shuffle either way.
+    import numpy as np
+    import pandas as pd
 
-        def _code(x: Column) -> Column:
-            return (
-                F.when(
-                    F.col("scale_q") > 0,
-                    F.greatest(
-                        F.lit(-127.0),
-                        F.least(
-                            F.lit(127.0),
-                            F.floor(x * 127 * 1000000 / F.col("scale_q") + 0.5),
-                        ),
-                    ),
-                )
-                .otherwise(F.lit(0.0))
-                .cast("int")
-            )
+    id_type = emb.schema[id_col].dataType.simpleString()
 
-        code = F.array(
-            *[_code(F.element_at(F.col("_v"), i)) for i in range(1, dim + 1)]
-        )
-        err: Column = F.lit(0.0)
-        for i in range(1, dim + 1):
-            err = err + F.abs(
-                F.element_at(F.col("_v"), i)
-                - F.element_at(F.col("codes"), i).cast("double")
-                * F.col("scale_q")
-                / (127 * 1000000)
-            )
-        recon_err = err
-    else:
-        d = d.withColumn(
-            "scale_q",
-            F.floor(
-                1000000
-                * F.aggregate(
-                    F.col("_v"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
-                )
-            ).cast("long"),
-        )
-        code = F.transform(
-            F.col("_v"),
-            lambda x: F.when(
-                F.col("scale_q") > 0,
-                F.greatest(
-                    F.lit(-127.0),
-                    F.least(
-                        F.lit(127.0),
-                        F.floor(x * 127 * 1000000 / F.col("scale_q") + 0.5),
-                    ),
-                ),
-            )
-            .otherwise(F.lit(0.0))
-            .cast("int"),
-        )
-        recon_err = F.aggregate(
-            F.zip_with(
-                F.col("codes"),
-                F.col("_v"),
-                lambda c, x: F.abs(
-                    x - c.cast("double") * F.col("scale_q") / (127 * 1000000)
-                ),
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-    return (
-        d.withColumn("codes", code)
-        .withColumn("err_q", F.floor(1000000 * recon_err).cast("long"))
-        .select(id_col, "scale_q", "codes", "err_q")
+    def gen(batches):
+        for pdf in batches:
+            ids, scales, codes_out, errs = [], [], [], []
+            for rid, vec in zip(pdf[id_col], pdf[vec_col]):
+                if vec is None:
+                    ids.append(rid)
+                    scales.append(None)
+                    codes_out.append(None)
+                    errs.append(None)
+                    continue
+                v = np.asarray(vec, dtype=np.float64)
+                m = float(np.max(np.abs(v))) if v.size else 0.0
+                m = m if m > 0.0 else 0.0
+                scale_q = int(np.floor(1000000 * m))
+                if scale_q > 0:
+                    t = ((v * 127.0) * 1000000.0) / np.float64(scale_q)
+                    codes = np.maximum(
+                        -127.0, np.minimum(127.0, np.floor(t + 0.5))
+                    ).astype(np.int32)
+                else:
+                    codes = np.zeros(v.size, dtype=np.int32)
+                recon = (codes.astype(np.float64) * np.float64(scale_q)) / 127000000.0
+                terms = np.abs(v - recon)
+                tot = float(np.cumsum(terms)[-1]) if terms.size else 0.0
+                err_q = int(np.floor(1000000 * tot))
+                ids.append(rid)
+                scales.append(scale_q)
+                codes_out.append(codes)
+                errs.append(err_q)
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="object"),
+                "scale_q": pd.Series(scales, dtype="object"),
+                "codes": pd.Series(codes_out, dtype="object"),
+                "err_q": pd.Series(errs, dtype="object"),
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} {id_type}, scale_q long, codes array<int>, err_q long"
     )
 
 
@@ -1145,35 +1081,29 @@ def dim_truncation_audit(
     O(|Q|·k) survivor tables."""
     if k <= 0 or prefix_dims <= 0:
         raise ValueError("k and prefix_dims must be positive")
-    # Unroll both dot passes when the width is known (peek_dim) and the
-    # prefix is a true prefix of every vector; the self-dots move out
-    # of the per-pair expression onto the two sides (one norm per row
-    # instead of two folds per pair — identical arithmetic, see
-    # norm_of). The HOF-fold path remains for ragged/unknown widths.
-    dim = peek_dim(corpus, vec_col)
-    if dim is not None and dim < prefix_dims:
-        dim = None  # prefix slice would be ragged — keep the fold path
+    # Precompute per SIDE what the per-pair expression used to re-fold:
+    # the prefix slice and both norms ride the (tiny) query table and
+    # the corpus rows ONCE; each pair then pays exactly one dot fold
+    # per pass instead of three — identical arithmetic (dot/sqrt order
+    # unchanged; the slices are the same values the in-pair slice
+    # produced), one third of the interpreted-HOF work. (An unrolled
+    # element_at chain was tried and REJECTED: 8× slower than the fold
+    # — see OPTIMIZATION_r06.md "negative results".)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_q")
+    ).withColumn("_qp", F.slice(F.col("_q"), 1, prefix_dims))
+    q = q.withColumn("_qn", norm_of(F.col("_q"))).withColumn(
+        "_qnp", norm_of(F.col("_qp"))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("_v"),
+    ).withColumn("_vp", F.slice(F.col("_v"), 1, prefix_dims))
+    c = c.withColumn("_vn", norm_of(F.col("_v"))).withColumn(
+        "_vnp", norm_of(F.col("_vp"))
     )
-    if dim is not None:
-        q = q.withColumn("_qn", norm_known(F.col("_q"), dim)).withColumn(
-            "_qnp", norm_known(F.col("_q"), prefix_dims)
-        )
-        c = c.withColumn("_vn", norm_known(F.col("_v"), dim)).withColumn(
-            "_vnp", norm_known(F.col("_v"), prefix_dims)
-        )
 
-    def topk(qv, cv, label, d=None, qn=None, vn=None):
-        cos = (
-            dot_known(qv, cv, d) / (qn * vn)
-            if d is not None
-            else dot(qv, cv) / (F.sqrt(dot(qv, qv)) * F.sqrt(dot(cv, cv)))
-        )
+    def topk(qv, cv, qn, vn, label):
         sims = (
             F.broadcast(q)
             .crossJoin(c)
@@ -1181,7 +1111,9 @@ def dim_truncation_audit(
             .select(
                 "query_id",
                 "neighbor_id",
-                F.floor(10000 * cos).cast("long").alias("_s"),
+                F.floor(10000 * (dot(qv, cv) / (qn * vn)))
+                .cast("long")
+                .alias("_s"),
             )
         )
         w = Window.partitionBy("query_id").orderBy(
@@ -1193,22 +1125,12 @@ def dim_truncation_audit(
             .select("query_id", F.col("neighbor_id").alias(label))
         )
 
-    if dim is not None:
-        full = topk(
-            F.col("_q"), F.col("_v"), "n_full",
-            d=dim, qn=F.col("_qn"), vn=F.col("_vn"),
-        )
-        pref = topk(
-            F.col("_q"), F.col("_v"), "n_pref",
-            d=prefix_dims, qn=F.col("_qnp"), vn=F.col("_vnp"),
-        )
-    else:
-        full = topk(F.col("_q"), F.col("_v"), "n_full")
-        pref = topk(
-            F.slice(F.col("_q"), 1, prefix_dims),
-            F.slice(F.col("_v"), 1, prefix_dims),
-            "n_pref",
-        )
+    full = topk(
+        F.col("_q"), F.col("_v"), F.col("_qn"), F.col("_vn"), "n_full"
+    )
+    pref = topk(
+        F.col("_qp"), F.col("_vp"), F.col("_qnp"), F.col("_vnp"), "n_pref"
+    )
     hits = full.join(
         pref,
         (full["query_id"] == pref["query_id"])
