@@ -73,46 +73,28 @@ def _count_occurrences(text: Column, needle: str) -> Column:
 
 def gopher_metrics(text: Column) -> list[Column]:
     """The raw Gopher §A1.1 metrics as aliased Columns (see module
-    docstring for the quantization contract).
-
-    Every metric is a whole-string native expression (regexp_count /
-    literal-replace counting) — the previous shape filtered/folded the
-    token and line ARRAYS with per-element HOF lambdas, which drop out
-    of codegen into interpreted eval (~6× the scan CPU at corpus
-    scale). Equivalences, pinned by test_quality golden rows:
-      char_sum      Σ len(token) == non-\\s chars of trim(text)
-      n_lines       count('\\n') + 1  (split keeps trailing empties)
-      n_bullet      count('\\n- ') + startswith('- ')  (no overlap)
-      n_ellipsis    count('...\\n') + endswith('...')
-      n_alpha_words one match per token: \\s[^\\s]*[a-z] over
-                    ' '+trim(text) — each match consumes the token's
-                    own delimiter, so a token can't match twice
-      stop_hits     per stopword, one rlike asserting some token whose
-                    letters-only image is exactly the stopword."""
-    trimmed = F.trim(text)
-    words = F.split(trimmed, r"\s+")
+    docstring for the quantization contract)."""
+    words = F.split(F.trim(text), r"\s+")
+    lines = F.split(text, "\n")
     n_words = F.size(words).cast("long")
-    n_lines = (_count_occurrences(text, "\n") + 1).cast("long")
-    char_sum = F.length(F.regexp_replace(trimmed, r"\s", "")).cast("long")
+    n_lines = F.size(lines).cast("long")
+    char_sum = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
     n_symbols = _count_occurrences(text, "#") + _count_occurrences(text, "...")
-    n_bullet = (
-        _count_occurrences(text, "\n- ")
-        + F.when(F.startswith(text, F.lit("- ")), 1).otherwise(0)
+    n_bullet = F.size(F.filter(lines, lambda l: l.startswith("- "))).cast("long")
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("long")
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[a-z]"))
     ).cast("long")
-    n_ellipsis = (
-        _count_occurrences(text, "...\n")
-        + F.when(F.endswith(text, F.lit("...")), 1).otherwise(0)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(
+                F.transform(words, lambda w: F.regexp_replace(w, "[^a-z]", ""))
+            ),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
     ).cast("long")
-    n_alpha_words = F.regexp_count(
-        F.concat(F.lit(" "), trimmed), F.lit(r"\s[^\s]*[a-z]")
-    ).cast("long")
-    npart = r"[^a-z\s]*"
-    stop_hits = None
-    for s in GOPHER_STOPWORDS:
-        pat = r"(?:^|\s)" + npart + npart.join(list(s)) + npart + r"(?=\s|$)"
-        hit = text.rlike(pat).cast("long")
-        stop_hits = hit if stop_hits is None else stop_hits + hit
-    stop_hits = stop_hits.cast("long")
     return [
         n_words.alias("n_words"),
         _q(char_sum, n_words).alias("mean_word_len_q"),
@@ -124,12 +106,80 @@ def gopher_metrics(text: Column) -> list[Column]:
     ]
 
 
+def _gopher_metric_values(text: str | None):
+    """Pure-Python image of gopher_metrics for ONE document — exactly
+    the Column semantics: Spark trim strips SPACES only, split keeps
+    trailing empties (Java limit=-1), [a-z] is ASCII, literal counts
+    are non-overlapping left-to-right, and the _q quantizer divides as
+    double then floors. Pinned against the Column form by
+    test_quality's golden rows + the oracle gate."""
+    import math
+    import re
+
+    if text is None:
+        return (None,) * 7
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    words = ws.split(text.strip(" "))
+    lines = text.split("\n")
+    n_words = len(words)
+    n_lines = len(lines)
+    char_sum = sum(len(w) for w in words)
+    n_symbols = text.count("#") + text.count("...")
+    n_bullet = sum(1 for l in lines if l.startswith("- "))
+    n_ellipsis = sum(1 for l in lines if l.endswith("..."))
+    lower = set("abcdefghijklmnopqrstuvwxyz")
+    n_alpha = sum(1 for w in words if any(c in lower for c in w))
+    stripped = {"".join(c for c in w if c in lower) for w in words}
+    stop_hits = len(stripped & set(GOPHER_STOPWORDS))
+
+    def q(num, den):
+        return 0 if den == 0 else int(math.floor((10000 * num) / den))
+
+    return (
+        n_words,
+        q(char_sum, n_words),
+        q(n_symbols, n_words),
+        q(n_bullet, n_lines),
+        q(n_ellipsis, n_lines),
+        q(n_alpha, n_words),
+        stop_hits,
+    )
+
+
+_GOPHER_METRIC_NAMES = (
+    "n_words", "mean_word_len_q", "symbol_ratio_q", "bullet_frac_q",
+    "ellipsis_frac_q", "alpha_word_frac_q", "stop_hits",
+)
+
+
 def gopher_quality(df: DataFrame, text: Column | None = None) -> DataFrame:
     """Append the Gopher metrics, one 0/1 flag per rule, and the
-    combined ``keep`` decision. Zero-shuffle: every column is a scalar
-    expression over the row's text."""
+    combined ``keep`` decision. Zero-shuffle: the seven metrics compute
+    in ONE mapInPandas pass per row (the Column form paid interpreted
+    per-element HOF lambdas for four token/line-array passes per doc;
+    a whole-string regex rewrite was also tried and REJECTED — Java
+    backtracking on the letters-only-image patterns was slower than
+    the HOFs; see OPTIMIZATION_r06.md). Flags/keep stay native
+    expressions over the metric columns."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
     t = text if text is not None else F.col("text")
-    out = df.select("*", *gopher_metrics(t))
+    base = df.withColumn("_gq_text", t)
+    out_schema = StructType(
+        list(base.schema.fields)
+        + [StructField(n, LongType()) for n in _GOPHER_METRIC_NAMES]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            vals = [_gopher_metric_values(x) for x in pdf["_gq_text"]]
+            cols = list(zip(*vals)) if vals else [[]] * 7
+            out = pdf.copy()
+            for name, col in zip(_GOPHER_METRIC_NAMES, cols):
+                out[name] = list(col)
+            yield out
+
+    out = base.mapInPandas(gen, out_schema).drop("_gq_text")
     flags = {
         "r_word_count": (F.col("n_words") >= GOPHER_MIN_WORDS)
         & (F.col("n_words") <= GOPHER_MAX_WORDS),

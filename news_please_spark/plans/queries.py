@@ -1561,7 +1561,19 @@ ORACLES["script_profile"] = _script_profile_sql()
 
 
 def _synth_page(text: Column, doc_id: Column) -> Column:
-    toks = F.split(F.trim(text), r"\s+")
+    return _synth_page_of(F.split(F.trim(text), r"\s+"), doc_id)
+
+
+def _synth_page_of(toks: Column, doc_id: Column) -> Column:
+    """_synth_page over an ALREADY-MATERIALIZED token array column.
+
+    Entries project the split to a column first: passing the raw
+    split(...) expression meant the transform lambda re-tokenized the
+    whole text once per generated LINE in interpreted eval (~12×
+    per row — 6-8 s of the gopher_rules/c4_clean entry cost at the
+    10× measurement SF). `toks` is referenced twice (size + slice),
+    which keeps CollapseProject from re-inlining a projected token
+    column into this expression."""
     k = (doc_id % 3 + 4).cast("int")
     nlines = F.floor((F.size(toks) + k - 1) / k).cast("long")
     lines = F.transform(
@@ -1707,7 +1719,9 @@ def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     paged = docs.select(
-        "doc_id", _synth_page(F.col("text"), F.col("doc_id")).alias("page")
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
+    ).select(
+        "doc_id", _synth_page_of(F.col("_toks"), F.col("doc_id")).alias("page")
     )
     return gopher_quality(paged, F.col("page")).drop("page")
 
@@ -1755,7 +1769,9 @@ def c4_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     paged = docs.select(
-        "doc_id", _synth_page(F.col("text"), F.col("doc_id")).alias("page")
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
+    ).select(
+        "doc_id", _synth_page_of(F.col("_toks"), F.col("doc_id")).alias("page")
     )
     return c4_line_filter(paged, F.col("page")).drop("page")
 
