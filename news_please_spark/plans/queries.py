@@ -3387,7 +3387,12 @@ def jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     cand = minhash_lsh_candidates_from_grams(grams, gram_col="_g")
-    scored = ngram_jaccard_pairs(docs, cand, threshold=0.0, grams_df=grams)
+    # threshold 0.5 is EXACTLY the jaccard_q >= 5000 filter below
+    # (floor(10^4·j) >= 5000 ⟺ j >= 0.5 — multiplication by 10^4 and
+    # the 0.5 boundary are exact in doubles), and a positive threshold
+    # lets the verify prune provably-below pairs by set size before
+    # the gram arrays ship (see ngram_jaccard_pairs).
+    scored = ngram_jaccard_pairs(docs, cand, threshold=0.5, grams_df=grams)
     out = (
         scored.select(
             "doc_a", "doc_b",
