@@ -1213,6 +1213,12 @@ def bounded_closure(
         frontier = step.join(reach, ["a", "b"], "left_anti").localCheckpoint()
         if prev_frontier is not e:
             release_df(prev_frontier)
+        if frontier.isEmpty():
+            # early exit (ADVICE r5): an empty frontier means every
+            # remaining wave is a no-op; skipping them skips their
+            # eager checkpoint jobs on sparse/acyclic graphs (the
+            # max_hops=7 paths) without changing the closure.
+            break
         prev = reach
         reach = reach.unionByName(frontier).localCheckpoint()
         if prev is not e:

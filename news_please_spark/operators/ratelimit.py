@@ -48,8 +48,15 @@ def gcra_admission(
     and the post-decision TAT (state observability / resume point).
 
     The first arrival of a host is always admitted (TAT starts at its
-    own t). Plan: ONE exchange on host + the per-cell Arrow batch.
-    """
+    own t). Plan: ONE exchange on host + a partition-streaming walk —
+    mapInPandas over hash(host)-partitioned, (host, t, id)-sorted rows
+    with the TAT carried across batch/host boundaries in the
+    generator. The per-GROUP applyInPandas it replaces built a pandas
+    frame per host cell; with 10^4-10^5 tiny cells (one per host) that
+    fixed per-group overhead WAS the operator's cost. Identical rows:
+    hash partitioning keeps each host in one partition and the
+    partition sort is the same (t, id) order the per-cell sort
+    produced."""
     if rate_interval_us <= 0:
         raise ValueError("rate_interval_us must be > 0")
     if burst_us < 0:
@@ -57,32 +64,42 @@ def gcra_admission(
     T = int(rate_interval_us)
     tau = int(burst_us)
 
-    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
-        ts = pdf[ts_col].to_numpy()
-        n = len(ts)
-        admitted = [0] * n
-        tat_after = [0] * n
+    def gen(batches):
+        cur_host = None
         tat = None
-        for i in range(n):
-            t = int(ts[i])
-            if tat is None or t >= tat - tau:
-                admitted[i] = 1
-                tat = (t if tat is None else max(t, tat)) + T
-            tat_after[i] = tat
-        return pd.DataFrame(
-            {
-                "host": pdf[host_col].to_numpy(),
-                "event_id": pdf[id_col].to_numpy(),
-                "t_us": ts,
-                "admitted": admitted,
-                "tat_after": tat_after,
-            }
-        )
+        for pdf in batches:
+            hosts = pdf[host_col].to_numpy()
+            ts = pdf[ts_col].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            n = len(ts)
+            admitted = [0] * n
+            tat_after = [0] * n
+            for i in range(n):
+                h = hosts[i]
+                if h != cur_host:
+                    cur_host = h
+                    tat = None
+                t = int(ts[i])
+                if tat is None or t >= tat - tau:
+                    admitted[i] = 1
+                    tat = (t if tat is None else max(t, tat)) + T
+                tat_after[i] = tat
+            yield pd.DataFrame(
+                {
+                    "host": hosts,
+                    "event_id": ids,
+                    "t_us": ts,
+                    "admitted": admitted,
+                    "tat_after": tat_after,
+                }
+            )
 
     cols = events.select(
         F.col(host_col).alias(host_col),
         F.col(id_col).cast("long").alias(id_col),
         F.col(ts_col).cast("long").alias(ts_col),
     )
-    return cols.groupBy(host_col).applyInPandas(walk, _OUT_SCHEMA)
+    part = cols.repartition(F.col(host_col)).sortWithinPartitions(
+        host_col, ts_col, id_col
+    )
+    return part.mapInPandas(gen, _OUT_SCHEMA)
