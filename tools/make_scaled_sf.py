@@ -13,12 +13,12 @@ sf0.001/0.01/0.1 on the driver's own files) this script replicates
   orders/customer/part/supplier   10x with consistent FK offsets
   region/nation                   fixed
 
-Replica k shifts every key by k*n so FK joins stay consistent.  Text is
-mutated (~35% token resample from the empirical vocab distribution) and
-vectors are jittered+renormalized so replicas are NOT trivial near-dups of
-the base rows -- pair-candidate densities stay realistic instead of
-exploding quadratically on exact copies.  Files are written as a single row
-group to match the driver's file layout (observed: 600k rows / 1 row group).
+Replica k shifts every key by k*n so FK joins stay consistent.  Documents
+and embeddings are fresh i.i.d. draws from the distributions observed in
+the real files (each sf is an independent draw there too -- sf0.01 is not
+a prefix of sf0.1); see the inline notes for the rejected replica-mutation
+variant.  Files are written with pyarrow's default (1M-row) row groups,
+matching the driver's layout at both small and large row counts.
 
 Usage: python tools/make_scaled_sf.py /root/sf1 10
 """
@@ -36,8 +36,12 @@ SRC = "/root/testdata/sf0.1"
 
 
 def write(tbl: pa.Table, out: str, name: str) -> None:
-    pq.write_table(tbl, f"{out}/{name}.parquet", row_group_size=50_000_000,
-                   compression="snappy")
+    # pyarrow's default 1M-row groups: the driver's own files show the
+    # same behavior (600k-row sf0.1 lineitem = 1 row group), so a 6M-row
+    # sf1 lineitem has ~6 groups => ~6 scan splits. Forcing one giant
+    # row group serialized every lineitem-scan map stage onto one core
+    # (crawl_traps read 19.6s vs the driver's 3.9s at the same size).
+    pq.write_table(tbl, f"{out}/{name}.parquet", compression="snappy")
     print(f"{name}: {tbl.num_rows} rows", flush=True)
 
 
