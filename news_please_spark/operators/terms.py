@@ -223,6 +223,11 @@ def bm25_topk(
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     post = inverted_index(docs, id_col, text_col) if postings is None else postings
+    if postings is None:
+        # df/avgdl stats, and the scoring join, each consume the
+        # postings build — unpersisted, the tokenize+explode+groupBy
+        # re-ran three times per query
+        post = post.persist()
     dfreq = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("_df"))
     stats = post.select(id_col, "dl").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
@@ -245,7 +250,15 @@ def bm25_topk(
             F.expr("_tot div _n").alias("_avgdl"),
         )
     )
-    cand = post.join(F.broadcast(qidf), "term").select(
+    # Co-partition the postings by DOC before the broadcast scoring
+    # join: the join then stays hash(doc)-partitioned, and since
+    # {doc} ⊆ {query, doc} the (query, doc) aggregate needs NO
+    # exchange — with a Zipfian vocabulary the per-term join output is
+    # ~|post|·|qterms|/|vocab| rows (10^8 at the 10× SF), and shuffling
+    # that into the aggregate was the entry's whole cost. The shuffle
+    # this ADDS is the narrow postings table once.
+    post_doc = post.repartition(F.col(id_col))
+    cand = post_doc.join(F.broadcast(qidf), "term").select(
         "query_id",
         F.col(id_col),
         (
@@ -259,6 +272,10 @@ def bm25_topk(
     scores = cand.groupBy("query_id", id_col).agg(
         F.sum("_c").cast("long").alias("score_q")
     )
+    # (The ranking exchange is already bounded: Spark 3.5+ inserts a
+    # partial WindowGroupLimit below it, keeping ≤ k rows per query
+    # per partition — a hand-rolled local top-k prune was tried and
+    # removed as redundant with it.)
     w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc(id_col))
     return (
         scores.withColumn("rk", F.row_number().over(w))
