@@ -11153,7 +11153,10 @@ def media_ref_integrity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = _synth_spans_df(spark, sf_dir).select(
         "doc_id", F.explode("spans").alias("s")
     ).select("doc_id", "s.*")
-    media = rows.filter(F.col("media_ref").isNotNull())
+    # three consumers (manifest derivation, anti-join probe, per-source
+    # base counts) — persisted so the span synthesis + explode runs
+    # once inside this entry's evaluation instead of three times
+    media = rows.filter(F.col("media_ref").isNotNull()).persist()
     manifest = media.select("media_ref").filter(
         F.substring(F.md5("media_ref"), 1, 1) < "c"
     )
