@@ -252,6 +252,53 @@ def ngram_set(text: Column, n: int = 3) -> Column:
     return F.array_distinct(ngrams(F.lower(text), n))
 
 
+
+def ngram_set_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+):
+    r"""(id, text) → (id, _g) with _g = ngram_set(text, n), computed in
+    one mapInPandas pass. Bit-identical image of the Column form
+    (lower → space-only trim → Java-\s split keeping empty tokens →
+    n-gram join with single spaces → first-occurrence distinct =
+    array_distinct; NULL text stays NULL) — the zip_with builder paid
+    interpreted per-element lambda eval for every gram, which at
+    corpus scale is the dominant map cost of every shingle consumer.
+    Callers keep their own size(_g) > 0 guard."""
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, gs = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    ids.append(rid)
+                    gs.append(None)
+                    continue
+                toks = ws.split(text.lower().strip(" "))
+                m = len(toks) - (n - 1)
+                grams = [
+                    " ".join(toks[i:i + n]) for i in range(m if m > 0 else 0)
+                ]
+                ids.append(rid)
+                gs.append(list(dict.fromkeys(grams)))
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="object"),
+                "_g": pd.Series(gs, dtype="object"),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} {id_type}, _g array<string>"
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -265,9 +312,11 @@ def minhash_lsh_candidates(
     (band, sig) table is the LSH index — candidates are same-bucket
     equi-joins, the corpus is never crossed. Docs with < n tokens have
     no shingles and never become candidates."""
-    shingled = df.select(
-        F.col(id_col), ngram_set(F.col(text_col), n).alias("_sh")
-    ).filter(F.size("_sh") > 0)
+    shingled = (
+        ngram_set_rows(df, id_col=id_col, text_col=text_col, n=n)
+        .withColumnRenamed("_g", "_sh")
+        .filter(F.size("_sh") > 0)
+    )
     return minhash_lsh_candidates_from_grams(
         shingled, id_col=id_col, gram_col="_sh", bands=bands
     )
@@ -427,9 +476,7 @@ def ngram_jaccard_pairs(
     candidate generator's `minhash_lsh_candidates_from_grams` shares
     the same table, so the corpus is shingled exactly once."""
     if grams_df is None:
-        grams_df = df.select(
-            F.col(id_col), ngram_set(F.col(text_col), n).alias("_g")
-        )
+        grams_df = ngram_set_rows(df, id_col=id_col, text_col=text_col, n=n)
     if impl == "exploded":
         gramrows = grams_df.select(
             F.col(id_col),
@@ -810,9 +857,11 @@ def apply_cdc_to_index(
     changed_ids = changes.select(F.col(id_col)).distinct()
     kept = index.join(changed_ids, id_col, "left_anti")
     upserts = changes.filter(F.col("_change").isin("insert", "update"))
-    shingled = upserts.select(
-        F.col(id_col), ngram_set(F.col(text_col), n).alias("_sh")
-    ).filter(F.size("_sh") > 0)
+    shingled = (
+        ngram_set_rows(upserts, id_col=id_col, text_col=text_col, n=n)
+        .withColumnRenamed("_g", "_sh")
+        .filter(F.size("_sh") > 0)
+    )
     return kept.unionByName(lsh_index_of(shingled, id_col=id_col, bands=bands))
 
 
@@ -1040,9 +1089,11 @@ def lsh_recall_audit(
     cost contract is sample-sized, never corpus-sized). Returns
     (bucket_q, n_true_pairs, n_candidates, recall_q) with bucket_q =
     the bucket's lower bound in basis points."""
-    grams = df.select(
-        F.col(id_col), ngram_set(F.col(text_col), n).alias("_g")
-    ).filter(F.size("_g") > 0).persist()
+    grams = (
+        ngram_set_rows(df, id_col=id_col, text_col=text_col, n=n)
+        .filter(F.size("_g") > 0)
+        .persist()
+    )
     a = grams.select(F.col(id_col).alias("doc_a"), F.col("_g").alias("_ga"))
     b = grams.select(F.col(id_col).alias("doc_b"), F.col("_g").alias("_gb"))
     exact = (

@@ -3377,12 +3377,12 @@ def jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_please_spark.operators.dedup import (
         minhash_lsh_candidates_from_grams,
         ngram_jaccard_pairs,
-        ngram_set,
+        ngram_set_rows,
     )
 
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     grams = (
-        docs.select("doc_id", ngram_set(F.col("text")).alias("_g"))
+        ngram_set_rows(docs)
         .filter(F.size("_g") > 0)
         .persist()
     )
@@ -3446,14 +3446,16 @@ def cdc_lsh_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_please_spark.operators.dedup import (
         apply_cdc_to_index,
         lsh_index_of,
-        ngram_set,
+        ngram_set_rows,
     )
 
     base = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     d = F.col("doc_id")
-    shingled = base.select(
-        "doc_id", ngram_set(F.col("text")).alias("_sh")
-    ).filter(F.size("_sh") > 0)
+    shingled = (
+        ngram_set_rows(base)
+        .withColumnRenamed("_g", "_sh")
+        .filter(F.size("_sh") > 0)
+    )
     index = lsh_index_of(shingled)
     updates = base.filter(d % 10 == 0).select(
         "doc_id",
@@ -3523,12 +3525,12 @@ def incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard,
         lsh_index_of,
         near_dup_candidates_against_index,
-        ngram_set,
+        ngram_set_rows,
     )
 
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     grams = (
-        docs.select("doc_id", ngram_set(F.col("text")).alias("_g"))
+        ngram_set_rows(docs)
         .filter(F.size("_g") > 0)
         .persist()
     )
