@@ -45,7 +45,7 @@ from news_please_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates_from_grams,
     ngram_jaccard_pairs,
-    ngram_set,
+    ngram_set_rows,
 )
 from news_please_spark.operators.repetition import ngrams, run_stats
 
@@ -132,7 +132,7 @@ def _clean_stages(
     # tokenization is the dominant map-side cost at corpus scale, and
     # the split plan paid it twice (same fix jaccard_verify carries).
     grams = (
-        kept.select(F.col(id_col), ngram_set(F.col(text_col)).alias("_g"))
+        ngram_set_rows(kept, id_col=id_col, text_col=text_col)
         .filter(F.size("_g") > 0)
         .persist()
     )
